@@ -1,0 +1,180 @@
+"""Relational operators over ColumnarTable — joins, aggregation, windows,
+sorting, set operations.
+
+The reference repo does not implement these (SURVEY.md §2.7): in KNIME they
+are nodes *consuming* the columnar backend (e.g. the benchmark workflow's
+Row Filter / String Manipulation nodes). What this module adds on top of
+raw Spark is the KNIME-compatible table semantics: every result is again a
+ColumnarTable with a well-defined ``_row_key``, and each wrapper documents
+its shuffle/broadcast behavior for the 100 TB case.
+
+RowID rules (mirroring how KNIME join/groupby nodes key their outputs):
+- join: left key, right key, or ``leftKey + "_" + rightKey`` (the KNIME
+  Joiner's "concatenate" RowID mode); unmatched outer rows keep the
+  present side's key.
+- aggregate: RowID derived from the group key values.
+- set ops / sort: RowIDs pass through unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Literal
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from knime_core_columnar_spark.schema import ROW_KEY
+from knime_core_columnar_spark.table import ColumnarTable
+
+JoinHow = Literal[
+    "inner", "left", "right", "full", "left_semi", "left_anti", "cross"
+]
+RowKeyMode = Literal["left", "right", "concat"]
+
+
+def join(
+    left: ColumnarTable,
+    right: ColumnarTable,
+    on: Column | Sequence[str],
+    how: JoinHow = "inner",
+    row_key: RowKeyMode = "concat",
+    broadcast_right: bool | None = None,
+) -> ColumnarTable:
+    """Join two tables; RowIDs of the inputs are combined per ``row_key``.
+
+    Scale: pass ``broadcast_right=True`` for dimension tables (≤ the
+    broadcast budget) to avoid shuffling the fact side; ``None`` lets
+    AQE decide from runtime statistics. Semi/anti joins return only left
+    columns and keep the left RowID (Spark's left_semi/left_anti).
+    """
+    lk = F.col(f"l.{ROW_KEY}")
+    rk = F.col(f"r.{ROW_KEY}")
+    ldf = left.df.alias("l")
+    rdf = right.df.alias("r")
+    if broadcast_right:
+        rdf = F.broadcast(rdf)
+    if isinstance(on, Column):
+        cond = on
+    else:
+        cond = None
+        for c in on:
+            e = F.col(f"l.{c}") == F.col(f"r.{c}")
+            cond = e if cond is None else (cond & e)
+
+    if how in ("left_semi", "left_anti"):
+        out = ldf.join(rdf, cond, how)
+        return ColumnarTable(out.select([F.col(f"l.{c}") for c in left.df.columns]))
+
+    joined = ldf.join(rdf, cond, how)
+    if row_key == "left":
+        key = lk
+    elif row_key == "right":
+        key = rk
+    else:  # KNIME Joiner "concatenate RowIDs" mode; outer rows keep the
+        key = F.when(lk.isNull(), rk).when(rk.isNull(), lk).otherwise(
+            F.concat(lk, F.lit("_"), rk)
+        )
+    dup = set(left.df.columns) & set(right.df.columns) - {ROW_KEY}
+    cols = [key.alias(ROW_KEY)]
+    cols += [F.col(f"l.{c}").alias(c) for c in left.columns]
+    cols += [
+        F.col(f"r.{c}").alias(f"{c}_r" if c in dup else c) for c in right.columns
+    ]
+    return ColumnarTable(joined.select(*cols))
+
+
+def aggregate(
+    table: ColumnarTable,
+    group_by: Sequence[str],
+    aggs: dict[str, Column],
+    grouping: Literal["groupby", "rollup", "cube"] = "groupby",
+) -> ColumnarTable:
+    """Group-by aggregation (partial/final split is automatic — map-side
+    combine shrinks the shuffle to nGroups×nPartitions). ``rollup`` /
+    ``cube`` add grouping-set rows with nulls on the rolled-up levels.
+
+    Result RowID = group key values joined by "_" (null → "?"), matching
+    KNIME GroupBy node output keying.
+    """
+    df = table.df
+    g = (
+        df.rollup(*group_by)
+        if grouping == "rollup"
+        else df.cube(*group_by)
+        if grouping == "cube"
+        else df.groupBy(*group_by)
+    )
+    out = g.agg(*[c.alias(n) for n, c in aggs.items()])
+    key = F.concat_ws(
+        "_", *[F.coalesce(F.col(c).cast("string"), F.lit("?")) for c in group_by]
+    )
+    return ColumnarTable(out.select(key.alias(ROW_KEY), "*"))
+
+
+def sort(
+    table: ColumnarTable, order_by: Sequence[Column], limit: int | None = None
+) -> ColumnarTable:
+    """Global sort / top-k. With ``limit`` Spark plans
+    TakeOrderedAndProject (per-partition heaps, no global sort) — always
+    prefer a limit at 100 TB; unbounded global sorts are range-partitioned
+    shuffles."""
+    df = table.df.orderBy(*order_by)
+    if limit is not None:
+        df = df.limit(limit)
+    return ColumnarTable(df)
+
+
+def distinct(table: ColumnarTable, subset: Sequence[str] | None = None) -> ColumnarTable:
+    """dropDuplicates; with ``subset``, keeps the row with the minimum
+    RowID per duplicate group (deterministic at any parallelism, unlike
+    Spark's arbitrary-winner dropDuplicates(subset))."""
+    if subset is None:
+        return ColumnarTable(table.df.dropDuplicates([c for c in table.df.columns if c != ROW_KEY]).dropDuplicates([ROW_KEY]))
+    w = Window.partitionBy(*subset).orderBy(F.col(ROW_KEY))
+    return ColumnarTable(
+        table.df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def intersect(a: ColumnarTable, b: ColumnarTable) -> ColumnarTable:
+    """INTERSECT (distinct) on data columns; RowID re-derived from the
+    left table (min key per value tuple)."""
+    cols = a.columns
+    common = a.df.select(cols).intersect(b.df.select(cols))
+    keyed = a.df.groupBy(cols).agg(F.min(ROW_KEY).alias(ROW_KEY))
+    return ColumnarTable(common.join(keyed, cols, "inner").select(ROW_KEY, *cols))
+
+
+def except_(a: ColumnarTable, b: ColumnarTable) -> ColumnarTable:
+    """EXCEPT (distinct) on data columns, RowID from the left table."""
+    cols = a.columns
+    diff = a.df.select(cols).distinct().subtract(b.df.select(cols).distinct())
+    keyed = a.df.groupBy(cols).agg(F.min(ROW_KEY).alias(ROW_KEY))
+    return ColumnarTable(diff.join(keyed, cols, "inner").select(ROW_KEY, *cols))
+
+
+def window_apply(
+    table: ColumnarTable,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    exprs: dict[str, Column],
+    frame: tuple[int | None, int | None] | None = None,
+) -> ColumnarTable:
+    """Window functions over a partition/order spec. ``exprs`` values are
+    window-function columns built with the returned spec via
+    ``lambda w: F.row_number().over(w)``-style callables or plain Columns
+    already bound to a Window. One shuffle on ``partition_by``; skewed
+    partition keys are AQE-split."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    if frame is not None:
+        lo = Window.unboundedPreceding if frame[0] is None else frame[0]
+        hi = Window.unboundedFollowing if frame[1] is None else frame[1]
+        w = w.rowsBetween(lo, hi)
+    df = table.df
+    for name, expr in exprs.items():
+        col = expr(w) if callable(expr) else expr
+        df = df.withColumn(name, col)
+    return ColumnarTable(df)
