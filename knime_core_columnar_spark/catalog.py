@@ -1052,6 +1052,312 @@ def concat_regenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.concatenate([b], row_id_policy=RowIdPolicy.REGENERATE).df
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: text analysis, dedup, similarity, multimodal
+# (north-star extensions; SURVEY.md Phase 6)
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len({t}) - 2, 0) + 1), "
+    "i -> array_to_string({t}[i:i+2], ' ')))"
+).format(t="t")
+_DUCK_HASH32 = "(('0x' || substring(md5(CAST({k} AS VARCHAR) || '_' || {s}, ), 1, 8))::BIGINT)"
+
+
+@query(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_c,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + punctuation ratio + content fingerprint — all
+    JVM-side expressions (operators.text), zero Python in the scan."""
+    from knime_core_columnar_spark.operators import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_c"),
+        X.token_count("text").cast("long").alias("n_tokens"),
+        X.punct_ratio("text").alias("punct_ratio"),
+        X.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@query(
+    "text_quality_lang",
+    """
+    WITH t0 AS (
+      SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS n,
+             string_split_regex(trim(text), '\\s+') AS t,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+               / length(text) AS pr
+      FROM documents
+    ), v AS (
+      SELECT doc_id, lang, n, pr, len(t) AS ntok,
+             len(list_filter(t, x -> list_contains(['the','and','of','to','is'], lower(x)))) AS v_en,
+             len(list_filter(t, x -> list_contains(['der','die','und','nicht','ist'], lower(x)))) AS v_de,
+             len(list_filter(t, x -> list_contains(['le','la','et','les','est'], lower(x)))) AS v_fr,
+             len(list_filter(t, x -> list_contains(['el','los','que','y','es'], lower(x)))) AS v_es
+      FROM t0
+    )
+    SELECT doc_id, lang,
+           CAST(v_en AS DOUBLE) / ntok AS stopword_ratio,
+           (CASE WHEN n < 20 THEN n / 20.0 WHEN n > 4000 THEN 0.5 ELSE 1.0 END) * 0.4
+             + (1.0 - least(pr * 5.0, 1.0)) * 0.3
+             + (CASE WHEN n / ntok >= 3.0 AND n / ntok <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3 AS quality,
+           CASE WHEN greatest(v_en, v_de, v_fr, v_es) = 0 THEN 'und'
+                WHEN v_en = greatest(v_en, v_de, v_fr, v_es) THEN 'en'
+                WHEN v_de = greatest(v_en, v_de, v_fr, v_es) THEN 'de'
+                WHEN v_fr = greatest(v_en, v_de, v_fr, v_es) THEN 'fr'
+                WHEN v_es = greatest(v_en, v_de, v_fr, v_es) THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM v
+    """,
+)
+def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + stopword ratio + stopword-voting language ID."""
+    from knime_core_columnar_spark.operators import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang",
+        X.stopword_ratio("text").alias("stopword_ratio"),
+        X.quality_score("text").alias("quality"),
+        X.lang_id("text").alias("lang_pred"),
+    )
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT doc_id, fp FROM (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             ROW_NUMBER() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                                ORDER BY CAST(doc_id AS VARCHAR)) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: min-RowID survivor per normalized-text md5.
+    Shuffles 16-byte hashes, not documents."""
+    from knime_core_columnar_spark.operators.dedup import exact_dedup
+    from knime_core_columnar_spark.operators.text import fingerprint
+
+    d = ColumnarTable.from_dataframe(_t(spark, sf_dir, "documents"), key_columns=["doc_id"])
+    survivors = exact_dedup(d, "text")
+    return survivors.df.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), mh AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(s, x ->
+                 ('0x' || substring(md5(CAST(i AS VARCHAR) || '_' || x), 1, 8))::BIGINT))) AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], ',')) AS key
+      FROM mh, (SELECT unnest(range(0, 4)) AS b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+    FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands × 4 rows) candidate pairs.
+    Signature pass is narrow (array exprs, no explode of shingles); only
+    4 band keys per doc are exploded and shuffled."""
+    from knime_core_columnar_spark.operators.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, "doc_id", "text", num_perm=16, bands=4)
+
+
+@query(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(t, tok -> ('0x' || substring(md5(tok), 1, 15))::BIGINT) AS h
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 32), j ->
+             CASE WHEN list_sum(list_transform(h, x ->
+                    CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash32
+    FROM hs
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (near-dup docs differ in few bits;
+    simhash_near_pairs banding joins on pigeonholed chunks)."""
+    from knime_core_columnar_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash("text", 32).alias("simhash32"))
+
+
+@query(
+    "ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa + sb - i) AS jaccard
+    FROM inter WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= 0.5
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted-index join (only
+    docs sharing a shingle ever meet; at 100 TB feed LSH candidates in
+    instead — ngram_jaccard_pairs(candidates=...))."""
+    from knime_core_columnar_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+@query(
+    "embedding_neardup",
+    """
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+    ) WHERE cos >= 0.4
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact tier; use_lsh=True buckets
+    candidates for the 100 TB tier)."""
+    from knime_core_columnar_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.4)
+
+
+@query(
+    "ann_topk",
+    """
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+      )
+    ) WHERE rank <= 5
+    """,
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — the exact baseline
+    the LSH/IVF tiers are recall-tested against."""
+    from knime_core_columnar_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter("vec_id < 10"), k=5)
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only check: approximate by
+    design; recall vs brute force is unit-tested)."""
+    from knime_core_columnar_spark.operators.similarity import rp_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return rp_lsh_topk(e, e.filter("vec_id < 10"), dim=64, k=5, planes=4)
+
+
+QUERIES["ann_topk_lsh"] = ann_topk_lsh  # no oracle: approximate op
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) // 64) % 64 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing end-to-end: attach a binary column, take
+    JVM-side payload stats, run the (stubbed) image decode through
+    mapInPandas over Arrow batches, and join stats with decode output.
+    The decode kernel is the single marked swap-in point for a real
+    imaging library."""
+    from knime_core_columnar_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_image_features,
+        payload_stats,
+    )
+
+    d = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    stats = d.select("doc_id", *[c.alias(n) for n, c in payload_stats(F.col("payload")).items()])
+    feats = decode_image_features(d, "doc_id", "payload").select("doc_id", "width", "height")
+    return stats.join(feats, "doc_id").select(
+        "doc_id", "n_bytes", "content_sha256", "width", "height"
+    )
+
+
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stub: 1→N row expansion through mapInPandas
+    (rows-only check; kernel raises under strict=True until ffmpeg-like
+    decode is plugged in)."""
+    from knime_core_columnar_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    d = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    return sample_frames(d, "doc_id", "payload", every_n_bytes=256)
+
+
+QUERIES["video_frame_sample"] = video_frame_sample  # no oracle: decode stub
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the pricing-summary aggregation."""
     return q1_pricing_summary(spark, sf_dir)

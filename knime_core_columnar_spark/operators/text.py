@@ -1,0 +1,139 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language identification, fingerprinting,
+shingling.
+
+Everything here is a pure Catalyst column expression (JVM-side, codegen,
+no Python in the hot path) so it runs at 100 TB without serialization
+overhead. The expression builders return Columns and are shared by the
+dedup operators (same shingle/hash definitions on both sides of the
+LSH pipeline).
+
+Hash convention (shared with dedup.py and the DuckDB oracles): a keyed
+32-bit hash derived from md5 — ``hash_k(s) = int(md5(k || '_' || s)[:8], 16)``
+— chosen because md5 is bit-identical across engines, making every
+operator in this family differentially testable."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from knime_core_columnar_spark.table import ColumnarTable
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword-voting
+#: language heuristic. Deliberately small + SQL-expressible.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "y", "es"],
+}
+
+_PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (the baseline tokenizer; BPE-ish regex
+    splitting below)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punct boundaries — a cheap proxy for BPE token counts
+    when budgeting LLM training data."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_replace(c, r"([0-9]+|[^\sA-Za-z0-9])", r" $1 ")
+    return F.size(F.split(F.trim(pieces), r"\s+"))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, _PUNCT_RE, "")
+    return (F.length(c) - F.length(stripped)).cast("double") / F.length(c)
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are common stopwords — a classic quality
+    signal (too low → word salad / non-text)."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits.cast("double") / F.size(toks)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]:
+    0.4·length-band + 0.3·(1 − punct-excess) + 0.3·mean-token-length-band.
+    Deterministic per-row double arithmetic (differentially testable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    ntok = token_count(c).cast("double")
+    len_band = F.when(n < 20, n / 20.0).when(n > 4000, F.lit(0.5)).otherwise(F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    mean_tok = n / ntok
+    tok_band = F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), 1.0).otherwise(0.5)
+    return len_band * 0.4 + punct_term * 0.3 + tok_band * 0.3
+
+
+def lang_votes(col: Column | str, lang: str) -> Column:
+    """Number of tokens matching ``lang``'s marker set."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-voting language ID: the language with the most marker
+    hits wins; ties and zero hits → 'und'. First-listed language wins
+    ties (deterministic CASE order)."""
+    votes = {lang: lang_votes(col, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*votes.values())
+    expr = F.when(best == 0, "und")
+    for lang in LANG_MARKERS:  # insertion order = tie-break priority
+        expr = expr.when(votes[lang] == best, lang)
+    return expr.otherwise("und")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized, lowercased
+    text — the exact-dedup key (content hash, not identity)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def keyed_hash32(key: Column, s: Column) -> Column:
+    """Cross-engine 32-bit keyed hash: int(md5(key || '_' || s)[:8], 16).
+    DuckDB equivalent: ('0x' || substring(md5(key||'_'||s),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit("_"), s)), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (the MinHash input set). Array expression —
+    no explode, no shuffle; duplicates removed so the shingle *set* is
+    hashed."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def text_profile(table: ColumnarTable, text_col: str = "text") -> ColumnarTable:
+    """Append the full text-analysis profile to a document table."""
+    return table.append_map({
+        "n_chars_c": F.length(F.col(text_col)).cast("long"),
+        "n_tokens": token_count(text_col).cast("long"),
+        "n_tokens_bpe": bpe_ish_token_count(text_col).cast("long"),
+        "punct_ratio": punct_ratio(text_col),
+        "stopword_ratio": stopword_ratio(text_col),
+        "quality": quality_score(text_col),
+        "lang_pred": lang_id(text_col),
+        "fingerprint": fingerprint(text_col),
+    })

@@ -1,0 +1,133 @@
+"""Tests for the LLM-data-pipeline operators: text analysis, dedup
+(exact/MinHash/SimHash/Jaccard), similarity search, multimodal stubs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knime_core_columnar_spark.operators import dedup as D
+from knime_core_columnar_spark.operators import multimodal as M
+from knime_core_columnar_spark.operators import similarity as S
+from knime_core_columnar_spark.operators import text as X
+from knime_core_columnar_spark.schema import ROW_KEY
+from knime_core_columnar_spark.table import ColumnarTable
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different text about spark engines and data"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "der hund und die katze sind nicht da"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    r = {x["doc_id"]: x["n"] for x in docs.select("doc_id", X.token_count("text").alias("n")).collect()}
+    assert r[0] == 9 and r[4] == 8
+
+
+def test_lang_id(spark, docs):
+    r = {x["doc_id"]: x["l"] for x in docs.select("doc_id", X.lang_id("text").alias("l")).collect()}
+    assert r[0] == "en" and r[4] == "de"
+    assert r[2] == "en"  # 'and' is an en marker; zero-hit docs → 'und'
+
+
+def test_fingerprint_normalizes_ws(spark):
+    df = spark.createDataFrame([("A  b\tc",), ("a b c",)], "t string")
+    fps = [r["fp"] for r in df.select(X.fingerprint("t").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_exact_dedup(spark, docs):
+    t = ColumnarTable.from_dataframe(docs, key_columns=["doc_id"])
+    out = D.exact_dedup(t, "text")
+    ids = sorted(r["doc_id"] for r in out.df.collect())
+    assert ids == [0, 1, 2, 4]  # doc 3 (exact dup of 0, larger key) dropped
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = D.minhash_lsh_candidates(docs, num_perm=16, bands=8)  # 8 bands×2 rows: sensitive
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 3) in got  # exact dups always collide
+    assert (0, 1) in got or (1, 3) in got  # near-dup likely caught
+    assert (0, 2) not in got  # unrelated docs don't collide
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    vals = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert vals[(0, 3)] == 1.0  # identical docs
+    assert 0.5 <= vals[(0, 1)] < 1.0  # one-token edit
+
+
+def test_simhash_near_pairs(spark, docs):
+    # 8 bands of 4 bits: pigeonhole guarantees detection up to hamming 7
+    pairs = D.simhash_near_pairs(docs, bits=32, max_hamming=6, band_bits=4)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 3)] == 0  # identical → same signature
+    assert (0, 1) in got  # near-dup within hamming 6
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        base = [math.sin(i * 0.1 + d) for d in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vectors):
+    out = S.brute_force_topk(vectors, vectors.filter("vec_id = 0"), k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert len(rows) == 3
+    assert rows[0]["query_id"] == 0 and rows[0]["neighbor_id"] != 0
+    assert rows[0]["cos"] >= rows[1]["cos"] >= rows[2]["cos"]
+
+
+def test_lsh_topk_recall(spark, vectors):
+    exact = S.brute_force_topk(vectors, vectors.filter("vec_id < 5"), k=3)
+    approx = S.rp_lsh_topk(vectors, vectors.filter("vec_id < 5"), dim=8, k=3, planes=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # loose: 2 planes → 4 buckets over clustered vectors
+
+
+def test_embedding_near_dup(spark, vectors):
+    pairs = S.embedding_near_dup_pairs(vectors, threshold=0.999)
+    for r in pairs.collect():
+        assert r["id_a"] < r["id_b"] and r["cos"] >= 0.999
+
+
+def test_multimodal_payload_roundtrip(spark, docs):
+    d = M.attach_binary_payload(docs, "text")
+    row = d.filter("doc_id = 0").head()
+    assert bytes(row["payload"]).decode() == row["text"]
+    assert row["payload_meta"]["mime"] == "application/octet-stream"
+
+
+def test_decode_image_features_deterministic(spark, docs):
+    d = M.attach_binary_payload(docs, "text")
+    f1 = {r["doc_id"]: (r["width"], r["height"], r["mean_byte"]) for r in M.decode_image_features(d).collect()}
+    f2 = {r["doc_id"]: (r["width"], r["height"], r["mean_byte"]) for r in M.decode_image_features(d).collect()}
+    assert f1 == f2 and len(f1) == 5
+
+
+def test_decode_strict_raises(spark, docs):
+    d = M.attach_binary_payload(docs, "text")
+    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+        M.decode_image_features(d, strict=True).collect()
+
+
+def test_sample_frames_expansion(spark, docs):
+    d = M.attach_binary_payload(docs, "text")
+    out = M.sample_frames(d, every_n_bytes=10).collect()
+    assert len(out) > 5  # 1→N expansion
+    per_doc = [r for r in out if r["doc_id"] == 0]
+    assert [r["frame_idx"] for r in sorted(per_doc, key=lambda r: r["frame_idx"])] == list(range(len(per_doc)))
