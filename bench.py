@@ -18,15 +18,31 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # structural algebra + relational core
     "q1_pricing_summary",
     "select_project_map",
     "filter_rows",
     "concatenate_union",
     "append_hstack",
     "join_customer_orders",
+    "q3_shipping_priority",
+    "q5_local_supplier",
     "window_topk_per_group",
+    "window_running_sum",
+    "rollup_returns",
     "distinct_rows",
     "sort_topk",
+    # LLM-pipeline operators
+    "text_quality_lang",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "neardup_pipeline",
+    "embedding_neardup",
+    "ann_topk",
+    "multimodal_meta",
+    "events_hourly",
+    "session_windows_batch",
 ]
 
 

@@ -1173,7 +1173,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_transform(range(0, 16), i ->
                list_min(list_transform(s, x ->
-                 ('0x' || substring(md5(CAST(i AS VARCHAR) || '_' || x), 1, 8))::BIGINT))) AS sig
+                 ((2*i + 1) * (('0x' || substring(md5(x), 1, 15))::BIGINT % 2147483647)
+                  + 104729 * i) % 2147483647))) AS sig
       FROM sh
     ), bands AS (
       SELECT doc_id, b,
@@ -1215,10 +1216,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures (near-dup docs differ in few bits;
     simhash_near_pairs banding joins on pigeonholed chunks)."""
-    from knime_core_columnar_spark.operators.dedup import simhash
+    from knime_core_columnar_spark.operators.dedup import simhash_table
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash("text", 32).alias("simhash32"))
+    return simhash_table(d, "doc_id", "text", 32).withColumnRenamed("simhash", "simhash32")
 
 
 @query(
@@ -1250,6 +1251,57 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+@query(
+    "neardup_pipeline",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), mh AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(s, x ->
+                 ((2*i + 1) * (('0x' || substring(md5(x), 1, 15))::BIGINT % 2147483647)
+                  + 104729 * i) % 2147483647))) AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], ',')) AS key
+      FROM mh, (SELECT unnest(range(0, 4)) AS b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+    FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+              JOIN sh sb ON sb.doc_id = cand.id_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    """,
+)
+def neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline: MinHash-LSH candidate generation
+    → exact Jaccard verification on candidates only. Cost scales with
+    collision count, not n² — the 100 TB path (the exact-tier
+    ngram_jaccard query is the ground-truth baseline; on low-diversity
+    corpora its inverted-index join blows up quadratically)."""
+    from knime_core_columnar_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, "doc_id", "text", num_perm=16, bands=4)
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5,
+                               candidates=cand)
 
 
 @query(
@@ -1356,6 +1408,41 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["video_frame_sample"] = video_frame_sample  # no oracle: decode stub
+
+
+@query(
+    "session_windows_batch",
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), y AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM x
+    )
+    SELECT user_id, MIN(ts) AS sess_start, MAX(ts) + INTERVAL 5 MINUTE AS sess_end,
+           COUNT(*) AS n_events
+    FROM y GROUP BY user_id, sess_id
+    """,
+)
+def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) in batch mode — the same
+    streaming.session_windows code path runs on readStream with a
+    watermark; the oracle is the gaps-and-islands SQL formulation."""
+    from knime_core_columnar_spark.streaming import session_windows
+
+    ev = _t(spark, sf_dir, "events")
+    return session_windows(ev, gap="5 minutes", watermark=None).select(
+        "user_id",
+        F.col("sess_start").cast("timestamp_ntz").alias("sess_start"),
+        F.col("sess_end").cast("timestamp_ntz").alias("sess_end"),
+        "n_events",
+    )
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -22,12 +22,56 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ with double accumulation in element order (deterministic)."""
+    """Σ aᵢ·bᵢ with double accumulation in element order (deterministic).
+
+    Expression form — fine for O(rows) uses (norms, bucket bits). Spark
+    evaluates higher-order lambdas interpreted, so for O(pairs) scoring
+    use ``pair_cosine`` (vectorized pandas kernel, same accumulation
+    order → bit-identical results)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _pair_dot_kernel(a, b):
+    """Vectorized pairwise dot product: accumulates dimension-by-dimension
+    (sequential over dims, vectorized over pairs) — the SAME floating-point
+    order as the ``dot`` expression and DuckDB's list_dot_product, so
+    results are bit-identical while running far faster than interpreted
+    lambda evaluation on large pair sets."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.array(a.tolist(), dtype=np.float64)
+    B = np.array(b.tolist(), dtype=np.float64)
+    acc = np.zeros(len(A))
+    for j in range(A.shape[1]):
+        acc += A[:, j] * B[:, j]
+    return pd.Series(acc)
+
+
+_pair_dot_udf = None
+
+
+def _pair_dot_pandas(a: Column, b: Column) -> Column:
+    """Lazily-registered pandas UDF (registration needs a live session;
+    module import must stay session-free)."""
+    global _pair_dot_udf
+    if _pair_dot_udf is None:
+        _pair_dot_udf = F.pandas_udf(_pair_dot_kernel, "double")
+    return _pair_dot_udf(a, b)
+
+
+def pair_cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Pairwise cosine: one vectorized dot per pair + precomputed per-row
+    norms. Norms MUST be computed before the pair join (per corpus row,
+    not per pair) — recomputing them pairwise triples the Arrow transfer
+    and dominated the runtime when measured."""
+    return _pair_dot_pandas(a, b) / (norm_a * norm_b)
 
 
 def l2_norm(a: Column) -> Column:
@@ -53,17 +97,20 @@ def brute_force_topk(
     row, keep k per query via window top-k (WindowGroupLimit keeps a
     k-row heap per partition — no global sort)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
+            F.round(pair_cosine(F.col("__qv"), F.col("__cv"),
+                                F.col("__qn"), F.col("__cn")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -110,11 +157,13 @@ def rp_lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         rp_lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         rp_lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
     )
     scored = (
@@ -122,7 +171,8 @@ def rp_lsh_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
+            F.round(pair_cosine(F.col("__qv"), F.col("__cv"),
+                                F.col("__qn"), F.col("__cn")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -170,7 +220,8 @@ def ivf_topk(
         assigned.join(probes, "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos"))
+                F.round(pair_cosine(F.col("__qv"), F.col("__cv"),
+                                    l2_norm(F.col("__qv")), l2_norm(F.col("__cv"))), 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -186,21 +237,74 @@ def embedding_near_dup_pairs(
     planes: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
-    ``use_lsh`` switches from the exact cross-join (testing scale) to
-    bucketed candidates (production scale)."""
-    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+
+    Exact tier (default): block-matrix kernel — the corpus (ids, vectors,
+    norms) is broadcast once, each partition scores its own row-block
+    against the broadcast matrix in numpy with dimension-sequential
+    accumulation (bit-identical to the sequential per-pair sum the
+    DuckDB oracle computes). No per-pair vector shipping: the measured
+    cross-join + per-pair UDF formulation moved ~1 GB through Arrow and
+    ran 20×+ slower. Requires the corpus to fit the broadcast budget —
+    beyond that, ``use_lsh=True`` buckets candidates first (the 100 TB
+    path; all-pairs-exact at that scale is not a thing).
+
+    Kernel filters with an epsilon slack, then the JVM applies
+    round-half-up + the exact threshold — numpy's banker's rounding
+    never decides a boundary."""
     if use_lsh:
         assert dim is not None
-        left = left.withColumn("__bucket", rp_lsh_bucket(F.col("__va"), dim, planes))
-        right = right.withColumn("__bucket", rp_lsh_bucket(F.col("__vb"), dim, planes))
+        left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                         l2_norm(F.col(vec_col)).alias("__na"),
+                         rp_lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"))
+        right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                          l2_norm(F.col(vec_col)).alias("__nb"),
+                          rp_lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"))
         pairs = left.join(right, "__bucket").filter(F.col("id_a") < F.col("id_b"))
-    else:
-        pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select(
-            "id_a", "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos"),
+        return (
+            pairs.select(
+                "id_a", "id_b",
+                F.round(pair_cosine(F.col("__va"), F.col("__vb"),
+                                    F.col("__na"), F.col("__nb")), 6).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
         )
+
+    import numpy as np
+    import pandas as pd
+
+    corpus = df.select(id_col, vec_col).toPandas()
+    ids = np.asarray(corpus[id_col])
+    M = np.array(corpus[vec_col].tolist(), dtype=np.float64)
+    nrm = np.zeros(len(M))
+    for j in range(M.shape[1]):  # sequential over dims, like the oracle
+        nrm += M[:, j] * M[:, j]
+    nrm = np.sqrt(nrm)
+    bc = df.sparkSession.sparkContext.broadcast((ids, M, nrm))
+
+    def block(batches):
+        b_ids, b_M, b_nrm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            a_ids = np.asarray(pdf[id_col])
+            D = np.zeros((len(A), len(b_M)))
+            for j in range(A.shape[1]):
+                D += A[:, j][:, None] * b_M[None, :, j]
+            a_nrm = np.zeros(len(A))
+            for j in range(A.shape[1]):
+                a_nrm += A[:, j] * A[:, j]
+            a_nrm = np.sqrt(a_nrm)
+            C = D / (a_nrm[:, None] * b_nrm[None, :])
+            ii, jj = np.nonzero(
+                (a_ids[:, None] < b_ids[None, :]) & (C >= threshold - 1e-6)
+            )
+            yield pd.DataFrame(
+                {"id_a": a_ids[ii], "id_b": b_ids[jj], "cos_raw": C[ii, jj]}
+            )
+
+    raw = df.select(id_col, vec_col).mapInPandas(block, "id_a long, id_b long, cos_raw double")
+    return (
+        raw.select("id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

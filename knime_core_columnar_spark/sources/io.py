@@ -1,0 +1,200 @@
+"""Readers, writers, and the ingest pipeline.
+
+``create_table`` mirrors the reference's TableBackend.create write path
+(ColumnarTableBackend.java:116-148 + the DefaultColumnarBatchStore stack,
+SURVEY.md §3.1): schema-declared ingest with optional RowID duplicate
+checking and domain computation. The reference runs those as async
+single-node pipeline stages; here they are one distributed aggregation
+each, and the physical concerns (batching, dict encoding, compression,
+caching) belong to Parquet/Tungsten.
+
+Arrow IPC support comes in two tiers:
+- driver tier (small files): pyarrow read → createDataFrame (zero-copy
+  Arrow path), toArrow() → pyarrow write;
+- distributed tier (many/large files): binaryFile source + mapInPandas
+  decode so each executor parses its own files — no driver bottleneck.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from knime_core_columnar_spark.operators.domain import attach_domains, compute_domains
+from knime_core_columnar_spark.table import ColumnarTable
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    key_columns: Sequence[str] | None = None,
+    **options,
+) -> ColumnarTable:
+    """CSV ingest (the reference exercises CSV through the benchmark
+    workflow's CSV Reader node). Declared schema preferred — inference
+    costs an extra pass and the reference never infers (SURVEY §1.3)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return ColumnarTable.from_dataframe(reader.csv(path), key_columns=key_columns)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    key_columns: Sequence[str] | None = None,
+) -> ColumnarTable:
+    """JSON-lines ingest (the de-facto LLM corpus interchange format)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return ColumnarTable.from_dataframe(reader.json(path), key_columns=key_columns)
+
+
+def read_arrow_ipc(
+    spark: SparkSession,
+    path: str,
+    key_columns: Sequence[str] | None = None,
+    distributed: bool | None = None,
+) -> ColumnarTable:
+    """Arrow IPC file(s) → table.
+
+    The reference's native store is Arrow IPC with KNIME footer metadata
+    (ArrowReaderWriterUtils.java:79-103). Small single files take the
+    driver path (pyarrow → Arrow-native createDataFrame). Directories /
+    large inputs take the distributed path: Spark's binaryFile source
+    lists and ships files to executors, each decoded with pyarrow inside
+    mapInPandas — scales to any file count with zero driver involvement.
+    """
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    if distributed is None:
+        distributed = os.path.isdir(path)
+    if not distributed:
+        with pa.memory_map(path) as source:
+            table = pa.ipc.open_file(source).read_all()
+        return ColumnarTable.from_dataframe(
+            spark.createDataFrame(table.to_pandas()), key_columns=key_columns
+        )
+
+    sample = None
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith((".arrow", ".ipc")):
+                sample = os.path.join(root, f)
+                break
+        if sample:
+            break
+    if sample is None:
+        raise FileNotFoundError(f"no .arrow/.ipc files under {path}")
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    with pa.memory_map(sample) as source:
+        arrow_schema = pa.ipc.open_file(source).schema
+    spark_schema = from_arrow_schema(arrow_schema)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for raw in pdf["content"]:
+                reader = pa.ipc.open_file(pa.BufferReader(bytes(raw)))
+                for i in range(reader.num_record_batches):
+                    yield reader.get_batch(i).to_pandas()
+
+    files_df = spark.read.format("binaryFile").option("pathGlobFilter", "*.arrow").load(path)
+    df = files_df.select("content").mapInPandas(decode, spark_schema)
+    return ColumnarTable.from_dataframe(df, key_columns=key_columns)
+
+
+def write_parquet(
+    table: ColumnarTable,
+    path: str,
+    mode: str = "error",
+    partition_by: Sequence[str] | None = None,
+    target_rows_per_file: int | None = None,
+) -> None:
+    """Materialize to Parquet. ``partition_by`` creates hive-style
+    partition dirs (partition pruning on read — the scale lever the
+    reference lacks entirely). Row-group geometry (~the reference's
+    64 MiB batches) comes from parquet.block.size."""
+    df = table.df
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_arrow_ipc(table: ColumnarTable, directory: str) -> list[str]:
+    """Distributed Arrow IPC export: each partition writes its own
+    ``part-NNNNN.arrow`` file via pyarrow (executor-side, parallel, no
+    driver collect). Returns the written paths."""
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    os.makedirs(directory, exist_ok=True)
+    schema_json = table.df.schema.json()
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import socket
+        import uuid
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        spark_schema = T.StructType.fromJson(__import__("json").loads(schema_json))
+        arrow_schema = to_arrow_schema(spark_schema)
+        fname = os.path.join(directory, f"part-{uuid.uuid4().hex}.arrow")
+        writer = None
+        n = 0
+        for pdf in batches:
+            batch = pa.RecordBatch.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
+            if writer is None:
+                sink = pa.OSFile(fname, "wb")
+                writer = pa.ipc.new_file(sink, arrow_schema)
+            writer.write_batch(batch)
+            n += len(pdf)
+        if writer is not None:
+            writer.close()
+            yield pd.DataFrame({"path": [fname], "rows": [n], "host": [socket.gethostname()]})
+
+    out_schema = "path string, rows long, host string"
+    res = table.df.mapInPandas(write_partition, out_schema).collect()
+    return [r["path"] for r in res]
+
+
+def create_table(
+    spark: SparkSession,
+    data: DataFrame | Sequence[tuple],
+    schema: T.StructType | str | None = None,
+    key_columns: Sequence[str] | None = None,
+    check_duplicate_keys: bool = True,
+    compute_column_domains: bool = False,
+    max_nominal_values: int = 60,
+) -> ColumnarTable:
+    """The TableBackend.create ingest path (ColumnarTableBackend.java:116):
+    build a table with declared schema; optionally verify RowID uniqueness
+    (DuplicateCheckWritable) and compute column domains (DomainWritable) —
+    each one distributed aggregation, mirroring the write-pipeline
+    operators of SURVEY §2.3."""
+    if isinstance(data, DataFrame):
+        df = data
+    else:
+        df = spark.createDataFrame(data, schema)
+    table = ColumnarTable.from_dataframe(df, key_columns=key_columns)
+    if check_duplicate_keys:
+        table.check_duplicate_keys()
+    if compute_column_domains:
+        doms = compute_domains(table, max_nominal_values=max_nominal_values)
+        table = attach_domains(table, doms)
+    return table

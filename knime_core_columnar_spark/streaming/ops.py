@@ -1,0 +1,182 @@
+"""Streaming transformations — batch/stream-agnostic by construction.
+
+Every function takes and returns a DataFrame; feed it a batch DataFrame
+for testing/backfill or a readStream DataFrame for production. Watermarks
+are applied only when the input is streaming (withWatermark on a batch
+frame is a no-op in Spark, so the code path is literally shared).
+
+Scale notes: windowed aggregations shuffle on (window, key) — state store
+size is bounded by the watermark horizon; session windows merge in the
+state store; applyInPandasWithState state is per-key and spills via
+RocksDB state store on real clusters (spark.sql.streaming.stateStore.*).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based stream: new files under ``path`` become micro-batches.
+    The Spark rendering of the reference's read-while-writing store
+    (OffHeapArrowPartialFileBatchReadable — a reader tailing a growing
+    table)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.format(fmt).load(path)
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame:
+    if delay is not None and df.isStreaming:
+        # event-time tracking requires TIMESTAMP (not NTZ); session tz is
+        # UTC so the cast is value-preserving
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    keys: list[str] | None = None,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts + sums. With a watermark, state for windows
+    older than (max event time − delay) is dropped — bounded state at any
+    stream length."""
+    keys = keys or ["event_type"]
+    d = _maybe_watermark(df, ts_col, watermark)
+    return (
+        d.groupBy(F.window(F.col(ts_col), window).alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"),
+                *keys, "n", "total_value")
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    keys: list[str] | None = None,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Sliding windows (each event lands in window/slide overlapping
+    windows)."""
+    keys = keys or ["event_type"]
+    d = _maybe_watermark(df, ts_col, watermark)
+    return (
+        d.groupBy(F.window(F.col(ts_col), window, slide).alias("win"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), *keys, "n")
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    keys: list[str] | None = None,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into one
+    session per key (dynamic-length windows, merged in the state store)."""
+    keys = keys or ["user_id"]
+    d = _maybe_watermark(df, ts_col, watermark)
+    return (
+        d.groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins; with a
+    watermark the key-set state is pruned as time advances
+    (dropDuplicatesWithinWatermark on streams)."""
+    keys = keys or ["event_id"]
+    if df.isStreaming and watermark is not None:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+_RUNNING_TOTALS_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+
+def _running_totals_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful kernel: per-user running (count, value-sum) across
+    micro-batches."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def stateful_running_totals(df: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState —
+    the Structured-Streaming analogue of the reference's per-thread
+    stateful mapper factories (ColumnarVirtualTable.java:288-299): state
+    lives per key in the state store, kernels see Arrow batches."""
+    return (
+        df.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def hourly_counts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """The batch twin of tumbling_window_agg used by the catalog's
+    events_hourly oracle query (date_trunc formulation)."""
+    return df.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).cast("timestamp_ntz").alias("hr"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))

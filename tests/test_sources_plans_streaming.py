@@ -1,0 +1,209 @@
+"""Tests for sources (CSV/JSONL/Arrow IPC round-trips, create_table),
+plan persistence round-trips, and the streaming surface (batch parity +
+a real micro-batch run with file source and stateful op)."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from knime_core_columnar_spark.plans import Plan
+from knime_core_columnar_spark.schema import DOMAIN_MIN_KEY, ROW_KEY
+from knime_core_columnar_spark.sources import (
+    create_table,
+    read_arrow_ipc,
+    read_csv,
+    read_jsonl,
+    write_arrow_ipc,
+)
+from knime_core_columnar_spark.table import ColumnarTable, DuplicateRowKeyError
+from knime_core_columnar_spark import streaming as ST
+
+
+# -- sources ----------------------------------------------------------------
+
+def test_read_csv_declared_schema(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,score\n1,a,1.5\n2,b,2.5\n")
+    t = read_csv(spark, str(p), schema="id int, name string, score double",
+                 key_columns=["id"])
+    assert t.count() == 2 and t.df.schema["score"].dataType.simpleString() == "double"
+
+
+def test_read_jsonl(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1, "txt": "x"}\n{"id": 2, "txt": "y"}\n')
+    t = read_jsonl(spark, str(p), schema="id long, txt string", key_columns=["id"])
+    assert sorted(r["txt"] for r in t.df.collect()) == ["x", "y"]
+
+
+def test_arrow_ipc_roundtrip(spark, tmp_path):
+    src = ColumnarTable(
+        spark.createDataFrame(
+            [(f"R{i}", i, float(i) * 1.5, f"s{i}") for i in range(100)],
+            f"{ROW_KEY} string, n long, x double, s string",
+        )
+    )
+    outdir = str(tmp_path / "arrow_out")
+    paths = write_arrow_ipc(src, outdir)
+    assert paths and all(p.endswith(".arrow") for p in paths)
+    back = read_arrow_ipc(spark, outdir, distributed=True)
+    assert back.count() == 100
+    orig = {(r["n"], r["x"], r["s"]) for r in src.df.collect()}
+    got = {(r["n"], r["x"], r["s"]) for r in back.df.collect()}
+    assert got == orig
+
+
+def test_arrow_ipc_single_file(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    f = str(tmp_path / "one.arrow")
+    table = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    with pa.OSFile(f, "wb") as sink:
+        with pa.ipc.new_file(sink, table.schema) as w:
+            w.write_table(table)
+    t = read_arrow_ipc(spark, f, key_columns=["a"])
+    assert t.count() == 3
+
+
+def test_create_table_checks_and_domains(spark):
+    t = create_table(
+        spark,
+        [(1, "x"), (2, "y"), (3, "x")],
+        schema="id long, s string",
+        key_columns=["id"],
+        compute_column_domains=True,
+    )
+    assert t.df.schema["id"].metadata[DOMAIN_MIN_KEY] == "1"
+    with pytest.raises(DuplicateRowKeyError):
+        create_table(spark, [(1, "x"), (1, "y")], schema="id long, s string",
+                     key_columns=["id"])
+
+
+# -- plans ------------------------------------------------------------------
+
+def test_plan_roundtrip_and_execute(spark, tmp_path, lineitem):
+    li_path = f"{os.environ.get('SPARK_GRAFT_TEST_SF_DIR', '/root/testdata/sf0.001')}/lineitem.parquet"
+    plan = (
+        Plan()
+        .add("SOURCE", table="li")
+        .add("KEEP_ONLY", columns=["l_orderkey", "l_quantity", "l_extendedprice"])
+        .add("FILTER", predicate="l_quantity > 30")
+        .add("APPEND_MAP", exprs={"double_qty": "l_quantity * 2"})
+        .add("RENAME", mapping={"l_extendedprice": "price"})
+        .add("CAST", casts={"l_orderkey": "string"})
+    )
+    p = tmp_path / "plan.json"
+    plan.save(str(p))
+    loaded = Plan.load(str(p))
+    assert [s.op for s in loaded.steps] == [s.op for s in plan.steps]
+
+    out = loaded.execute(
+        spark, {"li": li_path}, key_columns={"li": ["l_orderkey", "l_linenumber"]}
+    )
+    assert "price" in out.columns and "double_qty" in out.columns
+    assert out.df.filter("l_quantity <= 30").count() == 0
+    assert json.loads(plan.to_json())["version"] == 1
+
+
+def test_plan_validation():
+    with pytest.raises(ValueError, match="unknown plan op"):
+        Plan().add("EXPLODE", columns=["x"])
+    with pytest.raises(ValueError, match="missing args"):
+        Plan().add("FILTER")
+
+
+def test_plan_concatenate_sources(spark, tmp_path):
+    a = ColumnarTable(spark.createDataFrame([("A", 1)], f"{ROW_KEY} string, x int"))
+    b = ColumnarTable(spark.createDataFrame([("B", 2)], f"{ROW_KEY} string, x int"))
+    plan = Plan().add("SOURCE", table="a").add("CONCATENATE", tables=["b"])
+    out = plan.execute(spark, {"a": a, "b": b})
+    assert out.count() == 2
+
+
+# -- streaming --------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    return df
+
+
+def test_tumbling_batch_parity(spark, events):
+    win = ST.tumbling_window_agg(events, window="1 hour", watermark=None)
+    direct = ST.hourly_counts(events)
+    w = {(r["win_start"], r["event_type"]): r["n"] for r in win.collect()}
+    d = {(r["hr"], r["event_type"]): r["n"] for r in direct.collect()}
+    assert w == d  # window() and date_trunc agree on tumbling hours
+
+
+def test_session_windows_batch(spark, events):
+    out = ST.session_windows(events, gap="5 minutes", watermark=None).collect()
+    assert len(out) > 0
+    for r in out[:20]:
+        assert r["sess_end"] >= r["sess_start"] and r["n_events"] >= 1
+
+
+def test_streaming_dedup_batch(spark, events):
+    doubled = events.union(events)
+    out = ST.streaming_dedup(doubled, keys=["event_id"], watermark=None)
+    assert out.count() == events.count()
+
+
+def test_streaming_end_to_end(spark, events, tmp_path):
+    """Real micro-batch run: file source → windowed agg → memory sink,
+    compared against the same transformation in batch mode."""
+    src_dir = str(tmp_path / "stream_in")
+    events.limit(500).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = ST.stream_from_directory(spark, src_dir, schema)
+    assert stream.isStreaming
+    agg = ST.tumbling_window_agg(stream, window="1 hour", watermark="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("select * from t_win").collect()
+    }
+    batch = ST.tumbling_window_agg(spark.read.parquet(src_dir), window="1 hour",
+                                   watermark=None)
+    want = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stateful_running_totals_stream(spark, events, tmp_path):
+    src_dir = str(tmp_path / "state_in")
+    events.limit(200).select("user_id", "value", "ts").write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = ST.stream_from_directory(spark, src_dir, schema)
+    totals = ST.stateful_running_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r["n_events"] for r in spark.sql("select * from t_state").collect()}
+    want = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(src_dir).groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
