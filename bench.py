@@ -59,15 +59,20 @@ def main():
     # warm the JVM + parquet footers once (not timed)
     catalog.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
+    # best-of-2 per query: single-shot local[32] timings are noisy
+    # (JIT, GC, python-worker startup); the min is the stable signal
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

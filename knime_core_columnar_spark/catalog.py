@@ -1662,6 +1662,42 @@ def registry_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     }).df
 
 
+@query(
+    "rearrange_cellfactory",
+    """
+    SELECT CAST(p_partkey AS VARCHAR) AS _row_key,
+           p_brand,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           upper(p_type) AS type_upper,
+           CAST(p_size * 2 AS INTEGER) AS size2
+    FROM part
+    """,
+)
+def rearrange_cellfactory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rearrange with a CellFactory-style multi-output pandas factory
+    (ColumnarRearranger semantics): keep a subset, append three
+    factory-produced columns computed per Arrow batch, convert one in
+    place. The factory kernel here is SQL-expressible on purpose so the
+    oracle can check the mapInPandas plumbing end-to-end."""
+    import pandas as pd
+
+    t = ColumnarTable.from_dataframe(_t(spark, sf_dir, "part"), key_columns=["p_partkey"])
+
+    def factory(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "name_len": pdf["p_name"].str.len().astype("int32"),
+            "type_upper": pdf["p_type"].str.upper(),
+        })
+
+    out = t.rearrange(
+        keep=["p_brand", "name_len", "type_upper", "size2"],
+        append_factory=factory,
+        factory_output="name_len int, type_upper string",
+        convert={"size2": (F.col("p_size") * 2).cast("int")},
+    )
+    return out.df
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the pricing-summary aggregation."""
     return q1_pricing_summary(spark, sf_dir)

@@ -297,6 +297,82 @@ class ColumnarTable:
         e = F.expr(expr) if isinstance(expr, str) else expr
         return self._wrap(self._df.withColumn(name, e))
 
+    def map_with_row_index(
+        self,
+        exprs_fn,
+        index_name: str = "_row_index",
+        offset: int = 0,
+        order_by: Sequence[ColumnLike] | None = None,
+    ) -> "ColumnarTable":
+        """Mapper that also receives the row index — the
+        ColumnarMapperWithRowIndexFactory variant
+        (ColumnarVirtualTable.java:296-342, wrapped at :462-467):
+        ``exprs_fn(index_col) -> {name: Column}`` builds the outputs from
+        the index column. Same ordering caveats as append_row_index."""
+        t = self.append_row_index(index_name, offset=offset, order_by=order_by)
+        out = t.append_map(exprs_fn(F.col(index_name)))
+        return out.drop_columns(index_name)
+
+    def rearrange(
+        self,
+        keep: Sequence[str] | None = None,
+        append_factory=None,
+        factory_output: "T.StructType | str | None" = None,
+        convert: dict[str, ColumnLike] | None = None,
+        order: Sequence[str] | None = None,
+    ) -> "ColumnarTable":
+        """Declarative column rearrangement — the ColumnRearranger entry
+        point (ColumnarTableBackend.rearrange, ColumnarRearranger.java:142-199):
+        keep/reorder existing columns, append multi-output factory columns,
+        convert columns in place.
+
+        ``append_factory`` is the CellFactory escape hatch
+        (ColumnarRearranger.CellFactoryMap:468-503): a callable
+        ``(pandas.DataFrame) -> pandas.DataFrame`` producing the new
+        columns, declared by ``factory_output`` (struct schema). It runs
+        via mapInPandas over Arrow batches — partition-parallel, columnar
+        end-to-end, the Spark rendering of the reference's row-wise
+        CellFactory with its progress reporting replaced by Spark task
+        metrics. Prefer ``convert`` / expression columns when the logic is
+        expressible — those stay in whole-stage codegen.
+
+        The reference materializes factory outputs once then virtually
+        appends them (ColumnarRearranger.java:284-291); here laziness is
+        free — add ``.cache()`` downstream when the factory output is
+        reused.
+        """
+        df = self._df
+        if convert:
+            for name, expr in convert.items():
+                df = df.withColumn(name, F.expr(expr) if isinstance(expr, str) else expr)
+        if append_factory is not None:
+            if factory_output is None:
+                raise ValueError("append_factory requires factory_output schema")
+            out_schema = (
+                T._parse_datatype_string(factory_output)
+                if isinstance(factory_output, str)
+                else factory_output
+            )
+            full_schema = T.StructType(
+                [T.StructField(ROW_KEY, T.StringType(), False), *out_schema.fields]
+            )
+
+            def run_factory(batches):
+                for pdf in batches:
+                    out = append_factory(pdf)
+                    out.insert(0, ROW_KEY, pdf[ROW_KEY].values)
+                    yield out
+
+            new_cols = df.mapInPandas(run_factory, full_schema)
+            base = ColumnarTable(df)
+            df = base.append([ColumnarTable(new_cols)], validate=False).df
+        cols = list(keep) if keep is not None else [
+            c for c in df.columns if c != ROW_KEY
+        ]
+        if order is not None:
+            cols = list(order)
+        return ColumnarTable(df.select(ROW_KEY, *cols))
+
     def observe(self, name: str, *aggs: Column) -> "ColumnarTable":
         """Side-effect observation (progress/metrics) — observe,
         ColumnarVirtualTable.java:543-563. Maps to df.observe: metrics are
