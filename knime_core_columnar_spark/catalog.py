@@ -188,8 +188,10 @@ def slice_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def concatenate_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """concatenate: union-by-name + int→double upcast + missing-column
-    null-fill + duplicate-RowID pre-check (ColumnarConcatenater.java:157-470).
-    Shuffle-free union; the dup pre-check is one distributed aggregate."""
+    null-fill + duplicate-RowID check (ColumnarConcatenater.java:157-470).
+    The check is plan-embedded (window count + assert_true) so the union
+    executes once; the one shuffle it adds leaves the output key-
+    partitioned."""
     part = _t(spark, sf_dir, "part")
     a = ColumnarTable.from_dataframe(
         part.filter("p_size < 25").select("p_partkey", F.col("p_size").alias("x"), "p_brand"),
@@ -1696,6 +1698,109 @@ def rearrange_cellfactory(spark: SparkSession, sf_dir: str) -> DataFrame:
         convert={"size2": (F.col("p_size") * 2).cast("int")},
     )
     return out.df
+
+
+# ---------------------------------------------------------------------------
+# Nested types (SURVEY §1.2 List/Struct physical types → Spark natives)
+# ---------------------------------------------------------------------------
+
+@query(
+    "struct_roundtrip",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS _row_key,
+           struct_pack(status := o_orderstatus, total := o_totalprice).status AS s_status,
+           struct_pack(status := o_orderstatus, total := o_totalprice).total AS s_total,
+           struct_pack(outer_ := struct_pack(k := o_orderkey), d := o_orderdate).outer_.k AS nested_k
+    FROM orders
+    """,
+)
+def struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct columns (the reference's StructData physical type,
+    StructData.java:70/93): build nested structs, read fields back —
+    Catalyst collapses construction+access to plain column refs (free)."""
+    o = _t(spark, sf_dir, "orders")
+    info = F.struct(F.col("o_orderstatus").alias("status"), F.col("o_totalprice").alias("total"))
+    nested = F.struct(F.struct(F.col("o_orderkey").alias("k")).alias("outer_"),
+                      F.col("o_orderdate").alias("d"))
+    return o.select(
+        F.col("o_orderkey").cast("string").alias(ROW_KEY),
+        info.getField("status").alias("s_status"),
+        info.getField("total").alias("s_total"),
+        nested.getField("outer_").getField("k").alias("nested_k"),
+    )
+
+
+@query(
+    "map_ops",
+    """
+    SELECT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS _row_key,
+           (MAP(['qty','price'], [l_quantity, l_extendedprice])['qty'])[1] AS m_qty,
+           (MAP(['qty','price'], [l_quantity, l_extendedprice])['price'])[1] AS m_price,
+           CAST(cardinality(MAP(['qty','price'], [l_quantity, l_extendedprice])) AS INTEGER) AS m_size
+    FROM lineitem
+    """,
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map columns (beyond the reference, which has no physical Map type
+    — SURVEY §1.2 maps it to Spark's native MapType): build, look up,
+    measure."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.create_map(F.lit("qty"), F.col("l_quantity"), F.lit("price"), F.col("l_extendedprice"))
+    return li.select(
+        F.concat_ws("_", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string")).alias(ROW_KEY),
+        F.element_at(m, "qty").alias("m_qty"),
+        F.element_at(m, "price").alias("m_price"),
+        F.size(m).alias("m_size"),
+    )
+
+
+@query(
+    "explode_words",
+    """
+    SELECT word, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(p_type, ' ')) AS word FROM part
+    ) GROUP BY word
+    """,
+)
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode (UDTF-style 1→N expansion — the reference has no
+    UDTF surface, SURVEY §2.6; Spark's explode supplies it)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "sliding_windows_batch",
+    """
+    WITH e AS (
+      SELECT event_type,
+             date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END AS b
+      FROM events
+    )
+    SELECT b - k * (INTERVAL 30 MINUTE) AS win_start, event_type, COUNT(*) AS n
+    FROM e, (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def sliding_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h window / 30min slide — each event lands in 2
+    overlapping windows) in batch mode; the same streaming.sliding_window_agg
+    runs on readStream. Oracle replicates Spark's epoch-aligned window
+    assignment arithmetically."""
+    from knime_core_columnar_spark.streaming import sliding_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_window_agg(ev, window="1 hour", slide="30 minutes", watermark=None)
+    return out.select(
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"), "event_type", "n"
+    )
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

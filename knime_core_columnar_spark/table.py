@@ -439,12 +439,18 @@ class ColumnarTable:
         null-fill — ColumnarConcatenater.java:157-394.
 
         RowID policies (ColumnarTableBackend.java:186-215):
-        FAIL_ON_DUPLICATES pre-checks via one distributed aggregation;
+        FAIL_ON_DUPLICATES embeds the uniqueness check into the output
+        plan (per-key window count + assert_true) — the union executes
+        ONCE and fails at action time on a duplicate, instead of an
+        eager pre-check job that scans all inputs twice;
         UNIQUIFY_WITH_SUFFIX appends ``_dup`` / ``_dup_N`` to repeated keys
         (later tables lose; ColumnarConcatenater.java:252-292);
         REGENERATE rewrites keys as Row0..RowN-1 in table order
         (ColumnarConcatenater.java:186-215 — needs a global index ⇒ only
-        policy with a sort; the others are shuffle-free unions).
+        policy with a sort). KEEP is the only fully shuffle-free policy;
+        FAIL/UNIQUIFY shuffle once on the RowID (which also leaves the
+        output hash-partitioned by key — free co-location for downstream
+        key joins).
         """
         tables = [self, *others]
         # Merged schema over *data* columns; RowID stays string/first.
@@ -483,10 +489,20 @@ class ColumnarTable:
                 .when(occ == 1, F.concat(F.col(ROW_KEY), F.lit("_dup")))
                 .otherwise(F.concat(F.col(ROW_KEY), F.lit("_dup_"), (occ - 1).cast("string"))),
             )
-        result = ColumnarTable(union.drop("__src"))
-        if row_id_policy is RowIdPolicy.FAIL_ON_DUPLICATES:
-            result.check_duplicate_keys()
-        return result
+        elif row_id_policy is RowIdPolicy.FAIL_ON_DUPLICATES:
+            w = Window.partitionBy(ROW_KEY)
+            union = (
+                union.withColumn(
+                    "__dupchk",
+                    F.assert_true(
+                        F.count(F.lit(1)).over(w) == 1,
+                        F.concat(F.lit("concatenate: duplicate RowID "), F.col(ROW_KEY)),
+                    ),
+                )
+                .filter(F.col("__dupchk").isNull())
+                .drop("__dupchk")
+            )
+        return ColumnarTable(union.drop("__src"))
 
     def append(
         self,

@@ -115,8 +115,9 @@ def test_concatenate_upcast_and_missing(spark):
 
 
 def test_concatenate_duplicate_fail(spark, small):
-    with pytest.raises(DuplicateRowKeyError):
-        small.concatenate([small])
+    out = small.concatenate([small])  # plan-embedded check fires on action
+    with pytest.raises(Exception, match="duplicate RowID"):
+        out.df.collect()
 
 
 def test_concatenate_uniquify(spark, small):
