@@ -1803,6 +1803,107 @@ def sliding_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pivot_returns",
+    """
+    SELECT l_linestatus,
+           COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS A,
+           COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS N,
+           COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def pivot_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long→wide reshaping. Explicit value list keeps it one pass
+    (pivot without values costs an extra distinct scan)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["A", "N", "R"])
+    )
+
+
+@query(
+    "window_rank_stats",
+    """
+    SELECT o_custkey, o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family (ntile/percent_rank/cume_dist/rank/
+    dense_rank) over a deterministic total order per partition."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "string_agg_sorted",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — canonical (sorted) element order so
+    the result is deterministic at any parallelism."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+            F.count_distinct("o_custkey").alias("n_cust"),
+        )
+    )
+
+
+@query(
+    "window_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value over explicit frames (last_value needs the
+    unbounded-following frame — the default frame ends at current row)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the pricing-summary aggregation."""
     return q1_pricing_summary(spark, sf_dir)

@@ -29,3 +29,9 @@ def lineitem(spark, sf_dir):
 @pytest.fixture(scope="session")
 def orders(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+@pytest.fixture(scope="session")
+def spark_session(spark):
+    """Alias used by hypothesis-driven tests (session-scoped reuse)."""
+    return spark

@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis) — beyond the reference's
+example-based strategy (SURVEY §5 notes it has no randomized testing)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from knime_core_columnar_spark.schema import merge_schemas, promote_types
+
+_TYPES = [
+    T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+    T.FloatType(), T.DoubleType(), T.StringType(), T.BooleanType(),
+    T.DateType(), T.TimestampType(), T.BinaryType(),
+]
+types_st = st.sampled_from(_TYPES)
+
+
+@given(a=types_st, b=types_st)
+def test_promote_commutative(a, b):
+    assert promote_types(a, b) == promote_types(b, a)
+
+
+@given(a=types_st)
+def test_promote_idempotent(a):
+    assert promote_types(a, a) == a
+
+
+@given(a=types_st, b=types_st)
+def test_promote_upper_bound(a, b):
+    """The result is never a narrower numeric than either input."""
+    rank = {T.ByteType(): 1, T.ShortType(): 2, T.IntegerType(): 3,
+            T.LongType(): 4, T.FloatType(): 5, T.DoubleType(): 6}
+    m = promote_types(a, b)
+    if a in rank and b in rank and m in rank:
+        assert rank[m] >= max(rank[a], rank[b])
+    # non-numeric mixes fall back to string under allow_varying
+    if (a in rank) != (b in rank):
+        assert isinstance(m, (T.StringType, T.DoubleType))
+
+
+@given(
+    names=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=5, unique=True
+    ),
+    extra=st.sampled_from(["x", "y"]),
+)
+@settings(max_examples=30)
+def test_merge_schemas_order_and_nullability(names, extra):
+    """First-seen column order is preserved; columns absent from one
+    input become nullable."""
+    s1 = T.StructType([T.StructField(n, T.IntegerType(), False) for n in names])
+    s2 = T.StructType([T.StructField(extra, T.StringType(), False)])
+    m = merge_schemas([s1, s2])
+    expected = list(names) + ([extra] if extra not in names else [])
+    assert [f.name for f in m.fields] == expected
+    for f in m.fields:
+        if f.name == extra and extra not in names:
+            assert f.nullable  # absent from s1
+        if f.name in names and f.name != extra:
+            assert f.nullable  # absent from s2
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-2**31, max_value=2**31 - 1),
+                  min_size=1, max_size=20, unique=True)
+)
+@settings(max_examples=10, deadline=None)
+def test_concatenate_uniquify_preserves_multiplicity(spark_session, vals):
+    """UNIQUIFY on self-concatenation always yields 2n unique keys and
+    every original key survives unsuffixed."""
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.table import ColumnarTable, RowIdPolicy
+
+    df = spark_session.createDataFrame([(str(v), v) for v in vals], "_row_key string, v int")
+    t = ColumnarTable(df)
+    out = t.concatenate([t], row_id_policy=RowIdPolicy.UNIQUIFY_WITH_SUFFIX)
+    keys = [r["_row_key"] for r in out.df.collect()]
+    assert len(keys) == 2 * len(vals) == len(set(keys))
+    assert set(str(v) for v in vals) <= set(keys)
+    assert all(k.endswith("_dup") or not k.endswith("_dup") for k in keys)
