@@ -38,7 +38,43 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+_PKG_SHIPPED: set[int] = set()
+
+
+def _ensure_pkg_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor python workers via addPyFile.
+
+    Queries that use pandas UDFs / mapInPandas reference module-level
+    kernels; cloudpickle serializes those BY REFERENCE when the module is
+    importable on the driver, so executors must be able to import the
+    package too. When the harness runs from a foreign cwd (driver-style
+    file-path import), workers would otherwise fail with
+    ModuleNotFoundError. A zip of the package added per-SparkContext
+    fixes this everywhere (local and cluster mode alike)."""
+    key = id(spark.sparkContext)
+    if key in _PKG_SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "knime_core_columnar_spark_pkg.zip")
+    tmp = zpath + f".{os.getpid()}.part"
+    with zipfile.ZipFile(tmp, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    _PKG_SHIPPED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_pkg_on_executors(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as long via nanosAsLong — restore

@@ -126,12 +126,12 @@ def sort(
 
 
 def distinct(table: ColumnarTable, subset: Sequence[str] | None = None) -> ColumnarTable:
-    """dropDuplicates; with ``subset``, keeps the row with the minimum
-    RowID per duplicate group (deterministic at any parallelism, unlike
-    Spark's arbitrary-winner dropDuplicates(subset))."""
-    if subset is None:
-        return ColumnarTable(table.df.dropDuplicates([c for c in table.df.columns if c != ROW_KEY]).dropDuplicates([ROW_KEY]))
-    w = Window.partitionBy(*subset).orderBy(F.col(ROW_KEY))
+    """dropDuplicates keeping the minimum-RowID row per duplicate group —
+    deterministic at any parallelism (Spark's dropDuplicates picks an
+    arbitrary winner, which would flake the differential oracle and make
+    reruns disagree). ``subset`` defaults to all data columns."""
+    cols = list(subset) if subset is not None else table.columns
+    w = Window.partitionBy(*cols).orderBy(F.col(ROW_KEY))
     return ColumnarTable(
         table.df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -193,10 +193,12 @@ def ivf_topk(
     corpus row is assigned to its nearest centroid cell; each query
     probes its ``nprobe`` nearest cells. Candidate set ≈ nprobe/ncells of
     the corpus."""
+    n = corpus.count()  # one scalar aggregate to size the stride
+    stride = max(n // ncells, 1)
     cents = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .withColumn("__rn", F.row_number().over(Window.orderBy(id_col)))
-        .filter((F.col("__rn") % F.greatest(F.ceil(F.count(F.lit(1)).over(Window.partitionBy()) / ncells), F.lit(1))) == 0)
+        .filter((F.col("__rn") % stride) == 0)
         .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("__cent"))
         .limit(ncells)
     )

@@ -131,3 +131,12 @@ def test_sample_frames_expansion(spark, docs):
     assert len(out) > 5  # 1→N expansion
     per_doc = [r for r in out if r["doc_id"] == 0]
     assert [r["frame_idx"] for r in sorted(per_doc, key=lambda r: r["frame_idx"])] == list(range(len(per_doc)))
+
+
+def test_ivf_topk_recall(spark, vectors):
+    exact = S.brute_force_topk(vectors, vectors.filter("vec_id < 5"), k=3)
+    approx = S.ivf_topk(vectors, vectors.filter("vec_id < 5"), k=3, ncells=4, nprobe=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a) > 0
+    assert len(e & a) / len(e) >= 0.4  # 2/4 cells probed on clustered data

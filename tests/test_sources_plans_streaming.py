@@ -207,3 +207,27 @@ def test_stateful_running_totals_stream(spark, events, tmp_path):
         for r in spark.read.parquet(src_dir).groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_session_windows_streaming(spark, events, tmp_path):
+    """Session windows through a real micro-batch run vs batch parity."""
+    src_dir = str(tmp_path / "sess_in")
+    events.limit(300).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = ST.stream_from_directory(spark, src_dir, schema)
+    sess = ST.session_windows(stream, gap="5 minutes", watermark="1 minute")
+    q = (
+        sess.writeStream.format("memory").queryName("t_sess")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["sess_start"], r["n_events"])
+        for r in spark.sql("select * from t_sess").collect()
+    }
+    batch = ST.session_windows(spark.read.parquet(src_dir), gap="5 minutes",
+                               watermark=None)
+    want = {
+        (r["user_id"], r["sess_start"], r["n_events"]) for r in batch.collect()
+    }
+    assert got == want
