@@ -1940,6 +1940,55 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "moment_stats",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq_q,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sq_p,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_qp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sq_q - s_q * s_q / n) / (n - 1) AS var_qty,
+           sqrt((sq_q - s_q * s_q / n) / (n - 1)) AS stddev_qty,
+           (s_qp - s_q * s_p / n)
+             / (sqrt(sq_q - s_q * s_q / n) * sqrt(sq_p - s_p * s_p / n)) AS corr_qty_price
+    FROM m
+    """,
+)
+def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / Pearson correlation computed from
+    decimal-EXACT moment sums (Σx, Σx², Σxy) with the final arithmetic in
+    IEEE doubles — order-independent and bit-identical across engines,
+    unlike the built-in streaming var/corr aggregates (which are the
+    right choice at scale when differential exactness is not needed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = _dec("l_quantity"), _dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("s_q"),
+        F.sum(q * q).cast("double").alias("sq_q"),
+        F.sum(p).cast("double").alias("s_p"),
+        F.sum(p * p).cast("double").alias("sq_p"),
+        F.sum(q * p).cast("double").alias("s_qp"),
+    )
+    n = F.col("n")
+    s_q, sq_q = F.col("s_q"), F.col("sq_q")
+    s_p, sq_p, s_qp = F.col("s_p"), F.col("sq_p"), F.col("s_qp")
+    return m.select(
+        "l_returnflag", "n",
+        ((sq_q - s_q * s_q / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sq_q - s_q * s_q / n) / (n - 1)).alias("stddev_qty"),
+        ((s_qp - s_q * s_p / n)
+         / (F.sqrt(sq_q - s_q * s_q / n) * F.sqrt(sq_p - s_p * s_p / n))).alias("corr_qty_price"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the pricing-summary aggregation."""
     return q1_pricing_summary(spark, sf_dir)
