@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Dict
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from knime_core_columnar_spark.schema import ROW_KEY
@@ -1986,6 +1986,288 @@ def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt((sq_q - s_q * s_q / n) / (n - 1)).alias("stddev_qty"),
         ((s_qp - s_q * s_p / n)
          / (F.sqrt(sq_q - s_q * s_q / n) * F.sqrt(sq_p - s_p * s_p / n))).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 pattern (EXISTS decorrelated to a left-semi join; the
+    trimmed testdata schema has no commit/receipt dates, so the inner
+    predicate is l_quantity > 45). The semi join shuffles both sides on
+    the order key with the lineitem filter pushed below the exchange."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    hits = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o_f.join(hits, o_f["o_orderkey"] == hits["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q12_priority_class",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 pattern: join + conditional CASE counts (shipmode is not
+    in the trimmed schema; classify by returnflag instead). Integer sums
+    only — bit-stable without decimal staging."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem")
+    li_f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li_f.join(o, li_f["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_custdist",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    ) co
+    GROUP BY c_count
+    """,
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts, with the
+    extra predicate INSIDE the outer join (customers with only 'F'
+    orders must count 0, not drop out). Two aggregations; the second
+    input is one row per customer, so the re-shuffle is tiny."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderstatus")
+    j = c.join(
+        o, (c["c_custkey"] == o["o_custkey"]) & (o["o_orderstatus"] != "F"), "left_outer"
+    )
+    per_cust = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue. The revenue 'view'
+    is computed once and reused for both the ranking and the max via a
+    broadcast of the 1-row max — revenues are decimal-exact sums cast to
+    double, so the equality against MAX is bit-safe cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev["total_revenue"] == mx["mx"]).drop("mx")
+    return s.join(
+        F.broadcast(top), s["s_suppkey"] == top["supplier_no"]
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@query(
+    "q17_small_qty_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS a_pk,
+                 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS qty_thresh
+          FROM lineitem GROUP BY l_partkey) a ON a_pk = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_size < 10 AND l_quantity < qty_thresh
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from below-average-quantity orders of selected
+    parts. Spark plan: broadcast the filtered part dim into lineitem,
+    then a WINDOW average per part key over the reduced set (identical
+    per-part mean, since the part filter is independent of lineitem) —
+    one shuffle on l_partkey replaces the oracle's self-join, and the
+    threshold arithmetic (decimal sum -> double / count * 0.2) is
+    replicated exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    lp = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    thresh = F.lit(0.2) * (
+        F.sum(_dec("l_quantity")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    )
+    return (
+        lp.withColumn("__t", thresh)
+        .filter(F.col("l_quantity") < F.col("__t"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q22_idle_balance",
+    """
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 pattern: above-average-balance customers with no RECENT
+    orders (every sf0.01 customer has some order, so the anti-join side
+    is date-filtered; no phone column, so the country grouping uses
+    c_nationkey). Scalar subquery -> broadcast 1-row aggregate;
+    NOT EXISTS -> left-anti join with the date filter pushed below it."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )
+
+
+@query(
+    "asof_join_events",
+    """
+    SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts,
+           c.click_ts, c.click_id, c.click_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    LEFT JOIN LATERAL (
+      SELECT c.ts AS click_ts, c.event_id AS click_id, c.value AS click_value
+      FROM events c
+      WHERE c.event_type = 'click' AND c.user_id = e.user_id AND c.ts <= e.ts
+      ORDER BY c.ts DESC, c.event_id DESC
+      LIMIT 1
+    ) c ON TRUE
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every error event, the latest click by the same
+    user at-or-before the error. Spark plan: union + single shuffle on
+    user_id + running last(ignorenulls) window (operators.temporal) —
+    no inequality join, no BroadcastNestedLoop; scales as one sort-merge
+    pass per key group. The oracle expresses the same point-in-time
+    semantics as a lateral top-1 subquery."""
+    from knime_core_columnar_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    res = asof_join(left, right, on="ts", by="user_id", suffix="_click")
+    return res.select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("ts_click").alias("click_ts"),
+        F.col("event_id_click").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+
+
+@query(
+    "range_join_events",
+    """
+    SELECT a.event_type, COUNT(*) AS pairs,
+           COUNT(DISTINCT a.event_id) AS lhs_with_follower
+    FROM events a
+    JOIN events b
+      ON a.event_type = b.event_type
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.event_type
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: same-type event pairs within a forward 5-minute
+    window, counted per type. Spark plan (operators.temporal.range_join):
+    right rows bucketed to floor(ts/band), left rows probe bucket and
+    bucket+1 via posexplode, so the interval predicate runs as a shuffled
+    equi-join on (type, bucket) + residual filter instead of the
+    BroadcastNestedLoopJoin a raw inequality join produces. The oracle is
+    the raw inequality join (fine for DuckDB's IEJoin at sf0.01)."""
+    from knime_core_columnar_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select("event_type", F.col("ts").alias("ts_a"), F.col("event_id").alias("id_a"))
+    b = ev.select("event_type", F.col("ts").alias("ts_b"))
+    pairs = range_join(a, b, key="event_type", left_ts="ts_a", right_ts="ts_b",
+                       band_seconds=300, bounds="(]")
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.count_distinct(F.col("id_a")).alias("lhs_with_follower"),
     )
 
 

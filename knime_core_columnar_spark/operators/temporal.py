@@ -1,0 +1,139 @@
+"""Temporal join operators: as-of join and banded range join.
+
+The reference engine exposes point-in-time semantics through its sorted
+cursor API (random-access cursors over ts-ordered column stores,
+ColumnarCursorFactory / Selection range pushdown); the relational
+equivalents users build on top of it are the as-of join ("latest right
+row at-or-before each left row") and the bounded-interval range join.
+Spark has neither built in, so both are implemented here as compositions
+of DataFrame ops chosen for the 100 TB path:
+
+- ``asof_join``: the union + partitioned last-carry-forward trick.
+  ONE shuffle on the key (both inputs co-partitioned), a per-partition
+  sort, and a running ``last(ignorenulls)`` window — O(n log n) per key
+  group, no range explosion, no BroadcastNestedLoopJoin. This is the
+  same plan Flink's temporal join and kdb's aj execute; a naive
+  ``l.ts >= r.ts`` inequality join would be O(|L|x|R|) per key and
+  unrunnable at scale.
+
+- ``range_join``: equi-bucketed band join. Each right row lands in one
+  time bucket of width ``band``; each left row probes its own bucket and
+  the next via a 2-element posexplode, turning the interval predicate
+  into an equi-join on (key, bucket) + a residual filter. Shuffle-based
+  hash join, AQE-splittable, no nested loop. (Databricks' range-join
+  hint does exactly this binning internally.)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] | str = (),
+    *,
+    suffix: str = "_r",
+    strict: bool = False,
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.on <= left.on`` (``<`` when ``strict``) within the same
+    ``by`` group; right columns come back suffixed, NULL when no right
+    row precedes the left row (left-outer semantics).
+
+    Plan shape: union the two inputs with a side marker, shuffle ONCE by
+    ``by``, sort each partition by (on, side, tiebreak), and carry the
+    last non-null right-side values forward. Right-side ties on ``on``
+    resolve deterministically to the row that sorts last (max of the
+    remaining columns) — the union keeps every right row, so the carried
+    value is the per-key running argmax, exactly what a sorted-cursor
+    merge in the reference would surface.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    lcols = left.columns
+    rcols = [c for c in right.columns if c not in by]
+    out_r = {c: c + suffix if c in lcols else c for c in rcols}
+
+    # side orders right (0) before left (1) at equal ts => inclusive
+    # match; strict mode shifts right rows after left rows instead.
+    l_marked = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__ts"),
+        F.lit(1 if not strict else 0).alias("__side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        F.lit(None).cast(
+            "struct<" + ",".join("`%s` %s" % (c, dict(right.dtypes)[c]) for c in rcols) + ">"
+        ).alias("__r"),
+    )
+    r_marked = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__ts"),
+        F.lit(0 if not strict else 1).alias("__side"),
+        F.lit(None).cast(
+            "struct<" + ",".join("`%s` %s" % (c, dict(left.dtypes)[c]) for c in lcols) + ">"
+        ).alias("__l"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
+    )
+    u = l_marked.unionByName(r_marked)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__rff", F.last("__r", ignorenulls=True).over(w))
+    left_side = 1 if not strict else 0
+    out = carried.filter(F.col("__side") == left_side).select(
+        *[F.col("__l." + c).alias(c) for c in lcols],
+        *[F.col("__rff." + c).alias(out_r[c]) for c in rcols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: Sequence[str] | str,
+    left_ts: str,
+    right_ts: str,
+    band_seconds: float,
+    *,
+    bounds: str = "(]",
+) -> DataFrame:
+    """Equi-bucketed band join: all (left, right) pairs with equal
+    ``key`` and ``right_ts`` within ``band_seconds`` AFTER ``left_ts``
+    (interval endpoints per ``bounds``: '(' / '[' for the lower bound at
+    left_ts, ')' / ']' for the upper at left_ts + band).
+
+    Each right row is assigned floor(ts / band); each left row probes
+    bucket and bucket+1 (a width-``band`` forward window can only span
+    two buckets), so the interval predicate becomes an equi-join on
+    (key, bucket) plus a residual range filter — a plain shuffled hash
+    join instead of a BroadcastNestedLoopJoin.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    band_us = int(band_seconds * 1_000_000)
+
+    r_b = right.withColumn(
+        "__rb", F.floor(F.unix_micros(F.col(right_ts).cast("timestamp")) / band_us)
+    )
+    l_b = left.withColumn(
+        "__lb", F.floor(F.unix_micros(F.col(left_ts).cast("timestamp")) / band_us)
+    ).select("*", F.explode(F.array(F.col("__lb"), F.col("__lb") + 1)).alias("__pb"))
+
+    lo = F.unix_micros(l_b[left_ts].cast("timestamp"))
+    rt = F.unix_micros(r_b[right_ts].cast("timestamp"))
+    lower: Column = rt >= lo if bounds[0] == "[" else rt > lo
+    upper: Column = rt <= lo + band_us if bounds[1] == "]" else rt < lo + band_us
+
+    cond = [l_b[k] == r_b[k] for k in key] + [F.col("__pb") == F.col("__rb"), lower, upper]
+    joined = l_b.join(r_b, cond, "inner")
+    for k in key:  # equal by construction; keep the left copy only
+        joined = joined.drop(r_b[k])
+    return joined.drop("__lb", "__pb", "__rb")

@@ -1,0 +1,123 @@
+"""Unit tests for operators.temporal (as-of join, banded range join).
+
+Small hand-built frames with known answers, plus edge cases the catalog
+queries can't hit deterministically: exact-timestamp ties, strict mode,
+keys with no right rows, and band-boundary inclusion/exclusion.
+"""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from knime_core_columnar_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0),
+            ("A", _ts("2024-01-01 10:00:05"), 101.0),
+            ("A", _ts("2024-01-01 10:00:10"), 102.0),
+            ("B", _ts("2024-01-01 10:00:03"), 50.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:04"), 10),   # latest quote: 10:00:00
+            ("A", _ts("2024-01-01 10:00:05"), 20),   # tie -> inclusive match 101.0
+            ("A", _ts("2024-01-01 09:59:59"), 30),   # before any quote -> NULL
+            ("B", _ts("2024-01-01 10:00:03"), 40),   # tie on B
+            ("C", _ts("2024-01-01 10:00:00"), 50),   # key with no quotes -> NULL
+        ],
+        "sym string, ts timestamp, qty int",
+    )
+
+
+def test_asof_inclusive(quotes, trades):
+    out = asof_join(trades, quotes, on="ts", by="sym")
+    got = {(r["sym"], r["qty"]): r["px"] for r in out.collect()}
+    assert got == {
+        ("A", 10): 100.0,
+        ("A", 20): 101.0,  # equal timestamps match when not strict
+        ("A", 30): None,
+        ("B", 40): 50.0,
+        ("C", 50): None,
+    }
+    assert out.count() == trades.count()  # left-outer: every trade kept
+
+
+def test_asof_strict(quotes, trades):
+    out = asof_join(trades, quotes, on="ts", by="sym", strict=True)
+    got = {(r["sym"], r["qty"]): r["px"] for r in out.collect()}
+    assert got[("A", 20)] == 100.0  # equal ts excluded under strict <
+    assert got[("B", 40)] is None
+
+
+def test_asof_tie_on_right_is_deterministic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:10"))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:05"), "x"), (1, _ts("2024-01-01 00:00:05"), "y")],
+        "k int, ts timestamp, tag string",
+    )
+    out = asof_join(left, right, on="ts", by="k").collect()
+    assert len(out) == 1 and out[0]["tag"] == "y"  # max struct wins the tie
+
+
+def test_range_join_bounds(spark):
+    left = spark.createDataFrame(
+        [("g", _ts("2024-01-01 00:00:00"), 1)], "k string, ts_l timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [
+            ("g", _ts("2024-01-01 00:00:00")),  # == lower bound
+            ("g", _ts("2024-01-01 00:04:59")),  # inside
+            ("g", _ts("2024-01-01 00:05:00")),  # == upper bound
+            ("g", _ts("2024-01-01 00:05:01")),  # outside
+            ("h", _ts("2024-01-01 00:00:01")),  # other key
+        ],
+        "k string, ts_r timestamp",
+    )
+    half_open = range_join(left, right, key="k", left_ts="ts_l", right_ts="ts_r",
+                           band_seconds=300, bounds="(]")
+    assert half_open.count() == 2  # 00:04:59 and 00:05:00
+    closed = range_join(left, right, key="k", left_ts="ts_l", right_ts="ts_r",
+                        band_seconds=300, bounds="[]")
+    assert closed.count() == 3  # + the equal-lower-bound row
+    open_open = range_join(left, right, key="k", left_ts="ts_l", right_ts="ts_r",
+                           band_seconds=300, bounds="()")
+    assert open_open.count() == 1
+
+
+def test_range_join_matches_inequality_join(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    a = ev.select("event_type", F.col("ts").alias("ts_a"), F.col("event_id").alias("id_a"))
+    b = ev.select("event_type", F.col("ts").alias("ts_b"))
+    banded = range_join(a, b, key="event_type", left_ts="ts_a", right_ts="ts_b",
+                        band_seconds=300, bounds="(]").count()
+    naive = (
+        a.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("y.ts_b") > F.col("x.ts_a"))
+            & (F.col("y.ts_b") <= F.col("x.ts_a") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .count()
+    )
+    assert banded == naive
