@@ -29,6 +29,8 @@ HEADLINE = [
     "q5_local_supplier",
     "window_topk_per_group",
     "window_running_sum",
+    "asof_join_events",
+    "range_join_events",
     "rollup_returns",
     "distinct_rows",
     "sort_topk",
