@@ -2312,6 +2312,35 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_skew",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineitem-orders join executed through the explicit skew-salting
+    path (relational.salted_join, salts=8): hot order keys are spread
+    over 8 shuffle buckets and orders rows are replicated per salt. The
+    oracle is the PLAIN join — the salt must not change the result, which
+    is exactly what this gate proves."""
+    from knime_core_columnar_spark.operators.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    j = salted_join(li, o, on="l_orderkey", how="inner", salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+    )
+
+
+@query(
     "asof_join_events",
     """
     SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts,

@@ -84,6 +84,42 @@ def join(
     return ColumnarTable(joined.select(*cols))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str] | str,
+    how: Literal["inner", "left"] = "inner",
+    salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: split each hot key of ``big`` across
+    ``salts`` shuffle partitions by appending a synthetic salt, and
+    replicate ``small`` once per salt value so every (key, salt) bucket
+    still finds its match. The join RESULT is identical to a plain
+    equi-join for any salt assignment — only the physical distribution
+    changes — so the oracle for a salted query is the unsalted SQL.
+
+    Use when one side has a few keys so hot that AQE's skew-split (which
+    can only split a partition holding several keys) cannot help — a
+    single key larger than an executor's share, e.g. the null-key or
+    default-tenant pathology at 100 TB. Cost: ``small`` is duplicated
+    ``salts``× through its shuffle/broadcast — keep ``salts`` at the
+    skew factor, not higher.
+
+    The salt on the big side is derived from a whole-row hash (cheap,
+    deterministic per row, uniform); correctness does not depend on the
+    assignment, so collisions merely reduce the spreading benefit.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts))
+    )
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    out = big_s.join(small_s, on + ["__salt"], how)
+    return out.drop("__salt")
+
+
 def aggregate(
     table: ColumnarTable,
     group_by: Sequence[str],

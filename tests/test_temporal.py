@@ -102,6 +102,22 @@ def test_range_join_bounds(spark):
     assert open_open.count() == 1
 
 
+def test_salted_join_matches_plain_join(spark):
+    from knime_core_columnar_spark.operators.relational import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", "hot", "cold")] + [("orphan", -1)],
+        "k string, v int",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.5), ("cold", 2.5), ("unmatched", 9.9)], "k string, w double"
+    )
+    for how in ("inner", "left"):
+        salted = salted_join(big, small, on="k", how=how, salts=4)
+        plain = big.join(small, "k", how)
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_range_join_matches_inequality_join(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
