@@ -1343,6 +1343,78 @@ def neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "neardup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), mh AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(s, x ->
+                 ((2*i + 1) * (('0x' || substring(md5(x), 1, 15))::BIGINT % 2147483647)
+                  + 104729 * i) % 2147483647))) AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], ',')) AS key
+      FROM mh, (SELECT unnest(range(0, 4)) AS b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    ), verified AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+                JOIN sh sb ON sb.doc_id = cand.id_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION ALL
+      SELECT id_b, id_a FROM verified
+    ), reach AS (
+      SELECT a AS node, a AS label FROM e
+      UNION
+      SELECT e.a, reach.label FROM e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: verified near-dup pairs grouped into
+    clusters by connected components (iterative min-label propagation,
+    operators.dedup.connected_components), every document mapped to its
+    canonical representative (min doc_id of its component; singletons map
+    to themselves). The oracle computes the same closure with a DuckDB
+    recursive CTE — a genuinely different evaluation strategy validating
+    the iterative Spark loop."""
+    from knime_core_columnar_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, "doc_id", "text", num_perm=16, bands=4)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cand
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    return d.select("doc_id").join(
+        comp, d["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("label"), F.col("doc_id")).alias("component")
+    )
+
+
+@query(
     "embedding_neardup",
     """
     SELECT * FROM (

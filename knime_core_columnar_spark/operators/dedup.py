@@ -359,3 +359,63 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters: returns (node, component)
+    where component is the smallest node id reachable from ``node`` over
+    the undirected edge set — the standard dedup step after pair
+    verification (every document keeps min-id as its canonical
+    representative).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; a round is one shuffled
+    join + aggregation, and the loop stops when no label changes (or at
+    ``max_iter``). Rounds needed = component diameter — near-dup
+    clusters are a handful of documents, so this is 3-5 rounds in
+    practice, each a bulk-synchronous Spark job (the same schedule
+    GraphX/Pregel CC runs). ``localCheckpoint`` truncates the lineage
+    each round so the plan does not grow with the iteration count.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -102,6 +102,19 @@ def test_range_join_bounds(spark):
     assert open_open.count() == 1
 
 
+def test_connected_components_chain_and_triangle(spark):
+    from knime_core_columnar_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle
+    # 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_salted_join_matches_plain_join(spark):
     from knime_core_columnar_spark.operators.relational import salted_join
 
