@@ -2384,6 +2384,40 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hash_split_stats",
+    """
+    WITH h AS (
+      SELECT l_returnflag,
+             ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                                    || CAST(l_linenumber AS VARCHAR) || '|split'),
+                                1, 15))::BIGINT % 10000 AS b
+      FROM lineitem
+    )
+    SELECT CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           l_returnflag, COUNT(*) AS n
+    FROM h GROUP BY 1, 2
+    """,
+)
+def hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split by row-key hash
+    (operators.sampling.hash_split): the same row lands in the same
+    split regardless of partitioning, parallelism, or data growth —
+    unlike randomSplit(). The md5-derived bucket is bit-identical in
+    DuckDB, so the exact per-split row assignment is oracle-gated (here
+    aggregated per returnflag to keep the result compact)."""
+    from knime_core_columnar_spark.operators.sampling import hash_split
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        hash_split(li, ["l_orderkey", "l_linenumber"])
+        .groupBy("split", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "salted_join_skew",
     """
     SELECT o_orderpriority, COUNT(*) AS n,

@@ -1,0 +1,68 @@
+"""Deterministic sampling and dataset splitting.
+
+Training pipelines need sampling that is reproducible across runs,
+engines, and cluster sizes — `df.sample()`/`randomSplit()` are
+partition-order-dependent and give different rows on a re-run with
+different parallelism. The operators here derive the decision from a
+cryptographic hash of the ROW KEY instead: the same row always lands in
+the same split no matter how the data is partitioned, new rows don't
+reshuffle old assignments (stable holdout sets), and the assignment is
+expressible in ANSI SQL, so it is part of the DuckDB correctness gate.
+
+Hash: first 15 hex digits of md5(key || '|' || salt) as an integer
+(< 2^60, always positive), taken mod 10_000 for 0.01% granularity.
+Pure Catalyst expressions — codegen, no UDF, no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "deterministic_sample", "hash_split"]
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(key_cols: Sequence[str], salt: str = "") -> Column:
+    """Stable bucket in [0, 10000) from the given key columns + salt."""
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in key_cols], F.lit(salt)
+    )
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % _BUCKETS
+
+
+def deterministic_sample(
+    df: DataFrame, key_cols: Sequence[str], fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — reproducible and
+    partitioning-independent, unlike ``df.sample``."""
+    return df.filter(hash_bucket(key_cols, salt) < int(fraction * _BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    fractions: Mapping[str, float] | None = None,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Append a split label ('train'/'val'/'test' by default, 80/10/10)
+    assigned by key hash. Fractions must sum to 1; the last split
+    absorbs rounding. Disjoint and exhaustive by construction."""
+    fractions = dict(fractions or {"train": 0.8, "val": 0.1, "test": 0.1})
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    b = hash_bucket(key_cols, salt)
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        branch = b < int(cum * _BUCKETS)
+        expr = F.when(branch, name) if expr is None else expr.when(branch, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
