@@ -2487,6 +2487,47 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_forward_events",
+    """
+    SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts,
+           p.purchase_ts, p.purchase_id,
+           epoch_us(p.purchase_ts) - epoch_us(e.ts) AS gap_us
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    LEFT JOIN LATERAL (
+      SELECT c.ts AS purchase_ts, c.event_id AS purchase_id
+      FROM events c
+      WHERE c.event_type = 'purchase' AND c.user_id = e.user_id AND c.ts >= e.ts
+      ORDER BY c.ts ASC, c.event_id ASC
+      LIMIT 1
+    ) p ON TRUE
+    """,
+)
+def asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every error, the NEXT purchase by the same
+    user at-or-after it, with the gap in microseconds — time-to-recovery
+    analytics. Same single-shuffle carry-forward plan as the backward
+    direction, traversed in descending time order."""
+    from knime_core_columnar_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    res = asof_join(left, right, on="ts", by="user_id", suffix="_p",
+                    direction="forward")
+    return res.select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("ts_p").alias("purchase_ts"),
+        F.col("event_id_p").alias("purchase_id"),
+        (F.unix_micros(F.col("ts_p").cast("timestamp"))
+         - F.unix_micros(F.col("ts").cast("timestamp"))).alias("gap_us"),
+    )
+
+
+@query(
     "range_join_events",
     """
     SELECT a.event_type, COUNT(*) AS pairs,

@@ -42,11 +42,19 @@ def asof_join(
     *,
     suffix: str = "_r",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the latest right row with
     ``right.on <= left.on`` (``<`` when ``strict``) within the same
     ``by`` group; right columns come back suffixed, NULL when no right
     row precedes the left row (left-outer semantics).
+
+    ``direction="forward"`` flips the semantics to the EARLIEST right
+    row with ``right.on >= left.on`` (``>`` when strict) — "next event
+    after" instead of "last event before" — by traversing each key group
+    in descending timestamp order with the same carry-forward machinery;
+    ties on the right resolve to the min remaining struct (the mirror of
+    backward's max).
 
     Plan shape: union the two inputs with a side marker, shuffle ONCE by
     ``by``, sort each partition by (on, side, tiebreak), and carry the
@@ -81,10 +89,16 @@ def asof_join(
         ).alias("__l"),
         F.struct(*[F.col(c) for c in rcols]).alias("__r"),
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     u = l_marked.unionByName(r_marked)
+    if direction == "backward":
+        order = [F.col("__ts"), F.col("__side"), F.col("__r")]
+    else:  # forward: walk time backwards so "carry last non-null" = next-at-or-after
+        order = [F.col("__ts").desc(), F.col("__side"), F.col("__r").desc_nulls_last()]
     w = (
         Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(F.col("__ts"), F.col("__side"), F.col("__r"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("__rff", F.last("__r", ignorenulls=True).over(w))

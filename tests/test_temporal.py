@@ -65,6 +65,23 @@ def test_asof_strict(quotes, trades):
     assert got[("B", 40)] is None
 
 
+def test_asof_forward(quotes, trades):
+    out = asof_join(trades, quotes, on="ts", by="sym", direction="forward")
+    got = {(r["sym"], r["qty"]): r["px"] for r in out.collect()}
+    assert got == {
+        ("A", 10): 101.0,  # next quote at-or-after 10:00:04
+        ("A", 20): 101.0,  # equal ts included
+        ("A", 30): 100.0,
+        ("B", 40): 50.0,
+        ("C", 50): None,
+    }
+    strict = asof_join(trades, quotes, on="ts", by="sym", direction="forward",
+                       strict=True)
+    sgot = {(r["sym"], r["qty"]): r["px"] for r in strict.collect()}
+    assert sgot[("A", 20)] == 102.0  # equal ts excluded -> 10:00:10 quote
+    assert sgot[("B", 40)] is None
+
+
 def test_asof_tie_on_right_is_deterministic(spark):
     left = spark.createDataFrame(
         [(1, _ts("2024-01-01 00:00:10"))], "k int, ts timestamp"
