@@ -2384,6 +2384,41 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\W+')) AS term
+      FROM documents
+    ), t AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+    ), d AS (
+      SELECT term, COUNT(*) AS df FROM t GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), s AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+      FROM t JOIN d USING (term), n
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rk
+      FROM s
+    )
+    SELECT doc_id, term, tf, df, tfidf FROM r WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per document by TF-IDF
+    (operators.text.tfidf_top_terms). Ranking happens on the ROUNDED
+    score with a term tiebreak, so sub-ulp libm differences between
+    engines cannot reorder the window — the same determinism discipline
+    as the decimal aggregates."""
+    from knime_core_columnar_spark.operators.text import tfidf_top_terms as tt
+
+    return tt(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@query(
     "hash_split_stats",
     """
     WITH h AS (

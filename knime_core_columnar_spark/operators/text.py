@@ -15,7 +15,7 @@ operator in this family differentially testable."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from knime_core_columnar_spark.table import ColumnarTable
@@ -137,3 +137,45 @@ def text_profile(table: ColumnarTable, text_col: str = "text") -> ColumnarTable:
         "lang_pred": lang_id(text_col),
         "fingerprint": fingerprint(text_col),
     })
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` most distinctive terms per document by TF-IDF
+    (tf * ln(N/df), rounded to 6 places; ties broken by term so the
+    ranking is deterministic cross-engine). Returns
+    (id, term, tf, df, tfidf).
+
+    Plan shape: explode -> two hash aggregations (term frequency per doc,
+    document frequency per term) -> broadcast of the 1-row corpus count
+    and of the df side onto the tf side keyed by term -> per-doc top-k
+    window (WindowGroupLimit pushes the rank filter into the sort).
+    Everything is built-in expressions — no UDF in the path.
+    """
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\W+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )
