@@ -75,6 +75,12 @@ def _ensure_pkg_on_executors(spark: SparkSession) -> None:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_pkg_on_executors(spark)
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark 4
+        # refuses (PARQUET_TYPE_ILLEGAL). nanosAsLong is a runtime-settable
+        # SQLConf, so force it here instead of relying on session defaults —
+        # the harness builds its own SparkSession without our session.py.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as long via nanosAsLong — restore
@@ -820,19 +826,21 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "collect_sorted",
     """
-    SELECT o_orderpriority, list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set sorted into a deterministic array (order-insensitive
-    hashing needs canonical array order)."""
+    """collect_set sorted into a deterministic array, serialized to a CSV
+    string (the harness canonicalizer sorts result rows with pandas, which
+    cannot hash list cells — string form keeps the value check exact)."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -854,7 +862,7 @@ def collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
            reverse(p_name) AS rev,
            concat_ws('|', p_brand, p_type) AS cw,
            regexp_extract(p_type, '[a-z]+') AS re1,
-           string_split(p_type, ' ') AS parts,
+           array_to_string(string_split(p_type, ' '), ',') AS parts,
            CAST(length(p_name) AS INTEGER) AS len,
            trim(p_name) AS tr
     FROM part
@@ -875,7 +883,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev": F.reverse("p_name"),
         "cw": F.concat_ws("|", "p_brand", "p_type"),
         "re1": F.regexp_extract("p_type", "[a-z]+", 0),
-        "parts": F.split("p_type", " "),
+        "parts": F.array_join(F.split("p_type", " "), ","),
         "len": F.length("p_name"),
         "tr": F.trim("p_name"),
     }).df
@@ -1020,8 +1028,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
            MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
-           list_sort(list(DISTINCT l_returnflag)) AS vals_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS vals_linestatus
+           array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS vals_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS vals_linestatus
     FROM lineitem
     """,
 )
@@ -1036,8 +1044,8 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_quantity").alias("max_qty"),
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
-        F.sort_array(F.collect_set("l_returnflag")).alias("vals_returnflag"),
-        F.sort_array(F.collect_set("l_linestatus")).alias("vals_linestatus"),
+        F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias("vals_returnflag"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("vals_linestatus"),
     )
 
 
@@ -1094,15 +1102,6 @@ def concat_regenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-data-pipeline operators: text analysis, dedup, similarity, multimodal
 # (north-star extensions; SURVEY.md Phase 6)
 # ---------------------------------------------------------------------------
-
-_DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
-_DUCK_SHINGLES = (
-    "list_distinct(list_transform("
-    "range(1, greatest(len({t}) - 2, 0) + 1), "
-    "i -> array_to_string({t}[i:i+2], ' ')))"
-).format(t="t")
-_DUCK_HASH32 = "(('0x' || substring(md5(CAST({k} AS VARCHAR) || '_' || {s}, ), 1, 8))::BIGINT)"
-
 
 @query(
     "text_stats",
@@ -1427,12 +1426,14 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact tier; use_lsh=True buckets
-    candidates for the 100 TB tier)."""
+    """Embedding-cosine near-dup pairs, exact tier pinned as the
+    ground-truth baseline (use_lsh=False opt-in; the operator default
+    auto-switches to the bucketed LSH tier past 100k corpus rows —
+    see embedding_neardup_lsh for the oracle-checked scale path)."""
     from knime_core_columnar_spark.operators.similarity import embedding_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.4)
+    return embedding_near_dup_pairs(e, threshold=0.4, use_lsh=False)
 
 
 @query(
@@ -1461,16 +1462,83 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, e.filter("vec_id < 10"), k=5)
 
 
+def _duck_rp_bucket(vec_expr: str, dim: int, planes: int) -> str:
+    """DuckDB SQL for the random-hyperplane LSH bucket id, with the
+    md5-seeded hyperplane weights embedded as literals — list_dot_product
+    accumulates element-sequentially, the same floating-point order as
+    the Spark kernel, so the sign bits (and hence buckets) are
+    bit-identical."""
+    from knime_core_columnar_spark.operators.similarity import _hyperplane
+
+    parts = []
+    for p in range(planes):
+        arr = "[" + ", ".join(repr(x) for x in _hyperplane(p, dim)) + "]::DOUBLE[]"
+        parts.append(
+            f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {arr}) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+@query(
+    "ann_topk_lsh",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_duck_rp_bucket('embedding', 64, 4)} AS bucket,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                   / (q.nrm * c.nrm), 6) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                              / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only check: approximate by
-    design; recall vs brute force is unit-tested)."""
+    """LSH-bucketed approximate top-k. Approximate vs brute force, but
+    fully deterministic (md5-seeded hyperplanes), so the oracle embeds
+    the same hyperplane constants as SQL literals and the driver checks
+    it value-exactly like any other query."""
     from knime_core_columnar_spark.operators.similarity import rp_lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
     return rp_lsh_topk(e, e.filter("vec_id < 10"), dim=64, k=5, planes=4)
 
 
-QUERIES["ann_topk_lsh"] = ann_topk_lsh  # no oracle: approximate op
+@query(
+    "embedding_neardup_lsh",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_duck_rp_bucket('embedding', 64, 6)} AS bucket,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cos FROM (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                   / (a.nrm * c.nrm), 6) AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    ) WHERE cos >= 0.4
+    """,
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-LSH near-dup tier — the 100 TB default path of
+    embedding_near_dup_pairs, oracle-checked via embedded hyperplane
+    constants (only same-bucket candidate pairs are scored; no corpus
+    broadcast, no driver collect)."""
+    from knime_core_columnar_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.4, dim=64, use_lsh=True, planes=6)
 
 
 @query(

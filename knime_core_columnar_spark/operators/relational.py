@@ -175,21 +175,33 @@ def distinct(table: ColumnarTable, subset: Sequence[str] | None = None) -> Colum
     )
 
 
+def _rekey_min_rowid(values: "DataFrame", source: "DataFrame", cols: Sequence[str]):
+    """Re-attach the min RowID per value tuple with NULL-SAFE equality —
+    intersect/subtract treat NULLs as equal, so a plain equi-join here
+    would silently drop tuples containing NULL."""
+    keyed = source.groupBy(cols).agg(F.min(ROW_KEY).alias(ROW_KEY))
+    cond = None
+    for c in cols:
+        eq = values[c].eqNullSafe(keyed[c])
+        cond = eq if cond is None else cond & eq
+    return values.join(keyed, cond, "inner").select(
+        keyed[ROW_KEY], *[values[c] for c in cols]
+    )
+
+
 def intersect(a: ColumnarTable, b: ColumnarTable) -> ColumnarTable:
     """INTERSECT (distinct) on data columns; RowID re-derived from the
-    left table (min key per value tuple)."""
+    left table (min key per value tuple, null-safe)."""
     cols = a.columns
     common = a.df.select(cols).intersect(b.df.select(cols))
-    keyed = a.df.groupBy(cols).agg(F.min(ROW_KEY).alias(ROW_KEY))
-    return ColumnarTable(common.join(keyed, cols, "inner").select(ROW_KEY, *cols))
+    return ColumnarTable(_rekey_min_rowid(common, a.df, cols))
 
 
 def except_(a: ColumnarTable, b: ColumnarTable) -> ColumnarTable:
     """EXCEPT (distinct) on data columns, RowID from the left table."""
     cols = a.columns
     diff = a.df.select(cols).distinct().subtract(b.df.select(cols).distinct())
-    keyed = a.df.groupBy(cols).agg(F.min(ROW_KEY).alias(ROW_KEY))
-    return ColumnarTable(diff.join(keyed, cols, "inner").select(ROW_KEY, *cols))
+    return ColumnarTable(_rekey_min_rowid(diff, a.df, cols))
 
 
 def window_apply(

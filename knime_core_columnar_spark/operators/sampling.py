@@ -39,7 +39,9 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by key hash — reproducible and
     partitioning-independent, unlike ``df.sample``."""
-    return df.filter(hash_bucket(key_cols, salt) < int(fraction * _BUCKETS))
+    # round(), not int(): truncation turns 0.3*10000 == 2999.999... into
+    # 2999, shifting the boundary a bucket off the documented granularity.
+    return df.filter(hash_bucket(key_cols, salt) < int(round(fraction * _BUCKETS)))
 
 
 def hash_split(
@@ -62,7 +64,7 @@ def hash_split(
     cum = 0.0
     for name in names[:-1]:
         cum += fractions[name]
-        branch = b < int(cum * _BUCKETS)
+        branch = b < int(round(cum * _BUCKETS))
         expr = F.when(branch, name) if expr is None else expr.when(branch, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(split_col, expr)

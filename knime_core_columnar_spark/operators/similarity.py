@@ -133,12 +133,35 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
 
 
 def rp_lsh_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
-    """Random-hyperplane LSH bucket id: bit p = sign(v · h_p)."""
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        w = F.array(*[F.lit(x) for x in _hyperplane(p, dim)])
-        bucket = bucket + F.when(dot(vec, w) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    """Random-hyperplane LSH bucket id: bit p = sign(v · h_p).
+
+    Vectorized pandas matrix kernel (one Arrow batch per partition, all
+    planes in numpy) — the earlier expression form evaluated one
+    interpreted aggregate(zip_with(...)) lambda per plane per row, the
+    exact shape measured 10-100× slower in the dedup modules. The kernel
+    accumulates dimension-by-dimension (sequential over dims, vectorized
+    over rows), the same floating-point order as DuckDB's
+    list_dot_product, so bucket bits are bit-identical to the SQL oracle
+    built from the same md5-seeded hyperplane constants."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.array([_hyperplane(p, dim) for p in range(planes)], dtype=np.float64)
+    n_planes = planes
+
+    def kernel(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.array(v.tolist(), dtype=np.float64)
+        bucket = np.zeros(len(V), dtype=np.int64)
+        for p in range(n_planes):
+            acc = np.zeros(len(V))
+            for j in range(V.shape[1]):
+                acc += V[:, j] * W[p, j]
+            bucket += (acc > 0).astype(np.int64) << p
+        return pd.Series(bucket)
+
+    return F.pandas_udf(kernel, "long")(vec)
 
 
 def rp_lsh_topk(
@@ -188,19 +211,27 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: centroids are a deterministic corpus sample (ids
-    ≡ 0 mod ⌈n/ncells⌉ — a real deployment would train k-means); every
-    corpus row is assigned to its nearest centroid cell; each query
-    probes its ``nprobe`` nearest cells. Candidate set ≈ nprobe/ncells of
-    the corpus."""
-    n = corpus.count()  # one scalar aggregate to size the stride
-    stride = max(n // ncells, 1)
+    """IVF-style ANN: centroids are a deterministic hash sample of the
+    corpus (a real deployment would train k-means); every corpus row is
+    assigned to its nearest centroid cell; each query probes its
+    ``nprobe`` nearest cells. Candidate set ≈ nprobe/ncells of the corpus.
+
+    Centroid selection filters to ~4·ncells rows by md5 key-hash
+    (sampling.hash_bucket — partitioning-independent, no global sort;
+    the previous row_number-over-unpartitioned-Window pulled the whole
+    corpus through one partition) and only then sorts the tiny survivor
+    set for a stable pick."""
+    from knime_core_columnar_spark.operators.sampling import _BUCKETS, hash_bucket
+
+    n = corpus.count()  # one scalar aggregate to size the sample fraction
+    frac = min(1.0, (4.0 * ncells) / max(n, 1))
+    h = hash_bucket([id_col], salt="ivf-centroids")
     cents = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__rn", F.row_number().over(Window.orderBy(id_col)))
-        .filter((F.col("__rn") % stride) == 0)
-        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("__cent"))
+        corpus.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
+        .filter(F.col("__h") <= int(round(frac * _BUCKETS)))
+        .orderBy("__h", id_col)  # sorts only the ~4·ncells sampled rows
         .limit(ncells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("__cent"))
     )
     assign_w = Window.partitionBy(id_col).orderBy(F.col("__d").desc())
     assigned = (
@@ -235,26 +266,36 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    use_lsh: bool = False,
+    use_lsh: bool | None = None,
     planes: int = 6,
+    exact_max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
 
-    Exact tier (default): block-matrix kernel — the corpus (ids, vectors,
-    norms) is broadcast once, each partition scores its own row-block
-    against the broadcast matrix in numpy with dimension-sequential
-    accumulation (bit-identical to the sequential per-pair sum the
-    DuckDB oracle computes). No per-pair vector shipping: the measured
-    cross-join + per-pair UDF formulation moved ~1 GB through Arrow and
-    ran 20×+ slower. Requires the corpus to fit the broadcast budget —
-    beyond that, ``use_lsh=True`` buckets candidates first (the 100 TB
-    path; all-pairs-exact at that scale is not a thing).
+    Tier selection (``use_lsh=None``, the default) counts the corpus and
+    auto-switches: ≤ ``exact_max_rows`` rows → exact block-matrix tier,
+    beyond that → bucketed LSH (the 100 TB path; all-pairs-exact at that
+    scale is not a thing, and the exact tier's corpus broadcast would OOM
+    the driver). Pass ``use_lsh=False`` to force the exact tier as the
+    opt-in ground truth for recall testing.
+
+    Exact tier: block-matrix kernel — the corpus (ids, vectors, norms)
+    is broadcast once, each partition scores its own row-block against
+    the broadcast matrix in numpy with dimension-sequential accumulation
+    (bit-identical to the sequential per-pair sum the DuckDB oracle
+    computes). No per-pair vector shipping: the measured cross-join +
+    per-pair UDF formulation moved ~1 GB through Arrow and ran 20×+
+    slower.
 
     Kernel filters with an epsilon slack, then the JVM applies
     round-half-up + the exact threshold — numpy's banker's rounding
     never decides a boundary."""
+    if use_lsh is None:
+        use_lsh = df.count() > exact_max_rows
     if use_lsh:
-        assert dim is not None
+        if dim is None:
+            first = df.select(F.size(vec_col).alias("d")).head()
+            dim = int(first["d"]) if first is not None else 0
         left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
                          l2_norm(F.col(vec_col)).alias("__na"),
                          rp_lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"))

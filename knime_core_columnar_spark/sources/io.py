@@ -113,7 +113,13 @@ def read_arrow_ipc(
                 for i in range(reader.num_record_batches):
                     yield reader.get_batch(i).to_pandas()
 
-    files_df = spark.read.format("binaryFile").option("pathGlobFilter", "*.arrow").load(path)
+    # Hadoop glob alternation covers both extensions — a single '*.arrow'
+    # filter silently skipped .ipc files the sample scan had accepted.
+    files_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{arrow,ipc}")
+        .load(path)
+    )
     df = files_df.select("content").mapInPandas(decode, spark_schema)
     return ColumnarTable.from_dataframe(df, key_columns=key_columns)
 

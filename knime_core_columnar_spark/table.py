@@ -481,14 +481,32 @@ class ColumnarTable:
                 ROW_KEY, F.concat(F.lit("Row"), (F.row_number().over(w) - 1).cast("string"))
             )
         elif row_id_policy is RowIdPolicy.UNIQUIFY_WITH_SUFFIX:
-            w = Window.partitionBy(ROW_KEY).orderBy("__src")
-            occ = F.row_number().over(w) - 1
-            union = union.withColumn(
-                ROW_KEY,
-                F.when(occ == 0, F.col(ROW_KEY))
-                .when(occ == 1, F.concat(F.col(ROW_KEY), F.lit("_dup")))
-                .otherwise(F.concat(F.col(ROW_KEY), F.lit("_dup_"), (occ - 1).cast("string"))),
-            )
+            # The reference reconciles suffixes UNTIL unique
+            # (ColumnarConcatenater.java:252-292): a pre-existing 'k_dup'
+            # key can collide with the renamed second 'k', so one pass is
+            # not enough in general. Re-probe for duplicates after each
+            # pass (early-out aggregation); a second pass only ever runs
+            # when input keys already end in the _dup pattern.
+            union = union.withColumn("__orig", F.col(ROW_KEY))
+            for _ in range(10):
+                w = Window.partitionBy(ROW_KEY).orderBy("__src", "__orig")
+                occ = F.row_number().over(w) - 1
+                union = union.withColumn(
+                    ROW_KEY,
+                    F.when(occ == 0, F.col(ROW_KEY))
+                    .when(occ == 1, F.concat(F.col(ROW_KEY), F.lit("_dup")))
+                    .otherwise(
+                        F.concat(F.col(ROW_KEY), F.lit("_dup_"), (occ - 1).cast("string"))
+                    ),
+                )
+                if union.groupBy(ROW_KEY).count().filter("count > 1").isEmpty():
+                    break
+            else:
+                raise ValueError(
+                    "concatenate UNIQUIFY_WITH_SUFFIX: RowIDs did not become "
+                    "unique within 10 suffix passes"
+                )
+            union = union.drop("__orig")
         elif row_id_policy is RowIdPolicy.FAIL_ON_DUPLICATES:
             w = Window.partitionBy(ROW_KEY)
             union = (
