@@ -41,7 +41,9 @@ HEADLINE = [
     "dedup_simhash",
     "neardup_pipeline",
     "embedding_neardup",
+    "embedding_neardup_lsh",
     "ann_topk",
+    "ann_topk_lsh",
     "multimodal_meta",
     "events_hourly",
     "session_windows_batch",
@@ -77,14 +79,37 @@ def main():
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    record = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-    }))
+        "git_sha": _git_sha(),
+    }
+    # round-over-round bookkeeping: append to a local history file so
+    # per-query regressions are attributable to a commit, not a round
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_history.jsonl"), "a") as f:
+            f.write(json.dumps({**record, "ts": time.time()}) + "\n")
+    except OSError:
+        pass
+    print(json.dumps(record))
     spark.stop()
+
+
+def _git_sha() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
 
 
 if __name__ == "__main__":

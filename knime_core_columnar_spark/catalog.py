@@ -217,6 +217,44 @@ def slice_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multi_slice",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn
+      FROM orders
+    )
+    SELECT 0 AS slice_id, o_orderkey, CAST(o_custkey AS VARCHAR) AS val
+    FROM o WHERE rn >= 0 AND rn < 40
+    UNION ALL
+    SELECT 1 AS slice_id, o_orderkey, o_orderpriority AS val
+    FROM o WHERE rn >= 40 AND rn < 90
+    """,
+)
+def multi_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableBackend multi-slice (ColumnarTableBackend.java:285-335): N
+    (column-subset, row-range) slices from one call over one shared
+    scan; here two disjoint slices re-assembled with a slice id."""
+    t = ColumnarTable.from_dataframe(_t(spark, sf_dir, "orders"), key_columns=["o_orderkey"])
+    s0, s1 = t.multi_slice(
+        [
+            (["o_orderkey", "o_custkey"], (0, 40)),
+            (["o_orderkey", "o_orderpriority"], (40, 90)),
+        ],
+        order_by=[F.col("o_orderkey")],
+    )
+    a = s0.df.select(
+        F.lit(0).alias("slice_id"), "o_orderkey",
+        F.col("o_custkey").cast("string").alias("val"),
+    )
+    b = s1.df.select(
+        F.lit(1).alias("slice_id"), "o_orderkey",
+        F.col("o_orderpriority").alias("val"),
+    )
+    return a.unionByName(b)
+
+
+@query(
     "concatenate_union",
     """
     SELECT CAST(p_partkey AS VARCHAR) AS _row_key,
@@ -1572,10 +1610,26 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "video_frame_sample",
+    """
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(off // 256 AS INTEGER) AS frame_idx,
+           CAST(off AS BIGINT) AS byte_offset,
+           md5(substring(hx, off * 2 + 1, 512)) AS frame_md5
+    FROM (SELECT doc_id, hx, unnest(range(0, greatest(n, 1), 256)) AS off FROM p)
+    """,
+)
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling stub: 1→N row expansion through mapInPandas
-    (rows-only check; kernel raises under strict=True until ffmpeg-like
-    decode is plugged in)."""
+    """Frame-sampling stub: 1→N row expansion through mapInPandas (kernel
+    raises under strict=True until ffmpeg-like decode is plugged in). The
+    frame-offset math and hex-chunk md5 are deterministic, so the whole
+    expansion is oracle-checked value-exactly."""
     from knime_core_columnar_spark.operators.multimodal import (
         attach_binary_payload,
         sample_frames,
@@ -1583,9 +1637,6 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
     return sample_frames(d, "doc_id", "payload", every_n_bytes=256)
-
-
-QUERIES["video_frame_sample"] = video_frame_sample  # no oracle: decode stub
 
 
 @query(
@@ -1795,21 +1846,45 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "approx_aggregates",
+    """
+    SELECT l_returnflag,
+           TRUE AS parts_ok, TRUE AS supps_ok, TRUE AS median_ok,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL count-distinct, quantile sketch) —
     one-pass, fixed-memory, the 100 TB substitutes for exact distinct
-    counting / percentiles. Rows-only check: approximate by design
-    (bounds are unit-tested against exact values instead)."""
+    counting / percentiles. The sketches are approximate, so the checked
+    result is the ERROR BOUND, not the estimate: each flag is the Spark
+    side's own |approx − exact| / exact ≤ ε test (HLL default rsd 5% →
+    ε=0.15 ≈ 3σ; quantile sketch accuracy 10000 → ε=0.01), which the
+    oracle asserts TRUE — a wrong sketch implementation goes red."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.approx_count_distinct("l_suppkey").alias("as_"),
+        F.countDistinct("l_suppkey").alias("es"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("em"),
         F.count(F.lit(1)).alias("n"),
     )
 
+    def within(approx, exact, eps):
+        return (F.abs(approx.cast("double") - exact.cast("double"))
+                / exact.cast("double") <= eps)
 
-QUERIES["approx_aggregates"] = approx_aggregates  # no oracle: sketch-based
+    return agg.select(
+        "l_returnflag",
+        within(F.col("ap"), F.col("ep"), 0.15).alias("parts_ok"),
+        within(F.col("as_"), F.col("es"), 0.15).alias("supps_ok"),
+        within(F.col("am"), F.col("em"), 0.01).alias("median_ok"),
+        "n",
+    )
 
 
 @query(

@@ -50,39 +50,69 @@ def compute_domains(
     table: ColumnarTable,
     columns: list[str] | None = None,
     max_nominal_values: int = DEFAULT_MAX_NOMINAL_VALUES,
+    initial: dict[str, ColumnDomain] | None = None,
 ) -> dict[str, ColumnDomain]:
     """One aggregation pass over the table computing every requested
     column's domain (min/max for bounded types, capped distinct set for
-    nominal types)."""
+    nominal types).
+
+    ``initial`` seeds the calculation with pre-existing domains, exactly
+    the reference's initializeDomains path (DomainWritable seeded via
+    ColumnarDomainCalculator.update(DataColumnDomain);
+    DefaultDomainWritableConfig.java:155-162):
+    - bounded: final bounds are the union of initial and computed bounds;
+    - nominal: the effective cap is raised to max(cap, |initial values|)
+      (DefaultDomainWritableConfig.java:160-161), the initial set is
+      merged in, and exceeding the effective cap invalidates the domain
+      (values=None) — the reference's drop-when-over-cap;
+    - an initial domain with values=None (unknown/over-cap) is a no-op,
+      mirroring update() ignoring a domain without values."""
+    initial = initial or {}
     cols = columns or table.columns
     aggs = []
-    plan: list[tuple[str, str]] = []
+    plan: list[tuple[str, str, int]] = []
     for c in cols:
         dt = table.df.schema[c].dataType
         if isinstance(dt, _BOUNDED):
             aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
-            plan.append((c, "bounded"))
+            plan.append((c, "bounded", 0))
         elif isinstance(dt, _NOMINAL):
+            init = initial.get(c)
+            cap = max_nominal_values
+            if init is not None and init.values:
+                cap = max(cap, len(init.values))
             # cap+1 lets us detect overflow without shipping the full set
             aggs.append(
                 F.slice(
                     F.sort_array(F.collect_set(F.col(c).cast("string"))),
                     1,
-                    max_nominal_values + 1,
+                    cap + 1,
                 ).alias(f"__vals_{c}")
             )
-            plan.append((c, "nominal"))
+            plan.append((c, "nominal", cap))
     if not aggs:
         return {}
     row = table.df.agg(*aggs).head()
     out: dict[str, ColumnDomain] = {}
-    for c, kind in plan:
+    for c, kind, cap in plan:
+        init = initial.get(c)
         if kind == "bounded":
-            out[c] = ColumnDomain(min=row[f"__min_{c}"], max=row[f"__max_{c}"])
+            d = ColumnDomain(min=row[f"__min_{c}"], max=row[f"__max_{c}"])
+            if init is not None:
+                if init.min is not None and (d.min is None or init.min < d.min):
+                    d.min = init.min
+                if init.max is not None and (d.max is None or init.max > d.max):
+                    d.max = init.max
+            out[c] = d
         else:
             vals = row[f"__vals_{c}"]
-            over = vals is not None and len(vals) > max_nominal_values
-            out[c] = ColumnDomain(values=None if over else sorted(vals or []))
+            if vals is not None and len(vals) > cap:
+                out[c] = ColumnDomain(values=None)
+                continue
+            merged = set(vals or [])
+            if init is not None and init.values:
+                merged |= set(init.values)
+            out[c] = ColumnDomain(values=None if len(merged) > cap else sorted(merged))
     return out
 
 

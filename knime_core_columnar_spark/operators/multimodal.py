@@ -120,27 +120,36 @@ def sample_frames(
 ) -> DataFrame:
     """Video-frame-sampling stand-in: emits one row per sampled 'frame'
     (byte offset). A real implementation decodes with ffmpeg per batch;
-    the plumbing (1→N row expansion through mapInPandas) is identical."""
+    the plumbing (1→N row expansion through mapInPandas) is identical.
+
+    The per-frame checksum is md5 over the chunk's UPPERCASE-HEX
+    encoding — byte-deterministic, and expressible in engines whose SQL
+    cannot slice blobs (DuckDB: substring(hex(payload), off*2+1, n*2)),
+    which keeps this operator inside the value-exact oracle gate."""
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("byte_offset", T.LongType()),
-        T.StructField("frame_checksum", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
     ])
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import binascii
+        import hashlib
+
         for pdf in batches:
             if strict:
                 raise NotImplementedError("frame sampling requires ffmpeg")
-            rows = {"doc_id": [], "frame_idx": [], "byte_offset": [], "frame_checksum": []}
+            rows = {"doc_id": [], "frame_idx": [], "byte_offset": [], "frame_md5": []}
             for i, data in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(data) if data is not None else b""
                 for fi, off in enumerate(range(0, max(len(raw), 1), every_n_bytes)):
                     chunk = raw[off : off + every_n_bytes]
+                    chunk_hex = binascii.hexlify(chunk).decode().upper()
                     rows["doc_id"].append(i)
                     rows["frame_idx"].append(fi)
                     rows["byte_offset"].append(off)
-                    rows["frame_checksum"].append(sum(chunk) % (1 << 31))
+                    rows["frame_md5"].append(hashlib.md5(chunk_hex.encode()).hexdigest())
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(sample, schema)

@@ -216,6 +216,41 @@ class ColumnarTable:
         ob = [F.expr(o) if isinstance(o, str) else o for o in (order_by or [F.col(ROW_KEY)])]
         return self._wrap(self._df.orderBy(*ob).offset(start).limit(stop - start))
 
+    def multi_slice(
+        self,
+        slices: Sequence[tuple[Sequence[int | str] | None, tuple[int, int] | None]],
+        order_by: Sequence[ColumnLike] | None = None,
+        index_column: str | None = None,
+        share_scan: bool = True,
+    ) -> list["ColumnarTable"]:
+        """N (column-subset, row-range) slices from ONE call — the
+        TableBackend multi-slice entry point
+        (ColumnarTableBackend.java:285-335). Each element of ``slices``
+        is ``(columns | None, (start, stop) | None)`` with None meaning
+        all columns / all rows; the RowID is always part of every slice
+        (the reference prepends column 0 unconditionally,
+        ColumnarTableBackend.java:310-313).
+
+        ``share_scan=True`` persists the parent once so the N slice
+        materializations read the source a single time instead of N
+        times (the Spark twin of the reference's N virtual tables over
+        one shared ReferenceTable). With an ``index_column`` each row
+        range is a partition-prunable filter — the no-shuffle scale
+        path; otherwise ranges sort on ``order_by`` (RowID default).
+        """
+        src: ColumnarTable = self
+        if share_scan and len(slices) > 1:
+            src = self._wrap(self._df.persist())
+        out: list[ColumnarTable] = []
+        for cols_sel, rng in slices:
+            t = src
+            if rng is not None:
+                t = t.slice(rng[0], rng[1], order_by=order_by, index_column=index_column)
+            if cols_sel is not None:
+                t = t.select_columns(*cols_sel)
+            out.append(t)
+        return out
+
     def append_missing_value_columns(
         self, columns: dict[str, T.DataType] | T.StructType
     ) -> "ColumnarTable":

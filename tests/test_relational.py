@@ -132,6 +132,76 @@ def test_domain_nominal_cap(spark):
     assert d["s"].values is None  # over cap → invalid, like the reference
 
 
+def test_domain_initial_merge(spark):
+    """initializeDomains semantics (DomainWritable seeded via
+    update(DataColumnDomain); DefaultDomainWritableConfig.java:155-162)."""
+    from knime_core_columnar_spark.operators.domain import ColumnDomain
+
+    t = ColumnarTable(
+        spark.createDataFrame(
+            [("A", 3, "x"), ("B", 5, "y")], f"{ROW_KEY} string, n int, s string"
+        )
+    )
+    # bounded: union of initial and computed bounds
+    d = compute_domains(t, initial={"n": ColumnDomain(min=-7, max=4)})
+    assert d["n"].min == -7 and d["n"].max == 5
+    # nominal: initial values merged in
+    d = compute_domains(t, initial={"s": ColumnDomain(values=["a", "x"])})
+    assert d["s"].values == ["a", "x", "y"]
+    # initial values=None (unknown domain) is a no-op, like update() with
+    # a valueless domain
+    d = compute_domains(t, initial={"s": ColumnDomain(values=None)})
+    assert d["s"].values == ["x", "y"]
+
+
+def test_domain_initial_raises_cap(spark):
+    """Cap is raised to the initial set size (max(cap, |initial|)) —
+    a seeded domain larger than maxNumValues must survive."""
+    from knime_core_columnar_spark.operators.domain import ColumnDomain
+
+    t = ColumnarTable(
+        spark.createDataFrame(
+            [(f"R{i}", f"v{i:02d}") for i in range(3)], f"{ROW_KEY} string, s string"
+        )
+    )
+    seed = [f"w{i:02d}" for i in range(10)]
+    d = compute_domains(
+        t, max_nominal_values=5, initial={"s": ColumnDomain(values=seed)}
+    )
+    # effective cap = max(5, 10) = 10; merged = 10 seed + 3 data = 13 > 10
+    assert d["s"].values is None
+    seed7 = [f"w{i:02d}" for i in range(7)]
+    d = compute_domains(
+        t, max_nominal_values=5, initial={"s": ColumnDomain(values=seed7)}
+    )
+    # effective cap = 7; merged = 7 + 3 = 10 > 7 → invalid
+    assert d["s"].values is None
+    d = compute_domains(
+        t, max_nominal_values=10, initial={"s": ColumnDomain(values=seed7)}
+    )
+    # cap 10, merged 10 → exactly at cap, valid
+    assert d["s"].values == sorted(seed7 + ["v00", "v01", "v02"])
+
+
+def test_multi_slice(spark):
+    t = ColumnarTable(
+        spark.createDataFrame(
+            [(f"R{i}", i, f"s{i}") for i in range(10)],
+            f"{ROW_KEY} string, n int, s string",
+        )
+    )
+    s0, s1 = t.multi_slice(
+        [(["n"], (0, 3)), (["s"], (5, 8))], order_by=[F.col("n")]
+    )
+    assert s0.columns == ["n"] and s1.columns == ["s"]
+    assert ROW_KEY in s0.df.columns and ROW_KEY in s1.df.columns
+    assert [r["n"] for r in s0.df.orderBy("n").collect()] == [0, 1, 2]
+    assert [r["s"] for r in s1.df.orderBy("s").collect()] == ["s5", "s6", "s7"]
+    # all-columns / all-rows slices pass through
+    (full,) = t.multi_slice([(None, None)])
+    assert full.df.count() == 10 and full.columns == ["n", "s"]
+
+
 def test_attach_domains(spark):
     t = ColumnarTable(
         spark.createDataFrame([("A", 1, "x")], f"{ROW_KEY} string, n int, s string")
