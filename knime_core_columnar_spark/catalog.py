@@ -2738,6 +2738,518 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-2 widening: analytic aggregates, ties, argmax, bucketed co-location
+# ---------------------------------------------------------------------------
+
+@query(
+    "corr_stats",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((nd * sxy - sx * sy)
+                 / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS corr_qty_price,
+           n
+    FROM a
+    """,
+)
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group with EXACT decimal moment sums —
+    F.corr is a double reduction (not bit-stable under reordering), so
+    the five moments accumulate as decimals and the closed-form corr is
+    computed on the exact sums in identical double arithmetic on both
+    engines. One partial-aggregated pass, same shuffle as any groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    a = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    nd, sx, sy = F.col("nd"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return a.select(
+        "l_returnflag",
+        F.round(
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        "n",
+    )
+
+
+@query(
+    "window_ntile",
+    """
+    SELECT o_orderpriority, CAST(tile AS INTEGER) AS tile, COUNT(*) AS n,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           MAX(pr) AS max_pr, MAX(cd) AS max_cd
+    FROM (
+      SELECT o_orderpriority, o_orderkey,
+             NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS tile,
+             PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS pr,
+             CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS cd
+      FROM orders
+    )
+    GROUP BY o_orderpriority, tile
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment + distribution ranks (ntile / percent_rank /
+    cume_dist) over a unique total order, aggregated per (group, tile).
+    One shuffle on the partition key; ranks are exact rational doubles —
+    identical across engines given the unique ordering key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    ranked = o.select(
+        "o_orderpriority", "o_orderkey",
+        F.ntile(4).over(w).alias("tile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("o_orderpriority", "tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.max("pr").alias("max_pr"),
+        F.max("cd").alias("max_cd"),
+    )
+
+
+@query(
+    "topk_ties",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ties-preserving top-k per group (rank, not row_number): equal
+    prices all surface. Spark still plans WindowGroupLimit for the
+    rank<=k filter — per-partition bounded heaps, no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select(
+            "o_orderpriority", "o_orderkey", "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "conditional_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS qty_hightax,
+           COUNT(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00') AS n_recent,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation (SQL FILTER clause / KNIME's conditional
+    GroupBy patterns) — predicates evaluate inside the single partial
+    aggregation, no extra scan per condition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.sum(
+            F.when(F.col("l_tax") > 0.04, F.col("l_quantity").cast("decimal(18,2)"))
+        ).cast("double").alias("qty_hightax"),
+        F.count_if(
+            F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+        ).alias("n_recent"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "argmax_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey AS top_order, o_totalprice AS top_price
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax as ONE hash aggregation (max of a (price, key) struct —
+    lexicographic, deterministic tiebreak) instead of a window sort: at
+    scale this partial-aggregates map-side, so the shuffle carries one
+    row per group instead of every row, the same reason the reference
+    streams its domain maxima instead of sorting (SURVEY §2.3)."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority").agg(
+        F.max(F.struct(F.col("o_totalprice"), F.col("o_orderkey"))).alias("m")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.col("m.o_orderkey").alias("top_order"),
+        F.col("m.o_totalprice").alias("top_price"),
+    )
+
+
+@query(
+    "events_dedup_latest",
+    """
+    SELECT user_id, event_type, event_id AS last_event_id,
+           ts AS last_ts, value AS last_value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-newest dedup policy (training pipelines: retain the latest
+    crawl/snapshot per key) as a single hash aggregation: max of a
+    (ts, event_id, value) struct — the unique (ts, event_id) prefix
+    makes the lexicographic max deterministic and the trailing fields
+    ride along. Partial-aggregates map-side; the shuffle moves one row
+    per key, where the window formulation moves every row."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("user_id", "event_type").agg(
+        F.max(F.struct(F.col("ts"), F.col("event_id"), F.col("value"))).alias("m")
+    )
+    return m.select(
+        "user_id", "event_type",
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.ts").alias("last_ts"),
+        F.col("m.value").alias("last_value"),
+    )
+
+
+@query(
+    "component_stats",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), mh AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(s, x ->
+                 ((2*i + 1) * (('0x' || substring(md5(x), 1, 15))::BIGINT % 2147483647)
+                  + 104729 * i) % 2147483647))) AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], ',')) AS key
+      FROM mh, (SELECT unnest(range(0, 4)) AS b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    ), verified AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+                JOIN sh sb ON sb.doc_id = cand.id_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION ALL
+      SELECT id_b, id_a FROM verified
+    ), reach AS (
+      SELECT a AS node, a AS label FROM e
+      UNION
+      SELECT e.a, reach.label FROM e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    ), m AS (
+      SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    ), sizes AS (
+      SELECT component, COUNT(*) AS sz FROM m GROUP BY component
+    )
+    SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY sz
+    """,
+)
+def component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution — the dedup pipeline's summary
+    report (how much of the corpus is duplicated, at what cluster
+    sizes). Two cheap aggregations on top of the connected-components
+    output; the oracle recomputes the closure with a recursive CTE."""
+    clusters = neardup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+@query(
+    "bucketed_join",
+    """
+    SELECT o.o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           MIN(c.c_name) AS c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey
+    """,
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables: both sides bucketed (and
+    sorted) on the join key into 8 buckets, so the join AND the
+    follow-up per-key aggregation reuse the on-disk partitioning —
+    zero Exchange in the whole plan (asserted in tests/test_plans.py).
+    This is the materialize-once-join-many pattern the reference cannot
+    express (its store is position-addressed, SURVEY §4): at 100 TB,
+    bucketing the fact table once amortizes every downstream key join."""
+    import hashlib
+
+    _ensure_pkg_on_executors(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/kccs_bucketed_{tag}"
+    specs = [("orders", f"bk_orders_{tag}", "o_custkey"),
+             ("customer", f"bk_customer_{tag}", "c_custkey")]
+    for src, name, key in specs:
+        if not spark.catalog.tableExists(name):
+            (
+                _t(spark, sf_dir, src)
+                .write.bucketBy(8, key).sortBy(key)
+                .option("path", f"{base}/{name}")
+                .mode("overwrite").format("parquet")
+                .saveAsTable(name)
+            )
+    o = spark.table(f"bk_orders_{tag}")
+    c = spark.table(f"bk_customer_{tag}")
+    # merge hint: at test SFs the dimension side is under the broadcast
+    # threshold, which would hide the point — the bucketed sort-merge
+    # join reads both sides pre-partitioned AND pre-sorted (no Exchange,
+    # no Sort), the plan a 100 TB fact⋈fact join needs.
+    return (
+        o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.min("c_name").alias("c_name"),
+        )
+    )
+
+
+@query(
+    "unpivot_metrics",
+    """
+    SELECT l_returnflag, metric, val FROM (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    ) UNPIVOT (val FOR metric IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): aggregate once, melt the metric columns into
+    (group, metric, value) rows — the inverse of pivot_returns. Spark's
+    unpivot is a zero-shuffle projection over the agg output."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.sum(_dec("l_discount")).cast("double").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "val"
+    )
+
+
+@query(
+    "date_spine",
+    """
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1998-12-01',
+                                         INTERVAL 1 MONTH)) AS DATE) AS month
+    ), rev AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT spine.month, COALESCE(rev.n_orders, 0) AS n_orders,
+           COALESCE(rev.revenue, CAST(0 AS DOUBLE)) AS revenue
+    FROM spine LEFT JOIN rev ON spine.month = rev.month
+    """,
+)
+def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine left join: a generated monthly spine keeps empty
+    months in the report (gap-free time series — the pattern BI layers
+    need). The spine is a tiny generated relation (broadcast side);
+    revenue aggregates once on (month)."""
+    o = _t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1998-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month")
+    )
+    rev = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+    return spine.join(rev, "month", "left").select(
+        "month",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+    )
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id, us,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                OVER (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_10m
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (event-time trailing 10 minutes, not N rows):
+    the frame is defined by timestamp distance, so ties and gaps behave
+    correctly. Decimal accumulation inside the frame keeps the sum exact
+    (window engines disagree on double association order). One shuffle
+    on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("decimal(18,4)").alias("__v"),
+    ).select(
+        "event_id", "user_id", "us",
+        F.sum("__v").over(w).cast("double").alias("trailing_10m"),
+    )
+
+
+@query(
+    "upsert_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey <= 2000
+    ), upd AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey > 1500 AND o_orderkey <= 2500
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority
+                ELSE b.o_orderpriority END AS o_orderpriority
+    FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert (MERGE semantics without a table format): update rows
+    win wholesale, unmatched base rows survive, brand-new update rows
+    insert — one full-outer equi-join on the key (both sides shuffle on
+    the key; on a lakehouse this is Delta/Iceberg MERGE, the Spark plan
+    is the same join). Update rows replace EVERY column (update-wins per
+    row, not per column) so a NULL written by an update survives."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    base = o.filter("o_orderkey <= 2000")
+    upd = (
+        o.filter("o_orderkey > 1500 AND o_orderkey <= 2500")
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    from knime_core_columnar_spark.operators.relational import upsert
+
+    return upsert(base, upd, keys=["o_orderkey"])
+
+
+@query(
+    "fuzzy_match_names",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part
+    )
+    SELECT a.block, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT a.p_partkey) AS n_left
+    FROM p a JOIN p b
+      ON a.block = b.block AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    GROUP BY a.block
+    """,
+)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: candidate pairs meet only within a block
+    key (last name token) — the classic entity-resolution shape that
+    replaces the O(n²) cross product with a per-block join — then exact
+    Levenshtein ≤ 2 verifies. Same candidate-pruning philosophy as the
+    MinHash/SimHash dedup tiers, on edit distance instead of Jaccard."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "block"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "block"
+    )
+    pairs = (
+        a.join(b, "block")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+    )
+    return pairs.groupBy("block").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("key_a").alias("n_left"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the pricing-summary aggregation."""
     return q1_pricing_summary(spark, sf_dir)

@@ -204,6 +204,38 @@ def except_(a: ColumnarTable, b: ColumnarTable) -> ColumnarTable:
     return ColumnarTable(_rekey_min_rowid(diff, a.df, cols))
 
 
+def upsert(base: DataFrame, updates: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Keyed upsert (MERGE WHEN MATCHED THEN UPDATE SET * / WHEN NOT
+    MATCHED THEN INSERT *): update rows win wholesale, unmatched base
+    rows pass through, new update keys insert. One full-outer equi-join
+    on the key — both sides shuffle once; on a lakehouse table format
+    this is the same physical plan Delta/Iceberg MERGE produces.
+
+    Update-wins is PER ROW (presence of the update key), not per column,
+    so a NULL an update writes deliberately survives the merge."""
+    cols = base.columns
+    if list(updates.columns) != cols:
+        raise ValueError(f"upsert: column mismatch {cols} vs {updates.columns}")
+    # explicit aliases: base and updates commonly derive from the same
+    # source (a self-join), which makes bare column refs ambiguous
+    b, u = base.alias("__ups_b"), updates.alias("__ups_u")
+    bc = lambda c: F.col(f"__ups_b.{c}")  # noqa: E731
+    uc = lambda c: F.col(f"__ups_u.{c}")  # noqa: E731
+    cond = None
+    for k in keys:
+        eq = bc(k).eqNullSafe(uc(k))
+        cond = eq if cond is None else cond & eq
+    matched = uc(keys[0]).isNotNull()
+    joined = b.join(u, cond, "full_outer")
+    out = []
+    for c in cols:
+        if c in keys:
+            out.append(F.coalesce(uc(c), bc(c)).alias(c))
+        else:
+            out.append(F.when(matched, uc(c)).otherwise(bc(c)).alias(c))
+    return joined.select(*out)
+
+
 def window_apply(
     table: ColumnarTable,
     partition_by: Sequence[str],

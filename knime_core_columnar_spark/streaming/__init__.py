@@ -17,6 +17,7 @@ from knime_core_columnar_spark.streaming.ops import (
     stream_from_directory,
     streaming_dedup,
     stateful_running_totals,
+    streaming_asof_enrich,
     tumbling_window_agg,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "session_windows",
     "streaming_dedup",
     "stateful_running_totals",
+    "streaming_asof_enrich",
     "hourly_counts",
 ]

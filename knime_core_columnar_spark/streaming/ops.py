@@ -173,6 +173,64 @@ def stateful_running_totals(df: DataFrame) -> DataFrame:
     )
 
 
+_ASOF_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("ref_value", T.DoubleType()),
+])
+_ASOF_STATE_SCHEMA = T.StructType([
+    T.StructField("ref_value", T.DoubleType()),
+])
+
+
+def _asof_enrich_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key streaming as-of: 'ref' rows update the carried value,
+    'event' rows emit enriched with the latest ref at-or-before them
+    (processing order (ts, event_id) within the batch; the carried value
+    persists across micro-batches in the state store)."""
+    last_val = state.get[0] if state.exists else None
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    out = {"user_id": [], "event_id": [], "value": [], "ref_value": []}
+    for r in pdf.itertuples():
+        if r.kind == "ref":
+            last_val = float(r.value)
+        else:
+            out["user_id"].append(key[0])
+            out["event_id"].append(r.event_id)
+            out["value"].append(float(r.value))
+            out["ref_value"].append(last_val)
+    state.update((last_val,))
+    yield pd.DataFrame(out)
+
+
+def streaming_asof_enrich(df: DataFrame) -> DataFrame:
+    """Streaming as-of join as a custom stateful operator: one stream of
+    interleaved reference updates (kind='ref') and events (kind='event')
+    keyed by user_id; each event is enriched with the most recent
+    reference value at or before it. The batch as-of join
+    (operators.temporal.asof_join) materializes the same union+carry-
+    forward plan; here the carry-forward lives in per-key state-store
+    state, so reference history never re-scans — state size is O(keys),
+    independent of stream length. Expects columns
+    (user_id, event_id, ts, kind, value)."""
+    return (
+        df.groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_enrich_fn,
+            outputStructType=_ASOF_OUT_SCHEMA,
+            stateStructType=_ASOF_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def hourly_counts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """The batch twin of tumbling_window_agg used by the catalog's
     events_hourly oracle query (date_trunc formulation)."""

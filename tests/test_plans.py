@@ -95,3 +95,11 @@ def test_lsh_paths_bucket_join_not_cross(spark, name):
     would defeat the point of bucketing."""
     p = plan_of(spark, name)
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_join_zero_exchange(spark):
+    """Bucketed+sorted tables: the join and the follow-up per-key agg
+    reuse the on-disk partitioning — no Exchange, no Sort anywhere."""
+    p = plan_of(spark, "bucketed_join")
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p

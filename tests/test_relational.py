@@ -202,6 +202,21 @@ def test_multi_slice(spark):
     assert full.df.count() == 10 and full.columns == ["n", "s"]
 
 
+def test_upsert_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, v double"
+    )
+    upd = spark.createDataFrame(
+        [(2, None, 99.0), (4, "d", 40.0)], "k int, s string, v double"
+    )
+    out = {r["k"]: (r["s"], r["v"]) for r in R.upsert(base, upd, ["k"]).collect()}
+    assert out[1] == ("a", 10.0)  # untouched base row
+    assert out[2] == (None, 99.0)  # update wins wholesale — NULL survives
+    assert out[3] == ("c", 30.0)
+    assert out[4] == ("d", 40.0)  # pure insert
+    assert len(out) == 4
+
+
 def test_attach_domains(spark):
     t = ColumnarTable(
         spark.createDataFrame([("A", 1, "x")], f"{ROW_KEY} string, n int, s string")

@@ -209,6 +209,50 @@ def test_stateful_running_totals_stream(spark, events, tmp_path):
     assert got == want
 
 
+def test_streaming_asof_enrich(spark, events, tmp_path):
+    """Streaming as-of vs the batch carry-forward window twin."""
+    src_dir = str(tmp_path / "asof_in")
+    src = events.limit(400).select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_type") == "click", "ref").otherwise("event").alias("kind"),
+        "value",
+    )
+    src.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = ST.stream_from_directory(spark, src_dir, schema)
+    q = (
+        ST.streaming_asof_enrich(stream)
+        .writeStream.format("memory").queryName("t_asof")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["ref_value"]
+        for r in spark.sql("select * from t_asof").collect()
+    }
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch = spark.read.parquet(src_dir)
+    expected = (
+        batch.withColumn(
+            "ref_value",
+            F.last(
+                F.when(F.col("kind") == "ref", F.col("value")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("kind") == "event")
+    )
+    want = {r["event_id"]: r["ref_value"] for r in expected.collect()}
+    assert got == want
+
+
 def test_session_windows_streaming(spark, events, tmp_path):
     """Session windows through a real micro-batch run vs batch parity."""
     src_dir = str(tmp_path / "sess_in")
