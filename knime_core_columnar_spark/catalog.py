@@ -3250,6 +3250,129 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stratified_sample_stats",
+    """
+    WITH h AS (
+      SELECT o_orderpriority,
+             ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '|strata'),
+                                1, 15))::BIGINT % 10000 AS b
+      FROM orders
+    )
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM h
+    WHERE (o_orderpriority = '1-URGENT' AND b < 5000)
+       OR (o_orderpriority = '2-HIGH' AND b < 2500)
+       OR (o_orderpriority NOT IN ('1-URGENT', '2-HIGH') AND b < 1000)
+    GROUP BY o_orderpriority
+    """,
+)
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (training-data class
+    rebalancing): each priority keeps its own fraction, decided by the
+    md5 key hash — same rows at any parallelism, and the exact per-row
+    membership is oracle-gated (aggregated per stratum for compactness)."""
+    from knime_core_columnar_spark.operators.sampling import stratified_sample
+
+    o = _t(spark, sf_dir, "orders")
+    s = stratified_sample(
+        o, ["o_orderkey"], "o_orderpriority",
+        {"1-URGENT": 0.5, "2-HIGH": 0.25}, default_fraction=0.1,
+    )
+    return s.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "zscore_normalize",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS _row_key,
+           round((l_quantity - sx / nd)
+                 / sqrt((nd * sxx - sx * sx) / (nd * (nd - 1))), 6) AS z_qty
+    FROM lineitem JOIN m USING (l_returnflag)
+    """,
+)
+def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization (feature normalization for
+    training): mean and sample variance from EXACT decimal moment sums
+    (one partial-aggregated pass over 6 groups), broadcast-joined back —
+    per-row arithmetic is deterministic double math. Two scans total,
+    no window shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    nd, sx, sxx = F.col("nd"), F.col("sx"), F.col("sxx")
+    return (
+        li.join(F.broadcast(m), "l_returnflag")
+        .select(
+            F.concat_ws(
+                "_", F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ).alias("_row_key"),
+            F.round(
+                (F.col("l_quantity") - sx / nd)
+                / F.sqrt((nd * sxx - sx * sx) / (nd * (nd - 1))),
+                6,
+            ).alias("z_qty"),
+        )
+    )
+
+
+@query(
+    "iqr_outliers",
+    """
+    WITH q AS (
+      SELECT o_orderpriority,
+             CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE) AS q1,
+             CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE) AS q3
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_outliers,
+           MIN(o_totalprice) AS min_out, MAX(o_totalprice) AS max_out
+    FROM orders JOIN q USING (o_orderpriority)
+    WHERE o_totalprice < q1 - 0.5 * (q3 - q1)
+       OR o_totalprice > q3 + 0.5 * (q3 - q1)
+    GROUP BY o_orderpriority
+    """,
+)
+def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier detection (Tukey-style fences, k=0.5 to fit the
+    synthetic distribution's tails) per group — data-quality filtering
+    before training. Exact percentiles (continuous interpolation,
+    identical to quantile_cont) computed once per group, broadcast back;
+    fences are deterministic double arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .filter(
+            (F.col("o_totalprice") < F.col("q1") - 0.5 * iqr)
+            | (F.col("o_totalprice") > F.col("q3") + 0.5 * iqr)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.min("o_totalprice").alias("min_out"),
+            F.max("o_totalprice").alias("max_out"),
+        )
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the pricing-summary aggregation."""
     return q1_pricing_summary(spark, sf_dir)

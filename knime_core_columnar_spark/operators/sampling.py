@@ -44,6 +44,31 @@ def deterministic_sample(
     return df.filter(hash_bucket(key_cols, salt) < int(round(fraction * _BUCKETS)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the reproducible twin of
+    ``df.sampleBy``): each stratum keeps its own fraction, decided by
+    the row-key hash — rebalancing class distributions for training
+    data without partition-order dependence. Strata not listed keep
+    ``default_fraction``. Pure Catalyst expressions, no shuffle."""
+    b = hash_bucket(key_cols, salt)
+    expr = None
+    for stratum, frac in fractions.items():
+        cond = (F.col(strata_col) == stratum) & (b < int(round(frac * _BUCKETS)))
+        expr = cond if expr is None else expr | cond
+    rest = ~F.col(strata_col).isin(*fractions.keys()) & (
+        b < int(round(default_fraction * _BUCKETS))
+    )
+    expr = rest if expr is None else expr | rest
+    return df.filter(expr)
+
+
 def hash_split(
     df: DataFrame,
     key_cols: Sequence[str],

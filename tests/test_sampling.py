@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from knime_core_columnar_spark.operators.sampling import (
     deterministic_sample,
     hash_split,
+    stratified_sample,
 )
 
 
@@ -47,3 +48,19 @@ def test_sample_is_subset_and_stable(rows):
 def test_split_fractions_validated(rows):
     with pytest.raises(ValueError):
         hash_split(rows, ["k"], {"a": 0.5, "b": 0.1})
+
+
+def test_stratified_sample_per_stratum(rows):
+    strat = rows.withColumn(
+        "cls", F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+    )
+    out = stratified_sample(strat, ["k"], "cls", {"even": 0.5, "odd": 0.1})
+    counts = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.4 < counts["even"] / 1000 < 0.6
+    assert 0.05 < counts["odd"] / 1000 < 0.15
+    # stable under repartitioning
+    again = stratified_sample(strat.repartition(7), ["k"], "cls", {"even": 0.5, "odd": 0.1})
+    assert {r["k"] for r in out.collect()} == {r["k"] for r in again.collect()}
+    # unlisted strata keep default_fraction (0 by default)
+    none_kept = stratified_sample(strat, ["k"], "cls", {"even": 0.5})
+    assert none_kept.filter("cls = 'odd'").count() == 0
