@@ -3373,6 +3373,114 @@ def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "chunk_documents",
+    """
+    SELECT doc_id,
+           CAST(off // 150 AS INTEGER) AS chunk_idx,
+           CAST(off AS BIGINT) AS chunk_start,
+           substring(text, off + 1, 200) AS chunk_text
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(length(text), 1), 150)) AS off
+      FROM documents
+    )
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 200-char chunks, 50-char overlap
+    (operators.text.chunk_text) — the 1→N expansion feeding any
+    window-bounded trainer. Pure Catalyst sequence+explode+substring;
+    zero shuffle, zero Python."""
+    from knime_core_columnar_spark.operators.text import chunk_text
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_text(d, "doc_id", "text", chunk_chars=200, overlap=50)
+
+
+@query(
+    "doc_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                   i -> array_to_string(t[i:i+1], ' '))) AS gram
+      FROM toks
+    ), per_gram AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+    ), per_doc AS (
+      SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM per_gram GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(round(CAST(mx AS DOUBLE) / tot, 6), 0.0) AS rep_ratio
+    FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: share of all word bigrams
+    taken by the most frequent one (operators.text.repetition_ratio).
+    Heavy counting in codegen explode+agg; per-row HOFs only build the
+    bounded n-gram array."""
+    from knime_core_columnar_spark.operators.text import repetition_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_ratio(d, "doc_id", "text", n=2)
+
+
+@query(
+    "quality_filter_flags",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS symbol_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS digit_ratio,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+               / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS mean_token_len,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+               / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS ttr
+      FROM documents
+    )
+    SELECT doc_id, round(symbol_ratio, 6) AS symbol_ratio,
+           round(digit_ratio, 6) AS digit_ratio,
+           round(mean_token_len, 6) AS mean_token_len,
+           round(ttr, 6) AS ttr,
+           (symbol_ratio < 0.1 AND mean_token_len >= 2.0
+            AND mean_token_len <= 12.0 AND ttr >= 0.3) AS keep
+    FROM s
+    """,
+)
+def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality gate: symbol ratio, digit ratio, mean token
+    length, type-token ratio, and the combined keep decision — all
+    closed-form Catalyst expressions (no explode, no Python), so the
+    filter runs at scan speed and pushes into the pipeline's first
+    pass."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.split(F.trim(t), r"\s+")
+    n_toks = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_chars = F.greatest(F.length(t), F.lit(1)).cast("double")
+    symbol_ratio = F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", "")).cast("double") / n_chars
+    digit_ratio = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double") / n_chars
+    mean_token_len = F.length(F.regexp_replace(t, "\\s", "")).cast("double") / n_toks
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_toks
+    return d.select(
+        "doc_id",
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(mean_token_len, 6).alias("mean_token_len"),
+        F.round(ttr, 6).alias("ttr"),
+        (
+            (symbol_ratio < 0.1) & (mean_token_len >= 2.0)
+            & (mean_token_len <= 12.0) & (ttr >= 0.3)
+        ).alias("keep"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the pricing-summary aggregation."""
     return q1_pricing_summary(spark, sf_dir)

@@ -118,11 +118,87 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     no explode, no shuffle; duplicates removed so the shingle *set* is
     hashed."""
     toks = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] (auto
+    # step -1), whose 0 index then crashes slice — documents with fewer
+    # than n tokens must short-circuit to an empty shingle set.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the 1→N expansion every context-window-bounded training pipeline
+    needs. Pure Catalyst (sequence + explode + substring): chunk offsets
+    are 0, step, 2·step, … < len with step = chunk_chars − overlap, so
+    consecutive chunks share ``overlap`` characters. Empty docs produce
+    one empty chunk (the row is never silently dropped)."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    c = F.col(text_col)
+    offs = F.sequence(
+        F.lit(0), F.greatest(F.length(c) - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        df.select(id_col, text_col, F.explode(offs).alias("chunk_start"))
+        .select(
+            id_col,
+            (F.col("chunk_start") / step).cast("int").alias("chunk_idx"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.substring(c, F.col("chunk_start") + 1, chunk_chars).alias("chunk_text"),
+        )
+    )
+
+
+def repetition_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of all word n-grams
+    taken by the single most frequent one (1.0 = the document is one
+    phrase repeated; ~1/count = no repetition). Shape: per-row n-gram
+    array (small, bounded by doc length) → explode → two aggregations —
+    the explode+agg form that keeps the heavy counting in codegen
+    (interpreted HOFs only build the per-row array). Documents with
+    fewer than n tokens get ratio 0."""
+    toks = tokens(text_col)
+    # same sequence(1,0)-descending guard as word_shingles
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("__gram"))
+    per_gram = exploded.groupBy(id_col, "__gram").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.max("__c").alias("__max"), F.sum("__c").alias("__tot")
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.round(F.col("__max").cast("double") / F.col("__tot"), 6), F.lit(0.0)
+            ).alias("rep_ratio"),
+        )
+    )
 
 
 def text_profile(table: ColumnarTable, text_col: str = "text") -> ColumnarTable:

@@ -140,3 +140,36 @@ def test_ivf_topk_recall(spark, vectors):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     assert len(a) > 0
     assert len(e & a) / len(e) >= 0.4  # 2/4 cells probed on clustered data
+
+
+def test_chunk_text_overlap_and_edges(spark):
+    d = spark.createDataFrame(
+        [(1, "x" * 300), (2, ""), (3, "short")], "doc_id long, text string"
+    )
+    out = X.chunk_text(d, chunk_chars=100, overlap=20)
+    rows = out.filter("doc_id = 1").orderBy("chunk_idx").collect()
+    assert [r["chunk_start"] for r in rows] == [0, 80, 160, 240]
+    assert len(rows[0]["chunk_text"]) == 100
+    assert len(rows[-1]["chunk_text"]) == 60  # tail chunk
+    # empty docs keep one empty chunk, short docs one full chunk
+    assert out.filter("doc_id = 2").collect()[0]["chunk_text"] == ""
+    assert out.filter("doc_id = 3").collect()[0]["chunk_text"] == "short"
+    with pytest.raises(ValueError):
+        X.chunk_text(d, chunk_chars=50, overlap=50)
+
+
+def test_repetition_ratio_signal(spark):
+    d = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "all words differ here now"), (3, "one"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["rep_ratio"] for r in X.repetition_ratio(d).collect()}
+    assert got[1] == 0.6  # 'a b' x3 of 5 bigrams
+    assert got[2] == 0.25  # 4 distinct bigrams
+    assert got[3] == 0.0 and got[4] == 0.0  # < n tokens -> 0, no crash
+
+
+def test_word_shingles_short_doc_no_crash(spark):
+    d = spark.createDataFrame([("one",), ("",)], "text string")
+    rows = d.select(X.word_shingles("text", 3).alias("s")).collect()
+    assert [r["s"] for r in rows] == [[], []]
