@@ -267,6 +267,44 @@ def read_knime_arrow(
     return table
 
 
+def write_knime_arrow(
+    table: ColumnarTable,
+    path: str,
+    chunk_size: int = 28_000,
+) -> int:
+    """Write a single Arrow IPC file with the KNIME envelope — the
+    footer/schema metadata keys the reference stamps on its stores
+    (ArrowReaderWriterUtils.java:79-103: chunkSize + factoryVersions),
+    so the file round-trips through ``read_knime_arrow`` and KNIME's own
+    reader finds the batch geometry it expects. Record batches are cut
+    at ``chunk_size`` rows (the reference's default batch length is
+    derived from its 64 MiB heap budget; 28k rows is its common
+    observed chunk). Driver-tier single file — the KNIME store format
+    is a single-file artifact by definition; use write_arrow_ipc for
+    distributed many-file export. Returns the row count written."""
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    df = table.df
+    n_cols = len(to_arrow_schema(df.schema))
+    # combine first: toArrow() chunks at Spark partition boundaries,
+    # which would leak into the batch geometry instead of chunk_size
+    arrow_table = df.toArrow().combine_chunks().replace_schema_metadata(
+        {
+            KNIME_CHUNK_SIZE_KEY: str(chunk_size),
+            KNIME_FACTORY_VERSIONS_KEY: ",".join(["0"] * n_cols),
+        }
+    )
+    total = arrow_table.num_rows
+    with pa.OSFile(path, "wb") as sink:
+        with pa.ipc.new_file(sink, arrow_table.schema) as writer:
+            for batch in arrow_table.to_batches(max_chunksize=chunk_size):
+                writer.write_batch(batch)
+    return total
+
+
 def _contains_zdt(t) -> bool:
     import pyarrow as pa
 

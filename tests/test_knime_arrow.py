@@ -80,6 +80,33 @@ def test_struct_list_nested(spark):
     assert elem is None or isinstance(elem["zone_id"], (str, type(None)))
 
 
+def test_write_read_roundtrip_with_envelope(spark, tmp_path):
+    from knime_core_columnar_spark.sources.knime_arrow import write_knime_arrow
+    from knime_core_columnar_spark.table import ColumnarTable
+
+    t = ColumnarTable(
+        spark.createDataFrame(
+            [(f"Row{i}", i, f"s{i}") for i in range(50)],
+            "_row_key string, n long, s string",
+        )
+    )
+    path = str(tmp_path / "envelope.arrow")
+    assert write_knime_arrow(t, path, chunk_size=20) == 50
+    meta = read_knime_metadata(path)
+    assert meta[KNIME_CHUNK_SIZE_KEY] == "20"
+    assert meta[KNIME_FACTORY_VERSIONS_KEY] == "0,0,0"
+    back = read_knime_arrow(spark, path)
+    assert back.knime_metadata[KNIME_CHUNK_SIZE_KEY] == "20"
+    got = {r["_row_key"]: (r["n"], r["s"]) for r in back.df.collect()}
+    assert got == {f"Row{i}": (i, f"s{i}") for i in range(50)}
+    # batch geometry honored (50 rows / 20-chunk -> 3 record batches)
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    with pa.memory_map(path) as src:
+        assert pa.ipc.open_file(src).num_record_batches == 3
+
+
 def test_lz4_block_rejected(spark):
     with pytest.raises(NotImplementedError, match="LZ4"):
         read_knime_arrow(spark, f"{ZDT}/compressed.arrow")

@@ -127,6 +127,21 @@ def test_concatenate_uniquify(spark, small):
     assert "Row0_dup" in keys and "Row0_dup_1" in keys
 
 
+def test_concatenate_uniquify_preexisting_dup_keys(spark):
+    """A table already containing 'k_dup' collides with the renamed
+    second 'k' — the reference reconciles until unique
+    (ColumnarConcatenater.java:252-292); one suffix pass is not enough."""
+    a = ColumnarTable(
+        spark.createDataFrame([("k", 1), ("k_dup", 2)], f"{ROW_KEY} string, v int")
+    )
+    b = ColumnarTable(spark.createDataFrame([("k", 3)], f"{ROW_KEY} string, v int"))
+    t = a.concatenate([b], row_id_policy=RowIdPolicy.UNIQUIFY_WITH_SUFFIX)
+    rows = {r[ROW_KEY]: r["v"] for r in t.df.collect()}
+    assert len(rows) == 3  # all RowIDs unique
+    assert rows["k"] == 1 and rows["k_dup"] == 2  # first occurrences keep names
+    assert 3 in rows.values()  # the colliding row survived under a new key
+
+
 def test_concatenate_regenerate(spark, small):
     t = small.concatenate([small], row_id_policy=RowIdPolicy.REGENERATE)
     keys = sorted(r[0] for r in t.df.select(ROW_KEY).collect())
