@@ -2169,10 +2169,10 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           (sq_q - s_q * s_q / n) / (n - 1) AS var_qty,
-           sqrt((sq_q - s_q * s_q / n) / (n - 1)) AS stddev_qty,
-           (s_qp - s_q * s_p / n)
-             / (sqrt(sq_q - s_q * s_q / n) * sqrt(sq_p - s_p * s_p / n)) AS corr_qty_price
+           round((sq_q - s_q * s_q / n) / (n - 1), 6) AS var_qty,
+           round(sqrt((sq_q - s_q * s_q / n) / (n - 1)), 6) AS stddev_qty,
+           round((s_qp - s_q * s_p / n)
+             / (sqrt(sq_q - s_q * s_q / n) * sqrt(sq_p - s_p * s_p / n)), 6) AS corr_qty_price
     FROM m
     """,
 )
@@ -2195,12 +2195,16 @@ def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     s_q, sq_q = F.col("s_q"), F.col("sq_q")
     s_p, sq_p, s_qp = F.col("s_p"), F.col("sq_p"), F.col("s_qp")
+    # round(…, 6): the raw closed forms agree to ~1 ulp across engines
+    # (expression-compiler FMA contraction), which the exact hash check
+    # still flags at some SFs — rounding makes the gate sub-ulp-proof
     return m.select(
         "l_returnflag", "n",
-        ((sq_q - s_q * s_q / n) / (n - 1)).alias("var_qty"),
-        F.sqrt((sq_q - s_q * s_q / n) / (n - 1)).alias("stddev_qty"),
-        ((s_qp - s_q * s_p / n)
-         / (F.sqrt(sq_q - s_q * s_q / n) * F.sqrt(sq_p - s_p * s_p / n))).alias("corr_qty_price"),
+        F.round((sq_q - s_q * s_q / n) / (n - 1), 6).alias("var_qty"),
+        F.round(F.sqrt((sq_q - s_q * s_q / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round((s_qp - s_q * s_p / n)
+                / (F.sqrt(sq_q - s_q * s_q / n) * F.sqrt(sq_p - s_p * s_p / n)), 6)
+        .alias("corr_qty_price"),
     )
 
 
