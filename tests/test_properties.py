@@ -79,3 +79,42 @@ def test_concatenate_uniquify_preserves_multiplicity(spark_session, vals):
     assert len(keys) == 2 * len(vals) == len(set(keys))
     assert set(str(v) for v in vals) <= set(keys)
     assert all(k.endswith("_dup") or not k.endswith("_dup") for k in keys)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=600
+    ),
+    chunk=st.integers(min_value=10, max_value=200),
+    overlap=st.integers(min_value=0, max_value=9),
+)
+def test_chunk_text_reconstructs_document(spark_session, text, chunk, overlap):
+    """Dropping each chunk's overlap prefix (after the first) and
+    concatenating reconstructs the original text exactly."""
+    from knime_core_columnar_spark.operators.text import chunk_text
+
+    df = spark_session.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        chunk_text(df, chunk_chars=chunk, overlap=overlap)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    step = chunk - overlap
+    rebuilt = rows[0]["chunk_text"] + "".join(
+        r["chunk_text"][overlap:] for r in rows[1:]
+    )
+    assert rebuilt == text
+    # every chunk starts where the previous one ended minus the overlap
+    assert [r["chunk_start"] for r in rows] == [i * step for i in range(len(rows))]
+
+
+def test_upsert_identity(spark_session):
+    """upsert(base, base) == base (every row matched, replaced by itself)."""
+    from knime_core_columnar_spark.operators.relational import upsert
+
+    base = spark_session.createDataFrame(
+        [(1, "a", None), (2, None, 2.5)], "k int, s string, v double"
+    )
+    out = upsert(base, base, ["k"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
