@@ -18,6 +18,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # the reference's own benchmark workflow (SimpleLinearWorkflowBenchmark:
+    # CSV Reader -> Column Filter -> String Manipulation -> Row Filter)
+    "simple_linear_workflow",
     # structural algebra + relational core
     "q1_pricing_summary",
     "select_project_map",

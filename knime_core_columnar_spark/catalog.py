@@ -3575,6 +3575,60 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "simple_linear_workflow",
+    """
+    SELECT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS _row_key,
+           l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+           l_quantity, l_extendedprice,
+           upper(l_returnflag || '_' || l_linestatus) AS flag_status
+    FROM lineitem
+    WHERE l_quantity > 25
+    """,
+)
+def simple_linear_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN benchmark workflow, end to end: CSV Reader →
+    Column Filter → String Manipulation → Row Filter
+    (SimpleLinearWorkflowBenchmark.java:80-87 runs exactly this node
+    chain over a 64 MB CSV). Here: lineitem exported to CSV once (the
+    ingest artifact), read back with a declared schema through the
+    ColumnarTable API, then keep_only_columns → append_map → filter_rows
+    — the same four stages as the reference's measured workflow. Spark
+    CSV round-trips doubles via shortest-repr printing, so values stay
+    bit-exact against the parquet-based oracle."""
+    import hashlib
+    import os
+
+    from knime_core_columnar_spark.sources.io import read_csv
+
+    _ensure_pkg_on_executors(spark)
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            "l_quantity", "l_extendedprice"]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    csv_dir = f"/tmp/kccs_workflow_csv_{tag}"
+    if not os.path.isdir(csv_dir):
+        (
+            _t(spark, sf_dir, "lineitem")
+            .select(cols)
+            .write.mode("overwrite").option("header", "true").csv(csv_dir + ".part")
+        )
+        os.rename(csv_dir + ".part", csv_dir)
+    schema = ("l_orderkey long, l_linenumber int, l_returnflag string, "
+              "l_linestatus string, l_quantity double, l_extendedprice double")
+    t = read_csv(
+        spark, csv_dir, schema=schema,
+        key_columns=["l_orderkey", "l_linenumber"],
+    )
+    t = t.keep_only_columns(*cols)  # Column Filter
+    t = t.append_map({                # String Manipulation
+        "flag_status": F.upper(
+            F.concat_ws("_", F.col("l_returnflag"), F.col("l_linestatus"))
+        )
+    })
+    t = t.filter_rows(F.col("l_quantity") > 25)  # Row Filter
+    return t.df
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the pricing-summary aggregation."""
     return q1_pricing_summary(spark, sf_dir)
