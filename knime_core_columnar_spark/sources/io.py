@@ -63,6 +63,43 @@ def read_jsonl(
     return ColumnarTable.from_dataframe(reader.json(path), key_columns=key_columns)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    key_columns: Sequence[str] | None = None,
+) -> ColumnarTable:
+    """ORC ingest — the columnar format of the Hive/Presto world; same
+    predicate-pushdown + column-pruning story as Parquet (Spark's ORC
+    reader is vectorized and pushes filters into stripe/row-group
+    skipping)."""
+    return ColumnarTable.from_dataframe(spark.read.orc(path), key_columns=key_columns)
+
+
+def write_orc(table: ColumnarTable, path: str, mode: str = "error") -> None:
+    """ORC export (zstd-compressed, matching the parquet default)."""
+    table.df.write.mode(mode).option("compression", "zstd").orc(path)
+
+
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    key_columns: Sequence[str] | None = None,
+) -> ColumnarTable:
+    """Avro ingest. Spark treats Avro as an external module
+    (org.apache.spark:spark-avro); this environment ships without the
+    jar, so fail with a deploy hint instead of Spark's opaque
+    data-source error."""
+    try:
+        df = spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: failed to find data source
+        raise NotImplementedError(
+            "Avro requires the spark-avro package "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark version>), "
+            "which is not available in this environment"
+        ) from e
+    return ColumnarTable.from_dataframe(df, key_columns=key_columns)
+
+
 def read_arrow_ipc(
     spark: SparkSession,
     path: str,

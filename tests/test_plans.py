@@ -97,6 +97,14 @@ def test_lsh_paths_bucket_join_not_cross(spark, name):
     assert "CartesianProduct" not in p
 
 
+def test_partition_pruning(spark):
+    """The event_type IN (...) predicate must prune partition
+    directories at planning time, not filter rows after the scan."""
+    p = plan_of(spark, "partition_pruned_scan")
+    assert "PartitionFilters" in p
+    assert "event_type" in p[p.index("PartitionFilters"):].splitlines()[0]
+
+
 def test_bucketed_join_zero_exchange(spark):
     """Bucketed+sorted tables: the join and the follow-up per-key agg
     reuse the on-disk partitioning — no Exchange, no Sort anywhere."""

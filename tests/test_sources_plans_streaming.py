@@ -310,3 +310,29 @@ def test_session_windows_streaming(spark, events, tmp_path):
         (r["user_id"], r["sess_start"], r["n_events"]) for r in batch.collect()
     }
     assert got == want
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from knime_core_columnar_spark.sources.io import read_orc, write_orc
+    from knime_core_columnar_spark.table import ColumnarTable
+
+    t = ColumnarTable(
+        spark.createDataFrame(
+            [(f"R{i}", i, f"s{i}") for i in range(100)],
+            "_row_key string, n long, s string",
+        )
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(t, path)
+    back = read_orc(spark, path)
+    assert back.df.count() == 100
+    assert {r["n"] for r in back.df.collect()} == set(range(100))
+
+
+def test_avro_clear_error(spark, tmp_path):
+    import pytest as _pytest
+
+    from knime_core_columnar_spark.sources.io import read_avro
+
+    with _pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "nope.avro"))
