@@ -75,11 +75,14 @@ def _ensure_pkg_on_executors(spark: SparkSession) -> None:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_pkg_on_executors(spark)
+    # Runtime-settable confs forced here instead of relying on session
+    # defaults — the harness builds its own SparkSession without our
+    # session.py. UTC makes every ntz<->instant cast (unix_micros etc.)
+    # timezone-independent, matching the timezone-free DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark 4
-        # refuses (PARQUET_TYPE_ILLEGAL). nanosAsLong is a runtime-settable
-        # SQLConf, so force it here instead of relying on session defaults —
-        # the harness builds its own SparkSession without our session.py.
+        # refuses (PARQUET_TYPE_ILLEGAL).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -91,6 +94,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _dec(col, scale: int = 2):
     return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _artifact_tag(sf_dir: str, *tables: str) -> str:
+    """Cache tag for derived /tmp artifacts (bucketed tables, CSV
+    exports, partitioned copies): hashes the source PATH and the source
+    files' MTIMES, so regenerated testdata at the same path gets a fresh
+    artifact instead of silently reusing a stale copy."""
+    import hashlib
+    import os
+
+    parts = [sf_dir]
+    for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        try:
+            parts.append(f"{t}:{os.path.getmtime(p)}")
+        except OSError:
+            parts.append(f"{t}:absent")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
+def _publish_dir(tmp: str, final: str) -> None:
+    """Atomically publish a staged artifact directory; if a concurrent
+    session won the rename race, keep theirs (same content by tag)."""
+    import os
+    import shutil
+
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if os.path.isdir(final):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
 
 
 # ---------------------------------------------------------------------------
@@ -3030,10 +3066,8 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the materialize-once-join-many pattern the reference cannot
     express (its store is position-addressed, SURVEY §4): at 100 TB,
     bucketing the fact table once amortizes every downstream key join."""
-    import hashlib
-
     _ensure_pkg_on_executors(spark)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _artifact_tag(sf_dir, "orders", "customer")
     base = f"/tmp/kccs_bucketed_{tag}"
     specs = [("orders", f"bk_orders_{tag}", "o_custkey"),
              ("customer", f"bk_customer_{tag}", "c_custkey")]
@@ -3596,7 +3630,6 @@ def simple_linear_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the same four stages as the reference's measured workflow. Spark
     CSV round-trips doubles via shortest-repr printing, so values stay
     bit-exact against the parquet-based oracle."""
-    import hashlib
     import os
 
     from knime_core_columnar_spark.sources.io import read_csv
@@ -3604,15 +3637,16 @@ def simple_linear_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg_on_executors(spark)
     cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
             "l_quantity", "l_extendedprice"]
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _artifact_tag(sf_dir, "lineitem")
     csv_dir = f"/tmp/kccs_workflow_csv_{tag}"
     if not os.path.isdir(csv_dir):
         (
             _t(spark, sf_dir, "lineitem")
             .select(cols)
-            .write.mode("overwrite").option("header", "true").csv(csv_dir + ".part")
+            .write.mode("overwrite").option("header", "true")
+            .csv(f"{csv_dir}.part{os.getpid()}")
         )
-        os.rename(csv_dir + ".part", csv_dir)
+        _publish_dir(f"{csv_dir}.part{os.getpid()}", csv_dir)
     schema = ("l_orderkey long, l_linenumber int, l_returnflag string, "
               "l_linestatus string, l_quantity double, l_extendedprice double")
     t = read_csv(
@@ -3648,19 +3682,18 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests/test_plans.py). At 100 TB this is the difference
     between scanning 40 TB and scanning 16 TB; the reference's store has
     no partition dimension at all (SURVEY §4)."""
-    import hashlib
     import os
 
     _ensure_pkg_on_executors(spark)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _artifact_tag(sf_dir, "events")
     part_dir = f"/tmp/kccs_events_by_type_{tag}"
     if not os.path.isdir(part_dir):
         (
             _t(spark, sf_dir, "events")
             .write.mode("overwrite").partitionBy("event_type")
-            .parquet(part_dir + ".part")
+            .parquet(f"{part_dir}.part{os.getpid()}")
         )
-        os.rename(part_dir + ".part", part_dir)
+        _publish_dir(f"{part_dir}.part{os.getpid()}", part_dir)
     ev = spark.read.parquet(part_dir)
     return (
         ev.filter(F.col("event_type").isin("click", "purchase"))

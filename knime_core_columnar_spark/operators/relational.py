@@ -218,22 +218,23 @@ def upsert(base: DataFrame, updates: DataFrame, keys: Sequence[str]) -> DataFram
         raise ValueError(f"upsert: column mismatch {cols} vs {updates.columns}")
     # explicit aliases: base and updates commonly derive from the same
     # source (a self-join), which makes bare column refs ambiguous
-    b, u = base.alias("__ups_b"), updates.alias("__ups_u")
+    b = base.alias("__ups_b")
+    # literal marker, NOT a key-null test: the null-safe join condition
+    # deliberately matches NULL keys, so a NULL-keyed update row is a
+    # legitimate match/insert whose presence a key-null probe would miss
+    # (silently dropping its payload)
+    u = updates.withColumn("__ups_present", F.lit(True)).alias("__ups_u")
     bc = lambda c: F.col(f"__ups_b.{c}")  # noqa: E731
     uc = lambda c: F.col(f"__ups_u.{c}")  # noqa: E731
     cond = None
     for k in keys:
         eq = bc(k).eqNullSafe(uc(k))
         cond = eq if cond is None else cond & eq
-    matched = uc(keys[0]).isNotNull()
+    matched = uc("__ups_present").isNotNull() & uc("__ups_present")
     joined = b.join(u, cond, "full_outer")
-    out = []
-    for c in cols:
-        if c in keys:
-            out.append(F.coalesce(uc(c), bc(c)).alias(c))
-        else:
-            out.append(F.when(matched, uc(c)).otherwise(bc(c)).alias(c))
-    return joined.select(*out)
+    return joined.select(
+        *[F.when(matched, uc(c)).otherwise(bc(c)).alias(c) for c in cols]
+    )
 
 
 def window_apply(

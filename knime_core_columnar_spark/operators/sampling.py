@@ -62,9 +62,10 @@ def stratified_sample(
     for stratum, frac in fractions.items():
         cond = (F.col(strata_col) == stratum) & (b < int(round(frac * _BUCKETS)))
         expr = cond if expr is None else expr | cond
-    rest = ~F.col(strata_col).isin(*fractions.keys()) & (
-        b < int(round(default_fraction * _BUCKETS))
-    )
+    # NULL strata must take the default branch too: ~isin(...) is NULL
+    # for a NULL stratum and NULL & pred filters the row out silently
+    listed = F.coalesce(F.col(strata_col).isin(*fractions.keys()), F.lit(False))
+    rest = ~listed & (b < int(round(default_fraction * _BUCKETS)))
     expr = rest if expr is None else expr | rest
     return df.filter(expr)
 

@@ -152,13 +152,21 @@ def rp_lsh_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
     def kernel(v):
         if len(v) == 0:
             return pd.Series([], dtype="int64")
-        V = np.array(v.tolist(), dtype=np.float64)
-        bucket = np.zeros(len(V), dtype=np.int64)
-        for p in range(n_planes):
-            acc = np.zeros(len(V))
-            for j in range(V.shape[1]):
-                acc += V[:, j] * W[p, j]
-            bucket += (acc > 0).astype(np.int64) << p
+        # NULL embeddings bucket to 0 (the expression form's behavior —
+        # dot(NULL)>0 is never true) instead of killing the job: one
+        # dirty row must not abort a 100 TB dedup run
+        valid = np.array([x is not None and len(x) == dim for x in v], dtype=bool)
+        bucket = np.zeros(len(v), dtype=np.int64)
+        if valid.any():
+            V = np.array([list(v.iloc[i]) for i in np.nonzero(valid)[0]],
+                         dtype=np.float64)
+            sub = np.zeros(V.shape[0], dtype=np.int64)
+            for p in range(n_planes):
+                acc = np.zeros(V.shape[0])
+                for j in range(V.shape[1]):
+                    acc += V[:, j] * W[p, j]
+                sub += (acc > 0).astype(np.int64) << p
+            bucket[np.nonzero(valid)[0]] = sub
         return pd.Series(bucket)
 
     return F.pandas_udf(kernel, "long")(vec)

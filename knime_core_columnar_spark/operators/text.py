@@ -113,22 +113,26 @@ def keyed_hash32(key: Column, s: Column) -> Column:
     return F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit("_"), s)), 1, 8), 16, 10).cast("long")
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams (the MinHash input set). Array expression —
-    no explode, no shuffle; duplicates removed so the shingle *set* is
-    hashed."""
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Word n-gram array (with duplicates). Guard: Spark's
+    sequence(1, 0) yields a DESCENDING [1, 0] (auto step -1), whose 0
+    index then crashes slice — documents with fewer than n tokens must
+    short-circuit to an empty array."""
     toks = tokens(col)
-    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] (auto
-    # step -1), whose 0 index then crashes slice — documents with fewer
-    # than n tokens must short-circuit to an empty shingle set.
-    grams = F.when(
+    return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (the MinHash input set). Array expression —
+    no explode, no shuffle; duplicates removed so the shingle *set* is
+    hashed."""
+    return F.array_distinct(word_ngrams(col, n))
 
 
 def chunk_text(
@@ -175,16 +179,9 @@ def repetition_ratio(
     the explode+agg form that keeps the heavy counting in codegen
     (interpreted HOFs only build the per-row array). Documents with
     fewer than n tokens get ratio 0."""
-    toks = tokens(text_col)
-    # same sequence(1,0)-descending guard as word_shingles
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("__gram"))
+    exploded = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("__gram")
+    )
     per_gram = exploded.groupBy(id_col, "__gram").agg(F.count(F.lit(1)).alias("__c"))
     per_doc = per_gram.groupBy(id_col).agg(
         F.max("__c").alias("__max"), F.sum("__c").alias("__tot")

@@ -91,7 +91,11 @@ def read_avro(
     data-source error."""
     try:
         df = spark.read.format("avro").load(path)
-    except Exception as e:  # AnalysisException: failed to find data source
+    except Exception as e:
+        # rebrand ONLY the missing-data-source error; anything else (bad
+        # path, corrupt file with the jar present) must surface as-is
+        if "Failed to find data source" not in str(e):
+            raise
         raise NotImplementedError(
             "Avro requires the spark-avro package "
             "(--packages org.apache.spark:spark-avro_2.13:<spark version>), "

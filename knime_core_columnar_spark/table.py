@@ -234,13 +234,19 @@ class ColumnarTable:
         ``share_scan=True`` persists the parent once so the N slice
         materializations read the source a single time instead of N
         times (the Spark twin of the reference's N virtual tables over
-        one shared ReferenceTable). With an ``index_column`` each row
-        range is a partition-prunable filter — the no-shuffle scale
-        path; otherwise ranges sort on ``order_by`` (RowID default).
+        one shared ReferenceTable). The cache lives until
+        ``release_shared_scan()`` is called on any returned slice (or
+        the session ends) — call it after consuming the slices, or pass
+        ``share_scan=False`` for fully lazy uncached slices. With an
+        ``index_column`` each row range is a partition-prunable filter —
+        the no-shuffle scale path; otherwise ranges sort on ``order_by``
+        (RowID default).
         """
         src: ColumnarTable = self
+        parent_df = None
         if share_scan and len(slices) > 1:
-            src = self._wrap(self._df.persist())
+            parent_df = self._df.persist()
+            src = self._wrap(parent_df)
         out: list[ColumnarTable] = []
         for cols_sel, rng in slices:
             t = src
@@ -248,8 +254,17 @@ class ColumnarTable:
                 t = t.slice(rng[0], rng[1], order_by=order_by, index_column=index_column)
             if cols_sel is not None:
                 t = t.select_columns(*cols_sel)
+            t._shared_scan_parent = parent_df
             out.append(t)
         return out
+
+    def release_shared_scan(self) -> None:
+        """Unpersist the parent cached by ``multi_slice(share_scan=True)``
+        (no-op otherwise). Consumed slices recompute lazily if re-used."""
+        parent = getattr(self, "_shared_scan_parent", None)
+        if parent is not None:
+            parent.unpersist()
+            self._shared_scan_parent = None
 
     def append_missing_value_columns(
         self, columns: dict[str, T.DataType] | T.StructType
@@ -518,15 +533,18 @@ class ColumnarTable:
         elif row_id_policy is RowIdPolicy.UNIQUIFY_WITH_SUFFIX:
             # The reference reconciles suffixes UNTIL unique
             # (ColumnarConcatenater.java:252-292): a pre-existing 'k_dup'
-            # key can collide with the renamed second 'k', so one pass is
-            # not enough in general. Re-probe for duplicates after each
-            # pass (early-out aggregation); a second pass only ever runs
-            # when input keys already end in the _dup pattern.
-            union = union.withColumn("__orig", F.col(ROW_KEY))
-            for _ in range(10):
+            # key can collide with the renamed second 'k'. Renamed keys
+            # always end in _dup / _dup_N, so when NO input key matches
+            # that pattern (the overwhelmingly common case — probed with
+            # one early-out, shuffle-free, column-pruned scan), a single
+            # suffix pass is provably collision-free and the result stays
+            # LAZY. Only pattern-matching inputs take the eager
+            # iterate-until-unique path, with the union cached so each
+            # convergence probe doesn't recompute the lineage.
+            def _suffix_pass(u):
                 w = Window.partitionBy(ROW_KEY).orderBy("__src", "__orig")
                 occ = F.row_number().over(w) - 1
-                union = union.withColumn(
+                return u.withColumn(
                     ROW_KEY,
                     F.when(occ == 0, F.col(ROW_KEY))
                     .when(occ == 1, F.concat(F.col(ROW_KEY), F.lit("_dup")))
@@ -534,13 +552,24 @@ class ColumnarTable:
                         F.concat(F.col(ROW_KEY), F.lit("_dup_"), (occ - 1).cast("string"))
                     ),
                 )
-                if union.groupBy(ROW_KEY).count().filter("count > 1").isEmpty():
-                    break
+
+            union = union.withColumn("__orig", F.col(ROW_KEY))
+            pattern_free = union.filter(
+                F.col(ROW_KEY).rlike("_dup(_[0-9]+)?$")
+            ).isEmpty()
+            if pattern_free:
+                union = _suffix_pass(union)
             else:
-                raise ValueError(
-                    "concatenate UNIQUIFY_WITH_SUFFIX: RowIDs did not become "
-                    "unique within 10 suffix passes"
-                )
+                union = union.persist()
+                for _ in range(10):
+                    union = _suffix_pass(union)
+                    if union.groupBy(ROW_KEY).count().filter("count > 1").isEmpty():
+                        break
+                else:
+                    raise ValueError(
+                        "concatenate UNIQUIFY_WITH_SUFFIX: RowIDs did not "
+                        "become unique within 10 suffix passes"
+                    )
             union = union.drop("__orig")
         elif row_id_policy is RowIdPolicy.FAIL_ON_DUPLICATES:
             w = Window.partitionBy(ROW_KEY)

@@ -173,3 +173,20 @@ def test_word_shingles_short_doc_no_crash(spark):
     d = spark.createDataFrame([("one",), ("",)], "text string")
     rows = d.select(X.word_shingles("text", 3).alias("s")).collect()
     assert [r["s"] for r in rows] == [[], []]
+
+
+def test_rp_lsh_bucket_null_embedding(spark):
+    """A NULL (or wrong-dim) embedding buckets to 0 instead of killing
+    the job — one dirty row must not abort a 100 TB dedup run."""
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None), (3, [1.0] * 3)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", S.rp_lsh_bucket(F.col("embedding"), dim=8, planes=2).alias("b")
+        ).collect()
+    }
+    assert rows[2] == 0 and rows[3] == 0
+    assert 0 <= rows[1] < 4

@@ -200,6 +200,12 @@ def test_multi_slice(spark):
     # all-columns / all-rows slices pass through
     (full,) = t.multi_slice([(None, None)])
     assert full.df.count() == 10 and full.columns == ["n", "s"]
+    # the shared-scan cache is caller-releasable (and a no-op when
+    # share_scan never persisted anything)
+    s0.release_shared_scan()
+    s1.release_shared_scan()
+    full.release_shared_scan()
+    assert s0.df.count() == 3  # slices recompute lazily after release
 
 
 def test_upsert_semantics(spark):
@@ -225,3 +231,20 @@ def test_attach_domains(spark):
     md_n = t2.df.schema["n"].metadata
     assert md_n[DOMAIN_MIN_KEY] == "1" and md_n[DOMAIN_MAX_KEY] == "1"
     assert t2.df.schema["s"].metadata[DOMAIN_VALUES_KEY] == ["x"]
+
+
+def test_upsert_null_keys(spark):
+    """Null-safe keys all the way through: a NULL-keyed update must
+    match a NULL-keyed base row (update wins), and a NULL-keyed pure
+    insert must keep its payload."""
+    base = spark.createDataFrame([(1, "a", 10.0)], "k int, s string, v double")
+    upd = spark.createDataFrame([(None, "x", 99.0)], "k int, s string, v double")
+    out = sorted(map(tuple, R.upsert(base, upd, ["k"]).collect()),
+                 key=lambda t: (t[0] is None, t[0]))
+    assert out == [(1, "a", 10.0), (None, "x", 99.0)]
+
+    base2 = spark.createDataFrame([(None, "old", 1.0)], "k int, s string, v double")
+    upd2 = spark.createDataFrame([(None, "new", 2.0)], "k int, s string, v double")
+    assert [tuple(r) for r in R.upsert(base2, upd2, ["k"]).collect()] == [
+        (None, "new", 2.0)
+    ]

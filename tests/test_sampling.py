@@ -64,3 +64,14 @@ def test_stratified_sample_per_stratum(rows):
     # unlisted strata keep default_fraction (0 by default)
     none_kept = stratified_sample(strat, ["k"], "cls", {"even": 0.5})
     assert none_kept.filter("cls = 'odd'").count() == 0
+
+
+def test_stratified_sample_null_stratum(spark, rows):
+    strat = rows.withColumn(
+        "cls", F.when(F.col("id") % 2 == 0, "even").otherwise(None)
+    )
+    out = stratified_sample(strat, ["k"], "cls", {"even": 0.5}, default_fraction=1.0)
+    # every NULL-stratum row takes the default branch (fraction 1.0)
+    assert out.filter("cls IS NULL").count() == 1000
+    none_kept = stratified_sample(strat, ["k"], "cls", {"even": 0.5})
+    assert none_kept.filter("cls IS NULL").count() == 0
