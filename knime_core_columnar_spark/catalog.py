@@ -3733,6 +3733,48 @@ def json_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "table_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 2000
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 2500
+    )
+    SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+           CASE WHEN new.o_orderkey IS NOT NULL THEN new.o_orderstatus
+                ELSE old.o_orderstatus END AS o_orderstatus,
+           CASE WHEN new.o_orderkey IS NOT NULL THEN new.o_totalprice
+                ELSE old.o_totalprice END AS o_totalprice,
+           CASE WHEN old.o_orderkey IS NOT NULL AND new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_orderkey IS NULL AND new.o_orderkey IS NOT NULL THEN 'added'
+                WHEN old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus
+                 AND old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice THEN 'unchanged'
+                ELSE 'changed' END AS change
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    """,
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed table diff (added/removed/changed/unchanged) — the
+    regression-testing primitive the reference's test harness applies
+    cell by cell, as one distributed full-outer join with null-safe
+    struct equality (operators.relational.diff_tables)."""
+    from knime_core_columnar_spark.operators.relational import diff_tables
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    old = o.filter("o_orderkey <= 2000")
+    new = o.filter("o_orderkey > 500 AND o_orderkey <= 2500").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    return diff_tables(old, new, keys=["o_orderkey"])
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the pricing-summary aggregation."""
     return q1_pricing_summary(spark, sf_dir)

@@ -237,6 +237,57 @@ def upsert(base: DataFrame, updates: DataFrame, keys: Sequence[str]) -> DataFram
     )
 
 
+def diff_tables(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    change_col: str = "change",
+) -> DataFrame:
+    """Keyed table diff: one row per key present in either side, labeled
+    'added' / 'removed' / 'changed' / 'unchanged', with the NEW side's
+    values (OLD side's for removed keys). The regression-testing
+    primitive behind KNIME's table-difference checkers
+    (e.g. TableDiffer in knime-testing-framework): the reference's test
+    harness compares tables cell by cell; distributed, that's one
+    full-outer equi-join on the key plus a null-safe struct equality —
+    no collect, no sort.
+
+    Value comparison is null-safe over all non-key columns (two NULLs
+    compare equal)."""
+    cols = old.columns
+    if list(new.columns) != cols:
+        raise ValueError(f"diff_tables: column mismatch {cols} vs {new.columns}")
+    value_cols = [c for c in cols if c not in keys]
+    o = old.withColumn("__d_old", F.lit(True)).alias("__d_o")
+    n = new.withColumn("__d_new", F.lit(True)).alias("__d_n")
+    oc = lambda c: F.col(f"__d_o.{c}")  # noqa: E731
+    nc = lambda c: F.col(f"__d_n.{c}")  # noqa: E731
+    cond = None
+    for k in keys:
+        eq = oc(k).eqNullSafe(nc(k))
+        cond = eq if cond is None else cond & eq
+    in_old = F.coalesce(oc("__d_old"), F.lit(False))
+    in_new = F.coalesce(nc("__d_new"), F.lit(False))
+    same = None
+    for c in value_cols:
+        eq = oc(c).eqNullSafe(nc(c))
+        same = eq if same is None else same & eq
+    if same is None:
+        same = F.lit(True)
+    change = (
+        F.when(in_old & ~in_new, "removed")
+        .when(~in_old & in_new, "added")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    out = [F.coalesce(nc(k), oc(k)).alias(k) for k in keys]
+    out += [
+        F.when(in_new, nc(c)).otherwise(oc(c)).alias(c) for c in value_cols
+    ]
+    out.append(change.alias(change_col))
+    return o.join(n, cond, "full_outer").select(*out)
+
+
 def window_apply(
     table: ColumnarTable,
     partition_by: Sequence[str],

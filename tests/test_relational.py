@@ -248,3 +248,14 @@ def test_upsert_null_keys(spark):
     assert [tuple(r) for r in R.upsert(base2, upd2, ["k"]).collect()] == [
         (None, "new", 2.0)
     ]
+
+
+def test_diff_tables(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "B"), (3, None), (4, "d"), (5, "e")], "k int, v string"
+    )
+    out = {r["k"]: r["change"] for r in R.diff_tables(old, new, ["k"]).collect()}
+    assert out == {1: "removed", 2: "changed", 3: "unchanged", 4: "unchanged", 5: "added"}
