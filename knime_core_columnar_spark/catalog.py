@@ -3775,6 +3775,70 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_tables(old, new, keys=["o_orderkey"])
 
 
+@query(
+    "scd2_intervals",
+    """
+    SELECT user_id, event_id, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current,
+           value
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: each state
+    change opens a validity interval [ts, next_ts) closed by the next
+    change for the same key; the open interval is the current row. One
+    lead() window per key — the standard warehouse historization, and
+    the batch construction the as-of join then queries."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id", "event_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "value",
+    )
+
+
+@query(
+    "gaps_islands",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), g AS (
+      SELECT user_id, day,
+             CAST(day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                             AS INTEGER) AS DATE) AS grp
+      FROM d
+    )
+    SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+           COUNT(*) AS streak_days
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-active-day streaks per user via the
+    day − row_number() grouping trick (equal within each unbroken run).
+    Distinct + one window + one aggregation; everything shuffles once on
+    user_id and stays there."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("grp", F.date_sub(F.col("day"), F.row_number().over(w)))
+    return g.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    ).drop("grp")
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the pricing-summary aggregation."""
     return q1_pricing_summary(spark, sf_dir)
