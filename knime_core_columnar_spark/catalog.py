@@ -3839,6 +3839,94 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("grp")
 
 
+@query(
+    "pct_of_total",
+    """
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, revenue,
+           round(revenue / SUM(revenue) OVER (), 6) AS pct_total,
+           round(revenue / SUM(revenue) OVER (PARTITION BY l_returnflag), 6)
+             AS pct_of_flag
+    FROM g
+    """,
+)
+def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total / ratio-to-report: share of overall and of the
+    group's parent level via unpartitioned + partitioned window sums —
+    computed over the 6-row AGGREGATE, so the 'global window' touches
+    six rows, not the input (never window the raw fact table for a
+    ratio you can take after aggregating)."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("revenue")
+    )
+    w_all = Window.partitionBy()
+    w_flag = Window.partitionBy("l_returnflag")
+    return g.select(
+        "l_returnflag", "l_linestatus", "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias("pct_total"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_flag), 6).alias("pct_of_flag"),
+    )
+
+
+@query(
+    "array_set_ops",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(text), '\\s+')) AS words,
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS lwords
+    FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list_intersect(words, lwords)), ',') AS common,
+           CAST(len(list_intersect(words, lwords)) AS INTEGER) AS n_common,
+           CAST(len(words) AS INTEGER) AS n_words
+    FROM t
+    """,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row array set algebra (intersect/size) — the list-typed column
+    surface; arrays stay row-local (no explode, no shuffle), serialized
+    to strings for the exact-hash gate."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    lwords = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    common = F.array_intersect(words, lwords)
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(common), ",").alias("common"),
+        F.size(common).alias("n_common"),
+        F.size(words).alias("n_words"),
+    )
+
+
+@query(
+    "regexp_extract_numbers",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
+           COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '')
+             AS numbers
+    FROM documents
+    """,
+)
+def regexp_extract_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all surface: every numeric token per document,
+    counted and serialized — pure codegen scan work."""
+    d = _t(spark, sf_dir, "documents")
+    nums = F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(nums).alias("n_numbers"),
+        F.array_join(nums, ",").alias("numbers"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the pricing-summary aggregation."""
     return q1_pricing_summary(spark, sf_dir)
