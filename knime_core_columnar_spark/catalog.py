@@ -1133,9 +1133,7 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (
       SELECT k, p_name, ROW_NUMBER() OVER (PARTITION BY k ORDER BY src) - 1 AS occ FROM u
     )
-    SELECT CASE WHEN occ = 0 THEN k
-                WHEN occ = 1 THEN k || '_dup'
-                ELSE k || '_dup_' || CAST(occ - 1 AS VARCHAR) END AS _row_key,
+    SELECT k || repeat('_dup', occ) AS _row_key,
            p_name
     FROM n
     """,
@@ -1143,7 +1141,8 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def concat_uniquify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """concatenate with UNIQUIFY_WITH_SUFFIX RowID policy
     (ColumnarConcatenater.java:252-292): colliding keys from later tables
-    get '_dup' / '_dup_N' suffixes."""
+    get the '_dup' suffix appended repeatedly until unique
+    (k, k_dup, k_dup_dup), exactly like the reference."""
     p = _t(spark, sf_dir, "part").filter("p_partkey <= 100").select("p_partkey", "p_name")
     a = ColumnarTable.from_dataframe(p, key_columns=["p_partkey"]).drop_columns("p_partkey")
     b = ColumnarTable.from_dataframe(p, key_columns=["p_partkey"]).drop_columns("p_partkey")
@@ -3066,13 +3065,22 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the materialize-once-join-many pattern the reference cannot
     express (its store is position-addressed, SURVEY §4): at 100 TB,
     bucketing the fact table once amortizes every downstream key join."""
+    import os
+
     _ensure_pkg_on_executors(spark)
     tag = _artifact_tag(sf_dir, "orders", "customer")
     base = f"/tmp/kccs_bucketed_{tag}"
     specs = [("orders", f"bk_orders_{tag}", "o_custkey"),
              ("customer", f"bk_customer_{tag}", "c_custkey")]
     for src, name, key in specs:
-        if not spark.catalog.tableExists(name):
+        # The metastore entry (spark-warehouse) can outlive the /tmp data
+        # directory — if the backing path is gone, drop and rebuild the
+        # table instead of failing on every scan until manual cleanup.
+        exists = spark.catalog.tableExists(name)
+        if exists and not os.path.isdir(f"{base}/{name}"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            exists = False
+        if not exists:
             (
                 _t(spark, sf_dir, src)
                 .write.bucketBy(8, key).sortBy(key)

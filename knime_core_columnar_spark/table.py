@@ -54,12 +54,18 @@ from knime_core_columnar_spark.schema import ROW_KEY, merge_schemas, promote_typ
 
 ColumnLike = Union[str, Column]
 
+# Single-slot registry of the DataFrame persisted by
+# multi_slice(share_scan=True): starting a new shared scan evicts the
+# previous cache so repeated invocations never accumulate persisted
+# DataFrames (callers may also release eagerly via release_shared_scan).
+_ACTIVE_SHARED_SCANS: list[DataFrame] = []
+
 
 class RowIdPolicy(Enum):
     """RowID handling for concatenate — ColumnarTableBackend.java:186-215."""
 
     FAIL_ON_DUPLICATES = "fail"  # pre-check, raise — ColumnarConcatenater.java:427-470
-    UNIQUIFY_WITH_SUFFIX = "uniquify"  # append "_dup[_N]" — ColumnarConcatenater.java:252-292
+    UNIQUIFY_WITH_SUFFIX = "uniquify"  # append "_dup" until unique — ColumnarConcatenater.java:252-292
     REGENERATE = "regenerate"  # Row0, Row1, … — ColumnarConcatenater.java:186-215
     KEEP = "keep"  # trust caller (no check)
 
@@ -234,18 +240,27 @@ class ColumnarTable:
         ``share_scan=True`` persists the parent once so the N slice
         materializations read the source a single time instead of N
         times (the Spark twin of the reference's N virtual tables over
-        one shared ReferenceTable). The cache lives until
-        ``release_shared_scan()`` is called on any returned slice (or
-        the session ends) — call it after consuming the slices, or pass
-        ``share_scan=False`` for fully lazy uncached slices. With an
-        ``index_column`` each row range is a partition-prunable filter —
-        the no-shuffle scale path; otherwise ranges sort on ``order_by``
-        (RowID default).
+        one shared ReferenceTable). The cache is reclaimed automatically:
+        at most ONE shared-scan parent is live per process — starting a
+        new ``multi_slice(share_scan=True)`` unpersists the previous
+        one, so repeated invocations (e.g. a benchmark loop that never
+        cleans up) cannot accumulate cached DataFrames. Call
+        ``release_shared_scan()`` on any returned slice to reclaim it
+        eagerly, or pass ``share_scan=False`` for fully lazy uncached
+        slices. With an ``index_column`` each row range is a
+        partition-prunable filter — the no-shuffle scale path; otherwise
+        ranges sort on ``order_by`` (RowID default).
         """
         src: ColumnarTable = self
         parent_df = None
         if share_scan and len(slices) > 1:
+            # Evict the previous shared-scan cache (single-slot registry):
+            # unpersist() only drops cached blocks — any slice still
+            # holding the old parent stays correct and recomputes lazily.
+            while _ACTIVE_SHARED_SCANS:
+                _ACTIVE_SHARED_SCANS.pop().unpersist()
             parent_df = self._df.persist()
+            _ACTIVE_SHARED_SCANS.append(parent_df)
             src = self._wrap(parent_df)
         out: list[ColumnarTable] = []
         for cols_sel, rng in slices:
@@ -264,6 +279,8 @@ class ColumnarTable:
         parent = getattr(self, "_shared_scan_parent", None)
         if parent is not None:
             parent.unpersist()
+            if parent in _ACTIVE_SHARED_SCANS:
+                _ACTIVE_SHARED_SCANS.remove(parent)
             self._shared_scan_parent = None
 
     def append_missing_value_columns(
@@ -493,7 +510,8 @@ class ColumnarTable:
         plan (per-key window count + assert_true) — the union executes
         ONCE and fails at action time on a duplicate, instead of an
         eager pre-check job that scans all inputs twice;
-        UNIQUIFY_WITH_SUFFIX appends ``_dup`` / ``_dup_N`` to repeated keys
+        UNIQUIFY_WITH_SUFFIX appends ``_dup`` repeatedly until unique —
+        k, k_dup, k_dup_dup — exactly like the reference
         (later tables lose; ColumnarConcatenater.java:252-292);
         REGENERATE rewrites keys as Row0..RowN-1 in table order
         (ColumnarConcatenater.java:186-215 — needs a global index ⇒ only
@@ -531,45 +549,51 @@ class ColumnarTable:
                 ROW_KEY, F.concat(F.lit("Row"), (F.row_number().over(w) - 1).cast("string"))
             )
         elif row_id_policy is RowIdPolicy.UNIQUIFY_WITH_SUFFIX:
-            # The reference reconciles suffixes UNTIL unique
-            # (ColumnarConcatenater.java:252-292): a pre-existing 'k_dup'
-            # key can collide with the renamed second 'k'. Renamed keys
-            # always end in _dup / _dup_N, so when NO input key matches
-            # that pattern (the overwhelmingly common case — probed with
-            # one early-out, shuffle-free, column-pruned scan), a single
-            # suffix pass is provably collision-free and the result stays
-            # LAZY. Only pattern-matching inputs take the eager
-            # iterate-until-unique path, with the union cached so each
-            # convergence probe doesn't recompute the lineage.
+            # Reference parity (ColumnarConcatenater.java:252-292): the
+            # suffix is appended REPEATEDLY until unique, so the n-th
+            # duplicate of 'k' becomes k, k_dup, k_dup_dup, ... — and a
+            # pre-existing 'k_dup' key can collide with the renamed
+            # second 'k', which the reference reconciles by iterating.
+            # Renamed keys always end in '_dup', so when NO input key
+            # matches that pattern (the overwhelmingly common case —
+            # probed with one early-out, shuffle-free scan that Catalyst
+            # prunes down to the RowID column), a single suffix pass is
+            # provably collision-free and the result stays LAZY. Only
+            # pattern-matching inputs take the eager iterate-until-unique
+            # path, with the union cached so each convergence probe
+            # doesn't recompute the lineage; the cache is dropped once
+            # the keys converge.
             def _suffix_pass(u):
                 w = Window.partitionBy(ROW_KEY).orderBy("__src", "__orig")
                 occ = F.row_number().over(w) - 1
                 return u.withColumn(
-                    ROW_KEY,
-                    F.when(occ == 0, F.col(ROW_KEY))
-                    .when(occ == 1, F.concat(F.col(ROW_KEY), F.lit("_dup")))
-                    .otherwise(
-                        F.concat(F.col(ROW_KEY), F.lit("_dup_"), (occ - 1).cast("string"))
-                    ),
+                    ROW_KEY, F.concat(F.col(ROW_KEY), F.repeat(F.lit("_dup"), occ))
                 )
 
             union = union.withColumn("__orig", F.col(ROW_KEY))
-            pattern_free = union.filter(
-                F.col(ROW_KEY).rlike("_dup(_[0-9]+)?$")
+            pattern_free = union.select(ROW_KEY).filter(
+                F.col(ROW_KEY).rlike("_dup$")
             ).isEmpty()
             if pattern_free:
                 union = _suffix_pass(union)
             else:
-                union = union.persist()
-                for _ in range(10):
-                    union = _suffix_pass(union)
-                    if union.groupBy(ROW_KEY).count().filter("count > 1").isEmpty():
-                        break
-                else:
-                    raise ValueError(
-                        "concatenate UNIQUIFY_WITH_SUFFIX: RowIDs did not "
-                        "become unique within 10 suffix passes"
-                    )
+                base = union.persist()
+                union = base
+                try:
+                    for _ in range(10):
+                        union = _suffix_pass(union)
+                        if union.groupBy(ROW_KEY).count().filter("count > 1").isEmpty():
+                            break
+                    else:
+                        raise ValueError(
+                            "concatenate UNIQUIFY_WITH_SUFFIX: RowIDs did not "
+                            "become unique within 10 suffix passes"
+                        )
+                finally:
+                    # Convergence is decided; the final consumption
+                    # recomputes lazily from lineage instead of pinning
+                    # the union in cache for the session's lifetime.
+                    base.unpersist()
             union = union.drop("__orig")
         elif row_id_policy is RowIdPolicy.FAIL_ON_DUPLICATES:
             w = Window.partitionBy(ROW_KEY)

@@ -124,7 +124,9 @@ def test_concatenate_uniquify(spark, small):
     t = small.concatenate([small, small], row_id_policy=RowIdPolicy.UNIQUIFY_WITH_SUFFIX)
     keys = [r[0] for r in t.df.select(ROW_KEY).collect()]
     assert len(set(keys)) == 30
-    assert "Row0_dup" in keys and "Row0_dup_1" in keys
+    # reference scheme: suffix appended repeatedly until unique
+    # (ColumnarConcatenater.java:252-292)
+    assert "Row0_dup" in keys and "Row0_dup_dup" in keys
 
 
 def test_concatenate_uniquify_preexisting_dup_keys(spark):
