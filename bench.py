@@ -66,15 +66,19 @@ def main():
     # warm the JVM + parquet footers once (not timed)
     catalog.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
-    # best-of-2 per query: single-shot local[32] timings are noisy
-    # (JIT, GC, python-worker startup); the min is the stable signal
+    # best-of-N per query (default 3, override SPARK_GRAFT_BENCH_N):
+    # single-shot local[32] timings are noisy (JIT, GC, python-worker
+    # startup); the min is the stable signal, and n=3 keeps one-off
+    # scheduler blips (e.g. round-2's asof_join_events 1.16x) out of the
+    # round-over-round comparison.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES.get(name)
         if fn is None:
             continue
         best = None
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
@@ -88,6 +92,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "n": n_runs,
         "git_sha": _git_sha(),
     }
     # round-over-round bookkeeping: append to a local history file so
