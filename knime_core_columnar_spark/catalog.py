@@ -3940,6 +3940,57 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
     return q1_pricing_summary(spark, sf_dir)
 
 
+@query(
+    "contamination_check",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|corpus'), 1, 15))::BIGINT
+               % 10000 AS b,
+             string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, b,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), evd AS (
+      SELECT DISTINCT doc_id, ('0x' || substring(md5(x), 1, 15))::BIGINT AS h
+      FROM sh, unnest(s) AS u(x) WHERE b >= 8000
+    ), tr AS (
+      SELECT DISTINCT ('0x' || substring(md5(x), 1, 15))::BIGINT AS h
+      FROM sh, unnest(s) AS u(x) WHERE b < 8000
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_ngrams FROM evd GROUP BY 1
+    ), hits AS (
+      SELECT evd.doc_id, COUNT(*) AS n_contaminated
+      FROM evd JOIN tr USING (h) GROUP BY 1
+    )
+    SELECT tot.doc_id, n_ngrams,
+           COALESCE(n_contaminated, 0) AS n_contaminated,
+           CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+             AS contamination
+    FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram contamination — the benchmark-hygiene pass of a
+    training-data pipeline (operators.dedup.ngram_contamination): split
+    documents 80/20 by key hash (reproducible, partitioning-independent),
+    then for each eval doc report what fraction of its distinct 3-grams
+    also occur anywhere in the train split. Shuffles only 60-bit shingle
+    hashes; the md5 arithmetic is bit-identical in DuckDB, so the exact
+    per-doc contamination ratio is oracle-gated."""
+    from knime_core_columnar_spark.operators.dedup import ngram_contamination
+    from knime_core_columnar_spark.operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    b = hash_bucket(["doc_id"], salt="corpus")
+    train = d.filter(b < 8000)
+    ev = d.filter(b >= 8000)
+    return ngram_contamination(train, ev, "doc_id", "text", n=3)
+
+
 # ---------------------------------------------------------------------------
 # partsupp TPC-H patterns (q2/q9/q11/q16/q20) — pre-staged.
 #

@@ -419,3 +419,53 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def ngram_contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-corpus contamination check — the train/eval hygiene pass a
+    training-data pipeline runs before benchmarking: for each eval
+    document, the fraction of its distinct word n-grams that appear
+    ANYWHERE in the training corpus.
+
+    Scale shape: shingles become rows (codegen window path,
+    ``shingle_rows``), then immediately collapse to 60-bit md5 hashes —
+    the corpus-sized join shuffles (id, long) pairs against a
+    distinct-hash build side, never the shingle strings themselves. The
+    train side is a distinct long column (the natural broadcast
+    candidate when the training corpus's distinct-shingle set is small;
+    Spark/AQE picks the strategy). Output per eval doc: ``n_ngrams``,
+    ``n_contaminated``, ``contamination`` in [0, 1]. Docs with fewer
+    than ``n`` tokens have no shingles and are absent from the output.
+    """
+    tr = (
+        shingle_rows(train_df, id_col, text_col, n)
+        .select(base_hash60(F.col("__s")).alias("__h"))
+        .distinct()
+    )
+    ev = (
+        shingle_rows(eval_df, id_col, text_col, n)
+        .select(id_col, base_hash60(F.col("__s")).alias("__h"))
+        .distinct()
+    )
+    tot = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = ev.join(tr, "__h").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        tot.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_ngrams").cast("double")
+            ).alias("contamination"),
+        )
+    )

@@ -190,3 +190,28 @@ def test_rp_lsh_bucket_null_embedding(spark):
     }
     assert rows[2] == 0 and rows[3] == 0
     assert 0 <= rows[1] < 4
+
+
+def test_ngram_contamination(spark):
+    """Hand-computable: eval doc A shares all its 3-grams with train,
+    B shares none, C shares some."""
+    train = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x y z w")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "a b c d"),       # 3-grams {a b c, b c d} — both in train
+            (11, "p q r s"),       # none in train
+            (12, "a b c q r s"),   # {a b c, b c q, c q r, q r s} — 1 of 4
+            (13, "a b"),           # too short: no 3-grams, absent from output
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_ngrams"], r["n_contaminated"], r["contamination"])
+        for r in D.ngram_contamination(train, ev, n=3).collect()
+    }
+    assert out[10] == (2, 2, 1.0)
+    assert out[11] == (2, 0, 0.0)
+    assert out[12] == (4, 1, 0.25)
+    assert 13 not in out
