@@ -4109,20 +4109,21 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n_nationkey % 5 = 3
     ), val AS (
       SELECT ps_partkey,
-             CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4))) AS DOUBLE)
-               AS stock_value
+             SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4))) AS sv
       FROM partsupp JOIN nat ON ps_suppkey = s_suppkey
       GROUP BY ps_partkey
     )
-    SELECT ps_partkey, stock_value FROM val
-    WHERE stock_value > (SELECT SUM(stock_value) * 0.001 FROM val)
+    SELECT ps_partkey, CAST(sv AS DOUBLE) AS stock_value FROM val
+    WHERE sv * 1000 > (SELECT SUM(sv) FROM val)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 pattern: parts whose national stock value exceeds a
     fraction of the total. The scalar threshold is a second aggregation
     over the SAME grouped result (reused plan), broadcast back — one
-    partsupp scan feeding both sides."""
+    partsupp scan feeding both sides. The threshold comparison stays in
+    exact decimal on both engines (sv * 1000 > SUM(sv), no double SUM,
+    no 0.001 rounding), so membership is bit-identical to the oracle."""
     ps = _t(spark, sf_dir, "partsupp")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") % 5 == 3)
@@ -4132,15 +4133,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ps_partkey")
         .agg(
             F.sum((F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(18,4)"))
-            .cast("double")
-            .alias("stock_value")
+            .alias("sv")
         )
     )
-    thr = val.agg((F.sum("stock_value") * F.lit(0.001)).alias("__thr"))
+    thr = val.agg(F.sum("sv").alias("__thr"))
     return (
         val.crossJoin(F.broadcast(thr))
-        .filter(F.col("stock_value") > F.col("__thr"))
-        .select("ps_partkey", "stock_value")
+        .filter(F.col("sv") * F.lit(1000) > F.col("__thr"))
+        .select("ps_partkey", F.col("sv").cast("double").alias("stock_value"))
     )
 
 
@@ -4257,9 +4257,12 @@ register_partsupp_queries()
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_R3 = [
-    # oracle fixes to prove (driver-red / latent-red in round 2)
+    # oracle fixes to prove (driver-red / latent-red in round 2), plus the
+    # uniquify-concatenate whose suffix scheme changed this round (r2-green
+    # no longer attests shipped behavior)
     "json_extract",
     "q12_priority_class",
+    "concat_uniquify",
     # TPC-H family, never driver-checked
     "q4_order_priority",
     "q6_forecast_revenue",
@@ -4300,7 +4303,6 @@ _DRIVER_WINDOW_R3 = [
     "chunk_documents",
     "doc_repetition",
     "quality_filter_flags",
-    "explode_words",
     # multimodal plumbing
     "multimodal_meta",
     "video_frame_sample",

@@ -495,7 +495,7 @@ def read_knime_arrow(
 
         n = arrow_table.num_rows
         row_ids = pc.binary_join_element_wise(
-            pa.nulls(n, pa.string()).fill_null("Row"),
+            pa.repeat("Row", n),
             pc.cast(pa.array(np.arange(n, dtype=np.int64)), pa.string()),
             "",
         )

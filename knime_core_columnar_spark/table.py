@@ -258,7 +258,13 @@ class ColumnarTable:
             # unpersist() only drops cached blocks — any slice still
             # holding the old parent stays correct and recomputes lazily.
             while _ACTIVE_SHARED_SCANS:
-                _ACTIVE_SHARED_SCANS.pop().unpersist()
+                try:
+                    _ACTIVE_SHARED_SCANS.pop().unpersist()
+                except Exception:
+                    # The previous parent may belong to a stopped
+                    # SparkSession (test teardown); its cache died with
+                    # the context, so a failed unpersist is ignorable.
+                    pass
             parent_df = self._df.persist()
             _ACTIVE_SHARED_SCANS.append(parent_df)
             src = self._wrap(parent_df)
@@ -278,7 +284,10 @@ class ColumnarTable:
         (no-op otherwise). Consumed slices recompute lazily if re-used."""
         parent = getattr(self, "_shared_scan_parent", None)
         if parent is not None:
-            parent.unpersist()
+            try:
+                parent.unpersist()
+            except Exception:
+                pass
             if parent in _ACTIVE_SHARED_SCANS:
                 _ACTIVE_SHARED_SCANS.remove(parent)
             self._shared_scan_parent = None

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import datetime as _dt
 import decimal as _decimal
-import math
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -63,10 +62,10 @@ def norm(v):
     if isinstance(v, (int, np.integer)):
         return f"i:{int(v)}"
     if isinstance(v, (float, np.floating)):
-        f = float(v)
-        if math.isnan(f):
-            return "f:NaN"
-        return f"f:{f!r}"
+        # NaN never reaches here: the pd.isna() scalar check above maps it
+        # to "NULL" — deliberately, because pandas float64 columns cannot
+        # distinguish NaN from NULL and neither can the driver's hash.
+        return f"f:{float(v)!r}"
     if isinstance(v, _decimal.Decimal):
         return f"dec:{v}"
     if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date)):
@@ -175,7 +174,14 @@ def main():
             print(f"ok   {name} ({len(spdf)} rows)")
 
     n_run = len([n for n in catalog.QUERIES if not only or n in only])
-    print(f"\n{n_run - len(failures)}/{n_run} pass")
+    unknown = sorted(set(only) - set(catalog.QUERIES)) if only else []
+    if unknown:
+        failures.extend(unknown)
+        print(f"FAIL unknown query name(s): {unknown}")
+    if n_run == 0:
+        failures.append("<no queries ran>")
+        print("FAIL no queries matched — nothing was verified")
+    print(f"\n{max(n_run - len(failures), 0)}/{n_run} pass")
     spark.stop()
     sys.exit(1 if failures else 0)
 
