@@ -3991,6 +3991,113 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(train, ev, "doc_id", "text", n=3)
 
 
+@query(
+    "pii_redact",
+    """
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+               '\\b(hash|key|value)\\b', '[PII]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '\\b(hash|key|value)\\b')) AS BIGINT)
+             AS n_term_hits,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email_hits
+    FROM documents
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / sensitive-term scrubbing (operators.text.redact): email-rule
+    regex plus a whole-word term blocklist, applied as one codegen'd
+    projection — the pre-tokenization cleaning pass of a training
+    pipeline. Patterns use the Java-regex ∩ RE2 subset so the identical
+    pattern string runs on Spark and the DuckDB oracle; per-doc match
+    counts are the audit metric."""
+    from knime_core_columnar_spark.operators.text import (
+        PII_RULES,
+        match_count,
+        redact,
+        term_pattern,
+    )
+
+    terms = ["hash", "key", "value"]
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        redact("text", rules={"email": PII_RULES["email"]}, terms=terms,
+               replacement="[PII]").alias("redacted"),
+        match_count("text", term_pattern(terms)).alias("n_term_hits"),
+        match_count("text", PII_RULES["email"]).alias("n_email_hits"),
+    )
+
+
+@query(
+    "corpus_shuffle",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '|epoch0'), doc_id) - 1
+             AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators.sampling.seeded_shuffle):
+    a stable md5-keyed global permutation of the corpus — reproducible
+    across runs and cluster sizes, re-seedable per epoch. Distributed
+    range-sort plus the zipWithIndex offset trick; no global-window
+    row_number, so no single-reducer stage at 100 TB."""
+    from knime_core_columnar_spark.operators.sampling import seeded_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return seeded_shuffle(d, ["doc_id"], seed="epoch0")
+
+
+@query(
+    "sequence_packing",
+    """
+    WITH RECURSIVE base AS (
+      SELECT doc_id, stream, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY stream ORDER BY doc_id) AS rn
+      FROM (
+        SELECT doc_id,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 15))::BIGINT
+                 % 10000) % 8 AS stream,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+      )
+    ), r AS (
+      SELECT stream, rn, doc_id, n_tokens, n_tokens AS acc,
+             CAST(0 AS BIGINT) AS pack_id
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.stream, b.rn, b.doc_id, b.n_tokens,
+             CASE WHEN r.acc + b.n_tokens > 512 THEN b.n_tokens
+                  ELSE r.acc + b.n_tokens END,
+             CASE WHEN r.acc + b.n_tokens > 512 THEN r.pack_id + 1
+                  ELSE r.pack_id END
+      FROM r JOIN base b ON b.stream = r.stream AND b.rn = r.rn + 1
+    )
+    SELECT doc_id, stream, pack_id, n_tokens FROM r
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget context-window packing (operators.packing
+    .pack_sequences): greedy first-fit of documents into 512-token packs
+    within 8 hash-partitioned streams. The sequential recurrence runs as
+    an Arrow-batched applyInPandas over (id, stream, n_tokens) triples —
+    text never enters Python; the DuckDB oracle replays the identical
+    recurrence as a recursive CTE, so every pack assignment is
+    value-checked."""
+    from knime_core_columnar_spark.operators.packing import pack_sequences
+    from knime_core_columnar_spark.operators.text import token_count
+
+    _ensure_pkg_on_executors(spark)
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", token_count("text").alias("n_tokens"))
+    return pack_sequences(toks, "doc_id", "n_tokens", capacity=512, n_streams=8)
+
+
 # ---------------------------------------------------------------------------
 # partsupp TPC-H patterns (q2/q9/q11/q16/q20) — pre-staged.
 #

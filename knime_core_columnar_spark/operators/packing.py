@@ -1,0 +1,81 @@
+"""Token-budget sequence packing for LLM training data.
+
+Training pipelines pack variable-length documents into fixed-capacity
+context windows (e.g. 2k/8k tokens) so no GPU step wastes padding. The
+distributed shape here: rows are hash-partitioned into ``n_streams``
+independent packing streams (``sampling.hash_bucket`` — deterministic,
+partitioning-independent), and each stream runs the greedy sequential
+first-fit in key order. Packing is inherently a sequential recurrence
+(the pack a document lands in depends on every prior document in its
+stream), so the per-stream kernel is an Arrow-batched
+``applyInPandas`` — Python touches only (id, stream, n_tokens)
+triples, never the text, and each group is ~rows/n_streams so executor
+memory is bounded by choosing ``n_streams`` ∝ corpus size.
+
+Semantics (mirrored exactly by the recursive-CTE DuckDB oracle in
+catalog.py): within a stream, docs are taken in ascending key order; a
+doc joins the current pack if the pack's token total stays ≤ capacity,
+else it starts the next pack. A single doc larger than the capacity
+gets a pack of its own (truncation is the trainer's call, not the
+packer's).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from knime_core_columnar_spark.operators.sampling import hash_bucket
+
+__all__ = ["pack_sequences"]
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+    n_streams: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign each row to a ``(stream, pack_id)`` context window.
+
+    Returns ``(id_col, stream, pack_id, token_col)`` — one row per
+    input row; downstream writers group by (stream, pack_id) to emit
+    packed sequences.
+    """
+    base = df.select(
+        F.col(id_col),
+        (hash_bucket([id_col], salt) % n_streams).alias("stream"),
+        F.col(token_col).cast("long").alias(token_col),
+    )
+    schema = T.StructType(
+        [
+            base.schema[id_col],
+            T.StructField("stream", T.LongType()),
+            T.StructField("pack_id", T.LongType()),
+            T.StructField(token_col, T.LongType()),
+        ]
+    )
+    cap = int(capacity)
+
+    def _pack(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        toks = pdf[token_col].to_numpy()
+        packs = np.empty(len(toks), dtype=np.int64)
+        acc = 0
+        pack = -1
+        for i, t in enumerate(toks):
+            if pack < 0 or acc + t > cap:
+                pack += 1
+                acc = int(t)
+            else:
+                acc += int(t)
+            packs[i] = pack
+        pdf = pdf.assign(pack_id=packs)
+        return pdf[[id_col, "stream", "pack_id", token_col]]
+
+    return base.groupBy("stream").applyInPandas(_pack, schema=schema)

@@ -21,7 +21,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "deterministic_sample", "hash_split"]
+__all__ = ["hash_bucket", "deterministic_sample", "hash_split", "seeded_shuffle"]
 
 _BUCKETS = 10_000
 
@@ -94,3 +94,42 @@ def hash_split(
         expr = F.when(branch, name) if expr is None else expr.when(branch, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(split_col, expr)
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seed: str = "epoch0",
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global shuffle: every row gets a stable 0-based
+    position in the order of ``md5(key || '|' || seed)`` — the
+    epoch-reshuffle a training pipeline runs before sharding, but
+    reproducible across runs and cluster sizes (change ``seed`` per
+    epoch for a fresh permutation).
+
+    Scale shape: ``orderBy`` is a range-partitioned distributed sort
+    (no single reducer); positions come from the zipWithIndex trick —
+    per-partition counts (one tiny job) turned into broadcast offsets —
+    instead of a global-window ``row_number`` that would funnel 100 TB
+    through one task."""
+    from pyspark.sql import Window
+
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in key_cols], F.lit(seed)
+    )
+    tie = [F.col(c) for c in key_cols]
+    s = df.withColumn("__h", F.md5(key)).orderBy(F.col("__h"), *tie)
+    s = s.withColumn("__pid", F.spark_partition_id())
+    w_part = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    counts = s.groupBy("__pid").count()
+    w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("count").over(w_cum), F.lit(0)).alias("__offset")
+    )
+    return (
+        s.withColumn("__local", F.row_number().over(w_part) - 1)
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(pos_col, (F.col("__local") + F.col("__offset")).cast("long"))
+        .drop("__h", "__pid", "__local", "__offset")
+    )

@@ -252,3 +252,54 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tf", "df", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / sensitive-term redaction
+# ---------------------------------------------------------------------------
+
+#: Regex rules for common PII classes. Patterns are restricted to the
+#: syntax subset shared by Java regex (Spark) and RE2 (DuckDB oracles):
+#: character classes, bounded repetition, alternation, \b word
+#: boundaries — no backreferences or lookaround, so the exact same
+#: pattern string runs on both engines.
+PII_RULES: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def term_pattern(terms: list[str]) -> str:
+    """Whole-word alternation pattern for a sensitive-term blocklist."""
+    import re as _re
+
+    return r"\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+
+
+def redact(
+    col: Column | str,
+    rules: dict[str, str] | None = None,
+    terms: list[str] | None = None,
+    replacement: str = "[PII]",
+) -> Column:
+    """Redact PII regex matches and/or blocklisted terms from a text
+    column — the scrubbing pass every training-data pipeline runs before
+    tokenization. Rules apply in sorted-name order (deterministic), then
+    the term blocklist; each application is a JVM-side
+    ``regexp_replace`` (replaces ALL matches), so the whole redaction is
+    one codegen'd projection — no Python, no shuffle, scan-shaped at
+    any scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    for name in sorted(rules or {}):
+        c = F.regexp_replace(c, (rules or {})[name], replacement)
+    if terms:
+        c = F.regexp_replace(c, term_pattern(terms), replacement)
+    return c
+
+
+def match_count(col: Column | str, pattern: str) -> Column:
+    """Number of matches of ``pattern`` (audit metric for redaction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(pattern)).cast("long")

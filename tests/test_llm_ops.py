@@ -215,3 +215,73 @@ def test_ngram_contamination(spark):
     assert out[11] == (2, 0, 0.0)
     assert out[12] == (4, 1, 0.25)
     assert 13 not in out
+
+
+def test_redact_pii_classes(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob@example.com and 10.0.0.1 plus 123-45-6789 call 555-867-5309"),
+            (1, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["red"]
+        for r in df.select(
+            "doc_id", X.redact("text", rules=X.PII_RULES).alias("red")
+        ).collect()
+    }
+    assert out[0] == "mail [PII] and [PII] plus [PII] call [PII]"
+    assert out[1] == "nothing sensitive here"
+
+
+def test_redact_terms_whole_word_only(spark):
+    df = spark.createDataFrame([(0, "hash hashing rehash hash")], "doc_id long, text string")
+    red = df.select(X.redact("text", terms=["hash"], replacement="X").alias("r")).collect()[0]["r"]
+    assert red == "X hashing rehash X"  # substrings untouched
+    n = df.select(X.match_count("text", X.term_pattern(["hash"])).alias("n")).collect()[0]["n"]
+    assert n == 2
+
+
+def test_pack_sequences_greedy_and_oversize(spark):
+    from knime_core_columnar_spark.operators.packing import pack_sequences
+
+    # single stream -> deterministic id-order packing we can hand-compute
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([40, 50, 20, 300, 60, 90])],
+        "doc_id long, n_tokens long",
+    )
+    out = pack_sequences(df, "doc_id", "n_tokens", capacity=100, n_streams=1)
+    packs = {r["doc_id"]: r["pack_id"] for r in out.collect()}
+    # 40+50 = 90 <= 100; +20 would be 110 -> new pack; 300 oversize alone;
+    # 60+90 = 150 > 100 -> 60 joins 20's pack? no: 20+300 > 100 so packs are
+    # [40,50], [20], [300], [60], [90]? walk: acc=40; +50=90 ok; +20=110 new
+    # (acc=20); +300=320 new (acc=300, oversize pack); +60 new (300+60>100,
+    # acc=60); +90=150>100 new (acc=90).
+    assert packs == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    # every pack except oversize ones fits the budget
+    sums = (
+        out.groupBy("pack_id").agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    for r in sums:
+        assert r["s"] <= 100 or r["s"] == 300
+
+
+def test_seeded_shuffle_stable_and_complete(spark):
+    from knime_core_columnar_spark.operators.sampling import seeded_shuffle
+
+    df = spark.range(0, 97).withColumnRenamed("id", "doc_id").repartition(7)
+    a = seeded_shuffle(df, ["doc_id"], seed="e1")
+    rows = a.collect()
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(97))
+    m1 = {r["doc_id"]: r["shuffle_pos"] for r in rows}
+    m2 = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in seeded_shuffle(df.repartition(3), ["doc_id"], seed="e1").collect()
+    }
+    assert m1 == m2  # partitioning-independent
+    m3 = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in seeded_shuffle(df, ["doc_id"], seed="e2").collect()
+    }
+    assert m3 != m1  # new epoch -> new permutation
