@@ -3992,6 +3992,51 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "boilerplate_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, ('0x' || substring(md5(x), 1, 15))::BIGINT AS h
+      FROM grams, unnest(s) AS u(x)
+    ), nd AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), dfq AS (
+      SELECT h, COUNT(*) AS dfc FROM sh GROUP BY h
+    ), boiler AS (
+      SELECT h FROM dfq, nd WHERE dfc * 100 >= 5 * n_docs
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_ngrams FROM sh GROUP BY 1
+    ), hits AS (
+      SELECT doc_id, COUNT(*) AS n_boilerplate
+      FROM sh JOIN boiler USING (h) GROUP BY 1
+    )
+    SELECT tot.doc_id, n_ngrams,
+           COALESCE(n_boilerplate, 0) AS n_boilerplate,
+           CAST(COALESCE(n_boilerplate, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+             AS boilerplate_ratio
+    FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+    """,
+)
+def boilerplate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated-content detection (operators.dedup.boilerplate_ngrams):
+    3-grams present in ≥5% of all documents are boilerplate; per-doc
+    boilerplate ratio is the quality-gate signal. One shingle pass, one
+    document-frequency aggregation over 60-bit hashes, broadcast
+    semi-join back — exact integer threshold, fully oracle-gated."""
+    from knime_core_columnar_spark.operators.dedup import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_doc_pct=5
+    )
+
+
+@query(
     "pii_redact",
     """
     SELECT doc_id,

@@ -469,3 +469,50 @@ def ngram_contamination(
             ).alias("contamination"),
         )
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_doc_pct: int = 5,
+) -> DataFrame:
+    """Intra-corpus boilerplate detection — the C4/RefinedWeb-style pass
+    that finds templated content (nav bars, license headers, cookie
+    banners) by document frequency: an n-gram is boilerplate when it
+    occurs in ≥ ``min_doc_pct``% of all documents. Output per doc:
+    distinct-ngram count, boilerplate-ngram count, and the ratio a
+    quality gate thresholds on.
+
+    Scale shape: same machinery as ``ngram_contamination`` — codegen
+    shingling, immediate collapse to 60-bit hashes, one count-distinct
+    aggregation for document frequency, then a hash-sized semi-join back
+    (boilerplate set is small ⇒ broadcast). The threshold compare is
+    exact integer arithmetic (``df * 100 ≥ pct * n_docs``), so
+    membership is engine-independent."""
+    sh = (
+        shingle_rows(df, id_col, text_col, n)
+        .select(id_col, base_hash60(F.col("__s")).alias("__h"))
+        .distinct()
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__nd"))
+    dfreq = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    boiler = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") * 100 >= min_doc_pct * F.col("__nd"))
+        .select("__h")
+    )
+    tot = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = sh.join(boiler, "__h").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_boilerplate")
+    )
+    return tot.join(hits, id_col, "left").select(
+        id_col,
+        "n_ngrams",
+        F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
+        (
+            F.coalesce("n_boilerplate", F.lit(0)).cast("double")
+            / F.col("n_ngrams").cast("double")
+        ).alias("boilerplate_ratio"),
+    )

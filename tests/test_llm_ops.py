@@ -285,3 +285,24 @@ def test_seeded_shuffle_stable_and_complete(spark):
         for r in seeded_shuffle(df, ["doc_id"], seed="e2").collect()
     }
     assert m3 != m1  # new epoch -> new permutation
+
+
+def test_boilerplate_ngrams_threshold(spark):
+    # 'all rights reserved' appears in 3 of 4 docs (75%); each doc also
+    # has unique trigrams. With min_doc_pct=50 only the shared one flags.
+    rows = [
+        (0, "all rights reserved alpha beta gamma"),
+        (1, "all rights reserved delta epsilon zeta"),
+        (2, "all rights reserved eta theta iota"),
+        (3, "kappa lam mu nu xi omicron"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.boilerplate_ngrams(df, "doc_id", "text", n=3, min_doc_pct=50).collect()
+    }
+    # docs 0-2: 4 distinct trigrams each, exactly 1 boilerplate
+    for d in (0, 1, 2):
+        assert out[d]["n_ngrams"] == 4 and out[d]["n_boilerplate"] == 1
+        assert out[d]["boilerplate_ratio"] == pytest.approx(0.25)
+    assert out[3]["n_boilerplate"] == 0
