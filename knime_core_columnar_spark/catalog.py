@@ -4143,6 +4143,193 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_tokens", capacity=512, n_streams=8)
 
 
+@query(
+    "segment_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ), w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM corpus
+    ), c0 AS (
+      SELECT doc_id, CAST((i - 1) // 15 AS INT) AS cid, word, i FROM w
+    ), c AS (
+      SELECT doc_id, cid, string_agg(word, ' ' ORDER BY i) AS chunk
+      FROM c0 GROUP BY doc_id, cid
+    ), k AS (
+      SELECT doc_id, cid, chunk,
+             ROW_NUMBER() OVER (PARTITION BY substring(md5(chunk), 1, 16)
+                                ORDER BY doc_id, cid) = 1 AS kept
+      FROM c
+    )
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY cid), '')
+             AS dedup_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def segment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup (operators.dedup.segment_dedup): the
+    corpus is documents plus a mirrored copy of every 7th doc (simulating
+    syndicated/mirrored pages); each 15-word segment survives only at its
+    first (doc_id, position) occurrence and documents are reassembled
+    from surviving segments. Mirrors therefore come back with
+    n_kept = 0 and empty text while originals are untouched — every
+    byte of the rewrite is value-checked against the oracle's
+    window-function replay."""
+    from knime_core_columnar_spark.operators.dedup import segment_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mirrors = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return segment_dedup(d.unionByName(mirrors))
+
+
+@query(
+    "unigram_lm_quality",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ), v AS (
+      SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
+    ), t AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM v
+    ), lp AS (
+      SELECT word, cnt,
+             CAST(round(round(ln(CAST(cnt AS DOUBLE) / tot), 6) * 1000000)
+               AS BIGINT) AS lp6
+      FROM v, t
+    )
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           round(CAST(SUM(lp6) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS avg_logprob
+    FROM w JOIN lp USING (word) GROUP BY doc_id
+    """,
+)
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM scoring (operators.text
+    .unigram_logprob): mean token log-probability per document — the
+    KenLM-free perplexity-style quality gate. Per-token log-probs are
+    rounded and scaled to int64 BEFORE summing, so the per-doc
+    aggregation is exact integer math on both engines (summation-order
+    independent); the oracle replays the identical two-pass train+score
+    pipeline in SQL."""
+    from knime_core_columnar_spark.operators.text import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob(d, "doc_id", "text", rare_threshold=5)
+
+
+@query(
+    "source_quality_rollup",
+    """
+    WITH t0 AS (
+      SELECT source, CAST(length(text) AS DOUBLE) AS n,
+             len(string_split_regex(trim(text), '\\s+')) AS ntok,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+               / length(text) AS pr,
+             length(text) AS nchars
+      FROM documents
+    ), q AS (
+      SELECT source, ntok, nchars,
+             CAST(round((
+               (CASE WHEN n < 20 THEN n / 20.0 WHEN n > 4000 THEN 0.5 ELSE 1.0 END) * 0.4
+               + (1.0 - least(pr * 5.0, 1.0)) * 0.3
+               + (CASE WHEN n / ntok >= 3.0 AND n / ntok <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
+             ) * 1000000) AS BIGINT) AS q6
+      FROM t0
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           CAST(SUM(nchars) AS BIGINT) AS total_chars,
+           round(CAST(SUM(q6) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS avg_quality,
+           CAST(SUM(CASE WHEN q6 < 800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+    FROM q GROUP BY source
+    """,
+)
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality rollup — the domain-level curation view (keep
+    or drop whole sources by aggregate quality, as web pipelines do per
+    domain): document counts, token/char budgets, mean composite quality
+    (scaled-int64 exact aggregation of the per-row score), and the count
+    of low-quality docs per source. One scan, one partial-aggregated
+    groupBy on the source key."""
+    from knime_core_columnar_spark.operators import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    q6 = F.round(X.quality_score("text") * 1_000_000, 0).cast("long")
+    per = d.select(
+        "source",
+        q6.alias("q6"),
+        X.token_count("text").alias("ntok"),
+        F.length("text").alias("nchars"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+        F.sum("nchars").alias("total_chars"),
+        F.round(
+            F.sum("q6").cast("double") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+        ).alias("avg_quality"),
+        F.sum((F.col("q6") < 800_000).cast("int")).alias("n_low_quality"),
+    )
+
+
+@query(
+    "mixture_by_lang",
+    """
+    WITH b AS (
+      SELECT lang,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 15))::BIGINT
+               % 10000 AS bkt,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok
+      FROM documents
+    ), k AS (
+      SELECT lang, ntok,
+             CASE WHEN lang = 'en' THEN bkt < 3000
+                  WHEN lang = 'de' THEN bkt < 10000
+                  WHEN lang = 'fr' THEN bkt < 10000
+                  WHEN lang = 'es' THEN bkt < 8000
+                  ELSE bkt < 1000 END AS kept
+      FROM b
+    )
+    SELECT lang, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(ntok) AS BIGINT) AS w_total,
+           CAST(SUM(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT) AS w_kept
+    FROM k GROUP BY lang
+    """,
+)
+def mixture_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture audit (operators.sampling.mixture_report):
+    deterministic per-language keep-decisions (downsample dominant
+    English to 30%, keep the rest at 100/100/80/10%) reported as
+    total vs kept rows and token weights per language — the mixing-ratio
+    / token-budget check a pipeline runs before materializing an epoch.
+    The keep bit is the stable row-key hash, so the report is an exact
+    preview of what stratified_sample would emit."""
+    from knime_core_columnar_spark.operators.sampling import mixture_report
+    from knime_core_columnar_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+    return mixture_report(
+        d,
+        ["doc_id"],
+        "lang",
+        {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 0.8},
+        weight_col=F.col("n_tokens"),
+        default_fraction=0.1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # partsupp TPC-H patterns (q2/q9/q11/q16/q20) — pre-staged.
 #

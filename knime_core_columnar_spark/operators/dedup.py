@@ -516,3 +516,66 @@ def boilerplate_ngrams(
             / F.col("n_ngrams").cast("double")
         ).alias("boilerplate_ratio"),
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_chunk: int = 15,
+) -> DataFrame:
+    """Segment-level exact dedup — the paragraph/line dedup pass of
+    C4/CCNet-style pipelines, at fixed ``words_per_chunk``-word segment
+    granularity (the synthetic corpus has no newlines, so segments stand
+    in for paragraphs): a segment is kept only at its FIRST occurrence
+    in the corpus (minimum ``(doc_id, position)``); later copies —
+    mirrored pages, quoted passages, syndicated content — are dropped,
+    and each document's text is reassembled from its surviving segments.
+
+    Scale shape: segments come from a pure array expression (slice over
+    the token array — codegen, no explode-then-regroup for chunking);
+    duplicate detection shuffles on a 64-bit md5 prefix of the segment
+    (winner = min struct, deterministic at any parallelism); the corpus
+    text shuffles exactly twice (once keyed by segment hash to tag
+    losers, once by doc to reassemble) — both unavoidable since the
+    output *is* the rewritten corpus. No window over the whole corpus,
+    no driver materialization.
+
+    Output per input doc: ``n_chunks``, ``n_kept``, ``dedup_text``
+    ('' when every segment was a duplicate — the doc row is preserved,
+    a downstream gate drops empties).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(words_per_chunk)).cast("int")
+    chunks = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * words_per_chunk + 1, words_per_chunk), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg = df.select(id_col, F.posexplode(chunks).alias("cid", "chunk")).withColumn(
+        "__h", F.substring(F.md5("chunk"), 1, 16)
+    )
+    winners = seg.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("cid").alias("c"))).alias("__w")
+    )
+    tagged = seg.join(winners, "__h").withColumn(
+        "kept",
+        (F.col(id_col) == F.col("__w.i")) & (F.col("cid") == F.col("__w.c")),
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("cid", "chunk")))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )

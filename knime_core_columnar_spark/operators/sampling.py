@@ -21,7 +21,13 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "deterministic_sample", "hash_split", "seeded_shuffle"]
+__all__ = [
+    "hash_bucket",
+    "deterministic_sample",
+    "hash_split",
+    "seeded_shuffle",
+    "mixture_report",
+]
 
 _BUCKETS = 10_000
 
@@ -133,3 +139,45 @@ def seeded_shuffle(
         .withColumn(pos_col, (F.col("__local") + F.col("__offset")).cast("long"))
         .drop("__h", "__pid", "__local", "__offset")
     )
+
+
+def mixture_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    strata_col: str,
+    fractions: Mapping[str, float],
+    weight_col: Column | None = None,
+    default_fraction: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Data-mixture audit for training-set composition: apply the same
+    per-stratum deterministic keep-decision as ``stratified_sample``,
+    but WITHOUT filtering — return one row per stratum with total rows,
+    kept rows, and (optionally) total/kept weight (e.g. token counts),
+    so a pipeline can verify its source-mixing ratios and token budget
+    before materializing anything. Adding data never changes an existing
+    row's keep decision (stable hash), so the report is a faithful
+    preview of the sampled corpus.
+
+    One scan, one partial-aggregated groupBy on the stratum — no join,
+    no window; the keep decision is a pure codegen expression.
+    """
+    b = hash_bucket(key_cols, salt)
+    expr = F.lit(False)
+    for stratum, frac in fractions.items():
+        expr = expr | (
+            (F.col(strata_col) == stratum) & (b < int(round(frac * _BUCKETS)))
+        )
+    listed = F.coalesce(F.col(strata_col).isin(*fractions.keys()), F.lit(False))
+    expr = expr | (~listed & (b < int(round(default_fraction * _BUCKETS))))
+    kept = expr.cast("int")
+    aggs = [
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept).alias("n_kept"),
+    ]
+    if weight_col is not None:
+        aggs += [
+            F.sum(weight_col.cast("long")).alias("w_total"),
+            F.sum(F.when(expr, weight_col.cast("long")).otherwise(0)).alias("w_kept"),
+        ]
+    return df.groupBy(strata_col).agg(*aggs)

@@ -303,3 +303,59 @@ def match_count(col: Column | str, pattern: str) -> Column:
     """Number of matches of ``pattern`` (audit metric for redaction)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_count(c, F.lit(pattern)).cast("long")
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_threshold: int = 5,
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    cheap perplexity-style quality filter (a KenLM stand-in that needs
+    no external model): train unigram frequencies on the corpus itself,
+    then score each doc by its mean token log-probability. Gibberish,
+    OCR noise, and wrong-language text score far below corpus-typical
+    prose. Also counts tokens rarer than ``rare_threshold``.
+
+    Determinism (the moment_stats trick, applied to logs): per-token
+    log-probs are rounded to 6 decimals and SCALED TO INT64 *before*
+    the per-doc sum, so the aggregation is exact integer math — immune
+    to float summation order across partitions and engines. The only
+    cross-engine float op is one ``ln`` on identical doubles.
+
+    Scale shape: token explode → one count agg for the vocabulary (maps
+    partial-aggregate, vocab ≪ corpus) → corpus total via 1-row
+    broadcast cross-join → token⋈vocab join on the word (AQE broadcasts
+    when the vocab is small) → per-doc integer sum. No windows, no
+    driver collect.
+
+    Output: ``id_col``, ``n_words``, ``n_rare``, ``avg_logprob``.
+    """
+    w = df.select(id_col, F.explode(tokens(text_col)).alias("__w"))
+    vocab = w.groupBy("__w").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").cast("double").alias("__tot"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "__w",
+        "__cnt",
+        F.round(
+            F.round(F.log(F.col("__cnt").cast("double") / F.col("__tot")), 6)
+            * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("__lp6"),
+    )
+    return (
+        w.join(lp, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum((F.col("__cnt") < rare_threshold).cast("int")).alias("n_rare"),
+            F.round(
+                F.sum("__lp6").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

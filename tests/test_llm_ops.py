@@ -306,3 +306,67 @@ def test_boilerplate_ngrams_threshold(spark):
         assert out[d]["n_ngrams"] == 4 and out[d]["n_boilerplate"] == 1
         assert out[d]["boilerplate_ratio"] == pytest.approx(0.25)
     assert out[3]["n_boilerplate"] == 0
+
+
+def test_segment_dedup_removes_mirror(spark):
+    base = "w" + " w".join(str(i) for i in range(29))  # 30 words -> 2 chunks
+    rows = [(0, base), (1, base), (2, "unique words only here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.segment_dedup(df, words_per_chunk=15).collect()
+    }
+    assert out[0]["n_chunks"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["dedup_text"] == base  # reassembly is byte-faithful
+    assert out[1]["n_kept"] == 0 and out[1]["dedup_text"] == ""
+    assert out[2]["n_kept"] == 1
+
+
+def test_segment_dedup_partial_overlap(spark):
+    # doc 1 shares only its FIRST 15-word chunk with doc 0
+    c0 = " ".join(f"a{i}" for i in range(15))
+    c1 = " ".join(f"b{i}" for i in range(15))
+    c2 = " ".join(f"c{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [(0, c0 + " " + c1), (1, c0 + " " + c2)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in D.segment_dedup(df).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["dedup_text"] == c2  # surviving chunk keeps its order
+
+
+def test_unigram_logprob_orders_quality(spark):
+    common = [(i, "the common words appear here") for i in range(8)]
+    rare = [(100, "zzyzx qwfp vexing")]
+    df = spark.createDataFrame(common + rare, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in X.unigram_logprob(df).collect()}
+    # every token of doc 100 is rare -> far lower mean logprob
+    assert out[100]["avg_logprob"] < out[0]["avg_logprob"]
+    assert out[100]["n_rare"] == 3
+    assert out[0]["n_words"] == 5
+
+
+def test_mixture_report_counts(spark):
+    from knime_core_columnar_spark.operators.sampling import (
+        mixture_report,
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "zh", i % 7 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    rep = {
+        r["lang"]: r
+        for r in mixture_report(
+            df, ["doc_id"], "lang", {"en": 0.5}, weight_col=F.col("w"),
+            default_fraction=0.0, salt="mix",
+        ).collect()
+    }
+    assert rep["en"]["n_total"] == 100 and rep["zh"]["n_kept"] == 0
+    assert 20 <= rep["en"]["n_kept"] <= 80  # hash split is ~fair
+    # the report previews exactly what stratified_sample would keep
+    kept = stratified_sample(
+        df, ["doc_id"], "lang", {"en": 0.5}, default_fraction=0.0, salt="mix"
+    )
+    agg = kept.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in agg} == {"en": rep["en"]["n_kept"]}
+    assert rep["en"]["w_kept"] <= rep["en"]["w_total"]
