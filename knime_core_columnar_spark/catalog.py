@@ -4199,7 +4199,8 @@ def segment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), v AS (
       SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
     ), t AS (
-      SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM v
+      SELECT CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS tot
+      FROM documents
     ), lp AS (
       SELECT word, cnt,
              CAST(round(round(ln(CAST(cnt AS DOUBLE) / tot), 6) * 1000000)

@@ -325,16 +325,19 @@ def unigram_logprob(
     cross-engine float op is one ``ln`` on identical doubles.
 
     Scale shape: token explode → one count agg for the vocabulary (maps
-    partial-aggregate, vocab ≪ corpus) → corpus total via 1-row
-    broadcast cross-join → token⋈vocab join on the word (AQE broadcasts
-    when the vocab is small) → per-doc integer sum. No windows, no
-    driver collect.
+    partial-aggregate, vocab ≪ corpus) → corpus total from a separate
+    NARROW scan (``sum(size(tokens))`` — no explode, no re-agg of the
+    vocabulary) broadcast as one row → token⋈vocab join on the word
+    (AQE broadcasts when the vocab is small) → per-doc integer sum.
+    No windows, no driver collect.
 
     Output: ``id_col``, ``n_words``, ``n_rare``, ``avg_logprob``.
     """
     w = df.select(id_col, F.explode(tokens(text_col)).alias("__w"))
     vocab = w.groupBy("__w").agg(F.count(F.lit(1)).alias("__cnt"))
-    total = vocab.agg(F.sum("__cnt").cast("double").alias("__tot"))
+    total = df.agg(
+        F.sum(F.size(tokens(text_col))).cast("double").alias("__tot")
+    )
     lp = vocab.crossJoin(F.broadcast(total)).select(
         "__w",
         "__cnt",
