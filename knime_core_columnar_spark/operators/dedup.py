@@ -226,7 +226,28 @@ def ngram_jaccard_pairs(
     # shuffle keys and cheaper compares; at <2^30 distinct shingles the
     # collision probability is < 1e-9, and a collision would only merge
     # two shingles — results equal the string-keyed formulation
-    rows = shingle_rows(df, id_col, text_col, shingle_n).select(
+    src = df
+    if candidates is not None:
+        # Only candidate docs need their shingle sets materialized: a
+        # semi-join pre-filter keeps the collect_list aggregation
+        # candidate-sized instead of corpus-sized (at 100 TB the LSH
+        # survivors are a small fraction of the corpus; Catalyst cannot
+        # infer this restriction through the aggregate on its own).
+        # The candidate frame is referenced three times below (id
+        # filter + both verify joins) — localCheckpoint computes the
+        # (small, LSH-survivor-sized) pair set once instead of
+        # re-running the whole candidate-generation subtree per
+        # reference. Eager: the materialization runs as its own small
+        # job (measured faster than lazy, which blocks the first
+        # consumer stage's pipelining on the checkpoint write).
+        candidates = candidates.localCheckpoint(eager=True)
+        ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        src = df.join(ids, id_col, "left_semi")
+    rows = shingle_rows(src, id_col, text_col, shingle_n).select(
         F.col(id_col), base_hash60(F.col("__s")).alias("__h")
     )
     sh = rows.groupBy(id_col).agg(
