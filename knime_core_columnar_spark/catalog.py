@@ -1587,6 +1587,71 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_ivf",
+    """
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    s AS (
+      SELECT vec_id, embedding,
+             ('0x' || substring(md5(CAST(vec_id AS VARCHAR) || '|ivf-centroids'), 1, 15))::BIGINT
+               % 10000 AS h
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
+      FROM s, nn
+      WHERE h <= least(10000, CAST(floor(640000.0 / n + 0.5) AS BIGINT))
+      ORDER BY h, vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, cv, cell_id FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], c.cent)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cent, c.cent))) DESC, c.cell_id) AS rk
+        FROM embeddings e, cents c
+      ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, qv, cell_id FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS qv, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], c.cent)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cent, c.cent))) DESC, c.cell_id) AS rk
+        FROM embeddings e, cents c
+        WHERE e.vec_id < 10
+      ) WHERE rk <= 4
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT p.query_id, a.neighbor_id,
+             round(list_dot_product(p.qv, a.cv)
+                   / (sqrt(list_dot_product(p.qv, p.qv))
+                      * sqrt(list_dot_product(a.cv, a.cv))), 6) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+               round(list_dot_product(p.qv, a.cv)
+                     / (sqrt(list_dot_product(p.qv, p.qv))
+                        * sqrt(list_dot_product(a.cv, a.cv))), 6) DESC,
+               a.neighbor_id) AS rank
+      FROM probes p JOIN assigned a USING (cell_id)
+      WHERE a.neighbor_id <> p.query_id
+    ) WHERE rank <= 5
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-tier approximate top-k (operators.similarity.ivf_topk):
+    deterministic hash-sampled centroids, nearest-cell assignment, and
+    4-cell probing are all exact integer/sequential-double arithmetic,
+    so the entire inverted-file pipeline — centroid pick, cell
+    membership, probe set, final ranking — is value-checked against the
+    SQL replay (previously this tier was pytest-only)."""
+    from knime_core_columnar_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter("vec_id < 10"), k=5, ncells=16, nprobe=4)
+
+
+@query(
     "embedding_neardup_lsh",
     f"""
     WITH b AS (

@@ -228,20 +228,31 @@ def ivf_topk(
     (sampling.hash_bucket — partitioning-independent, no global sort;
     the previous row_number-over-unpartitioned-Window pulled the whole
     corpus through one partition) and only then sorts the tiny survivor
-    set for a stable pick."""
+    set for a stable pick.
+
+    Fully deterministic (and therefore oracle-checkable): the sample
+    threshold is floor(x + 0.5) — mirrorable in SQL, unlike Python's
+    banker's round — and every row_number window carries a cell_id
+    tie-break so assignment/probing never depend on partition order."""
+    import math
+
     from knime_core_columnar_spark.operators.sampling import _BUCKETS, hash_bucket
 
     n = corpus.count()  # one scalar aggregate to size the sample fraction
-    frac = min(1.0, (4.0 * ncells) / max(n, 1))
+    thr = min(
+        _BUCKETS, int(math.floor((4.0 * ncells * _BUCKETS) / max(n, 1) + 0.5))
+    )
     h = hash_bucket([id_col], salt="ivf-centroids")
     cents = (
         corpus.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
-        .filter(F.col("__h") <= int(round(frac * _BUCKETS)))
+        .filter(F.col("__h") <= thr)
         .orderBy("__h", id_col)  # sorts only the ~4·ncells sampled rows
         .limit(ncells)
         .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("__cent"))
     )
-    assign_w = Window.partitionBy(id_col).orderBy(F.col("__d").desc())
+    assign_w = Window.partitionBy(id_col).orderBy(
+        F.col("__d").desc(), F.col("cell_id")
+    )
     assigned = (
         corpus.crossJoin(F.broadcast(cents))
         .withColumn("__d", cosine(F.col(vec_col), F.col("__cent")))
@@ -249,7 +260,9 @@ def ivf_topk(
         .filter(F.col("__rk") == 1)
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell_id")
     )
-    probe_w = Window.partitionBy(id_col).orderBy(F.col("__d").desc())
+    probe_w = Window.partitionBy(id_col).orderBy(
+        F.col("__d").desc(), F.col("cell_id")
+    )
     probes = (
         queries.crossJoin(F.broadcast(cents))
         .withColumn("__d", cosine(F.col(vec_col), F.col("__cent")))
