@@ -111,3 +111,51 @@ def test_bucketed_join_zero_exchange(spark):
     p = plan_of(spark, "bucketed_join")
     assert "SortMergeJoin" in p
     assert "Exchange" not in p
+
+
+def test_segment_dedup_no_corpus_window(spark):
+    """Winner selection is a hash aggregate on the segment hash, never a
+    window over the corpus; both text shuffles are partial-aggregated."""
+    p = plan_of(spark, "segment_dedup")
+    assert "Window" not in p  # winner = min(struct), not row_number
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") + p.count("ObjectHashAggregate") + p.count(
+        "SortAggregate"
+    ) >= 2  # partial + final
+
+
+def test_unigram_lm_single_vocab_agg(spark):
+    """Corpus token total must come from the narrow sum(size(tokens))
+    scan: exactly ONE word-keyed aggregation pair (vocab count), not
+    two (the naive total = re-agg of vocab doubles the explode)."""
+    p = plan_of(spark, "unigram_lm_quality")
+    assert p.count("hashpartitioning(__w") == 1
+    assert "Window" not in p
+
+
+def test_jaccard_prefilter_semi_join(spark):
+    """The verify stage aggregates only candidate docs: a LeftSemi join
+    restricts the corpus before shingle collection."""
+    p = plan_of(spark, "neardup_pipeline")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivf_no_global_sort_or_cross(spark):
+    """IVF: centroid pick sorts only the hash-sampled survivors (inside
+    a 16-row limit), assignment/probing join broadcast centroids, and
+    the cell join is a hash join, not a cross product."""
+    p = plan_of(spark, "ann_topk_ivf")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # centroids + query side broadcast
+    assert "TakeOrderedAndProject" in p or "GlobalLimit" in p  # tiny sorted pick
+
+
+def test_mixture_report_single_scan(spark):
+    """Mixture audit: one scan, one exchange (the per-stratum rows)."""
+    import re
+
+    p = plan_of(spark, "mixture_by_lang")
+    # formatted mode lists each node twice (tree + details): count node ids
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
