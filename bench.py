@@ -47,9 +47,14 @@ HEADLINE = [
     "embedding_neardup_lsh",
     "ann_topk",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "multimodal_meta",
     "events_hourly",
     "session_windows_batch",
+    # round-3 additions
+    "segment_dedup",
+    "unigram_lm_quality",
+    "mixture_by_lang",
 ]
 
 
