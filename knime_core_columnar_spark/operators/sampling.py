@@ -50,6 +50,29 @@ def deterministic_sample(
     return df.filter(hash_bucket(key_cols, salt) < int(round(fraction * _BUCKETS)))
 
 
+def _stratum_keep_expr(
+    key_cols: Sequence[str],
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float,
+    salt: str,
+) -> Column:
+    """The per-stratum keep decision shared by ``stratified_sample`` and
+    ``mixture_report`` — ONE definition so the report is always a
+    faithful preview of the sample (any drift between two copies of
+    this expression would silently break that contract)."""
+    b = hash_bucket(key_cols, salt)
+    expr = F.lit(False)
+    for stratum, frac in fractions.items():
+        expr = expr | (
+            (F.col(strata_col) == stratum) & (b < int(round(frac * _BUCKETS)))
+        )
+    # NULL strata must take the default branch too: ~isin(...) is NULL
+    # for a NULL stratum and NULL & pred filters the row out silently
+    listed = F.coalesce(F.col(strata_col).isin(*fractions.keys()), F.lit(False))
+    return expr | (~listed & (b < int(round(default_fraction * _BUCKETS))))
+
+
 def stratified_sample(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -63,17 +86,9 @@ def stratified_sample(
     the row-key hash — rebalancing class distributions for training
     data without partition-order dependence. Strata not listed keep
     ``default_fraction``. Pure Catalyst expressions, no shuffle."""
-    b = hash_bucket(key_cols, salt)
-    expr = None
-    for stratum, frac in fractions.items():
-        cond = (F.col(strata_col) == stratum) & (b < int(round(frac * _BUCKETS)))
-        expr = cond if expr is None else expr | cond
-    # NULL strata must take the default branch too: ~isin(...) is NULL
-    # for a NULL stratum and NULL & pred filters the row out silently
-    listed = F.coalesce(F.col(strata_col).isin(*fractions.keys()), F.lit(False))
-    rest = ~listed & (b < int(round(default_fraction * _BUCKETS)))
-    expr = rest if expr is None else expr | rest
-    return df.filter(expr)
+    return df.filter(
+        _stratum_keep_expr(key_cols, strata_col, fractions, default_fraction, salt)
+    )
 
 
 def hash_split(
@@ -148,7 +163,7 @@ def mixture_report(
     fractions: Mapping[str, float],
     weight_col: Column | None = None,
     default_fraction: float = 0.0,
-    salt: str = "mix",
+    salt: str = "strata",
 ) -> DataFrame:
     """Data-mixture audit for training-set composition: apply the same
     per-stratum deterministic keep-decision as ``stratified_sample``,
@@ -157,19 +172,16 @@ def mixture_report(
     so a pipeline can verify its source-mixing ratios and token budget
     before materializing anything. Adding data never changes an existing
     row's keep decision (stable hash), so the report is a faithful
-    preview of the sampled corpus.
+    preview of the sampled corpus — the decision expression AND its
+    default salt are shared with ``stratified_sample``, so calling both
+    at defaults previews/materializes the SAME corpus.
 
     One scan, one partial-aggregated groupBy on the stratum — no join,
     no window; the keep decision is a pure codegen expression.
     """
-    b = hash_bucket(key_cols, salt)
-    expr = F.lit(False)
-    for stratum, frac in fractions.items():
-        expr = expr | (
-            (F.col(strata_col) == stratum) & (b < int(round(frac * _BUCKETS)))
-        )
-    listed = F.coalesce(F.col(strata_col).isin(*fractions.keys()), F.lit(False))
-    expr = expr | (~listed & (b < int(round(default_fraction * _BUCKETS))))
+    expr = _stratum_keep_expr(
+        key_cols, strata_col, fractions, default_fraction, salt
+    )
     kept = expr.cast("int")
     aggs = [
         F.count(F.lit(1)).alias("n_total"),

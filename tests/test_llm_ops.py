@@ -309,7 +309,7 @@ def test_boilerplate_ngrams_threshold(spark):
 
 
 def test_segment_dedup_removes_mirror(spark):
-    base = "w" + " w".join(str(i) for i in range(29))  # 30 words -> 2 chunks
+    base = " ".join(f"w{i}" for i in range(30))  # 30 words -> 2 FULL chunks
     rows = [(0, base), (1, base), (2, "unique words only here")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {
@@ -358,15 +358,25 @@ def test_mixture_report_counts(spark):
         r["lang"]: r
         for r in mixture_report(
             df, ["doc_id"], "lang", {"en": 0.5}, weight_col=F.col("w"),
-            default_fraction=0.0, salt="mix",
         ).collect()
     }
     assert rep["en"]["n_total"] == 100 and rep["zh"]["n_kept"] == 0
     assert 20 <= rep["en"]["n_kept"] <= 80  # hash split is ~fair
-    # the report previews exactly what stratified_sample would keep
-    kept = stratified_sample(
-        df, ["doc_id"], "lang", {"en": 0.5}, default_fraction=0.0, salt="mix"
-    )
+    # the report previews exactly what stratified_sample keeps AT
+    # DEFAULT ARGUMENTS (shared keep expression + shared default salt)
+    kept = stratified_sample(df, ["doc_id"], "lang", {"en": 0.5})
     agg = kept.groupBy("lang").count().collect()
     assert {r["lang"]: r["count"] for r in agg} == {"en": rep["en"]["n_kept"]}
     assert rep["en"]["w_kept"] <= rep["en"]["w_total"]
+
+
+def test_segment_dedup_null_and_empty_text_preserved(spark):
+    df = spark.createDataFrame(
+        [(0, "real words here"), (1, None), (2, ""), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.segment_dedup(df).collect()}
+    assert set(out) == {0, 1, 2, 3}  # no doc vanishes from the rewrite
+    # NULL and '' are one empty segment; the corpus-first empty doc wins
+    assert out[1]["n_kept"] == 1 and out[1]["dedup_text"] == ""
+    assert out[2]["n_kept"] == 0 and out[3]["n_kept"] == 0
