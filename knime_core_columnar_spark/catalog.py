@@ -4209,6 +4209,64 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "impute_timeseries",
+    """
+    WITH m AS (
+      SELECT event_id, user_id,
+             CASE WHEN ('0x' || substring(md5(CAST(event_id AS VARCHAR) || '|gap'), 1, 15))::BIGINT
+                       % 10000 >= 2000
+                  THEN value END AS v
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id, v,
+             last_value(v IGNORE NULLS) OVER fw AS pv,
+             first_value(v IGNORE NULLS) OVER bw AS nv,
+             last_value(CASE WHEN v IS NOT NULL THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
+               OVER fw AS px,
+             first_value(CASE WHEN v IS NOT NULL THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
+               OVER bw AS nx,
+             CAST(SUM(CAST(v AS DECIMAL(28,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+               / COUNT(v) OVER (PARTITION BY user_id) AS mean_v
+      FROM m
+      WINDOW fw AS (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             bw AS (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, v,
+           COALESCE(v, pv) AS v_ffill,
+           COALESCE(v, nv) AS v_bfill,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE round(pv + (nv - pv) * (CAST(event_id AS DOUBLE) - px) / (nx - px), 6)
+           END AS v_linear,
+           COALESCE(v, round(mean_v, 6)) AS v_mean
+    FROM w
+    """,
+)
+def impute_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation (operators.impute.impute — the KNIME
+    Missing Value node's strategy family): 20% of event values are
+    deterministically masked to NULL (stable md5 gap mask), then filled
+    four ways in one window stage — previous, next, linear
+    interpolation on the event_id axis, and decimal-exact partition
+    mean. Every filled cell is value-checked against the SQL replay."""
+    from knime_core_columnar_spark.operators.impute import impute
+    from knime_core_columnar_spark.operators.sampling import hash_bucket
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    d = e.withColumn(
+        "v", F.when(hash_bucket(["event_id"], "gap") >= 2000, F.col("value"))
+    ).drop("value")
+    d = impute(d, "v", "event_id", ["user_id"], "previous", "v_ffill")
+    d = impute(d, "v", "event_id", ["user_id"], "next", "v_bfill")
+    d = impute(d, "v", "event_id", ["user_id"], "linear", "v_linear")
+    d = impute(d, "v", "event_id", ["user_id"], "mean", "v_mean")
+    return d
+
+
+@query(
     "segment_dedup",
     """
     WITH corpus AS (

@@ -167,3 +167,39 @@ def test_range_join_matches_inequality_join(spark, sf_dir):
         .count()
     )
     assert banded == naive
+
+
+def test_impute_strategies(spark):
+    from knime_core_columnar_spark.operators.impute import impute
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, 40.0),
+        ("a", 5, None),          # trailing gap
+        ("b", 1, None), ("b", 2, 8.0),  # leading gap
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+
+    def got(strategy):
+        out = impute(df, "v", "i", ["k"], strategy, "f",
+                     fill_value=0.0 if strategy == "fixed" else None)
+        return {(r["k"], r["i"]): r["f"] for r in out.collect()}
+
+    ff = got("previous")
+    assert ff[("a", 2)] == 10.0 and ff[("a", 5)] == 40.0
+    assert ff[("b", 1)] is None  # leading NULL stays
+    bf = got("next")
+    assert bf[("a", 3)] == 40.0 and bf[("b", 1)] == 8.0
+    assert bf[("a", 5)] is None  # trailing NULL stays
+    li = got("linear")
+    assert li[("a", 2)] == 20.0 and li[("a", 3)] == 30.0  # true interpolation
+    assert li[("a", 5)] == 40.0 and li[("b", 1)] == 8.0  # nearest-anchor ends
+    mn = got("mean")
+    assert mn[("a", 2)] == 25.0 and mn[("b", 1)] == 8.0
+    fx = got("fixed")
+    assert fx[("a", 2)] == 0.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        impute(df, "v", "i", ["k"], "bogus")
+    with _pt.raises(ValueError):
+        impute(df, "v", "i", ["k"], "fixed")
