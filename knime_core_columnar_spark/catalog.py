@@ -4209,6 +4209,200 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "equal_width_binning",
+    """
+    WITH mm AS (
+      SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS mx
+      FROM orders
+    ), b AS (
+      SELECT CAST(least(9, floor((o_totalprice - mn) / ((mx - mn) / 10.0))) AS INT) AS bin,
+             mn, mx, o_totalprice
+      FROM orders, mm
+    )
+    SELECT bin,
+           round(mn + bin * ((mx - mn) / 10.0), 6) AS bin_lo,
+           round(mn + (bin + 1) * ((mx - mn) / 10.0), 6) AS bin_hi,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM b GROUP BY bin, mn, mx
+    """,
+)
+def equal_width_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width auto-binning (the KNIME Auto-Binner node's
+    equal-width mode): 10 bins spanning [min, max], the top edge closed
+    (least(9, ...) puts v = max in the last bin). Min/max come from one
+    exact aggregate broadcast back over the scan; bin assignment is
+    deterministic double arithmetic; per-bin totals are decimal-exact."""
+    o = _t(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").cast("double").alias("mn"),
+        F.max("o_totalprice").cast("double").alias("mx"),
+    )
+    width = (F.col("mx") - F.col("mn")) / 10.0
+    b = o.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(9), F.floor((F.col("o_totalprice") - F.col("mn")) / width)
+        )
+        .cast("int")
+        .alias("bin"),
+        "mn",
+        "mx",
+        "o_totalprice",
+    )
+    return b.groupBy("bin", "mn", "mx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    ).select(
+        "bin",
+        F.round(F.col("mn") + F.col("bin") * width, 6).alias("bin_lo"),
+        F.round(F.col("mn") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+        "n",
+        "total",
+    )
+
+
+@query(
+    "spearman_corr",
+    """
+    WITH r AS (
+      SELECT l_returnflag,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rq2,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS rp2
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(rq2 AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(rp2 AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rq2 AS DECIMAL(19,0)) * CAST(rq2 AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(rp2 AS DECIMAL(19,0)) * CAST(rp2 AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(rq2 AS DECIMAL(19,0)) * CAST(rp2 AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+      FROM r GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS spearman
+    FROM s
+    """,
+)
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group (the KNIME Rank Correlation
+    node): average ranks with standard tie handling, kept in exact
+    integer space as 2·rank + ties − 1 (doubled average ranks — no
+    fractional arithmetic until the final closed form), moment sums in
+    exact decimals, one Pearson-on-ranks closed form in doubles. Two
+    window sorts + one aggregation; no UDFs."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rq2 = (
+        2 * F.rank().over(Window.partitionBy("l_returnflag").orderBy("l_quantity"))
+        + F.count(F.lit(1)).over(
+            Window.partitionBy("l_returnflag", "l_quantity")
+        )
+        - 1
+    )
+    rp2 = (
+        2
+        * F.rank().over(
+            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        )
+        + F.count(F.lit(1)).over(
+            Window.partitionBy("l_returnflag", "l_extendedprice")
+        )
+        - 1
+    )
+    r = li.select(
+        "l_returnflag",
+        rq2.cast("decimal(19,0)").alias("rq2"),
+        rp2.cast("decimal(19,0)").alias("rp2"),
+    )
+    s = r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rq2").cast("double").alias("sx"),
+        F.sum("rp2").cast("double").alias("sy"),
+        F.sum(F.col("rq2") * F.col("rq2")).cast("double").alias("sxx"),
+        F.sum(F.col("rp2") * F.col("rp2")).cast("double").alias("syy"),
+        F.sum(F.col("rq2") * F.col("rp2")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("spearman"),
+    )
+
+
+@query(
+    "crosstab_chi2",
+    """
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS observed
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ), t AS (
+      SELECT o_orderpriority, o_orderstatus, observed,
+             SUM(observed) OVER (PARTITION BY o_orderpriority) AS row_tot,
+             SUM(observed) OVER (PARTITION BY o_orderstatus) AS col_tot,
+             SUM(observed) OVER () AS grand_tot
+      FROM c
+    )
+    SELECT o_orderpriority, o_orderstatus, observed,
+           round(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                 / CAST(grand_tot AS DOUBLE), 6) AS expected,
+           round(pow(CAST(observed AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                       / CAST(grand_tot AS DOUBLE), 2)
+                 / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                    / CAST(grand_tot AS DOUBLE)), 6) AS chi2_contrib
+    FROM t
+    """,
+)
+def crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table with chi-square contributions (the KNIME
+    Crosstab node): one exact count aggregation, row/column/grand
+    totals as window sums over the tiny cell table (never over the fact
+    table), expected counts and χ² cell contributions in closed-form
+    doubles. The full-table χ² is the sum of the published cells."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    t = c.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("o_orderpriority")).alias("row_tot"),
+        F.sum("observed").over(Window.partitionBy("o_orderstatus")).alias("col_tot"),
+        F.sum("observed").over(
+            Window.partitionBy()
+        ).alias("grand_tot"),
+    )
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand_tot").cast("double")
+    )
+    return t.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            F.pow(F.col("observed").cast("double") - expected, F.lit(2)) / expected, 6
+        ).alias("chi2_contrib"),
+    )
+
+
+@query(
     "impute_timeseries",
     """
     WITH m AS (

@@ -259,3 +259,49 @@ def test_diff_tables(spark):
     )
     out = {r["k"]: r["change"] for r in R.diff_tables(old, new, ["k"]).collect()}
     assert out == {1: "removed", 2: "changed", 3: "unchanged", 4: "unchanged", 5: "added"}
+
+
+def test_spearman_known_values(spark):
+    """Perfectly monotone -> rho 1; perfectly inverse -> rho -1; ties
+    get average ranks (the 2r+t-1 doubled-rank encoding)."""
+    from knime_core_columnar_spark.catalog import QUERIES  # noqa: F401
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [("g", float(i), float(i * 2)) for i in range(1, 6)] + [
+        ("h", float(i), float(10 - i)) for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    rx2 = (
+        2 * F.rank().over(Window.partitionBy("k").orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("k", "x")) - 1
+    )
+    ry2 = (
+        2 * F.rank().over(Window.partitionBy("k").orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("k", "y")) - 1
+    )
+    r = df.select("k", rx2.alias("rx"), ry2.alias("ry"))
+    s = r.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    rho = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    got = {r["k"]: r["rho"] for r in s.select("k", F.round(rho, 6).alias("rho")).collect()}
+    assert got["g"] == 1.0 and got["h"] == -1.0
+
+
+def test_equal_width_binning_top_edge(spark, tmp_path):
+    """v == max lands in the LAST bin (closed top edge), not bin 10."""
+    from knime_core_columnar_spark import catalog
+
+    out = catalog.QUERIES["equal_width_binning"](spark, "/root/testdata/sf0.001")
+    rows = {r["bin"]: r for r in out.collect()}
+    assert max(rows) == 9 and min(rows) >= 0
+    assert sum(r["n"] for r in rows.values()) > 0
