@@ -4209,6 +4209,165 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minmax_normalize",
+    """
+    WITH mm AS (
+      SELECT l_returnflag,
+             CAST(MIN(l_quantity) AS DOUBLE) AS mn,
+             CAST(MAX(l_quantity) AS DOUBLE) AS mx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS _row_key,
+           round((l_quantity - mn) / (mx - mn), 6) AS qty_01
+    FROM lineitem JOIN mm USING (l_returnflag)
+    """,
+)
+def minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max [0,1] normalization per group (the KNIME Normalizer
+    node's min-max mode, sibling of zscore_normalize): exact per-group
+    extrema from one partial-aggregated pass, broadcast back; per-row
+    scaling is deterministic double arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    mm = li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").cast("double").alias("mn"),
+        F.max("l_quantity").cast("double").alias("mx"),
+    )
+    return li.join(F.broadcast(mm), "l_returnflag").select(
+        F.concat_ws("_", "l_orderkey", "l_linenumber").alias("_row_key"),
+        F.round(
+            (F.col("l_quantity") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6
+        ).alias("qty_01"),
+    )
+
+
+@query(
+    "ols_simple_regression",
+    """
+    WITH m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def ols_simple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple linear regression per group (the KNIME Linear Regression
+    learner, univariate case): slope/intercept/R² from decimal-EXACT
+    moment sums in one partial-aggregated pass — closed-form doubles,
+    bit-stable at any parallelism (same machinery as moment_stats). The
+    100 TB path for OLS with one predictor: no gradient iterations, no
+    collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, F.lit(2))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND n_name = 'NATION_7'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 (Suppliers Who Kept Orders Waiting) adapted to the
+    synthetic schema: no l_receiptdate/l_commitdate exist, so "late" is
+    l_shipdate > o_orderdate + 60 days — the multi-supplier EXISTS /
+    sole-late-supplier NOT EXISTS shape is intact. Spark-first: the two
+    correlated subqueries collapse into ONE per-order aggregation
+    (distinct suppliers, distinct LATE suppliers); a lineitem qualifies
+    iff it is late, the order has ≥2 suppliers, and exactly one
+    supplier shipped late. One lineitem⋈orders shuffle, one per-order
+    agg joined back, supplier/nation broadcast, TakeOrdered top-100 —
+    no semi/anti join pair over the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    lo = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == o["o_orderkey"],
+    ).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    qualifying = (
+        lo.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        qualifying.join(
+            F.broadcast(s.join(n, s["s_nationkey"] == n["n_nationkey"])),
+            qualifying["l_suppkey"] == s["s_suppkey"],
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
     "equal_width_binning",
     """
     WITH mm AS (
