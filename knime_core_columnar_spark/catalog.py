@@ -4209,6 +4209,82 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmeans_clusters",
+    """
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS cell_id, embedding::DOUBLE[] AS c
+      FROM (
+        SELECT vec_id, embedding,
+               ('0x' || substring(md5(CAST(vec_id AS VARCHAR) || '|kmeans-seeds'), 1, 15))::BIGINT
+                 % 10000 AS h
+        FROM embeddings
+      ), nn
+      WHERE h <= least(10000, CAST(floor(320000.0 / n + 0.5) AS BIGINT))
+      ORDER BY h, vec_id LIMIT 8
+    ),
+    a1 AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                 + list_dot_product(s.c, s.c)
+                 - 2 * list_dot_product(e.embedding::DOUBLE[], s.c), s.cell_id) AS rk
+        FROM embeddings e, seeds s
+      ) WHERE rk = 1
+    ),
+    u1 AS (
+      SELECT cell_id, d, round(CAST(SUM(x6) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS m
+      FROM (
+        SELECT a1.cell_id,
+               generate_subscripts(e.embedding, 1) AS d,
+               CAST(round(CAST(unnest(e.embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        FROM embeddings e JOIN a1 USING (vec_id)
+      ) GROUP BY cell_id, d
+    ),
+    c1 AS (SELECT cell_id, list(m ORDER BY d) AS c FROM u1 GROUP BY cell_id),
+    a2 AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                 + list_dot_product(s.c, s.c)
+                 - 2 * list_dot_product(e.embedding::DOUBLE[], s.c), s.cell_id) AS rk
+        FROM embeddings e, c1 s
+      ) WHERE rk = 1
+    ),
+    u2 AS (
+      SELECT cell_id, d, round(CAST(SUM(x6) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS m
+      FROM (
+        SELECT a2.cell_id,
+               generate_subscripts(e.embedding, 1) AS d,
+               CAST(round(CAST(unnest(e.embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        FROM embeddings e JOIN a2 USING (vec_id)
+      ) GROUP BY cell_id, d
+    ),
+    c2 AS (SELECT cell_id, list(m ORDER BY d) AS c FROM u2 GROUP BY cell_id)
+    SELECT a2.cell_id, COUNT(*) AS n_members,
+           round(sqrt(list_dot_product(any_value(c2.c), any_value(c2.c))), 6)
+             AS centroid_norm
+    FROM a2 JOIN c2 USING (cell_id)
+    GROUP BY a2.cell_id
+    """,
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means, k=8, two fixed Lloyd iterations
+    (operators.clustering.kmeans_lite — the KNIME k-Means node's
+    capability, Spark-first): hash-sampled seeds, broadcast argmin
+    assignment, scaled-int64 exact centroid updates. The ENTIRE
+    iterative algorithm — both assignments, both updates — is unrolled
+    in the oracle and value-checked, demonstrating that fixed-iteration
+    ML loops remain differentially testable."""
+    from knime_core_columnar_spark.operators.clustering import kmeans_lite
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_lite(e, k=8, iters=2)
+
+
+@query(
     "minmax_normalize",
     """
     WITH mm AS (

@@ -1,0 +1,124 @@
+"""Deterministic k-means (Lloyd's algorithm, fixed iteration count) —
+the KNIME k-Means node's capability expressed Spark-first, built so the
+ENTIRE iterative algorithm is differentially testable against a SQL
+oracle:
+
+- init: centroids are a deterministic md5 hash-sample of the corpus
+  (same scheme as similarity.ivf_topk — partitioning-independent, no
+  global sort);
+- assignment: argmin squared euclidean distance, computed as
+  ``v·v + c·c − 2·v·c`` with every dot product accumulated in element
+  order (bit-identical to DuckDB's list_dot_product), cell_id
+  tie-break;
+- update: per-dimension centroid means in EXACT integer space — each
+  coordinate is scaled to int64 micro-units before summing, so the new
+  centroids are identical at any parallelism and in any engine.
+
+Scale shape: k centroids broadcast to the scan for assignment (one
+narrow pass per iteration, no shuffle of the vectors); the update
+shuffles only (cell, dim, scaled-int) triples — k·dim groups. Iteration
+count is fixed (no convergence-check collect in the plan); each
+iteration adds one broadcast join + one small aggregation to the DAG.
+
+Reference: the KNIME k-Means node (org.knime.base.node.mine.cluster)
+runs on the columnar backend; this is the distributed re-expression,
+not a port.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from knime_core_columnar_spark.operators.similarity import dot
+
+__all__ = ["kmeans_lite"]
+
+
+def _sq_norm(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_lite(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` fixed Lloyd iterations; return one row per
+    non-empty cluster: ``cell_id`` (the seed row's id), ``n_members``
+    (last assignment), and ``centroid_norm`` (L2 norm of the final
+    updated centroid, rounded to 6 decimals).
+
+    Clusters that lose all members in an assignment round disappear
+    (standard Lloyd behavior without re-seeding) — deterministic in
+    both engines."""
+    from knime_core_columnar_spark.operators.sampling import _BUCKETS, hash_bucket
+
+    n = df.count()
+    thr = min(_BUCKETS, int(math.floor((4.0 * k * _BUCKETS) / max(n, 1) + 0.5)))
+    h = hash_bucket([id_col], salt="kmeans-seeds")
+    cents = (
+        df.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
+        .filter(F.col("__h") <= thr)
+        .orderBy("__h", id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("cell_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__c"),
+        )
+    )
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        _sq_norm(F.col(vec_col)).alias("__vv"),
+    )
+    assigned = None
+    for _ in range(iters):
+        cc = cents.select("cell_id", "__c", _sq_norm(F.col("__c")).alias("__cc"))
+        w = Window.partitionBy(id_col).orderBy(F.col("__dist"), F.col("cell_id"))
+        assigned = (
+            vecs.crossJoin(F.broadcast(cc))
+            .withColumn(
+                "__dist",
+                F.col("__vv") + F.col("__cc") - 2 * dot(F.col("__v"), F.col("__c")),
+            )
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(id_col, "cell_id", "__v")
+        )
+        dims = assigned.select(
+            "cell_id", F.posexplode("__v").alias("__d", "__x")
+        ).select(
+            "cell_id",
+            "__d",
+            F.round(F.col("__x").cast("double") * 1_000_000, 0)
+            .cast("long")
+            .alias("__x6"),
+        )
+        per_dim = dims.groupBy("cell_id", "__d").agg(
+            F.round(
+                F.sum("__x6").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+                6,
+            ).alias("__m")
+        )
+        cents = per_dim.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__d", "__m"))),
+                lambda s: s["__m"],
+            ).alias("__c")
+        )
+    sizes = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return sizes.join(cents, "cell_id").select(
+        "cell_id",
+        "n_members",
+        F.round(F.sqrt(_sq_norm(F.col("__c"))), 6).alias("centroid_norm"),
+    )

@@ -380,3 +380,15 @@ def test_segment_dedup_null_and_empty_text_preserved(spark):
     # NULL and '' are one empty segment; the corpus-first empty doc wins
     assert out[1]["n_kept"] == 1 and out[1]["dedup_text"] == ""
     assert out[2]["n_kept"] == 0 and out[3]["n_kept"] == 0
+
+
+def test_kmeans_lite_clusters(spark, vectors):
+    from knime_core_columnar_spark.operators.clustering import kmeans_lite
+
+    out = kmeans_lite(vectors, k=4, iters=2).collect()
+    assert 1 <= len(out) <= 4
+    assert sum(r["n_members"] for r in out) == 50  # every vector assigned
+    assert all(r["centroid_norm"] > 0 for r in out)
+    # determinism: a rerun yields the identical clustering
+    again = kmeans_lite(vectors, k=4, iters=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
