@@ -4209,6 +4209,60 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample",
+    """
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             round(-ln(((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|wsample'), 1, 15))::BIGINT
+                         % 10000) + 0.5) / 10000.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS prio
+      FROM documents
+    )
+    SELECT doc_id, n_chars, prio AS __prio
+    FROM p ORDER BY prio, doc_id LIMIT 100
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without replacement
+    (operators.sampling.weighted_sample_topk, the A-ExpJ exponential
+    race): inclusion probability ∝ n_chars, yet fully deterministic —
+    the uniform draw is the stable key hash, so the same corpus always
+    yields the same sample at any parallelism. Top-100 by priority via
+    per-partition heaps (TakeOrderedAndProject)."""
+    from knime_core_columnar_spark.operators.sampling import weighted_sample_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_topk(d, ["doc_id"], F.col("n_chars"), k=100)
+
+
+@query(
+    "vocab_build",
+    """
+    WITH v AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ), c AS (
+      SELECT token, COUNT(*) AS count FROM v GROUP BY token HAVING COUNT(*) >= 5
+    )
+    SELECT token, count,
+           ROW_NUMBER() OVER (ORDER BY count DESC, token) - 1 AS token_id
+    FROM c
+    """,
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed vocabulary construction (operators.text.build_vocab):
+    corpus token frequencies with dense frequency-ranked ids — the
+    tokenizer-training primitive. Ids come from a range-partitioned
+    sort + per-partition offsets (zipWithIndex trick), not a
+    single-task global window, so the id assignment distributes for
+    very large vocabularies."""
+    from knime_core_columnar_spark.operators.text import build_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    return build_vocab(d, "text", min_count=5)
+
+
+@query(
     "kmeans_clusters",
     """
     WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),

@@ -27,6 +27,7 @@ __all__ = [
     "hash_split",
     "seeded_shuffle",
     "mixture_report",
+    "weighted_sample_topk",
 ]
 
 _BUCKETS = 10_000
@@ -193,3 +194,30 @@ def mixture_report(
             F.sum(F.when(expr, weight_col.cast("long")).otherwise(0)).alias("w_kept"),
         ]
     return df.groupBy(strata_col).agg(*aggs)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_col: Column,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the A-ExpJ /
+    exponential-race scheme): every row draws a stable pseudo-uniform
+    u from its key hash and gets priority ``-ln(u) / w``; the k SMALLEST
+    priorities win — inclusion probability ∝ weight, the standard
+    quality-weighted curation pass, but reproducible across runs,
+    engines, and cluster sizes (no RNG state).
+
+    u = (bucket + 0.5) / 10000 — never 0 or 1, so ln is finite and the
+    priority is total-ordered; ties broken by the key columns. The sort
+    is top-k (TakeOrderedAndProject: per-partition heaps, no global
+    sort)."""
+    u = (hash_bucket(key_cols, salt).cast("double") + 0.5) / float(_BUCKETS)
+    prio = F.round(-F.log(u) / weight_col.cast("double"), 9)
+    return (
+        df.withColumn("__prio", prio)
+        .orderBy(F.col("__prio"), *[F.col(c) for c in key_cols])
+        .limit(k)
+    )

@@ -362,3 +362,50 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    id_col: str = "token_id",
+) -> DataFrame:
+    """Distributed vocabulary construction (the tokenizer-training
+    primitive): corpus token frequencies, filtered to ``min_count``,
+    with dense contiguous ids assigned by (count DESC, token ASC) —
+    the conventional frequency-ranked id space, deterministic across
+    runs and engines.
+
+    Scale shape: one partial-aggregated count (vocab ≪ corpus), then
+    ids from a RANGE-PARTITIONED sort + per-partition offsets (the
+    zipWithIndex trick, as in sampling.seeded_shuffle) — NOT a global
+    single-task row_number window, so id assignment distributes even
+    for 10⁸-entry vocabularies."""
+    from pyspark.sql import Window
+
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    s = vocab.orderBy(F.col("count").desc(), "token").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = s.groupBy("__pid").count().withColumnRenamed("count", "__n")
+    w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__off")
+    )
+    w_local = Window.partitionBy("__pid").orderBy(
+        F.col("count").desc(), "token"
+    )
+    return (
+        s.withColumn("__local", F.row_number().over(w_local) - 1)
+        .join(F.broadcast(offsets), "__pid")
+        .select(
+            "token",
+            "count",
+            (F.col("__local") + F.col("__off")).cast("long").alias(id_col),
+        )
+    )

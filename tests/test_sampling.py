@@ -75,3 +75,30 @@ def test_stratified_sample_null_stratum(spark, rows):
     assert out.filter("cls IS NULL").count() == 1000
     none_kept = stratified_sample(strat, ["k"], "cls", {"even": 0.5})
     assert none_kept.filter("cls IS NULL").count() == 0
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.operators.sampling import weighted_sample_topk
+
+    # 100 light rows (w=1) + 100 heavy rows (w=100): heavy dominate top-20
+    rows = [(i, 1.0) for i in range(100)] + [(i, 100.0) for i in range(100, 200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample_topk(df, ["id"], F.col("w"), k=20).collect()
+    heavy = sum(1 for r in out if r["id"] >= 100)
+    assert heavy >= 15  # inclusion prob ∝ weight
+    # deterministic across reruns
+    again = weighted_sample_topk(df, ["id"], F.col("w"), k=20).collect()
+    assert [r["id"] for r in out] == [r["id"] for r in again]
+
+
+def test_build_vocab_ids_frequency_ranked(spark):
+    from knime_core_columnar_spark.operators.text import build_vocab
+
+    df = spark.createDataFrame(
+        [(0, "a a a a a b b b c c c c")], "doc_id long, text string"
+    )
+    out = {r["token"]: r for r in build_vocab(df, min_count=2).collect()}
+    assert out["a"]["token_id"] == 0 and out["a"]["count"] == 5
+    assert out["c"]["token_id"] == 1 and out["b"]["token_id"] == 2
