@@ -4209,6 +4209,103 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "equal_freq_binning",
+    """
+    WITH q AS (
+      SELECT CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE) AS q1,
+             CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS q2,
+             CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE) AS q3
+      FROM orders
+    )
+    SELECT CASE WHEN o_totalprice <= q1 THEN 0
+                WHEN o_totalprice <= q2 THEN 1
+                WHEN o_totalprice <= q3 THEN 2
+                ELSE 3 END AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders, q GROUP BY 1
+    """,
+)
+def equal_freq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quartile) binning — the KNIME Auto-Binner's
+    second mode: exact continuous-interpolation quartiles from one
+    aggregate, broadcast back; bin membership by closed upper fences.
+    Same percentile machinery the driver already value-checks in
+    iqr_outliers."""
+    o = _t(spark, sf_dir, "orders")
+    q = o.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("q2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    v = F.col("o_totalprice")
+    bin_ = (
+        F.when(v <= F.col("q1"), 0)
+        .when(v <= F.col("q2"), 1)
+        .when(v <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        o.crossJoin(F.broadcast(q))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "mad_outliers",
+    """
+    WITH med AS (
+      SELECT l_returnflag, CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS m
+      FROM lineitem GROUP BY l_returnflag
+    ), mad AS (
+      SELECT l_returnflag, m,
+             CAST(quantile_cont(abs(l_quantity - m), 0.5) AS DOUBLE) AS mad
+      FROM lineitem JOIN med USING (l_returnflag)
+      GROUP BY l_returnflag, m
+    )
+    SELECT l_returnflag, round(m, 6) AS median_qty, round(mad, 6) AS mad_qty,
+           COUNT(*) AS n_outliers
+    FROM lineitem JOIN mad USING (l_returnflag)
+    WHERE abs(l_quantity - m) > 1.4 * mad
+    GROUP BY l_returnflag, m, mad
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation (the
+    robust sibling of iqr_outliers; 1.4·MAD fences fit the synthetic
+    tails): two exact-percentile aggregates — median, then median of
+    absolute deviations — each broadcast back over the scan. Nested
+    robust statistics stay differentially testable because Spark's
+    percentile() and DuckDB's quantile_cont interpolate identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("m")
+    )
+    j = li.join(F.broadcast(med), "l_returnflag")
+    mad = j.groupBy("l_returnflag", "m").agg(
+        F.percentile(F.abs(F.col("l_quantity") - F.col("m")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    return (
+        li.join(F.broadcast(mad), "l_returnflag")
+        .filter(F.abs(F.col("l_quantity") - F.col("m")) > 1.4 * F.col("mad"))
+        .groupBy("l_returnflag", "m", "mad")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .select(
+            "l_returnflag",
+            F.round("m", 6).alias("median_qty"),
+            F.round("mad", 6).alias("mad_qty"),
+            "n_outliers",
+        )
+    )
+
+
+@query(
     "weighted_sample",
     """
     WITH p AS (
