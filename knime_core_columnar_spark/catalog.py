@@ -4310,12 +4310,12 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH p AS (
       SELECT doc_id, n_chars,
-             round(-ln(((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|wsample'), 1, 15))::BIGINT
-                         % 10000) + 0.5) / 10000.0)
-                   / CAST(n_chars AS DOUBLE), 9) AS prio
+             -ln(((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|wsample'), 1, 15))::BIGINT
+                   % 10000) + 0.5) / 10000.0)
+               / CAST(n_chars AS DOUBLE) AS prio
       FROM documents
     )
-    SELECT doc_id, n_chars, prio AS __prio
+    SELECT doc_id, n_chars
     FROM p ORDER BY prio, doc_id LIMIT 100
     """,
 )
@@ -4325,11 +4325,19 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     race): inclusion probability ∝ n_chars, yet fully deterministic —
     the uniform draw is the stable key hash, so the same corpus always
     yields the same sample at any parallelism. Top-100 by priority via
-    per-partition heaps (TakeOrderedAndProject)."""
+    per-partition heaps (TakeOrderedAndProject).
+
+    The priority itself is NOT in the compared output: DuckDB's ln()
+    differs from the JVM's by 1 ulp (measured), so the float is not
+    hash-comparable — but the SELECTED SET is stable because distinct
+    priorities differ by many orders of magnitude more than 1 ulp; the
+    oracle checks the actual sampled ids."""
     from knime_core_columnar_spark.operators.sampling import weighted_sample_topk
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return weighted_sample_topk(d, ["doc_id"], F.col("n_chars"), k=100)
+    return weighted_sample_topk(d, ["doc_id"], F.col("n_chars"), k=100).select(
+        "doc_id", "n_chars"
+    )
 
 
 @query(
@@ -4445,7 +4453,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS _row_key,
-           round((l_quantity - mn) / (mx - mn), 6) AS qty_01
+           round((l_quantity - mn) / nullif(mx - mn, 0), 6) AS qty_01
     FROM lineitem JOIN mm USING (l_returnflag)
     """,
 )
@@ -4459,10 +4467,15 @@ def minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").cast("double").alias("mn"),
         F.max("l_quantity").cast("double").alias("mx"),
     )
+    # nullif guard: a constant group (mx == mn) yields NULL in BOTH
+    # engines — DuckDB's IEEE division would return Inf/NaN while
+    # Spark's returns NULL, a latent oracle divergence otherwise
     return li.join(F.broadcast(mm), "l_returnflag").select(
         F.concat_ws("_", "l_orderkey", "l_linenumber").alias("_row_key"),
         F.round(
-            (F.col("l_quantity") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6
+            (F.col("l_quantity") - F.col("mn"))
+            / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0)),
+            6,
         ).alias("qty_01"),
     )
 
@@ -4483,11 +4496,11 @@ def minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx) / n, 6)
              AS intercept,
            round(pow(n * sxy - sx * sy, 2)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+                 / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
     FROM m
     """,
 )
@@ -4511,7 +4524,9 @@ def ols_simple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     sx, sy = F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # nullif guards: constant-x groups give NULL slope/r2 in BOTH
+    # engines instead of Spark-NULL-vs-DuckDB-Inf divergence
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     return m.select(
         "l_returnflag",
         "n",
@@ -4519,7 +4534,7 @@ def ols_simple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(
             F.pow(n * sxy - sx * sy, F.lit(2))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            / F.nullif((n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)),
             6,
         ).alias("r2"),
     )
@@ -4602,7 +4617,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(MAX(o_totalprice) AS DOUBLE) AS mx
       FROM orders
     ), b AS (
-      SELECT CAST(least(9, floor((o_totalprice - mn) / ((mx - mn) / 10.0))) AS INT) AS bin,
+      SELECT CASE WHEN mx = mn THEN 0
+                  ELSE CAST(least(9, floor((o_totalprice - mn) / ((mx - mn) / 10.0))) AS INT)
+             END AS bin,
              mn, mx, o_totalprice
       FROM orders, mm
     )
@@ -4626,11 +4643,16 @@ def equal_width_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").cast("double").alias("mx"),
     )
     width = (F.col("mx") - F.col("mn")) / 10.0
+    # constant column (mx == mn): everything lands in bin 0 in BOTH
+    # engines rather than dividing by zero
     b = o.crossJoin(F.broadcast(mm)).select(
-        F.least(
-            F.lit(9), F.floor((F.col("o_totalprice") - F.col("mn")) / width)
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(9),
+                F.floor((F.col("o_totalprice") - F.col("mn")) / width),
+            ).cast("int")
         )
-        .cast("int")
         .alias("bin"),
         "mn",
         "mx",
@@ -4669,62 +4691,20 @@ def equal_width_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            round((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS spearman
+                 / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0),
+                 6) AS spearman
     FROM s
     """,
 )
 def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spearman rank correlation per group (the KNIME Rank Correlation
-    node): average ranks with standard tie handling, kept in exact
-    integer space as 2·rank + ties − 1 (doubled average ranks — no
-    fractional arithmetic until the final closed form), moment sums in
-    exact decimals, one Pearson-on-ranks closed form in doubles. Two
-    window sorts + one aggregation; no UDFs."""
-    from pyspark.sql import Window
+    """Spearman rank correlation per group (operators.relational
+    .spearman — the KNIME Rank Correlation node): doubled average ranks
+    in exact integer space, decimal moment sums, Pearson-on-ranks
+    closed form. Two window sorts + one aggregation; no UDFs."""
+    from knime_core_columnar_spark.operators.relational import spearman
 
     li = _t(spark, sf_dir, "lineitem")
-    rq2 = (
-        2 * F.rank().over(Window.partitionBy("l_returnflag").orderBy("l_quantity"))
-        + F.count(F.lit(1)).over(
-            Window.partitionBy("l_returnflag", "l_quantity")
-        )
-        - 1
-    )
-    rp2 = (
-        2
-        * F.rank().over(
-            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        )
-        + F.count(F.lit(1)).over(
-            Window.partitionBy("l_returnflag", "l_extendedprice")
-        )
-        - 1
-    )
-    r = li.select(
-        "l_returnflag",
-        rq2.cast("decimal(19,0)").alias("rq2"),
-        rp2.cast("decimal(19,0)").alias("rp2"),
-    )
-    s = r.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rq2").cast("double").alias("sx"),
-        F.sum("rp2").cast("double").alias("sy"),
-        F.sum(F.col("rq2") * F.col("rq2")).cast("double").alias("sxx"),
-        F.sum(F.col("rp2") * F.col("rp2")).cast("double").alias("syy"),
-        F.sum(F.col("rq2") * F.col("rp2")).cast("double").alias("sxy"),
-    )
-    n = F.col("n")
-    sx, sy = F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    return s.select(
-        "l_returnflag",
-        "n",
-        F.round(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
-        ).alias("spearman"),
-    )
+    return spearman(li, "l_quantity", "l_extendedprice", ["l_returnflag"])
 
 
 @query(

@@ -51,6 +51,7 @@ def kmeans_lite(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Run ``iters`` fixed Lloyd iterations; return one row per
     non-empty cluster: ``cell_id`` (the seed row's id), ``n_members``
@@ -59,10 +60,19 @@ def kmeans_lite(
 
     Clusters that lose all members in an assignment round disappear
     (standard Lloyd behavior without re-seeding) — deterministic in
-    both engines."""
+    both engines.
+
+    ``corpus_count`` sizes the seed-sample threshold; pass it when the
+    row count is already known (catalog stats, a prior count) to skip
+    the one up-front counting scan — it need only be approximate to
+    within ~2× for the 4·k oversample to land."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     from knime_core_columnar_spark.operators.sampling import _BUCKETS, hash_bucket
 
-    n = df.count()
+    n = corpus_count if corpus_count is not None else df.count()
     thr = min(_BUCKETS, int(math.floor((4.0 * k * _BUCKETS) / max(n, 1) + 0.5)))
     h = hash_bucket([id_col], salt="kmeans-seeds")
     cents = (
@@ -80,19 +90,31 @@ def kmeans_lite(
         F.col(vec_col).alias("__v"),
         _sq_norm(F.col(vec_col)).alias("__vv"),
     )
-    assigned = None
+    assigned = vecs  # rebound below; iters >= 1 is enforced above
     for _ in range(iters):
+        # assignment is a PER-ROW argmin over the broadcast centroid
+        # array (struct ordering = dist asc, cell_id asc tie-break) —
+        # no window, no shuffle of the vectors; the only exchange per
+        # iteration is the (cell, dim, int64) update aggregation below
         cc = cents.select("cell_id", "__c", _sq_norm(F.col("__c")).alias("__cc"))
-        w = Window.partitionBy(id_col).orderBy(F.col("__dist"), F.col("cell_id"))
-        assigned = (
-            vecs.crossJoin(F.broadcast(cc))
-            .withColumn(
-                "__dist",
-                F.col("__vv") + F.col("__cc") - 2 * dot(F.col("__v"), F.col("__c")),
+        carr = cc.agg(
+            F.collect_list(F.struct("cell_id", "__c", "__cc")).alias("__cs")
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("__cs"),
+                lambda s: F.struct(
+                    (
+                        F.col("__vv") + s["__cc"] - 2 * dot(F.col("__v"), s["__c"])
+                    ).alias("d"),
+                    s["cell_id"].alias("cell_id"),
+                ),
             )
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select(id_col, "cell_id", "__v")
+        )
+        assigned = (
+            vecs.crossJoin(F.broadcast(carr))
+            .withColumn("__best", best)
+            .select(id_col, F.col("__best.cell_id").alias("cell_id"), "__v")
         )
         dims = assigned.select(
             "cell_id", F.posexplode("__v").alias("__d", "__x")

@@ -310,3 +310,54 @@ def window_apply(
         col = expr(w) if callable(expr) else expr
         df = df.withColumn(name, col)
     return ColumnarTable(df)
+
+
+def spearman(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Spearman rank correlation per group (KNIME Rank Correlation
+    node): average ranks with standard tie handling, kept exact as
+    DOUBLED average ranks ``2·rank + ties − 1`` (integers — no
+    fractional arithmetic until the closed form), moment sums in exact
+    decimals, then Pearson-on-ranks in doubles. Two window sorts on the
+    group key + one aggregation; constant columns yield NULL (nullif
+    guard) in every engine. Output: group cols, ``n``, ``spearman``."""
+    parts = list(group_cols)
+
+    def _rank2(col: str) -> Column:
+        return (
+            2 * F.rank().over(Window.partitionBy(*parts).orderBy(col))
+            + F.count(F.lit(1)).over(Window.partitionBy(*parts, col))
+            - 1
+        )
+
+    r = df.select(
+        *parts,
+        _rank2(x_col).cast("decimal(19,0)").alias("__rx"),
+        _rank2(y_col).cast("decimal(19,0)").alias("__ry"),
+    )
+    s = r.groupBy(*parts).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__rx").cast("double").alias("sx"),
+        F.sum("__ry").cast("double").alias("sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).cast("double").alias("sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).cast("double").alias("syy"),
+        F.sum(F.col("__rx") * F.col("__ry")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        *parts,
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.nullif(
+                F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy), F.lit(0.0)
+            ),
+            6,
+        ).alias("spearman"),
+    )

@@ -25,6 +25,7 @@ __all__ = [
     "hash_bucket",
     "deterministic_sample",
     "hash_split",
+    "global_index",
     "seeded_shuffle",
     "mixture_report",
     "weighted_sample_topk",
@@ -118,6 +119,40 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def global_index(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    pos_col: str,
+) -> DataFrame:
+    """Stable 0-based global position in ``order_cols`` order WITHOUT a
+    single-task global window: range-partitioned distributed sort, then
+    the zipWithIndex trick — per-partition counts (one tiny job) become
+    broadcast offsets added to per-partition-local row numbers. The
+    order must be TOTAL (include a unique tie-break column) or
+    positions within ties are partition-order-dependent.
+
+    Shared by ``seeded_shuffle`` (epoch permutation) and
+    ``text.build_vocab`` (frequency-ranked ids) — one copy of this
+    correctness-sensitive pattern, which relies on Spark reusing the
+    sort exchange so ``spark_partition_id`` is consistent between the
+    count pass and the numbering pass."""
+    from pyspark.sql import Window
+
+    s = df.orderBy(*order_cols).withColumn("__pid", F.spark_partition_id())
+    w_part = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    counts = s.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__offset")
+    )
+    return (
+        s.withColumn("__local", F.row_number().over(w_part) - 1)
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(pos_col, (F.col("__local") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
 def seeded_shuffle(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -128,33 +163,14 @@ def seeded_shuffle(
     position in the order of ``md5(key || '|' || seed)`` — the
     epoch-reshuffle a training pipeline runs before sharding, but
     reproducible across runs and cluster sizes (change ``seed`` per
-    epoch for a fresh permutation).
-
-    Scale shape: ``orderBy`` is a range-partitioned distributed sort
-    (no single reducer); positions come from the zipWithIndex trick —
-    per-partition counts (one tiny job) turned into broadcast offsets —
-    instead of a global-window ``row_number`` that would funnel 100 TB
-    through one task."""
-    from pyspark.sql import Window
-
+    epoch for a fresh permutation). Positions via ``global_index``
+    (distributed sort + offset trick, no single-reducer window)."""
     key = F.concat_ws(
         "|", *[F.col(c).cast("string") for c in key_cols], F.lit(seed)
     )
     tie = [F.col(c) for c in key_cols]
-    s = df.withColumn("__h", F.md5(key)).orderBy(F.col("__h"), *tie)
-    s = s.withColumn("__pid", F.spark_partition_id())
-    w_part = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
-    counts = s.groupBy("__pid").count()
-    w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__pid", F.coalesce(F.sum("count").over(w_cum), F.lit(0)).alias("__offset")
-    )
-    return (
-        s.withColumn("__local", F.row_number().over(w_part) - 1)
-        .join(F.broadcast(offsets), "__pid")
-        .withColumn(pos_col, (F.col("__local") + F.col("__offset")).cast("long"))
-        .drop("__h", "__pid", "__local", "__offset")
-    )
+    s = df.withColumn("__h", F.md5(key))
+    return global_index(s, [F.col("__h"), *tie], pos_col).drop("__h")
 
 
 def mixture_report(
@@ -214,8 +230,13 @@ def weighted_sample_topk(
     priority is total-ordered; ties broken by the key columns. The sort
     is top-k (TakeOrderedAndProject: per-partition heaps, no global
     sort)."""
+    # full-precision priority — NO rounding: both engines compute the
+    # identical double (same hash, same ln, same divide), and absolute
+    # rounding would collapse large-weight priorities (all ≪ 1e-9 for
+    # w ≥ 1e5) into ties that the key tie-break would then resolve by
+    # id order, silently breaking weight-proportional inclusion.
     u = (hash_bucket(key_cols, salt).cast("double") + 0.5) / float(_BUCKETS)
-    prio = F.round(-F.log(u) / weight_col.cast("double"), 9)
+    prio = -F.log(u) / weight_col.cast("double")
     return (
         df.withColumn("__prio", prio)
         .orderBy(F.col("__prio"), *[F.col(c) for c in key_cols])

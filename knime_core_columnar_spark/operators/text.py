@@ -377,11 +377,11 @@ def build_vocab(
     runs and engines.
 
     Scale shape: one partial-aggregated count (vocab ≪ corpus), then
-    ids from a RANGE-PARTITIONED sort + per-partition offsets (the
-    zipWithIndex trick, as in sampling.seeded_shuffle) — NOT a global
-    single-task row_number window, so id assignment distributes even
-    for 10⁸-entry vocabularies."""
-    from pyspark.sql import Window
+    ids from ``sampling.global_index`` (range-partitioned sort +
+    per-partition offsets) — NOT a global single-task row_number
+    window, so id assignment distributes even for 10⁸-entry
+    vocabularies."""
+    from knime_core_columnar_spark.operators.sampling import global_index
 
     vocab = (
         df.select(F.explode(tokens(text_col)).alias("token"))
@@ -389,23 +389,6 @@ def build_vocab(
         .agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= min_count)
     )
-    s = vocab.orderBy(F.col("count").desc(), "token").withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    counts = s.groupBy("__pid").count().withColumnRenamed("count", "__n")
-    w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__pid", F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__off")
-    )
-    w_local = Window.partitionBy("__pid").orderBy(
-        F.col("count").desc(), "token"
-    )
-    return (
-        s.withColumn("__local", F.row_number().over(w_local) - 1)
-        .join(F.broadcast(offsets), "__pid")
-        .select(
-            "token",
-            "count",
-            (F.col("__local") + F.col("__off")).cast("long").alias(id_col),
-        )
-    )
+    return global_index(
+        vocab, [F.col("count").desc(), F.col("token")], id_col
+    ).select("token", "count", id_col)

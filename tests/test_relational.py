@@ -262,46 +262,29 @@ def test_diff_tables(spark):
 
 
 def test_spearman_known_values(spark):
-    """Perfectly monotone -> rho 1; perfectly inverse -> rho -1; ties
-    get average ranks (the 2r+t-1 doubled-rank encoding)."""
-    from knime_core_columnar_spark.catalog import QUERIES  # noqa: F401
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    """The PRODUCTION spearman operator: perfectly monotone -> rho 1,
+    perfectly inverse -> rho -1, ties -> average ranks, constant
+    column -> NULL (nullif guard, not Inf/NaN)."""
+    from knime_core_columnar_spark.operators.relational import spearman
 
-    rows = [("g", float(i), float(i * 2)) for i in range(1, 6)] + [
-        ("h", float(i), float(10 - i)) for i in range(1, 6)
-    ]
+    rows = (
+        [("g", float(i), float(i * 2)) for i in range(1, 6)]
+        + [("h", float(i), float(10 - i)) for i in range(1, 6)]
+        + [("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0)]  # ties in x
+        + [("c", float(i), 7.0) for i in range(1, 5)]  # constant y
+    )
     df = spark.createDataFrame(rows, "k string, x double, y double")
-    rx2 = (
-        2 * F.rank().over(Window.partitionBy("k").orderBy("x"))
-        + F.count(F.lit(1)).over(Window.partitionBy("k", "x")) - 1
-    )
-    ry2 = (
-        2 * F.rank().over(Window.partitionBy("k").orderBy("y"))
-        + F.count(F.lit(1)).over(Window.partitionBy("k", "y")) - 1
-    )
-    r = df.select("k", rx2.alias("rx"), ry2.alias("ry"))
-    s = r.groupBy("k").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rx").cast("double").alias("sx"),
-        F.sum("ry").cast("double").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    rho = (n * F.col("sxy") - sx * sy) / (
-        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
-    )
-    got = {r["k"]: r["rho"] for r in s.select("k", F.round(rho, 6).alias("rho")).collect()}
+    got = {r["k"]: r["spearman"] for r in spearman(df, "x", "y", ["k"]).collect()}
     assert got["g"] == 1.0 and got["h"] == -1.0
+    assert got["t"] is not None and 0.5 < got["t"] < 1.0  # tied pair averaged
+    assert got["c"] is None  # zero variance -> NULL, no Inf
 
 
-def test_equal_width_binning_top_edge(spark, tmp_path):
+def test_equal_width_binning_top_edge(spark, sf_dir):
     """v == max lands in the LAST bin (closed top edge), not bin 10."""
     from knime_core_columnar_spark import catalog
 
-    out = catalog.QUERIES["equal_width_binning"](spark, "/root/testdata/sf0.001")
+    out = catalog.QUERIES["equal_width_binning"](spark, sf_dir)
     rows = {r["bin"]: r for r in out.collect()}
     assert max(rows) == 9 and min(rows) >= 0
     assert sum(r["n"] for r in rows.values()) > 0
