@@ -4209,6 +4209,93 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "correlation_matrix",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq_q,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sq_p,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sq_d,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_qp,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_qd,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_pd
+      FROM lineitem
+    )
+    SELECT 'quantity' AS var_a, 'extendedprice' AS var_b,
+           round((n * s_qp - s_q * s_p)
+                 / nullif(sqrt(n * sq_q - s_q * s_q) * sqrt(n * sq_p - s_p * s_p), 0), 6) AS corr
+    FROM m
+    UNION ALL
+    SELECT 'quantity', 'discount',
+           round((n * s_qd - s_q * s_d)
+                 / nullif(sqrt(n * sq_q - s_q * s_q) * sqrt(n * sq_d - s_d * s_d), 0), 6)
+    FROM m
+    UNION ALL
+    SELECT 'extendedprice', 'discount',
+           round((n * s_pd - s_p * s_d)
+                 / nullif(sqrt(n * sq_p - s_p * s_p) * sqrt(n * sq_d - s_d * s_d), 0), 6)
+    FROM m
+    """,
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (the KNIME Linear Correlation
+    node): ALL pairwise correlations of the selected numeric columns
+    from ONE aggregation pass — 9 decimal-exact moment sums, then each
+    pair's closed form in doubles. One scan however many variables;
+    long-form output (var_a, var_b, corr)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p, d = _dec("l_quantity"), _dec("l_extendedprice"), _dec("l_discount")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("s_q"),
+        F.sum(p).cast("double").alias("s_p"),
+        F.sum(d).cast("double").alias("s_d"),
+        F.sum(q * q).cast("double").alias("sq_q"),
+        F.sum(p * p).cast("double").alias("sq_p"),
+        F.sum(d * d).cast("double").alias("sq_d"),
+        F.sum(q * p).cast("double").alias("s_qp"),
+        F.sum(q * d).cast("double").alias("s_qd"),
+        F.sum(p * d).cast("double").alias("s_pd"),
+    )
+    n = F.col("n")
+
+    def corr(sa, sb, sqa, sqb, sab):
+        return F.round(
+            (n * F.col(sab) - F.col(sa) * F.col(sb))
+            / F.nullif(
+                F.sqrt(n * F.col(sqa) - F.col(sa) * F.col(sa))
+                * F.sqrt(n * F.col(sqb) - F.col(sb) * F.col(sb)),
+                F.lit(0.0),
+            ),
+            6,
+        )
+
+    pairs = F.array(
+        F.struct(
+            F.lit("quantity").alias("var_a"),
+            F.lit("extendedprice").alias("var_b"),
+            corr("s_q", "s_p", "sq_q", "sq_p", "s_qp").alias("corr"),
+        ),
+        F.struct(
+            F.lit("quantity").alias("var_a"),
+            F.lit("discount").alias("var_b"),
+            corr("s_q", "s_d", "sq_q", "sq_d", "s_qd").alias("corr"),
+        ),
+        F.struct(
+            F.lit("extendedprice").alias("var_a"),
+            F.lit("discount").alias("var_b"),
+            corr("s_p", "s_d", "sq_p", "sq_d", "s_pd").alias("corr"),
+        ),
+    )
+    return m.select(F.explode(pairs).alias("__p")).select(
+        "__p.var_a", "__p.var_b", "__p.corr"
+    )
+
+
+@query(
     "equal_freq_binning",
     """
     WITH q AS (
