@@ -55,6 +55,9 @@ HEADLINE = [
     "segment_dedup",
     "unigram_lm_quality",
     "mixture_by_lang",
+    "impute_timeseries",
+    "kmeans_clusters",
+    "q21_waiting_suppliers",
 ]
 
 

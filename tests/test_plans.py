@@ -159,3 +159,13 @@ def test_mixture_report_single_scan(spark):
     # formatted mode lists each node twice (tree + details): count node ids
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "Join" not in p
+
+
+def test_kmeans_assignment_no_vector_shuffle(spark):
+    """Assignment = per-row argmin over the broadcast centroid array:
+    no Window, no row_number; the only exchanges are the centroid-seed
+    pick, the (cell, dim) update aggs, and the final size agg — the
+    corpus vectors themselves never hash-partition."""
+    p = plan_of(spark, "kmeans_clusters")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
