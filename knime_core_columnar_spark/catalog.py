@@ -4209,6 +4209,63 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_shards",
+    """
+    WITH ordered AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '|epoch0') AS h,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM ordered
+    )
+    SELECT CAST(prefix // 5000 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM c GROUP BY prefix // 5000
+    """,
+)
+def token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment — the greedy sharding pass that
+    splits a shuffled corpus into ~5000-token output shards:
+    shard = exclusive-prefix-token-sum // budget over the stable
+    epoch-shuffle order. The prefix sum comes from
+    sampling.distributed_cumsum (two-phase scan: per-partition totals →
+    broadcast offsets → local running sums) — exact integer math,
+    identical to the oracle's single ``SUM() OVER`` window but WITHOUT
+    funnelling 100 TB through one reducer."""
+    from knime_core_columnar_spark.operators.sampling import distributed_cumsum
+    from knime_core_columnar_spark.operators.text import token_count
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit("epoch0"))).alias("h"),
+            token_count("text").cast("long").alias("n_tokens"),
+        )
+    )
+    c = distributed_cumsum(
+        d,
+        [F.col("h"), F.col("doc_id")],
+        F.col("n_tokens"),
+        out_col="prefix",
+        exclusive=True,
+    )
+    return (
+        c.withColumn("shard_id", F.floor(F.col("prefix") / 5000).cast("long"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+    )
+
+
+@query(
     "correlation_matrix",
     """
     WITH m AS (

@@ -26,6 +26,7 @@ __all__ = [
     "deterministic_sample",
     "hash_split",
     "global_index",
+    "distributed_cumsum",
     "seeded_shuffle",
     "mixture_report",
     "weighted_sample_topk",
@@ -241,4 +242,44 @@ def weighted_sample_topk(
         df.withColumn("__prio", prio)
         .orderBy(F.col("__prio"), *[F.col(c) for c in key_cols])
         .limit(k)
+    )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    value_col: Column,
+    out_col: str = "cumsum",
+    exclusive: bool = False,
+) -> DataFrame:
+    """Cumulative sum in a TOTAL order without a single-task global
+    window: range-partitioned sort, per-partition totals become
+    broadcast offsets (the two-phase scan, same machinery as
+    ``global_index``), local running sums add the offset. Exact for
+    integer inputs — identical to a single-window ``SUM() OVER (ORDER
+    BY ...)`` at any parallelism. ``exclusive=True`` gives the
+    sum of strictly-preceding rows (the bin-packing prefix)."""
+    from pyspark.sql import Window
+
+    s = (
+        df.withColumn("__val", value_col.cast("long"))
+        .orderBy(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = s.groupBy("__pid").agg(F.sum("__val").alias("__t"))
+    w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__t").over(w_cum), F.lit(0)).alias("__off")
+    )
+    hi = -1 if exclusive else 0
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(F.monotonically_increasing_id())
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = F.coalesce(F.sum("__val").over(w_local), F.lit(0))
+    return (
+        s.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (local + F.col("__off")).cast("long"))
+        .drop("__pid", "__val", "__off")
     )

@@ -102,3 +102,21 @@ def test_build_vocab_ids_frequency_ranked(spark):
     out = {r["token"]: r for r in build_vocab(df, min_count=2).collect()}
     assert out["a"]["token_id"] == 0 and out["a"]["count"] == 5
     assert out["c"]["token_id"] == 1 and out["b"]["token_id"] == 2
+
+
+def test_distributed_cumsum_matches_single_window(spark):
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.operators.sampling import distributed_cumsum
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long").repartition(8)
+    out = distributed_cumsum(
+        df, [F.col("id")], F.col("w"), "cs", exclusive=True
+    ).collect()
+    got = {r["id"]: r["cs"] for r in out}
+    expect, acc = {}, 0
+    for i, w in rows:
+        expect[i] = acc
+        acc += w
+    assert got == expect  # exact two-phase prefix sums at 8 partitions
