@@ -11,6 +11,7 @@ is written against a plain DataFrame so the SAME code runs in batch mode
 mode via readStream."""
 
 from knime_core_columnar_spark.streaming.ops import (
+    corpus_quality_monitor,
     hourly_counts,
     session_windows,
     sliding_window_agg,
@@ -23,6 +24,7 @@ from knime_core_columnar_spark.streaming.ops import (
 
 __all__ = [
     "stream_from_directory",
+    "corpus_quality_monitor",
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_windows",

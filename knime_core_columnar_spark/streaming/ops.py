@@ -238,3 +238,50 @@ def hourly_counts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         F.date_trunc("hour", F.col(ts_col)).cast("timestamp_ntz").alias("hr"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def corpus_quality_monitor(
+    df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    keys: list[str] | None = None,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Windowed corpus-quality monitoring — the ingestion-time health
+    dashboard of a training-data pipeline: per (window, source) doc
+    counts, token totals, mean quality score, and low-quality share,
+    computed with the SAME text.quality_score expressions the batch
+    gates use, so alert thresholds transfer 1:1 between the stream
+    monitor and the offline filter.
+
+    Batch/stream agnostic (works on a static frame for testing, on a
+    readStream for production); quality aggregates use the scaled-int64
+    trick so the streamed numbers equal the batch replay exactly.
+    State is bounded by the watermark like every windowed agg here."""
+    from knime_core_columnar_spark.operators.text import quality_score, token_count
+
+    keys = keys or ["source"]
+    d = _maybe_watermark(df, ts_col, watermark)
+    q6 = F.round(quality_score(text_col) * 1_000_000, 0).cast("long")
+    return (
+        d.groupBy(F.window(F.col(ts_col), window).alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(text_col).cast("long")).alias("total_tokens"),
+            F.sum(q6).alias("__q6_sum"),
+            F.sum((q6 < 800_000).cast("int")).alias("n_low_quality"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            *keys,
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("__q6_sum").cast("double")
+                / (F.col("n_docs") * F.lit(1_000_000.0)),
+                6,
+            ).alias("avg_quality"),
+            "n_low_quality",
+        )
+    )

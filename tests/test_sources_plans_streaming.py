@@ -336,3 +336,42 @@ def test_avro_clear_error(spark, tmp_path):
 
     with _pytest.raises(NotImplementedError, match="spark-avro"):
         read_avro(spark, str(tmp_path / "nope.avro"))
+
+
+def test_corpus_quality_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming quality monitor over a file stream equals the batch
+    replay exactly (scaled-int quality sums are order-independent)."""
+    src_dir = str(tmp_path / "docs_in")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") * 60),
+    )
+    docs.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = ST.stream_from_directory(spark, src_dir, schema)
+    mon = ST.corpus_quality_monitor(stream, window="1 hour", watermark="1 minute")
+    q = (
+        mon.writeStream.format("memory")
+        .queryName("t_qmon")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["source"]): (
+            r["n_docs"], r["total_tokens"], r["avg_quality"], r["n_low_quality"],
+        )
+        for r in spark.sql("select * from t_qmon").collect()
+    }
+    batch = ST.corpus_quality_monitor(
+        spark.read.parquet(src_dir), window="1 hour", watermark=None
+    )
+    want = {
+        (r["win_start"], r["source"]): (
+            r["n_docs"], r["total_tokens"], r["avg_quality"], r["n_low_quality"],
+        )
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
