@@ -4209,6 +4209,130 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "entity_resolution",
+    """
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS block FROM part
+    ), pairs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM p a JOIN p b ON a.block = b.block AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a AS node, a AS label FROM e
+      UNION
+      SELECT e.a, reach.label FROM e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node, MIN(label) AS entity FROM reach GROUP BY node
+    ), assign AS (
+      SELECT p.p_partkey, COALESCE(comp.entity, p.p_partkey) AS entity_id
+      FROM p LEFT JOIN comp ON comp.node = p.p_partkey
+    )
+    SELECT entity_id, COUNT(*) AS n_records
+    FROM assign GROUP BY entity_id HAVING COUNT(*) > 1
+    """,
+)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage end-to-end: blocking (last
+    name token) → edit-distance verification (Levenshtein ≤ 2) →
+    connected-component clustering (the SAME iterative min-label
+    propagation as the near-dup pipeline) → entity ids. Output: the
+    multi-record entities with their sizes — the merge queue a data
+    steward reviews. Blocked join instead of O(n²); CC shuffles only
+    (node, label) pairs; the oracle replays the closure as a recursive
+    CTE — a different evaluation strategy validating the Spark loop."""
+    from knime_core_columnar_spark.operators.dedup import connected_components
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"), "block"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"), "block"
+    )
+    pairs = (
+        a.join(b, ["block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    assign = p.join(comp, p["p_partkey"] == comp["node"], "left").select(
+        "p_partkey",
+        F.coalesce(F.col("label"), F.col("p_partkey")).alias("entity_id"),
+    )
+    return (
+        assign.groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(F.col("n_records") > 1)
+    )
+
+
+@query(
+    "incremental_agg_merge",
+    """
+    WITH base AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+      GROUP BY o_orderpriority
+    ), delta AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      GROUP BY o_orderpriority
+    ), merged AS (
+      SELECT o_orderpriority,
+             CAST(SUM(n) AS BIGINT) AS n,
+             SUM(s) AS s
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           CAST(s AS DOUBLE) AS total_price,
+           round(CAST(s AS DOUBLE) / n, 6) AS avg_price
+    FROM merged
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the mergeable-partials
+    pattern every incremental ETL relies on: a historical partial
+    aggregate (count + decimal-exact sum per key) merged with a fresh
+    delta partition's partials WITHOUT re-scanning history. Count and
+    sum are mergeable; avg derives at read time from the merged
+    moments. The oracle recomputes the same merge; equality proves the
+    partials lose nothing."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01").cast("timestamp_ntz")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(_dec("o_totalprice")).alias("s")
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n",
+        F.col("s").cast("double").alias("total_price"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("avg_price"),
+    )
+
+
+@query(
     "token_shards",
     """
     WITH ordered AS (
