@@ -4209,6 +4209,54 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "anomaly_hours",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS nh,
+             CAST(SUM(n) AS DOUBLE) AS s,
+             CAST(SUM(n * n) AS DOUBLE) AS sq
+      FROM h GROUP BY event_type
+    )
+    SELECT event_type, hour, n,
+           round((n - s / nh)
+                 / nullif(sqrt((nh * sq - s * s) / (nh * (nh - 1))), 0), 6) AS z
+    FROM h JOIN m USING (event_type)
+    WHERE abs((n - s / nh)
+              / nullif(sqrt((nh * sq - s * s) / (nh * (nh - 1))), 0)) > 2.0
+    """,
+)
+def anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: hourly counts per event type,
+    z-scored against that type's own distribution (exact integer moment
+    sums → closed-form mean/stddev), hours beyond 2σ flagged — the
+    monitoring query a pipeline runs over ingestion telemetry. Two
+    partial-aggregated passes (hourly rollup, per-type moments) and a
+    broadcast join back; integer moments make the flags engine-exact."""
+    e = _t(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nh"),
+        F.sum("n").cast("double").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("sq"),
+    )
+    nh, s, sq = F.col("nh"), F.col("s"), F.col("sq")
+    z = (F.col("n") - s / nh) / F.nullif(
+        F.sqrt((nh * sq - s * s) / (nh * (nh - 1))), F.lit(0.0)
+    )
+    return (
+        h.join(F.broadcast(m), "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select("event_type", "hour", "n", F.round(z, 6).alias("z"))
+    )
+
+
+@query(
     "entity_resolution",
     """
     WITH RECURSIVE p AS (
