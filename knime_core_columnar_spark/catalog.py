@@ -4209,6 +4209,50 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_monitor_batch",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(to_timestamp(1700000000 + doc_id * 60) AS TIMESTAMP) AS ts,
+             CAST(length(text) AS DOUBLE) AS n,
+             len(string_split_regex(trim(text), '\\s+')) AS ntok,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+               / length(text) AS pr
+      FROM documents
+    ), q AS (
+      SELECT source, date_trunc('hour', ts) AS win_start, ntok,
+             CAST(round((
+               (CASE WHEN n < 20 THEN n / 20.0 WHEN n > 4000 THEN 0.5 ELSE 1.0 END) * 0.4
+               + (1.0 - least(pr * 5.0, 1.0)) * 0.3
+               + (CASE WHEN n / ntok >= 3.0 AND n / ntok <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3
+             ) * 1000000) AS BIGINT) AS q6
+      FROM d
+    )
+    SELECT win_start, source, COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(q6) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS avg_quality,
+           CAST(SUM(CASE WHEN q6 < 800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+    FROM q GROUP BY win_start, source
+    """,
+)
+def quality_monitor_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming corpus-quality monitor
+    (streaming.corpus_quality_monitor) run in batch mode — the SAME
+    code executes as a readStream in production; here the driver
+    value-checks it against SQL (1-hour tumbling windows align to epoch
+    hours, so the oracle's date_trunc replays Spark's window()). The
+    stream/batch parity itself is pinned by
+    test_corpus_quality_monitor_stream_matches_batch."""
+    from knime_core_columnar_spark.streaming.ops import corpus_quality_monitor
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") * 60),
+    )
+    return corpus_quality_monitor(d, window="1 hour", watermark=None)
+
+
+@query(
     "anomaly_hours",
     """
     WITH h AS (
