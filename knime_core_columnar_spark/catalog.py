@@ -4213,7 +4213,8 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT source,
-             CAST(to_timestamp(1700000000 + doc_id * 60) AS TIMESTAMP) AS ts,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + (1700000000 + doc_id * 60) * INTERVAL 1 SECOND AS ts,
              CAST(length(text) AS DOUBLE) AS n,
              len(string_split_regex(trim(text), '\\s+')) AS ntok,
              CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
@@ -4245,9 +4246,14 @@ def quality_monitor_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_corpus_quality_monitor_stream_matches_batch."""
     from knime_core_columnar_spark.streaming.ops import corpus_quality_monitor
 
+    # tz-free synthetic event time (NTZ + interval arithmetic): neither
+    # side of the oracle comparison may depend on a session timezone
     d = _t(spark, sf_dir, "documents").withColumn(
         "ts",
-        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") * 60),
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        + F.make_interval(
+            secs=(F.lit(1_700_000_000) + F.col("doc_id") * 60).cast("decimal(18,6)")
+        ),
     )
     return corpus_quality_monitor(d, window="1 hour", watermark=None)
 
@@ -4279,11 +4285,14 @@ def anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums → closed-form mean/stddev), hours beyond 2σ flagged — the
     monitoring query a pipeline runs over ingestion telemetry. Two
     partial-aggregated passes (hourly rollup, per-type moments) and a
-    broadcast join back; integer moments make the flags engine-exact."""
+    broadcast join back; integer moments make the flags engine-exact.
+    The hourly rollup IS streaming.hourly_counts (one shared
+    definition with the events_hourly monitoring query, ntz-typed) —
+    the z-scores flag the same series the dashboards show."""
+    from knime_core_columnar_spark.streaming.ops import hourly_counts
+
     e = _t(spark, sf_dir, "events")
-    h = e.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    h = hourly_counts(e).withColumnRenamed("hr", "hour")
     m = h.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("nh"),
         F.sum("n").cast("double").alias("s"),
@@ -4472,7 +4481,8 @@ def token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclusive=True,
     )
     return (
-        c.withColumn("shard_id", F.floor(F.col("prefix") / 5000).cast("long"))
+        # integer division (div), NOT double /: exact at any prefix size
+        c.withColumn("shard_id", F.expr("prefix div 5000"))
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -133,25 +133,13 @@ def global_index(
     positions within ties are partition-order-dependent.
 
     Shared by ``seeded_shuffle`` (epoch permutation) and
-    ``text.build_vocab`` (frequency-ranked ids) — one copy of this
-    correctness-sensitive pattern, which relies on Spark reusing the
-    sort exchange so ``spark_partition_id`` is consistent between the
-    count pass and the numbering pass."""
-    from pyspark.sql import Window
-
-    s = df.orderBy(*order_cols).withColumn("__pid", F.spark_partition_id())
-    w_part = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
-    counts = s.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__pid", F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__offset")
-    )
-    return (
-        s.withColumn("__local", F.row_number().over(w_part) - 1)
-        .join(F.broadcast(offsets), "__pid")
-        .withColumn(pos_col, (F.col("__local") + F.col("__offset")).cast("long"))
-        .drop("__pid", "__local", "__offset")
-    )
+    ``text.build_vocab`` (frequency-ranked ids); a position is just the
+    exclusive prefix sum of ones, so this delegates to
+    ``distributed_cumsum`` — ONE copy of the correctness-sensitive
+    two-phase machinery (which relies on Spark reusing the sort
+    exchange so ``spark_partition_id`` is consistent between the totals
+    pass and the numbering pass)."""
+    return distributed_cumsum(df, order_cols, F.lit(1), pos_col, exclusive=True)
 
 
 def seeded_shuffle(

@@ -119,6 +119,9 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # tz-pin: oracles must not depend on the host OS timezone (DuckDB's
+    # session TimeZone defaults to it; Spark's session is UTC-pinned)
+    con.execute("SET TimeZone='UTC'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(
