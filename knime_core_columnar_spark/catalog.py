@@ -4209,6 +4209,46 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_stats",
+    """
+    WITH p AS (
+      SELECT doc_id, encode(text) AS payload,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), h AS (
+      SELECT doc_id, n,
+             list_transform(range(1, least(n, 256) + 1),
+                            i -> ('0x' || substring(hex(payload), (i-1)*2 + 1, 2))::INT)
+               AS head
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(n // 2 AS BIGINT) AS n_samples,
+           round(CAST(n // 2 AS DOUBLE) / 16000.0, 6) AS duration_s,
+           round(CAST(list_sum(head) AS DOUBLE) / len(head), 6) AS mean_amp,
+           CAST(list_max(head) AS INTEGER) AS peak_amp
+    FROM h
+    """,
+)
+def audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-tier multimodal plumbing (operators.multimodal
+    .decode_audio_features): binary payloads through the Arrow-batched
+    mapInPandas decode — treated as int16 PCM @ 16 kHz by the
+    deterministic fake kernel (the marked swap-in point for
+    soundfile/librosa) — yielding sample counts, durations, and
+    amplitude stats, every value checked against the oracle's hex-byte
+    replay."""
+    from knime_core_columnar_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_audio_features,
+    )
+
+    _ensure_pkg_on_executors(spark)
+    d = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    return decode_audio_features(d, "doc_id", "payload")
+
+
+@query(
     "quality_monitor_batch",
     """
     WITH d AS (

@@ -153,3 +153,72 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(sample, schema)
+
+
+AUDIO_FEATURES_TYPE = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("mean_amp", T.DoubleType()),
+    T.StructField("peak_amp", T.IntegerType()),
+])
+
+
+def _fake_decode_audio(data: bytes, sample_rate: int = 16_000):
+    """Deterministic fake audio decode: the payload is treated as int16
+    PCM (n_bytes // 2 samples @ ``sample_rate``); amplitude stats come
+    from the first 256 raw bytes. REPLACE with soundfile/librosa when an
+    audio library is available."""
+    n = len(data)
+    n_samples = n // 2
+    # NO Python round() here: Python rounds half-to-even while the SQL
+    # engines round half-away — final rounding happens in Catalyst
+    duration = n_samples / float(sample_rate)
+    head = data[:256]
+    mean_amp = (sum(head) / len(head)) if head else 0.0
+    peak_amp = max(head) if head else 0
+    return n_samples, duration, mean_amp, peak_amp
+
+
+def decode_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    sample_rate: int = 16_000,
+    strict: bool = False,
+) -> DataFrame:
+    """Audio decode + waveform stats over Arrow batches — the audio tier
+    of the multimodal family, same mapInPandas shape as
+    ``decode_image_features`` (columnar transfer, partition-parallel,
+    no driver involvement). ``strict=True`` raises where a real decoder
+    (soundfile/librosa/ffmpeg) belongs; the deterministic fake keeps
+    the plumbing value-checkable end-to-end."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "audio decode requires an audio library (soundfile/"
+                    "librosa) not present in this environment; plug it "
+                    "into _fake_decode_audio"
+                )
+            out = {"doc_id": [], "n_samples": [], "duration_s": [],
+                   "mean_amp": [], "peak_amp": []}
+            for i, data in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(data) if data is not None else b""
+                ns, dur, mean_amp, peak = _fake_decode_audio(raw, sample_rate)
+                out["doc_id"].append(i)
+                out["n_samples"].append(ns)
+                out["duration_s"].append(dur)
+                out["mean_amp"].append(mean_amp)
+                out["peak_amp"].append(peak)
+            yield pd.DataFrame(out)
+
+    raw = df.select(id_col, payload_col).mapInPandas(decode, AUDIO_FEATURES_TYPE)
+    return raw.select(
+        id_col,
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("mean_amp", 6).alias("mean_amp"),
+        "peak_amp",
+    )

@@ -392,3 +392,16 @@ def test_kmeans_lite_clusters(spark, vectors):
     # determinism: a rerun yields the identical clustering
     again = kmeans_lite(vectors, k=4, iters=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_decode_audio_features(spark, docs):
+    d = M.attach_binary_payload(docs, "text")
+    out = {r["doc_id"]: r for r in M.decode_audio_features(d).collect()}
+    assert len(out) == 5
+    r0 = out[0]
+    n = len("the quick brown fox jumps over the lazy dog".encode())
+    assert r0["n_samples"] == n // 2
+    assert abs(r0["duration_s"] - (n // 2) / 16000) < 1e-6
+    assert 0 < r0["mean_amp"] < 256 and 0 < r0["peak_amp"] < 256
+    with pytest.raises(Exception, match="NotImplementedError|audio"):
+        M.decode_audio_features(d, strict=True).collect()
