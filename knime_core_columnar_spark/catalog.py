@@ -4209,6 +4209,62 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tokenize_to_ids",
+    """
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ), c AS (
+      SELECT token, COUNT(*) AS cnt FROM t GROUP BY token HAVING COUNT(*) >= 5
+    ), v AS (
+      SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS token_id
+      FROM c
+    ), w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS token,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+      FROM documents
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           list(COALESCE(token_id, -1) ORDER BY pos) AS token_ids
+    FROM w LEFT JOIN v USING (token)
+    GROUP BY doc_id
+    """,
+)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained vocabulary (text.build_vocab) to the corpus —
+    the tokenize-to-ids step that turns documents into the integer
+    sequences a training run consumes: per doc, the ordered token-id
+    array (OOV → -1), token count, and OOV count. Scale shape: explode
+    → broadcast-join the vocab (AQE; vocab ≪ corpus) → one per-doc
+    collect of (pos, id) structs sorted positionally — ids identical at
+    any parallelism because the vocab ids themselves are deterministic."""
+    from knime_core_columnar_spark.operators.text import build_vocab, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(d, "text", min_count=5).select("token", "token_id")
+    w = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    )
+    j = w.join(F.broadcast(vocab), "token", "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("token_id").isNull().cast("int")).alias("n_oov"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos", F.coalesce("token_id", F.lit(-1)).alias("tid")
+                    )
+                )
+            ),
+            lambda s: s["tid"],
+        ).alias("token_ids"),
+    )
+
+
+@query(
     "audio_stats",
     """
     WITH p AS (
