@@ -4209,6 +4209,91 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "label_coherence",
+    """
+    WITH u AS (
+      SELECT label, d, round(CAST(SUM(x6) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS m
+      FROM (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS d,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        FROM embeddings
+      ) GROUP BY label, d
+    ), c AS (
+      SELECT label, list(m ORDER BY d) AS cent FROM u GROUP BY label
+    ), s AS (
+      SELECT e.label,
+             CAST(round(
+               round(list_dot_product(e.embedding::DOUBLE[], c.cent)
+                     / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(c.cent, c.cent)), 0), 6)
+               * 1000000) AS BIGINT) AS cos6
+      FROM embeddings e JOIN c USING (label)
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           round(CAST(SUM(cos6) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS avg_cos,
+           round(CAST(MIN(cos6) AS DOUBLE) / 1000000.0, 6) AS min_cos
+    FROM s GROUP BY label
+    """,
+)
+def label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-data quality check over the labeled embedding corpus:
+    per-label centroids (scaled-int64 exact means, the kmeans update
+    machinery without iteration), then each vector's cosine to its OWN
+    label centroid, aggregated to per-label mean/min coherence — low
+    coherence flags mislabeled or heterogeneous classes before
+    training. Broadcast centroids, one narrow scoring pass, scaled-int
+    aggregation keeps every number engine-exact."""
+    from knime_core_columnar_spark.operators.similarity import dot, l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "label",
+        "d",
+        F.round(F.col("x").cast("double") * 1_000_000, 0).cast("long").alias("x6"),
+    )
+    per_dim = dims.groupBy("label", "d").agg(
+        F.round(
+            F.sum("x6").cast("double") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+        ).alias("m")
+    )
+    cents = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+        ).alias("cent")
+    )
+    scored = e.join(F.broadcast(cents), "label").select(
+        "label",
+        F.round(
+            F.round(
+                dot(F.col("embedding"), F.col("cent"))
+                / F.nullif(
+                    l2_norm(F.col("embedding")) * F.sqrt(dot(F.col("cent"), F.col("cent"))),
+                    F.lit(0.0),
+                ),
+                6,
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("cos6"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum("cos6").cast("double") / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+            6,
+        ).alias("avg_cos"),
+        F.round(F.min("cos6").cast("double") / F.lit(1_000_000.0), 6).alias(
+            "min_cos"
+        ),
+    )
+
+
+@query(
     "tokenize_to_ids",
     """
     WITH t AS (
