@@ -4209,6 +4209,68 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_classify",
+    """
+    WITH nb AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                          / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                             * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
+                          DESC, c.vec_id) AS rank
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND c.vec_id >= 10
+      ) WHERE rank <= 5
+    ), votes AS (
+      SELECT nb.query_id, e.label, COUNT(*) AS cnt
+      FROM nb JOIN embeddings e ON e.vec_id = nb.neighbor_id
+      GROUP BY nb.query_id, e.label
+    )
+    SELECT query_id, label AS pred_label, CAST(cnt AS BIGINT) AS votes FROM (
+      SELECT query_id, label, cnt,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cnt DESC, label) AS r
+      FROM votes
+    ) WHERE r = 1
+    """,
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-NN classification (the KNIME K Nearest Neighbor
+    node): exact cosine top-5 among the labeled corpus (vec_id ≥ 10)
+    for each query vector, then majority vote with a deterministic
+    tie-break (most votes, then smallest label). The neighbor search is
+    the broadcast + WindowGroupLimit brute-force tier; votes aggregate
+    per query; the winner is min(struct(-votes, label)) — no second
+    window over the data."""
+    from knime_core_columnar_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    nb = brute_force_topk(
+        e.filter("vec_id >= 10"), e.filter("vec_id < 10"), k=5
+    ).select("query_id", "neighbor_id")
+    votes = (
+        nb.join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    win = votes.groupBy("query_id").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
+        ).alias("w")
+    )
+    return win.select(
+        "query_id",
+        F.col("w.l").alias("pred_label"),
+        (-F.col("w.nc")).cast("long").alias("votes"),
+    )
+
+
+@query(
     "label_coherence",
     """
     WITH u AS (
