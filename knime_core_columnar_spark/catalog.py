@@ -4209,6 +4209,70 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), TIMESTAMP '2002-01-01') AS recency,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon_dec,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), q AS (
+      SELECT CAST(quantile_cont(recency, 0.5) AS DOUBLE) AS r_med,
+             CAST(quantile_cont(frequency, 0.5) AS DOUBLE) AS f_med,
+             CAST(quantile_cont(monetary, 0.5) AS DOUBLE) AS m_med
+      FROM rfm
+    )
+    SELECT (CASE WHEN recency <= r_med THEN 'R1' ELSE 'R0' END
+            || CASE WHEN frequency > f_med THEN 'F1' ELSE 'F0' END
+            || CASE WHEN monetary > m_med THEN 'M1' ELSE 'M0' END) AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(mon_dec) AS DOUBLE) AS segment_value
+    FROM rfm, q GROUP BY 1
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    median splits — the classic marketing-analytics workflow KNIME
+    builds from GroupBy + Auto-Binner + Rule Engine nodes, as one
+    query): per-customer RFM from one orders aggregation, exact-median
+    fences broadcast back, 8 segments with counts and value. The
+    monetary sums are decimal-exact, so segment_value is
+    engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    # monetary rides in BOTH forms: double for the median fence /
+    # segment compare, decimal for the outer sum (a double sum over a
+    # segment would be summation-order-dependent across engines)
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("timestamp_ntz"), F.max("o_orderdate")
+        ).alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_dec("o_totalprice")).alias("mon_dec"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("monetary"),
+    )
+    q = rfm.agg(
+        F.percentile("recency", F.lit(0.5)).alias("r_med"),
+        F.percentile("frequency", F.lit(0.5)).alias("f_med"),
+        F.percentile("monetary", F.lit(0.5)).alias("m_med"),
+    )
+    seg = F.concat(
+        F.when(F.col("recency") <= F.col("r_med"), "R1").otherwise("R0"),
+        F.when(F.col("frequency") > F.col("f_med"), "F1").otherwise("F0"),
+        F.when(F.col("monetary") > F.col("m_med"), "M1").otherwise("M0"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(q))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("mon_dec").cast("double").alias("segment_value"),
+        )
+    )
+
+
+@query(
     "knn_classify",
     """
     WITH nb AS (
