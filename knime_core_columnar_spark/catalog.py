@@ -4209,6 +4209,38 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_lifetime_stats",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS first_seen,
+           MAX(ts) AS last_seen,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+           date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS span_days,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime/engagement profile (the sessionization
+    family's roll-up view): event counts, first/last seen, distinct
+    active days vs calendar span, decimal-exact lifetime value. One
+    partial-aggregated pass; count-distinct of the day expands to the
+    standard two-phase distinct aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+        F.datediff(F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))).alias(
+            "span_days"
+        ),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+
+
+@query(
     "rfm_segments",
     """
     WITH rfm AS (
