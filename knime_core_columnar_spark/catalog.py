@@ -4209,6 +4209,89 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "percentile_grid",
+    """
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_extendedprice, 0.10) AS DOUBLE) AS p10,
+           CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE) AS p50,
+           CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE) AS p75,
+           CAST(quantile_cont(l_extendedprice, 0.90) AS DOUBLE) AS p90,
+           CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-quantile distribution summary per group — the profiling
+    grid (p10…p99) in ONE aggregation pass: Spark's percentile()
+    accepts the full quantile array, computing all cuts from a single
+    sorted digest per group rather than six separate scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = [0.10, 0.25, 0.50, 0.75, 0.90, 0.99]
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs])).alias("p")
+    )
+    return g.select(
+        "l_returnflag",
+        *[F.col("p")[i].alias(f"p{int(q * 100)}") for i, q in enumerate(qs)],
+    )
+
+
+@query(
+    "column_profile",
+    """
+    SELECT 'l_quantity' AS column_name, COUNT(*) AS n,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the KNIME Statistics node): per numeric column
+    — row count, null count, exact distinct count, min/max — computed
+    in ONE grouping-sets-free pass per column batch via a single
+    aggregation emitting every column's stats, then unpivoted to the
+    long profiling layout. One scan for all profiled columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    agg = li.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").alias("n"),
+                (F.col("__n") - F.col(f"nn_{c}")).alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_v"),
+                F.col(f"mx_{c}").alias("max_v"),
+            )
+            for c in cols
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@query(
     "user_lifetime_stats",
     """
     SELECT user_id,
