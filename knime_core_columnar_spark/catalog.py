@@ -4209,6 +4209,43 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "referential_audit",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM orders) AS n_orders,
+      (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS n_orphan_orders,
+      (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        AS n_childless_customers,
+      (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+        AS n_active_customers
+    """,
+)
+def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across a foreign key — the pre-join
+    data-quality check an ETL pipeline runs before trusting a join:
+    orphan facts (orders without a customer, left-anti), childless
+    dimension rows (customers without orders, right-anti), and active
+    key cardinality. ONE lazy plan (four 1-row aggregates cross-joined)
+    — no driver-side counts; anti-joins broadcast the smaller key set."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n_orders = o.agg(F.count(F.lit(1)).alias("n_orders"))
+    n_orphans = o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_orphan_orders")
+    )
+    n_childless = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_childless_customers")
+    )
+    n_active = o.agg(F.countDistinct("o_custkey").alias("n_active_customers"))
+    return (
+        n_orders.crossJoin(n_orphans).crossJoin(n_childless).crossJoin(n_active)
+    )
+
+
+@query(
     "percentile_grid",
     """
     SELECT l_returnflag,
