@@ -43,7 +43,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "neardup_pipeline",
-    "embedding_neardup",
+    # embedding near-dup: the LSH tier is the headline (the 100 TB plan);
+    # the exact block-matrix tier (embedding_neardup) stays an oracle-only
+    # ground-truth query — its corpus broadcast is deliberately not a
+    # plan we showcase at scale, and the operator raises past
+    # exact_max_rows instead of OOMing.
     "embedding_neardup_lsh",
     "ann_topk",
     "ann_topk_lsh",

@@ -92,6 +92,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _parquet_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count from the Parquet footer — a driver-side metadata
+    read (no Spark job, no data scan). Used to feed operators whose tier
+    or seed selection needs the corpus size (kmeans_lite,
+    embedding_near_dup_pairs) so they never spend a counting scan.
+    Returns None for non-local paths so callers fall back to count()."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            import pyarrow.dataset as ds
+
+            return sum(
+                f.metadata.num_rows
+                for f in ds.dataset(path, format="parquet").get_fragments()
+            )
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        return None
+
+
 def _dec(col, scale: int = 2):
     return F.col(col).cast(f"decimal(18,{scale})")
 
@@ -1506,7 +1530,10 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knime_core_columnar_spark.operators.similarity import embedding_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.4, use_lsh=False)
+    return embedding_near_dup_pairs(
+        e, threshold=0.4, use_lsh=False,
+        corpus_count=_parquet_rows(sf_dir, "embeddings"),
+    )
 
 
 @query(
@@ -4590,7 +4617,8 @@ def label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, COUNT(*) AS n_tokens,
            CAST(SUM(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-           list(COALESCE(token_id, -1) ORDER BY pos) AS token_ids
+           string_agg(CAST(COALESCE(token_id, -1) AS VARCHAR), ',' ORDER BY pos)
+             AS token_ids
     FROM w LEFT JOIN v USING (token)
     GROUP BY doc_id
     """,
@@ -4602,7 +4630,11 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     array (OOV → -1), token count, and OOV count. Scale shape: explode
     → broadcast-join the vocab (AQE; vocab ≪ corpus) → one per-doc
     collect of (pos, id) structs sorted positionally — ids identical at
-    any parallelism because the vocab ids themselves are deterministic."""
+    any parallelism because the vocab ids themselves are deterministic.
+    The id sequence is serialized to a CSV string (the collect_sorted
+    pattern): the harness canonicalizer sorts rows with pandas, which
+    cannot hash list cells, so a raw array column would not be
+    value-checkable."""
     from knime_core_columnar_spark.operators.text import build_vocab, tokens
 
     d = _t(spark, sf_dir, "documents")
@@ -4614,15 +4646,18 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.col("token_id").isNull().cast("int")).alias("n_oov"),
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "pos", F.coalesce("token_id", F.lit(-1)).alias("tid")
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos", F.coalesce("token_id", F.lit(-1)).alias("tid")
+                        )
                     )
-                )
+                ),
+                lambda s: s["tid"].cast("string"),
             ),
-            lambda s: s["tid"],
+            ",",
         ).alias("token_ids"),
     )
 
@@ -5269,7 +5304,9 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knime_core_columnar_spark.operators.clustering import kmeans_lite
 
     e = _t(spark, sf_dir, "embeddings")
-    return kmeans_lite(e, k=8, iters=2)
+    return kmeans_lite(
+        e, k=8, iters=2, corpus_count=_parquet_rows(sf_dir, "embeddings")
+    )
 
 
 @query(
@@ -6097,113 +6134,89 @@ register_partsupp_queries()
 # Driver-window ordering.
 #
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# (registration order).  Round 2 verified 49/50 of the original first-50;
-# round 3 rotates the window onto queries that have never received a driver
-# CORRECTNESS row, plus the two whose oracles were fixed this round
-# (json_extract HUGEINT, q12_priority_class HUGEINT) so the fixes are proven.
+# (registration order).  Cumulative driver-green after rounds 1-3: 98
+# distinct queries (CORRECTNESS_r01 ∪ r02 ∪ r03).  Round 4 rotates the
+# window onto 50 of the 55 queries that have never received a driver
+# CORRECTNESS row; the remaining 5 (struct_roundtrip, map_ops,
+# explode_words, array_set_ops, pct_of_total) head the round-5 window.
 # Every query still runs in tools/check.py locally regardless of order.
 #
 # Layout after reorder:
-#   slots 1-50   : _DRIVER_WINDOW_R3 (2 fixed + 48 first-time-checked)
-#   slots 51+    : remaining never-driver-checked queries (next rotation
-#                  candidates), then the round-2-green queries.
+#   slots 1-50   : _DRIVER_WINDOW_R4 (never driver-checked; round-3
+#                  analytics family first, then round-2 leftovers)
+#   slots 51-55  : the 5 remaining never-driver-checked queries
+#   slots 56+    : the 98 cumulative driver-green queries
 # ---------------------------------------------------------------------------
 
-_DRIVER_WINDOW_R3 = [
-    # oracle fixes to prove (driver-red / latent-red in round 2), plus the
-    # uniquify-concatenate whose suffix scheme changed this round (r2-green
-    # no longer attests shipped behavior)
-    "json_extract",
-    "q12_priority_class",
-    "concat_uniquify",
-    # TPC-H family, never driver-checked
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_custdist",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q22_idle_balance",
-    # as-of / range joins
-    "asof_join_events",
-    "asof_forward_events",
-    "range_join_events",
-    # statistics
-    "moment_stats",
-    "corr_stats",
-    # LSH twins (oracles built for driver checking in round 2)
-    "ann_topk_lsh",
-    "embedding_neardup_lsh",
-    # sampling / normalization family
-    "hash_split_stats",
-    "stratified_sample_stats",
-    "zscore_normalize",
-    "iqr_outliers",
-    # joins and keyed maintenance
-    "salted_join_skew",
-    "bucketed_join",
-    "upsert_orders",
-    "events_dedup_latest",
-    "argmax_per_group",
-    "fuzzy_match_names",
-    # text / LLM-pipeline family
-    "tfidf_top_terms",
-    "chunk_documents",
-    "doc_repetition",
-    "quality_filter_flags",
-    # multimodal plumbing
-    "multimodal_meta",
-    "video_frame_sample",
-    # sessionization / time-series
-    "session_windows_batch",
-    "sliding_windows_batch",
-    "funnel_analysis",
-    "cohort_retention",
-    "window_range_frame",
-    # engine surfaces
-    "approx_aggregates",
-    "registry_functions",
-    "rearrange_cellfactory",
-    "pivot_returns",
-    "component_stats",
-    "simple_linear_workflow",
-    "partition_pruned_scan",
+_DRIVER_WINDOW_R4 = [
+    "kmeans_clusters", "impute_timeseries", "segment_dedup",
+    "unigram_lm_quality", "q21_waiting_suppliers", "knn_classify",
+    "entity_resolution", "token_shards", "correlation_matrix",
+    "ann_topk_ivf", "window_rank_stats", "string_agg_sorted",
+    "window_first_last", "window_ntile", "topk_ties",
+    "conditional_agg", "unpivot_metrics", "date_spine",
+    "json_typed_extract", "table_diff", "scd2_intervals",
+    "gaps_islands", "regexp_extract_numbers", "contamination_check",
+    "boilerplate_ngrams", "pii_redact", "corpus_shuffle",
+    "sequence_packing", "referential_audit", "percentile_grid",
+    "column_profile", "user_lifetime_stats", "rfm_segments",
+    "label_coherence", "tokenize_to_ids", "audio_stats",
+    "quality_monitor_batch", "anomaly_hours", "incremental_agg_merge",
+    "equal_freq_binning", "mad_outliers", "weighted_sample",
+    "vocab_build", "minmax_normalize", "ols_simple_regression",
+    "equal_width_binning", "spearman_corr", "crosstab_chi2",
+    "source_quality_rollup", "mixture_by_lang",
 ]
 
-# Queries already driver-verified green in CORRECTNESS_r02.json.
-_DRIVER_GREEN_R2 = [
-    "q1_pricing_summary", "select_project_map", "filter_rows", "slice_rows",
-    "multi_slice", "concatenate_union", "append_hstack", "row_index",
-    "cast_spec", "missing_value_columns", "join_customer_orders", "sort_topk",
-    "distinct_rows", "window_topk_per_group", "join_semi", "join_anti",
+# Queries driver-verified green in CORRECTNESS_r01/r02/r03 (cumulative).
+_DRIVER_GREEN_R123 = [
+    "json_extract", "q12_priority_class", "concat_uniquify",
+    "q4_order_priority", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q10_returned_items", "q13_custdist",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_disjunctive", "q22_idle_balance",
+    "asof_join_events", "asof_forward_events", "range_join_events",
+    "moment_stats", "corr_stats", "ann_topk_lsh",
+    "embedding_neardup_lsh", "hash_split_stats", "stratified_sample_stats",
+    "zscore_normalize", "iqr_outliers", "salted_join_skew",
+    "bucketed_join", "upsert_orders", "events_dedup_latest",
+    "argmax_per_group", "fuzzy_match_names", "tfidf_top_terms",
+    "chunk_documents", "doc_repetition", "quality_filter_flags",
+    "multimodal_meta", "video_frame_sample", "session_windows_batch",
+    "sliding_windows_batch", "funnel_analysis", "cohort_retention",
+    "window_range_frame", "approx_aggregates", "registry_functions",
+    "rearrange_cellfactory", "pivot_returns", "component_stats",
+    "simple_linear_workflow", "partition_pruned_scan", "q1_pricing_summary",
+    "select_project_map", "filter_rows", "slice_rows",
+    "multi_slice", "concatenate_union", "append_hstack",
+    "row_index", "cast_spec", "missing_value_columns",
+    "join_customer_orders", "sort_topk", "distinct_rows",
+    "window_topk_per_group", "join_semi", "join_anti",
     "join_left_outer", "q3_shipping_priority", "q5_local_supplier",
-    "rollup_returns", "cube_orders", "grouping_sets", "set_intersect",
-    "set_except", "union_distinct", "window_running_sum", "window_lag_lead",
-    "window_moving_avg", "count_distinct_agg", "percentile_stats",
-    "collect_sorted", "string_funcs", "date_funcs", "math_funcs",
-    "case_when_buckets", "events_hourly", "domain_stats", "concat_uniquify",
-    "concat_regenerate", "text_stats", "text_quality_lang", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard", "neardup_pipeline",
-    "neardup_clusters", "embedding_neardup", "ann_topk",
+    "rollup_returns", "cube_orders", "grouping_sets",
+    "set_intersect", "set_except", "union_distinct",
+    "window_running_sum", "window_lag_lead", "window_moving_avg",
+    "count_distinct_agg", "percentile_stats", "collect_sorted",
+    "string_funcs", "date_funcs", "math_funcs",
+    "case_when_buckets", "events_hourly", "domain_stats",
+    "concat_regenerate", "text_stats", "text_quality_lang",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "ngram_jaccard", "neardup_pipeline", "neardup_clusters",
+    "embedding_neardup", "ann_topk",
 ]
 
 
 def _apply_driver_window() -> None:
-    """Reorder QUERIES/ORACLES: window first, unchecked next, r2-greens last."""
+    """Reorder QUERIES/ORACLES: window first, unchecked next, greens last."""
     global QUERIES, ORACLES
-    assert len(_DRIVER_WINDOW_R3) == 50, len(_DRIVER_WINDOW_R3)
-    missing = [n for n in _DRIVER_WINDOW_R3 if n not in QUERIES]
+    assert len(_DRIVER_WINDOW_R4) == 50, len(_DRIVER_WINDOW_R4)
+    missing = [n for n in _DRIVER_WINDOW_R4 if n not in QUERIES]
     assert not missing, f"driver window names not registered: {missing}"
-    window = set(_DRIVER_WINDOW_R3)
-    greens = set(_DRIVER_GREEN_R2)
+    window = set(_DRIVER_WINDOW_R4)
+    greens = set(_DRIVER_GREEN_R123)
     rest_unchecked = [n for n in QUERIES if n not in window and n not in greens]
     rest_green = [n for n in QUERIES if n in greens and n not in window]
-    order = _DRIVER_WINDOW_R3 + rest_unchecked + rest_green
+    order = _DRIVER_WINDOW_R4 + rest_unchecked + rest_green
     assert len(order) == len(QUERIES)
     QUERIES = {n: QUERIES[n] for n in order}
     ORACLES = {n: ORACLES[n] for n in order if n in ORACLES}

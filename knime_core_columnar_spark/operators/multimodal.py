@@ -175,8 +175,10 @@ def _fake_decode_audio(data: bytes, sample_rate: int = 16_000):
     # engines round half-away — final rounding happens in Catalyst
     duration = n_samples / float(sample_rate)
     head = data[:256]
-    mean_amp = (sum(head) / len(head)) if head else 0.0
-    peak_amp = max(head) if head else 0
+    # empty payload → NULL amplitude stats, matching SQL semantics
+    # (SUM/MAX over zero rows is NULL, and NULL/0 is NULL — not 0)
+    mean_amp = (sum(head) / len(head)) if head else None
+    peak_amp = max(head) if head else None
     return n_samples, duration, mean_amp, peak_amp
 
 

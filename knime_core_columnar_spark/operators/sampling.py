@@ -246,13 +246,24 @@ def distributed_cumsum(
     ``global_index``), local running sums add the offset. Exact for
     integer inputs — identical to a single-window ``SUM() OVER (ORDER
     BY ...)`` at any parallelism. ``exclusive=True`` gives the
-    sum of strictly-preceding rows (the bin-packing prefix)."""
+    sum of strictly-preceding rows (the bin-packing prefix).
+
+    The sorted frame is lazily ``localCheckpoint``-ed before the totals
+    and numbering passes: both consume the SAME materialized partitions,
+    so ``spark_partition_id()`` agrees between them by construction —
+    correctness no longer depends on Catalyst's exchange-reuse firing
+    (``spark.sql.exchange.reuse``, AQE re-planning, or a
+    nondeterministic source could otherwise silently desynchronize the
+    offsets). Cost: the sorted rows are written once to executor
+    block storage (MEMORY_AND_DISK) — the same I/O a shuffle of this
+    frame already pays, and strictly cheaper than a wrong answer."""
     from pyspark.sql import Window
 
     s = (
         df.withColumn("__val", value_col.cast("long"))
         .orderBy(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     totals = s.groupBy("__pid").agg(F.sum("__val").alias("__t"))
     w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -290,15 +290,20 @@ def embedding_near_dup_pairs(
     use_lsh: bool | None = None,
     planes: int = 6,
     exact_max_rows: int = 100_000,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
 
-    Tier selection (``use_lsh=None``, the default) counts the corpus and
-    auto-switches: ≤ ``exact_max_rows`` rows → exact block-matrix tier,
-    beyond that → bucketed LSH (the 100 TB path; all-pairs-exact at that
-    scale is not a thing, and the exact tier's corpus broadcast would OOM
-    the driver). Pass ``use_lsh=False`` to force the exact tier as the
-    opt-in ground truth for recall testing.
+    Tier selection (``use_lsh=None``, the default) auto-switches:
+    ≤ ``exact_max_rows`` rows → exact block-matrix tier, beyond that →
+    bucketed LSH (the 100 TB path; all-pairs-exact at that scale is not
+    a thing, and the exact tier's corpus broadcast would OOM the
+    driver). Pass ``corpus_count`` when the row count is already known
+    (Parquet footer metadata, a cached count) so selection costs no
+    extra scan. Pass ``use_lsh=False`` to force the exact tier as the
+    opt-in ground truth for recall testing — the exact tier HARD-FAILS
+    (ValueError) past ``exact_max_rows`` rather than broadcasting a
+    corpus that cannot fit: a loud error beats a silent executor OOM.
 
     Exact tier: block-matrix kernel — the corpus (ids, vectors, norms)
     is broadcast once, each partition scores its own row-block against
@@ -311,8 +316,18 @@ def embedding_near_dup_pairs(
     Kernel filters with an epsilon slack, then the JVM applies
     round-half-up + the exact threshold — numpy's banker's rounding
     never decides a boundary."""
-    if use_lsh is None:
-        use_lsh = df.count() > exact_max_rows
+    if use_lsh is None or not use_lsh:
+        if corpus_count is None:
+            corpus_count = df.count()
+        if use_lsh is None:
+            use_lsh = corpus_count > exact_max_rows
+        elif corpus_count > exact_max_rows:
+            raise ValueError(
+                f"exact tier forced (use_lsh=False) on {corpus_count} rows "
+                f"> exact_max_rows={exact_max_rows}: the corpus broadcast "
+                "would exhaust memory — use the LSH tier (use_lsh=True) "
+                "or raise exact_max_rows explicitly"
+            )
     if use_lsh:
         if dim is None:
             first = df.select(F.size(vec_col).alias("d")).head()

@@ -324,6 +324,15 @@ def unigram_logprob(
     to float summation order across partitions and engines. The only
     cross-engine float op is one ``ln`` on identical doubles.
 
+    Accepted residual risk (documented, not guarded): JVM ``Math.log``
+    and DuckDB's libm ``ln`` may differ by 1 ulp (~2e-15 relative). A
+    per-token log-prob would have to land within that 1 ulp of an exact
+    half-way point of the 1e-6 rounding grid for the two engines to
+    round differently — probability ≈ 2e-9 per vocabulary entry, ~1e-4
+    for a 100k-token vocabulary, and data-dependent, not
+    parallelism-dependent. Coarser rounding only rescales, never
+    removes, this boundary band, so we keep 6 decimals and accept it.
+
     Scale shape: token explode → one count agg for the vocabulary (maps
     partial-aggregate, vocab ≪ corpus) → corpus total from a separate
     NARROW scan (``sum(size(tokens))`` — no explode, no re-agg of the

@@ -513,6 +513,7 @@ def write_knime_arrow(
     table: ColumnarTable,
     path: str,
     chunk_size: int = 28_000,
+    compression: str | None = "lz4",
 ) -> int:
     """Write a single Arrow IPC file with the KNIME envelope — the
     footer/schema metadata keys the reference stamps on its stores
@@ -523,7 +524,17 @@ def write_knime_arrow(
     derived from its 64 MiB heap budget; 28k rows is its common
     observed chunk). Driver-tier single file — the KNIME store format
     is a single-file artifact by definition; use write_arrow_ipc for
-    distributed many-file export. Returns the row count written."""
+    distributed many-file export. Returns the row count written.
+
+    ``compression="lz4"`` (default) emits standard Arrow IPC
+    LZ4-frame body compression — the reference's own write default
+    (Lz4FrameCompressionCodec.java, wired as the store codec in
+    ArrowColumnStoreFactory.java:98-112), so round-trip files match
+    KNIME's compressed size instead of the 3-5× uncompressed
+    footprint. KNIME's modern reader and ``read_knime_arrow`` both
+    understand it natively (only the LEGACY LZ4-*block* codec needs
+    the custom decompressor above). ``compression=None`` writes
+    uncompressed (readable by every KNIME version)."""
     import pyarrow as pa
     import pyarrow.ipc
 
@@ -540,8 +551,9 @@ def write_knime_arrow(
         }
     )
     total = arrow_table.num_rows
+    opts = pa.ipc.IpcWriteOptions(compression=compression)
     with pa.OSFile(path, "wb") as sink:
-        with pa.ipc.new_file(sink, arrow_table.schema) as writer:
+        with pa.ipc.new_file(sink, arrow_table.schema, options=opts) as writer:
             for batch in arrow_table.to_batches(max_chunksize=chunk_size):
                 writer.write_batch(batch)
     return total

@@ -105,6 +105,27 @@ def test_embedding_near_dup(spark, vectors):
         assert r["id_a"] < r["id_b"] and r["cos"] >= 0.999
 
 
+def test_embedding_near_dup_exact_tier_guard(spark, vectors):
+    """Forced exact tier hard-fails past exact_max_rows instead of
+    broadcasting a corpus that cannot fit (loud error > silent OOM);
+    a supplied corpus_count is trusted without an extra counting scan."""
+    with pytest.raises(ValueError, match="exact_max_rows"):
+        S.embedding_near_dup_pairs(
+            vectors, threshold=0.999, use_lsh=False, exact_max_rows=10
+        )
+    with pytest.raises(ValueError, match="exact_max_rows"):
+        S.embedding_near_dup_pairs(
+            vectors, threshold=0.999, use_lsh=False, exact_max_rows=10,
+            corpus_count=50,
+        )
+    # under the cap with a known count: no scan, no raise, same result
+    pairs = S.embedding_near_dup_pairs(
+        vectors, threshold=0.999, use_lsh=False, corpus_count=50
+    )
+    for r in pairs.collect():
+        assert r["id_a"] < r["id_b"] and r["cos"] >= 0.999
+
+
 def test_multimodal_payload_roundtrip(spark, docs):
     d = M.attach_binary_payload(docs, "text")
     row = d.filter("doc_id = 0").head()
@@ -405,3 +426,16 @@ def test_decode_audio_features(spark, docs):
     assert 0 < r0["mean_amp"] < 256 and 0 < r0["peak_amp"] < 256
     with pytest.raises(Exception, match="NotImplementedError|audio"):
         M.decode_audio_features(d, strict=True).collect()
+
+
+def test_decode_audio_features_empty_payload_is_null(spark):
+    """Empty payload → NULL amplitude stats, matching the SQL oracle
+    (SUM/MAX over zero rows is NULL, NULL/0 is NULL — not 0)."""
+    d = spark.createDataFrame(
+        [(1, b""), (2, None), (3, b"ab")], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in M.decode_audio_features(d).collect()}
+    for i in (1, 2):
+        assert out[i]["n_samples"] == 0 and out[i]["duration_s"] == 0.0
+        assert out[i]["mean_amp"] is None and out[i]["peak_amp"] is None
+    assert out[3]["n_samples"] == 1 and out[3]["peak_amp"] == ord("b")

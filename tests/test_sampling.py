@@ -120,3 +120,33 @@ def test_distributed_cumsum_matches_single_window(spark):
         expect[i] = acc
         acc += w
     assert got == expect  # exact two-phase prefix sums at 8 partitions
+
+
+def test_distributed_cumsum_offsets_stable_without_exchange_reuse(spark):
+    """The offsets pass and the numbering pass must see the SAME
+    partitioning even when Catalyst exchange reuse is disabled — the
+    lazy localCheckpoint inside distributed_cumsum guarantees it. The
+    invariant max(inclusive cumsum) == total would break loudly if the
+    two passes ever desynchronized."""
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.operators.sampling import distributed_cumsum
+
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        rows = [(i, (i * 31) % 17 + 1) for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, w long").repartition(32)
+        out = distributed_cumsum(df, [F.col("id")], F.col("w"), "cs")
+        total = sum(w for _, w in rows)
+        stats = out.agg(
+            F.max("cs").alias("mx"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        assert stats["mx"] == total and stats["n"] == len(rows)
+        got = {r["id"]: r["cs"] for r in out.collect()}
+        acc = 0
+        for i, w in rows:
+            acc += w
+            assert got[i] == acc
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
