@@ -85,17 +85,25 @@ def main():
     # round-over-round comparison.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     timings: dict[str, float] = {}
+    # per-query [min, median, max] across the n runs: sub-1.1x round-over-
+    # round deltas are adjudicated against the spread, not a lone number
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES.get(name)
         if fn is None:
             continue
-        best = None
+        runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 4)
+        spread[name] = [
+            round(runs[0], 4),
+            round(runs[len(runs) // 2], 4),
+            round(runs[-1], 4),
+        ]
 
     total = round(sum(timings.values()), 4)
     record = {
@@ -103,6 +111,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": float(sf),
         "n": n_runs,
         "git_sha": _git_sha(),

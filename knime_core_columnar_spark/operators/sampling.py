@@ -136,9 +136,9 @@ def global_index(
     ``text.build_vocab`` (frequency-ranked ids); a position is just the
     exclusive prefix sum of ones, so this delegates to
     ``distributed_cumsum`` — ONE copy of the correctness-sensitive
-    two-phase machinery (which relies on Spark reusing the sort
-    exchange so ``spark_partition_id`` is consistent between the totals
-    pass and the numbering pass)."""
+    two-phase machinery (whose lazy localCheckpoint guarantees the
+    totals pass and the numbering pass see the same partitioning, with
+    or without exchange reuse)."""
     return distributed_cumsum(df, order_cols, F.lit(1), pos_col, exclusive=True)
 
 

@@ -169,3 +169,67 @@ def test_kmeans_assignment_no_vector_shuffle(spark):
     p = plan_of(spark, "kmeans_clusters")
     assert "Window" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_knn_classify_broadcast_queries_group_limit(spark):
+    """k-NN: the 10 query points broadcast against the corpus scan (the
+    corpus never shuffles for scoring) and per-query top-k prunes with
+    WindowGroupLimit heaps before the rank shuffle; the label vote is an
+    aggregation, never a second full window."""
+    import re
+
+    p = plan_of(spark, "knn_classify")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    # exactly one rank window pass (vote = aggregation, not a 2nd window)
+    assert len(set(re.findall(r"\((\d+)\) Window\b", p))) == 1
+
+
+def test_label_coherence_broadcast_centroids_no_window(spark):
+    """Label-coherence audit: per-label centroids reduce via hash
+    aggregation and join back BROADCAST (centroids ≪ corpus); scoring is
+    a projection — no window over the corpus, no shuffled join."""
+    p = plan_of(spark, "label_coherence")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_tokenize_to_ids_broadcast_vocab(spark):
+    """Tokenize-to-ids: the trained vocab joins the exploded corpus as a
+    BROADCAST build side (vocab ≪ corpus — the corpus tokens never
+    shuffle for the lookup); the only Window nodes are global_index's
+    vocab-sized id-assignment pair, pinned by their __pid partitioning."""
+    import re
+
+    p = plan_of(spark, "tokenize_to_ids")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # both windows belong to the two-phase vocab numbering, not the corpus
+    assert len(set(re.findall(r"\((\d+)\) Window\b", p))) == 2
+    assert "hashpartitioning(__pid" in p
+
+
+def test_entity_resolution_blocked_join_no_cartesian(spark):
+    """Entity resolution: candidate pairs come from the blocking-key
+    equi-join (SortMergeJoin on the block key) — never an all-pairs
+    cross product or a nested-loop fallback."""
+    p = plan_of(spark, "entity_resolution")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_token_shards_two_phase_cumsum(spark):
+    """Token sharding: the running total is the two-phase prefix sum —
+    a per-partition local window (hashpartitioning on __pid) plus a
+    broadcast of the tiny offsets table — never one corpus-wide
+    single-reducer SUM() OVER (ORDER BY ...) window."""
+    p = plan_of(spark, "token_shards")
+    assert "hashpartitioning(__pid" in p      # local per-partition window
+    assert "BroadcastHashJoin" in p           # offsets join back broadcast
+    assert "CartesianProduct" not in p
+    # the materialized checkpoint feeding both passes appears as one RDD scan
+    assert "Scan ExistingRDD" in p

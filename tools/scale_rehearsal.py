@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Scale rehearsal for the heavy operator family (SCALE.md evidence).
+
+Synthesizes R× replicas of the sf0.1 documents/embeddings tables with
+per-replica DECORRELATION (not verbatim copies) so the workload shape
+stays realistic while the corpus grows:
+
+- documents: replica k reorders each doc's words by md5(word, k). Docs
+  that were near-duplicates INSIDE a replica stay near-duplicates
+  (common words sort identically, shingles align), but the same doc
+  across two replicas shares almost no shingles — so near-dup DENSITY
+  is constant as the corpus scales. Verbatim copies would instead grow
+  every MinHash bucket by R and candidate pairs by ~R² (a workload no
+  real corpus has).
+- embeddings: replica k adds hash-seeded noise (±0.05/dim) so vectors
+  are distinct but the cluster structure (and therefore kmeans/IVF cell
+  occupancy) is preserved.
+
+Then times the heavy queries at each scale (n runs, min reported) and
+prints a JSON line per scale. Usage:
+
+    python tools/scale_rehearsal.py [outdir] [R ...]   # default 1 10 100
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
+         "ann_topk_ivf", "unigram_lm_quality", "token_shards"]
+
+
+def synthesize(spark, out_dir: str, r: int) -> None:
+    from pyspark.sql import functions as F
+
+    n_docs, n_vecs = 5000, 2000
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    vecs = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    reps = spark.range(r).withColumnRenamed("id", "__k")
+
+    d = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("__k") * n_docs).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            F.split(F.trim("text"), r"\s+"),
+                            lambda w: F.struct(
+                                F.md5(F.concat(w, F.lit("|"), F.col("__k").cast("string"))).alias("o"),
+                                w.alias("w"),
+                            ),
+                        )
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("text"),
+            "lang", "source",
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    d.repartition(max(1, r // 2)).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    v = (
+        vecs.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("__k") * n_vecs).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    x
+                    + (
+                        F.conv(F.substring(F.md5(F.concat_ws(
+                            "|", F.col("vec_id").cast("string"),
+                            F.col("__k").cast("string"), i.cast("string"))), 1, 4), 16, 10)
+                        .cast("double") / 65535.0 - 0.5
+                    ).cast("float") * F.lit(0.1)
+                ),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    v.repartition(max(1, r // 10)).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+
+def main():
+    out_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_rehearsal"
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 100]
+
+    from knime_core_columnar_spark import catalog
+    from knime_core_columnar_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for r in factors:
+        sf_dir = BASE if r == 1 else f"{out_root}/x{r}"
+        if r != 1 and not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+            t0 = time.perf_counter()
+            synthesize(spark, sf_dir, r)
+            print(f"# synthesized x{r} in {time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr)
+        timings = {}
+        for name in HEAVY:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                catalog.QUERIES[name](spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        print(json.dumps({"scale_x": r, "sf_dir": sf_dir, "queries": timings}))
+
+
+if __name__ == "__main__":
+    main()
