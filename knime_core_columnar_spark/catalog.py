@@ -6131,6 +6131,48 @@ register_partsupp_queries()
 
 
 # ---------------------------------------------------------------------------
+# Avro source/sink (SURVEY §2.4 — the one remaining format gap; the
+# spark-avro jar is absent from this container, so the pure-Python
+# container codec in sources/avro.py carries the roundtrip)
+# ---------------------------------------------------------------------------
+
+@query(
+    "avro_roundtrip",
+    """
+    SELECT CAST(c_custkey AS VARCHAR) AS _row_key,
+           c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-fidelity Avro container roundtrip: customer exported once to
+    deflate-compressed .avro (one file per partition, encoded
+    executor-side), read back through ``read_avro`` — which, with no
+    spark-avro jar in this container, exercises the pure-Python Avro 1.11
+    decoder's distributed tier (binaryFile + per-file mapInPandas decode,
+    sources/avro.py). Longs/doubles/strings are binary-exact through the
+    Avro wire format, so the result hashes identically to the parquet
+    oracle."""
+    import os
+
+    from knime_core_columnar_spark.sources.avro import write_avro
+    from knime_core_columnar_spark.sources.io import read_avro
+
+    _ensure_pkg_on_executors(spark)
+    tag = _artifact_tag(sf_dir, "customer")
+    avro_dir = f"/tmp/kccs_customer_avro_{tag}"
+    if not os.path.isdir(avro_dir):
+        staging = f"{avro_dir}.part{os.getpid()}"
+        write_avro(_t(spark, sf_dir, "customer"), staging, codec="deflate")
+        _publish_dir(staging, avro_dir)
+    t = read_avro(spark, avro_dir, key_columns=["c_custkey"])
+    return t.df.select(
+        "_row_key", "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``

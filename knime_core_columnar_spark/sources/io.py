@@ -86,21 +86,21 @@ def read_avro(
     key_columns: Sequence[str] | None = None,
 ) -> ColumnarTable:
     """Avro ingest. Spark treats Avro as an external module
-    (org.apache.spark:spark-avro); this environment ships without the
-    jar, so fail with a deploy hint instead of Spark's opaque
-    data-source error."""
+    (org.apache.spark:spark-avro); when the jar is present it wins (JVM
+    vectorized decode). Without it, fall back to the pure-Python
+    container decoder in sources/avro.py — same two-tier (driver /
+    binaryFile+mapInPandas) shape as the Arrow IPC source, implemented
+    from the public Avro 1.11 spec."""
     try:
         df = spark.read.format("avro").load(path)
     except Exception as e:
-        # rebrand ONLY the missing-data-source error; anything else (bad
-        # path, corrupt file with the jar present) must surface as-is
+        # fall back ONLY on the missing-data-source error; anything else
+        # (bad path, corrupt file with the jar present) must surface as-is
         if "Failed to find data source" not in str(e):
             raise
-        raise NotImplementedError(
-            "Avro requires the spark-avro package "
-            "(--packages org.apache.spark:spark-avro_2.13:<spark version>), "
-            "which is not available in this environment"
-        ) from e
+        from knime_core_columnar_spark.sources.avro import read_avro_py
+
+        return read_avro_py(spark, path, key_columns=key_columns)
     return ColumnarTable.from_dataframe(df, key_columns=key_columns)
 
 

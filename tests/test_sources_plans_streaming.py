@@ -329,12 +329,15 @@ def test_orc_roundtrip(spark, tmp_path):
     assert {r["n"] for r in back.df.collect()} == set(range(100))
 
 
-def test_avro_clear_error(spark, tmp_path):
+def test_avro_falls_back_to_pure_python(spark, tmp_path):
+    """With no spark-avro jar, read_avro routes to the pure-Python codec
+    (sources/avro.py; full coverage in test_avro.py). A missing path must
+    surface as a plain FileNotFoundError, not an opaque data-source error."""
     import pytest as _pytest
 
     from knime_core_columnar_spark.sources.io import read_avro
 
-    with _pytest.raises(NotImplementedError, match="spark-avro"):
+    with _pytest.raises(FileNotFoundError):
         read_avro(spark, str(tmp_path / "nope.avro"))
 
 
