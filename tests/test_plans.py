@@ -233,3 +233,69 @@ def test_token_shards_two_phase_cumsum(spark):
     assert "CartesianProduct" not in p
     # the materialized checkpoint feeding both passes appears as one RDD scan
     assert "Scan ExistingRDD" in p
+
+
+def test_zorder_key_codegen_no_udf(spark):
+    """The Morton key is flat Catalyst bit arithmetic: whole-stage
+    codegen, no python UDF, no exchange (pure projection over the scan)."""
+    p = plan_of(spark, "zorder_layout")
+    assert "codegen id" in p  # projection participates in whole-stage codegen
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_zorder_repartition_single_range_exchange(spark):
+    """zorder_repartition = ONE range exchange + in-partition sort —
+    never a global Sort node spanning partitions."""
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.operators.layout import zorder_repartition
+
+    df = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "event_id"
+    )
+    out = zorder_repartition(df, ["user_id", "event_id"], num_partitions=8)
+    p = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    assert "rangepartitioning" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    # the only Sort is the local (global=false) within-partition sort:
+    # formatted detail prints "Arguments: [...], <global>, 0"
+    sort_flags = re.findall(r"Arguments: \[[^\]]*(?:ASC|DESC)[^\]]*\], (true|false), 0", p)
+    assert sort_flags and "true" not in sort_flags, sort_flags
+
+
+def test_event_transitions_no_global_sort(spark):
+    """The lead window shuffles by user_id (hash exchange), never a
+    global sort; the totals join operates on the tiny aggregate."""
+    p = plan_of(spark, "event_transitions")
+    import re
+
+    assert "rangepartitioning" not in p
+    # any Sort in the plan must be window-local (global=false)
+    sort_flags = re.findall(r"Arguments: \[[^\]]*(?:ASC|DESC)[^\]]*\], (true|false), 0", p)
+    assert "true" not in sort_flags, sort_flags
+
+
+def test_pagerank_superstep_shuffles_longs_only(spark):
+    """A pagerank superstep's exchanges carry only (node/dst, long)
+    pairs — adjacency is read from the materialized checkpoint, and no
+    cartesian/nested-loop join appears."""
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.operators.graph import pagerank_scaled
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 101) for i in range(400)], "src long, dst long"
+    )
+    out = pagerank_scaled(edges, iterations=1)
+    p = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # inputs are checkpointed RDD scans, not re-derivations of the edges
+    assert "Scan ExistingRDD" in p
