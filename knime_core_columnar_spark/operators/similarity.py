@@ -387,3 +387,178 @@ def embedding_near_dup_pairs(
         raw.select("id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN scoring
+# ---------------------------------------------------------------------------
+#
+# The 100 TB vector story: raw float32 embeddings at D=64 are 256 B/row;
+# PQ codes at m=8 subspaces x 256 centroids are 8 B/row — a 32x
+# compression that turns "the corpus cannot be rescanned" into "the hot
+# index fits in cluster memory". Scoring is ADC (asymmetric distance
+# computation, Jegou et al. 2011, public): per query, precompute an
+# (m x ks) lookup table of squared L2 distances from each query
+# SUBvector to each codebook centroid; a corpus row's approximate
+# distance is then m table lookups summed — no float vector ever touched
+# at query time. Compose with IVF for candidate pruning by passing an
+# IVF-cell-filtered code frame (classic IVF-PQ).
+#
+# Everything is deterministic: codebooks are hash-sampled (the same
+# mechanism as ivf_topk/kmeans_lite seeds), argmin ties break toward the
+# lowest code id, so encode/score are reproducible across engines and
+# partitionings.
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_count: int | None = None,
+):
+    """Train per-subspace codebooks: ``ks`` centroids per subspace,
+    hash-sampled from the corpus (deterministic; a production system
+    would Lloyd-refine — the sampled codebook keeps every stage exactly
+    reproducible, the property every gate here depends on).
+
+    Returns a plain numpy array of shape (m, ks, D//m) — codebooks are
+    index METADATA (m*ks*D/m doubles ≈ kilobytes), not data; they ride
+    to executors inside closures like any broadcast dim table.
+    """
+    import math
+
+    import numpy as np
+
+    from knime_core_columnar_spark.operators.sampling import _BUCKETS, hash_bucket
+
+    n = corpus_count if corpus_count is not None else corpus.count()
+    thr = min(_BUCKETS, int(math.floor((4.0 * ks * _BUCKETS) / max(n, 1) + 0.5)))
+    h = hash_bucket([id_col], salt="pq-codebook")
+    seeds = (
+        corpus.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
+        .filter(F.col("__h") <= thr)
+        .orderBy("__h", id_col)  # sorts only the ~4*ks sampled rows
+        .limit(ks)
+        .select(vec_col)
+        .toPandas()
+    )
+    S = np.array(seeds[vec_col].tolist(), dtype=np.float64)
+    if len(S) < ks:
+        raise ValueError(f"corpus too small for ks={ks} (sampled {len(S)})")
+    D = S.shape[1]
+    if D % m:
+        raise ValueError(f"dim {D} not divisible by m={m}")
+    d = D // m
+    return np.stack([S[:, j * d : (j + 1) * d] for j in range(m)])  # (m, ks, d)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``m`` small-int codes (nearest centroid per
+    subspace, squared-L2, lowest-code tie-break). One Arrow-batched scan;
+    output is (id, codes array<int>) — the compressed index."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ks, d = cb.shape
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                sub = X[:, j * d : (j + 1) * d]
+                # (rows, ks) squared distances; argmin -> first (lowest) id
+                dist = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * sub @ cb[j].T
+                    + (cb[j] * cb[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(dist, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": [list(map(int, c)) for c in codes]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over the compressed index: queries (with their per-query
+    (m x ks) distance tables) broadcast; each executor scores its code
+    rows with m table lookups per row; per-query top-k via the same
+    WindowGroupLimit heap pattern as brute_force_topk. Returns
+    (query_id, neighbor_id, approx_dist, rank) — approx_dist is the ADC
+    squared-L2 estimate (smaller = closer)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ks, d = cb.shape
+    qpd = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).toPandas()
+    q_ids = np.asarray(qpd["query_id"])
+    Q = np.array(qpd["__qv"].tolist(), dtype=np.float64)
+    # per-query LUT: (nq, m, ks) squared subspace distances
+    lut = np.empty((len(Q), m, ks))
+    for j in range(m):
+        sub = Q[:, j * d : (j + 1) * d]
+        lut[:, j, :] = (
+            (sub * sub).sum(axis=1)[:, None]
+            - 2.0 * sub @ cb[j].T
+            + (cb[j] * cb[j]).sum(axis=1)[None, :]
+        )
+    sc = codes_df.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, lut))
+
+    def score(batches):
+        b_qids, b_lut = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (rows, m)
+            n_ids = np.asarray(pdf[id_col])
+            # dist[r, q] = sum_j lut[q, j, C[r, j]]
+            dist = np.zeros((len(C), len(b_qids)))
+            for j in range(m):
+                dist += b_lut[:, j, :].T[C[:, j]]  # (rows, nq)
+            rr, qq = np.indices(dist.shape)
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qq.ravel()],
+                    "neighbor_id": n_ids[rr.ravel()],
+                    "approx_dist": dist.ravel(),
+                }
+            )
+
+    scored = (
+        codes_df.mapInPandas(
+            score, "query_id long, neighbor_id long, approx_dist double"
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
