@@ -6322,6 +6322,113 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("doc_id"), "rank")
 
 
+def _pq_oracle_sql(m: int = 4, d: int = 16, ks: int = 16, k: int = 5) -> str:
+    """Unrolled PQ encode + ADC oracle: per subspace j, codes are the
+    argmin of x·x + c·c − 2·x·c over the hash-sampled codebook (the
+    identical float expression tree the numpy kernels accumulate —
+    similarity._sq_dist_terms); the ADC distance is the fixed-order sum
+    lut0 + lut1 + … — left-associative in SQL exactly as the kernel's
+    j-loop accumulates."""
+    def sl(col: str, j: int) -> str:  # 1-based inclusive DuckDB slice
+        return f"({col})[{j * d + 1}:{(j + 1) * d}]"
+
+    enc = ",\n".join(
+        f"""
+    enc{j} AS (
+      SELECT vec_id, code_id FROM (
+        SELECT e.vec_id, s.code_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.xs, e.xs) + list_dot_product(s.cs, s.cs)
+                 - 2 * list_dot_product(e.xs, s.cs), s.code_id) AS rk
+        FROM (SELECT vec_id, {sl('embedding::DOUBLE[]', j)} AS xs FROM embeddings) e,
+             (SELECT code_id, {sl('c', j)} AS cs FROM seeds) s
+      ) WHERE rk = 1
+    )"""
+        for j in range(m)
+    )
+    lut = ",\n".join(
+        f"""
+    lut{j} AS (
+      SELECT q.vec_id AS query_id, s.code_id,
+             list_dot_product(q.qs, q.qs) + list_dot_product(s.cs, s.cs)
+             - 2 * list_dot_product(q.qs, s.cs) AS v
+      FROM (SELECT vec_id, {sl('embedding::DOUBLE[]', j)} AS qs
+            FROM embeddings WHERE vec_id < {k}) q,
+           (SELECT code_id, {sl('c', j)} AS cs FROM seeds) s
+    )"""
+        for j in range(m)
+    )
+    enc_joins = "\n      ".join(
+        f"JOIN enc{j} e{j} USING (vec_id)" for j in range(1, m)
+    )
+    lut_joins = "\n      ".join(
+        f"JOIN lut{j} l{j} ON l{j}.code_id = e{j}.code_id "
+        f"AND l{j}.query_id = l0.query_id"
+        for j in range(1, m)
+    )
+    dist = " + ".join(f"l{j}.v" for j in range(m))
+    return f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code_id, c
+      FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS c,
+               ('0x' || substring(md5(CAST(vec_id AS VARCHAR) || '|pq-codebook'), 1, 15))::BIGINT
+                 % 10000 AS h
+        FROM embeddings
+      ), nn
+      WHERE h <= least(10000, CAST(floor({4 * ks * 10000}.0 / n + 0.5) AS BIGINT))
+      ORDER BY h, vec_id LIMIT {ks}
+    ),
+    {enc},
+    {lut},
+    scored AS (
+      SELECT l0.query_id, e0.vec_id AS neighbor_id, {dist} AS dist
+      FROM enc0 e0
+      {enc_joins}
+      JOIN lut0 l0 ON l0.code_id = e0.code_id
+      {lut_joins}
+      WHERE e0.vec_id != l0.query_id
+    )
+    SELECT query_id, neighbor_id, round(dist, 6) AS approx_dist, rank FROM (
+      SELECT query_id, neighbor_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("pq_topk_adc", _pq_oracle_sql())
+def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_train/pq_encode/pq_topk):
+    hash-sampled 4x16 codebooks over the 64-dim embeddings, corpus
+    encoded to 4 small-int codes/row (16x smaller than the float
+    vectors), 5 queries scored in the compressed domain via per-query
+    ADC lookup tables. The ENTIRE pipeline — sampling, per-subspace
+    argmin encode, fixed-order ADC sums, top-k — is unrolled in the SQL
+    oracle and value-checked including the float distances: the kernels
+    accumulate per-dimension sequentially (_sq_dist_terms) precisely so
+    the doubles are bit-identical to list_dot_product arithmetic."""
+    from knime_core_columnar_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    _ensure_pkg_on_executors(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(
+        e, m=4, ks=16, corpus_count=_parquet_rows(sf_dir, "embeddings")
+    )
+    codes = pq_encode(e, cb)
+    out = pq_topk(codes, e.filter("vec_id < 5"), cb, k=5)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("approx_dist", 6).alias("approx_dist"), "rank",
+    )
+
+
 def _zorder_oracle_sql() -> str:
     from knime_core_columnar_spark.operators.layout import zvalue_sql
 

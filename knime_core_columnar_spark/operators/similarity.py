@@ -407,7 +407,30 @@ def embedding_near_dup_pairs(
 # Everything is deterministic: codebooks are hash-sampled (the same
 # mechanism as ivf_topk/kmeans_lite seeds), argmin ties break toward the
 # lowest code id, so encode/score are reproducible across engines and
-# partitionings.
+# partitionings. Squared distances use x·x + c·c − 2·x·c with SEQUENTIAL
+# per-dimension accumulation (see _sq_dist_terms) — the same float
+# operation tree as `list_dot_product(x,x) + list_dot_product(c,c)
+# − 2*list_dot_product(x,c)` in a SQL oracle, so every distance is
+# bit-identical across engines (BLAS matmul / numpy pairwise summation
+# would NOT be; same discipline as _pair_dot_kernel above).
+
+
+def _sq_dist_terms(X, C):
+    """(rows, ks) squared L2 distances with oracle-exact float ordering:
+    x2/c2/xc each accumulated dimension-by-dimension, combined as
+    (x2 + c2) - 2*xc."""
+    import numpy as np
+
+    n, d = X.shape
+    ks = C.shape[0]
+    x2 = np.zeros(n)
+    c2 = np.zeros(ks)
+    xc = np.zeros((n, ks))
+    for t in range(d):
+        x2 += X[:, t] * X[:, t]
+        c2 += C[:, t] * C[:, t]
+        xc += X[:, t][:, None] * C[None, :, t]
+    return (x2[:, None] + c2[None, :]) - 2.0 * xc
 
 
 def pq_train(
@@ -476,13 +499,8 @@ def pq_encode(
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             codes = np.empty((len(X), m), dtype=np.int32)
             for j in range(m):
-                sub = X[:, j * d : (j + 1) * d]
-                # (rows, ks) squared distances; argmin -> first (lowest) id
-                dist = (
-                    (sub * sub).sum(axis=1)[:, None]
-                    - 2.0 * sub @ cb[j].T
-                    + (cb[j] * cb[j]).sum(axis=1)[None, :]
-                )
+                # argmin -> first (lowest) code id on ties
+                dist = _sq_dist_terms(X[:, j * d : (j + 1) * d], cb[j])
                 codes[:, j] = np.argmin(dist, axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "codes": [list(map(int, c)) for c in codes]}
@@ -521,12 +539,7 @@ def pq_topk(
     # per-query LUT: (nq, m, ks) squared subspace distances
     lut = np.empty((len(Q), m, ks))
     for j in range(m):
-        sub = Q[:, j * d : (j + 1) * d]
-        lut[:, j, :] = (
-            (sub * sub).sum(axis=1)[:, None]
-            - 2.0 * sub @ cb[j].T
-            + (cb[j] * cb[j]).sum(axis=1)[None, :]
-        )
+        lut[:, j, :] = _sq_dist_terms(Q[:, j * d : (j + 1) * d], cb[j])
     sc = codes_df.sparkSession.sparkContext
     bc = sc.broadcast((q_ids, lut))
 
