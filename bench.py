@@ -62,6 +62,11 @@ HEADLINE = [
     "impute_timeseries",
     "kmeans_clusters",
     "q21_waiting_suppliers",
+    # round-4 additions
+    "event_transitions",
+    "neardup_pagerank",
+    "zorder_layout",
+    "pq_topk_adc",
 ]
 
 

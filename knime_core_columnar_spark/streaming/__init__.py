@@ -11,12 +11,14 @@ is written against a plain DataFrame so the SAME code runs in batch mode
 mode via readStream."""
 
 from knime_core_columnar_spark.streaming.ops import (
+    build_neardup_index,
     corpus_quality_monitor,
     hourly_counts,
     session_windows,
     sliding_window_agg,
     stream_from_directory,
     streaming_dedup,
+    streaming_neardup,
     stateful_running_totals,
     streaming_asof_enrich,
     tumbling_window_agg,
@@ -29,6 +31,8 @@ __all__ = [
     "sliding_window_agg",
     "session_windows",
     "streaming_dedup",
+    "streaming_neardup",
+    "build_neardup_index",
     "stateful_running_totals",
     "streaming_asof_enrich",
     "hourly_counts",

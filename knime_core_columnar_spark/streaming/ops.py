@@ -285,3 +285,128 @@ def corpus_quality_monitor(
             "n_low_quality",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-duplicate detection (stream-static LSH)
+# ---------------------------------------------------------------------------
+
+def build_neardup_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The STATIC side of streaming near-dup: precompute, once per index
+    refresh, (a) the corpus band index (corpus_id, __b, __key) and (b)
+    per-doc shingle profiles (corpus_id, __hs, __size) for exact Jaccard
+    verification. Built with the batch machinery (codegen shingles, one
+    aggregation) — at scale this is a periodic batch job whose output
+    both the offline dedup and the stream share. Persist both frames
+    (or write them to parquet) so micro-batches don't recompute them."""
+    from knime_core_columnar_spark.operators.dedup import (
+        base_hash60,
+        minhash_signature_table,
+        shingle_rows,
+    )
+
+    rows = num_perm // bands
+    sig = minhash_signature_table(corpus, id_col, text_col, num_perm, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}|"),
+                    F.concat_ws(
+                        ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    ),
+                )
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    band_index = sig.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(F.array(*band_structs)).alias("__c"),
+    ).select("corpus_id", F.col("__c.b").alias("__b"), F.col("__c.key").alias("__key"))
+    profiles = (
+        shingle_rows(corpus, id_col, text_col, shingle_n)
+        .select(F.col(id_col), base_hash60(F.col("__s")).alias("__h"))
+        .groupBy(id_col)
+        .agg(F.collect_list("__h").alias("__hs"), F.count(F.lit(1)).alias("__size"))
+        .select(F.col(id_col).alias("corpus_id"), "__hs", "__size")
+    )
+    return band_index, profiles
+
+
+def streaming_neardup(
+    stream: DataFrame,
+    band_index: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidates for INCOMING documents against an existing
+    corpus — the CDC-dedup pattern: every new doc is checked before
+    admission, without rescanning the corpus.
+
+    Streaming-legal by construction: the incoming doc's signature, band
+    keys, and shingle-hash set are all per-row EXPRESSIONS (the
+    interpreted HOF minhash form — fine at micro-batch row counts; the
+    corpus side used the bulk codegen path when the index was built), so
+    the plan is projection → stream-static equi-join on (band, key) →
+    stream-static join on corpus_id → filter. No stream aggregation, no
+    stream-stream join, append-mode clean, state size ZERO — corpus
+    state lives in the static index, refreshed by the periodic batch
+    job, not in the state store.
+
+    Returns (stream_id, corpus_id, jaccard ≥ threshold). A pair sharing
+    several bands emits once per shared band; dedupe downstream if exact
+    multiplicity matters (kept out of here to avoid streaming-state
+    dropDuplicates).
+
+    Same hash family end to end, so results equal the batch
+    minhash_lsh_candidates→ngram_jaccard_pairs pipeline restricted to
+    (stream × corpus) pairs — pinned by the parity test."""
+    from knime_core_columnar_spark.operators.dedup import (
+        base_hash60,
+        lsh_band_keys,
+        minhash_signature,
+    )
+    from knime_core_columnar_spark.operators.text import word_shingles
+
+    rows = num_perm // bands
+    sh = word_shingles(F.col(text_col), shingle_n)
+    enriched = stream.select(
+        F.col(id_col).alias("stream_id"),
+        F.posexplode(
+            lsh_band_keys(
+                minhash_signature(F.col(text_col), num_perm, shingle_n),
+                bands,
+                rows,
+            )
+        ).alias("__b", "__key"),
+        F.transform(sh, base_hash60).alias("__shs"),
+        F.size(sh).alias("__ssize"),
+    )
+    cand = enriched.join(band_index, ["__b", "__key"]).filter(
+        F.col("stream_id") != F.col("corpus_id")
+    )
+    verified = cand.join(profiles, "corpus_id").withColumn(
+        "__inter", F.size(F.array_intersect("__shs", "__hs"))
+    )
+    return verified.select(
+        "stream_id",
+        "corpus_id",
+        (
+            F.col("__inter").cast("double")
+            / (F.col("__ssize") + F.col("__size") - F.col("__inter"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

@@ -378,3 +378,67 @@ def test_corpus_quality_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_neardup_matches_batch_pipeline(spark, sf_dir, tmp_path):
+    """Stream-static LSH near-dup: incoming docs (a real file-source
+    micro-batch run) checked against a static corpus index must find
+    exactly the (stream, corpus) pairs the batch
+    minhash_lsh_candidates -> ngram_jaccard_pairs pipeline finds."""
+    from knime_core_columnar_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter("doc_id % 5 != 0")
+    incoming = docs.filter("doc_id % 5 = 0")
+
+    # batch ground truth over the full doc set, restricted to cross pairs
+    cand = minhash_lsh_candidates(docs, "doc_id", "text", num_perm=16, bands=4)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cand
+    ).collect()
+    expected = set()
+    for r in pairs:
+        a, b, j = r["id_a"], r["id_b"], round(r["jaccard"], 6)
+        if a % 5 == 0 and b % 5 != 0:
+            expected.add((a, b, j))
+        elif b % 5 == 0 and a % 5 != 0:
+            expected.add((b, a, j))
+
+    band_index, profiles = ST.build_neardup_index(corpus)
+    band_index, profiles = band_index.cache(), profiles.cache()
+
+    # batch-mode parity of the operator itself (shared code path)
+    got_batch = {
+        (r["stream_id"], r["corpus_id"], round(r["jaccard"], 6))
+        for r in ST.streaming_neardup(incoming, band_index, profiles).collect()
+    }
+    assert got_batch == expected
+
+    # real micro-batch run: file source -> stream-static joins -> memory sink
+    src_dir = str(tmp_path / "incoming_docs")
+    incoming.write.parquet(src_dir)
+    stream = ST.stream_from_directory(
+        spark, src_dir, spark.read.parquet(src_dir).schema
+    )
+    out = ST.streaming_neardup(stream, band_index, profiles)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_neardup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_stream = {
+            (r["stream_id"], r["corpus_id"], round(r["jaccard"], 6))
+            for r in spark.sql("SELECT * FROM t_neardup").collect()
+        }
+    finally:
+        q.stop()
+    assert got_stream == expected
