@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from knime_core_columnar_spark.operators.similarity import dot
 
-__all__ = ["kmeans_lite"]
+__all__ = ["kmeans_lite", "hash_seed_centroids", "assign_cells"]
 
 
 def _sq_norm(a: Column) -> Column:
@@ -42,6 +42,62 @@ def _sq_norm(a: Column) -> Column:
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
+    )
+
+
+def hash_seed_centroids(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    corpus_count: int | None = None,
+    salt: str = "kmeans-seeds",
+) -> DataFrame:
+    """Deterministic md5 hash-sample of k seed rows → (cell_id, __c)
+    double-vector centroids. Partitioning-independent and engine-
+    reproducible (same scheme as similarity.ivf_topk); no global sort —
+    the orderBy+limit runs on the ~4k oversampled survivors only."""
+    from knime_core_columnar_spark.operators.sampling import _BUCKETS, hash_bucket
+
+    n = corpus_count if corpus_count is not None else df.count()
+    thr = min(_BUCKETS, int(math.floor((4.0 * k * _BUCKETS) / max(n, 1) + 0.5)))
+    h = hash_bucket([id_col], salt=salt)
+    return (
+        df.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
+        .filter(F.col("__h") <= thr)
+        .orderBy("__h", id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("cell_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__c"),
+        )
+    )
+
+
+def assign_cells(vecs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """One Lloyd ASSIGNMENT round: per-row argmin squared euclidean
+    distance over the broadcast centroid array (struct ordering = dist
+    asc, cell_id asc tie-break) — no window, no shuffle of the vectors.
+
+    ``vecs`` must carry (id_col, __v double-vector, __vv = |v|²);
+    ``cents`` carries (cell_id, __c). Returns (id_col, cell_id, __v)."""
+    cc = cents.select("cell_id", "__c", _sq_norm(F.col("__c")).alias("__cc"))
+    carr = cc.agg(F.collect_list(F.struct("cell_id", "__c", "__cc")).alias("__cs"))
+    best = F.array_min(
+        F.transform(
+            F.col("__cs"),
+            lambda s: F.struct(
+                (
+                    F.col("__vv") + s["__cc"] - 2 * dot(F.col("__v"), s["__c"])
+                ).alias("d"),
+                s["cell_id"].alias("cell_id"),
+            ),
+        )
+    )
+    return (
+        vecs.crossJoin(F.broadcast(carr))
+        .withColumn("__best", best)
+        .select(id_col, F.col("__best.cell_id").alias("cell_id"), "__v")
     )
 
 
@@ -70,21 +126,7 @@ def kmeans_lite(
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    from knime_core_columnar_spark.operators.sampling import _BUCKETS, hash_bucket
-
-    n = corpus_count if corpus_count is not None else df.count()
-    thr = min(_BUCKETS, int(math.floor((4.0 * k * _BUCKETS) / max(n, 1) + 0.5)))
-    h = hash_bucket([id_col], salt="kmeans-seeds")
-    cents = (
-        df.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
-        .filter(F.col("__h") <= thr)
-        .orderBy("__h", id_col)
-        .limit(k)
-        .select(
-            F.col(id_col).alias("cell_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__c"),
-        )
-    )
+    cents = hash_seed_centroids(df, k, id_col, vec_col, corpus_count)
     vecs = df.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
@@ -92,30 +134,9 @@ def kmeans_lite(
     )
     assigned = vecs  # rebound below; iters >= 1 is enforced above
     for _ in range(iters):
-        # assignment is a PER-ROW argmin over the broadcast centroid
-        # array (struct ordering = dist asc, cell_id asc tie-break) —
-        # no window, no shuffle of the vectors; the only exchange per
-        # iteration is the (cell, dim, int64) update aggregation below
-        cc = cents.select("cell_id", "__c", _sq_norm(F.col("__c")).alias("__cc"))
-        carr = cc.agg(
-            F.collect_list(F.struct("cell_id", "__c", "__cc")).alias("__cs")
-        )
-        best = F.array_min(
-            F.transform(
-                F.col("__cs"),
-                lambda s: F.struct(
-                    (
-                        F.col("__vv") + s["__cc"] - 2 * dot(F.col("__v"), s["__c"])
-                    ).alias("d"),
-                    s["cell_id"].alias("cell_id"),
-                ),
-            )
-        )
-        assigned = (
-            vecs.crossJoin(F.broadcast(carr))
-            .withColumn("__best", best)
-            .select(id_col, F.col("__best.cell_id").alias("cell_id"), "__v")
-        )
+        # per-iteration cost: one broadcast argmin scan (assign_cells)
+        # plus the (cell, dim, int64) update aggregation below
+        assigned = assign_cells(vecs, cents, id_col)
         dims = assigned.select(
             "cell_id", F.posexplode("__v").alias("__d", "__x")
         ).select(
