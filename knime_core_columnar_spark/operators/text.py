@@ -373,6 +373,87 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained BIGRAM language-model score per document — one
+    step up from ``unigram_logprob`` in fluency sensitivity: word-salad
+    text with plausible unigrams (keyword stuffing, shuffled sentences)
+    scores low because its word TRANSITIONS are corpus-atypical.
+
+    Model: add-alpha smoothed conditional
+    ``ln((c(w1,w2) + α) / (c(w1·) + α·V))`` where ``c(w1·)`` is the
+    bigram-context count (Σ_w2 c(w1,w2)) and ``V`` is the context
+    vocabulary size (#distinct w1) — both derivable from the ONE bigram
+    count table, so training is a single explode + aggregate; no second
+    corpus pass for the vocabulary. α defaults to 0.5 (exactly
+    representable in binary — no decimal-literal drift across engines).
+
+    Determinism: same discipline as ``unigram_logprob`` — per-bigram
+    log-probs rounded to 6 decimals then scaled to int64 BEFORE the
+    per-doc sum (exact integer aggregation, immune to float order); the
+    same 1-ulp ``ln`` boundary risk is accepted and documented there.
+
+    Scale shape: ``zip_with`` bigram explode (codegen) → one count
+    aggregation (bigram vocab ≪ corpus) → context totals and V re-
+    aggregated FROM the count table (bigram-vocab-sized jobs) → token⋈
+    model join (AQE broadcasts small models) → per-doc integer sum. No
+    windows, no driver collect.
+
+    Output: ``id_col``, ``n_bigrams``, ``avg_bigram_logprob``. Docs
+    with fewer than 2 tokens have no bigrams and are absent.
+    """
+    toks = tokens(text_col)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    rows = df.select(
+        id_col, F.explode(bi).alias("__p")
+    ).select(id_col, F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2"))
+    c12 = rows.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    c1 = c12.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
+    v = c1.agg(F.count(F.lit(1)).cast("double").alias("__V"))
+    model = (
+        c12.join(c1, "__w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "__w1",
+            "__w2",
+            F.round(
+                F.round(
+                    F.log(
+                        (F.col("__c12").cast("double") + F.lit(alpha))
+                        / (F.col("__c1").cast("double") + F.lit(alpha) * F.col("__V"))
+                    ),
+                    6,
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("__lp6"),
+        )
+    )
+    return (
+        rows.join(model, ["__w1", "__w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("__lp6").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+                6,
+            ).alias("avg_bigram_logprob"),
+        )
+    )
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",

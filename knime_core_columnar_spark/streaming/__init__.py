@@ -20,6 +20,7 @@ from knime_core_columnar_spark.streaming.ops import (
     streaming_dedup,
     streaming_neardup,
     stateful_running_totals,
+    stream_stream_interval_join,
     streaming_asof_enrich,
     tumbling_window_agg,
 )
@@ -34,6 +35,7 @@ __all__ = [
     "streaming_neardup",
     "build_neardup_index",
     "stateful_running_totals",
+    "stream_stream_interval_join",
     "streaming_asof_enrich",
     "hourly_counts",
 ]

@@ -410,3 +410,51 @@ def streaming_neardup(
             / (F.col("__ssize") + F.col("__size") - F.col("__inter"))
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join
+# ---------------------------------------------------------------------------
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "10 minutes",
+    left_watermark: str | None = "1 minute",
+    right_watermark: str | None = "1 minute",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Correlate two event streams by key within a bounded time window —
+    the funnel/attribution primitive (click→purchase, request→response):
+    pairs (l, r) with equal ``on`` keys and
+    ``l.ts <= r.ts <= l.ts + within``.
+
+    Streaming-legal by Spark's stream-stream join rules: BOTH sides are
+    watermarked and the join condition carries the two-sided time bound,
+    so each side's state store holds only rows inside
+    watermark + ``within`` — state is bounded by the time horizon, not
+    the stream length. Batch/stream-agnostic like everything in this
+    module: on static frames the same expression is a plain range join
+    (the parity test's oracle).
+
+    All right-side columns are renamed with ``right_prefix`` so the
+    joined schema is collision-free regardless of shared names.
+
+    Scale shape: both streams shuffle on the join key once (state store
+    partitioning); at 100 TB/day the horizon, not the history, bounds
+    memory, and skewed keys shard across state-store partitions like any
+    keyed stateful op.
+    """
+    l = _maybe_watermark(left, left_ts, left_watermark)
+    r = _maybe_watermark(right, right_ts, right_watermark)
+    r = r.select([F.col(c).alias(f"{right_prefix}{c}") for c in r.columns])
+    rk, rt = f"{right_prefix}{on}", f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(on) == F.col(rk))
+        & (F.col(rt) >= F.col(left_ts))
+        & (F.col(rt) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(rk)

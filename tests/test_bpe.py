@@ -1,0 +1,67 @@
+"""BPE merge training: verified against the worked example from the
+original paper (Sennrich et al. 2016) plus segmentation behavior and
+corpus-scale smoke on the documents table."""
+
+from knime_core_columnar_spark.operators.bpe import (
+    bpe_merges_df,
+    bpe_segment,
+    bpe_train,
+    word_type_frequencies,
+)
+
+
+def _paper_corpus(spark):
+    # word frequencies low:5 lower:2 newest:6 widest:3 — the classic
+    # example; expressed as documents so the distributed stage runs
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    return spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+
+
+def test_paper_example_merges(spark):
+    df = _paper_corpus(spark)
+    merges = bpe_train(df, num_merges=5, min_pair_count=1)
+    got = [(a, b) for _, a, b, _ in merges]
+    # e+s (9) → es+t (9) → est+</w> (9) → l+o (7) → lo+w (7)
+    assert got == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")
+    ]
+    assert [c for *_, c in merges] == [9, 9, 9, 7, 7]
+
+
+def test_word_type_frequencies_cap_and_order(spark):
+    df = _paper_corpus(spark)
+    types = word_type_frequencies(df, max_types=2)
+    assert types == [("newest", 6), ("low", 5)]
+
+
+def test_segment_applies_learned_merges(spark):
+    df = _paper_corpus(spark)
+    merges = bpe_train(df, num_merges=10, min_pair_count=1)
+    assert bpe_segment("lowest", merges)[-1] == "est</w>"
+    # unseen characters stay atomic
+    assert "?" in bpe_segment("?", merges)[0]
+
+
+def test_min_pair_count_stops_early(spark):
+    df = _paper_corpus(spark)
+    merges = bpe_train(df, num_merges=1000, min_pair_count=8)
+    assert all(c >= 8 for *_, c in merges) and len(merges) == 3
+
+
+def test_merges_df_roundtrip(spark):
+    df = _paper_corpus(spark)
+    merges = bpe_train(df, num_merges=3, min_pair_count=1)
+    out = bpe_merges_df(spark, merges)
+    assert out.columns == ["rank", "left", "right", "pair_count"]
+    assert out.count() == 3
+
+
+def test_corpus_scale_smoke(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(d, num_merges=20, max_types=5000)
+    assert len(merges) == 20
+    ranks = [r for r, *_ in merges]
+    assert ranks == list(range(20))
+    # counts are non-increasing is NOT guaranteed by BPE, but all must
+    # be >= min_pair_count (default 2)
+    assert all(c >= 2 for *_, c in merges)

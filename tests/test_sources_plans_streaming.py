@@ -442,3 +442,47 @@ def test_streaming_neardup_matches_batch_pipeline(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got_stream == expected
+
+
+def test_stream_stream_interval_join_batch_parity(spark, events, tmp_path):
+    """Stream-stream interval join (click→purchase shape): a real
+    two-stream micro-batch run must equal the same expression evaluated
+    as a static range join."""
+    ev = events.limit(400).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    t_left, t_right = sorted(types)[:2]
+    left_b = ev.filter(F.col("event_type") == t_left).select("user_id", "ts", "value")
+    right_b = ev.filter(F.col("event_type") == t_right).select("user_id", "ts", "value")
+
+    want = sorted(
+        (r["user_id"], r["ts"], r["r_ts"])
+        for r in ST.stream_stream_interval_join(
+            left_b, right_b, on="user_id", within="2 hours"
+        ).collect()
+    )
+    assert want, "fixture should produce at least one joined pair"
+
+    ldir, rdir = str(tmp_path / "ss_l"), str(tmp_path / "ss_r")
+    left_b.write.parquet(ldir)
+    right_b.write.parquet(rdir)
+    schema = spark.read.parquet(ldir).schema
+    out = ST.stream_stream_interval_join(
+        ST.stream_from_directory(spark, ldir, schema),
+        ST.stream_from_directory(spark, rdir, schema),
+        on="user_id",
+        within="2 hours",
+        left_watermark="1 minute",
+        right_watermark="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("t_ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["ts"], r["r_ts"])
+        for r in spark.sql("select * from t_ssj").collect()
+    )
+    assert got == want
