@@ -11,6 +11,8 @@ from knime_core_columnar_spark.operators.text import bigram_logprob
 
 sys.path.insert(0, "/root/repo/tools")
 
+from knime_core_columnar_spark.catalog import BIGRAM_LM_ORACLE as BIGRAM_ORACLE
+
 
 def test_bigram_micro_example(spark):
     # corpus bigrams: (a,b)x2 from docs 1,2; (b,a)x1; (b,c)x1
@@ -42,30 +44,6 @@ def test_word_salad_scores_below_prose(spark):
     assert out[100] < out[0]
 
 
-BIGRAM_ORACLE = """
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
-    ), r AS (
-      SELECT doc_id, l[CAST(i AS INT)] AS w1, l[CAST(i + 1 AS INT)] AS w2
-      FROM toks, LATERAL (SELECT unnest(range(1, len(l))) AS i) t
-    ), c12 AS (
-      SELECT w1, w2, COUNT(*) AS c12 FROM r GROUP BY w1, w2
-    ), c1 AS (
-      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
-    ), v AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS V FROM c1
-    ), model AS (
-      SELECT w1, w2,
-             CAST(round(round(ln((CAST(c12 AS DOUBLE) + 0.5)
-                                 / (CAST(c1 AS DOUBLE) + 0.5 * V)), 6) * 1000000)
-               AS BIGINT) AS lp6
-      FROM c12 JOIN c1 USING (w1), v
-    )
-    SELECT doc_id, COUNT(*) AS n_bigrams,
-           round(CAST(SUM(lp6) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
-             AS avg_bigram_logprob
-    FROM r JOIN model USING (w1, w2) GROUP BY doc_id
-"""
 
 
 def test_bigram_duckdb_oracle(spark, sf_dir):

@@ -299,3 +299,64 @@ def test_pagerank_superstep_shuffles_longs_only(spark):
     assert "BroadcastNestedLoopJoin" not in p
     # inputs are checkpointed RDD scans, not re-derivations of the edges
     assert "Scan ExistingRDD" in p
+
+
+def test_bloom_prefilter_zero_exchange(spark):
+    """The Bloom membership test must stay entirely in the scan stage —
+    zero exchanges: at 100 TB the corpus is filtered in place and only
+    survivors ever shuffle."""
+    from knime_core_columnar_spark.operators.bloom import (
+        bloom_prefilter,
+        build_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    keys = docs.where("doc_id % 7 = 0").select(F.md5("text").alias("k"))
+    corpus = docs.select("doc_id", F.md5("text").alias("k"))
+    bloom = build_bloom(keys, "k", num_bits=1 << 16)
+    p = bloom_prefilter(corpus, "k", bloom)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+
+
+def test_semdedup_no_cartesian_single_pair_shuffle(spark):
+    """SemDeDup: assignment is broadcast-argmin (no vector shuffle into
+    a window/cartesian); pair comparison is a cell_id-keyed equi-join."""
+    from knime_core_columnar_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = semantic_dedup(
+        emb, k=8, threshold=0.4, corpus_count=1000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+
+
+def test_bigram_lm_no_window_no_cartesian(spark):
+    """Bigram LM: train+score is explode → aggregates → equi-joins;
+    no window functions, no cartesian, exactly one broadcast of the
+    single-row vocabulary count."""
+    from knime_core_columnar_spark.operators.text import bigram_logprob
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = bigram_logprob(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+
+
+def test_bpe_word_frequencies_take_ordered(spark):
+    """The distributed BPE stage's top-N word types must compile to
+    TakeOrderedAndProject, not a global sort of the vocabulary."""
+    from pyspark.sql import functions as F
+    from knime_core_columnar_spark.operators.text import tokens
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    capped = (
+        docs.select(F.explode(tokens("text")).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("__w"))
+        .limit(50_000)
+    )
+    p = capped._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p

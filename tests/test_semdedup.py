@@ -12,6 +12,8 @@ from knime_core_columnar_spark.operators.semdedup import semantic_dedup
 
 sys.path.insert(0, "/root/repo/tools")
 
+from knime_core_columnar_spark.catalog import SEMDEDUP_ORACLE
+
 
 @pytest.fixture(scope="module")
 def vectors(spark):
@@ -52,42 +54,6 @@ def test_validation(spark, vectors):
         semantic_dedup(vectors, threshold=0.0)
 
 
-SEMDEDUP_ORACLE = """
-    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
-    seeds AS (
-      SELECT vec_id AS cell_id, embedding::DOUBLE[] AS c
-      FROM (
-        SELECT vec_id, embedding,
-               ('0x' || substring(md5(CAST(vec_id AS VARCHAR) || '|kmeans-seeds'), 1, 15))::BIGINT
-                 % 10000 AS h
-        FROM embeddings
-      ), nn
-      WHERE h <= least(10000, CAST(floor(320000.0 / n + 0.5) AS BIGINT))
-      ORDER BY h, vec_id LIMIT 8
-    ),
-    a1 AS (
-      SELECT vec_id, cell_id FROM (
-        SELECT e.vec_id, s.cell_id,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
-                 + list_dot_product(s.c, s.c)
-                 - 2 * list_dot_product(e.embedding::DOUBLE[], s.c), s.cell_id) AS rk
-        FROM embeddings e, seeds s
-      ) WHERE rk = 1
-    ),
-    m AS (
-      SELECT a1.vec_id AS id, a1.cell_id, e.embedding::DOUBLE[] AS v,
-             sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm
-      FROM a1 JOIN embeddings e USING (vec_id)
-    ),
-    dropped AS (
-      SELECT DISTINCT b.id AS id
-      FROM m a JOIN m b ON a.cell_id = b.cell_id AND a.id < b.id
-      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
-    )
-    SELECT m.id AS vec_id, m.cell_id, dropped.id IS NULL AS keep
-    FROM m LEFT JOIN dropped ON m.id = dropped.id
-"""
 
 
 def test_semdedup_duckdb_oracle(spark, sf_dir):
@@ -110,3 +76,15 @@ def test_semdedup_duckdb_oracle(spark, sf_dir):
     assert len(got) == len(want) > 0
     assert (~got["keep"]).sum() > 0, "threshold should drop at least one row"
     assert frame_to_multiset(got) == frame_to_multiset(want)
+
+
+def test_r5_staging_wiring():
+    """Staged round-5 queries: registration is a guarded no-op now, the
+    staged names are fresh (no collisions), and every staged oracle is a
+    non-empty SQL string."""
+    from knime_core_columnar_spark import catalog
+
+    assert not set(catalog._R5_STAGED) & set(catalog.QUERIES)
+    for name, (fn, oracle) in catalog._R5_STAGED.items():
+        assert callable(fn)
+        assert oracle is None or "SELECT" in oracle.upper()
