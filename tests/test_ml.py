@@ -1,0 +1,188 @@
+"""Deterministic logistic regression: numpy replication of the exact
+scaled-int GD arithmetic on a micro example, plus a fully unrolled
+DuckDB differential oracle on the embeddings table (the staged
+round-6 catalog oracle)."""
+
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from knime_core_columnar_spark.operators.ml import logreg_lite
+
+sys.path.insert(0, "/root/repo/tools")
+
+
+def _numpy_replica(X, y, iters=2, lr=0.25):
+    Xe = np.hstack([np.ones((len(X), 1)), np.asarray(X, dtype=np.float64)])
+    w = np.zeros(Xe.shape[1])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(Xe @ w)))
+        g6 = np.round(np.round((p - y)[:, None] * Xe, 6) * 1e6).astype(np.int64)
+        g = np.round(g6.sum(axis=0) / (len(Xe) * 1e6), 6)
+        w = w - lr * g
+    return np.round(w, 6)
+
+
+def test_logreg_matches_numpy_replica(spark):
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 3)
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(np.float64)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]], bool(y[i])) for i in range(len(X))],
+        "id long, embedding array<double>, pos boolean",
+    )
+    got = {
+        r["dim"]: r["weight"]
+        for r in logreg_lite(df, F.col("pos"), iters=2).collect()
+    }
+    want = _numpy_replica(X, y)
+    assert len(got) == 4
+    for j in range(4):
+        assert got[j] == pytest.approx(want[j], abs=2e-6)
+
+
+def test_logreg_learns_direction(spark):
+    # separable on dimension 1: its weight must come out negative-class-
+    # pushing (positive) after a couple of steps
+    rows = [(i, [1.0 if i % 2 == 0 else -1.0], i % 2 == 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>, pos boolean")
+    w = {r["dim"]: r["weight"] for r in logreg_lite(df, F.col("pos"), iters=3).collect()}
+    assert w[1] > 0.1
+    with pytest.raises(ValueError):
+        logreg_lite(df, F.col("pos"), iters=0)
+
+
+LOGREG_ORACLE = """
+    WITH x AS (
+      SELECT list_prepend(1.0, embedding::DOUBLE[]) AS x,
+             CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+      FROM embeddings
+    ), nn AS (SELECT COUNT(*) AS n FROM x),
+    g1 AS (
+      SELECT j, round(CAST(SUM(g6) AS DOUBLE) / (any_value(nn.n) * 1000000.0), 6) AS g
+      FROM (
+        SELECT generate_subscripts(x, 1) AS j,
+               CAST(round(round((0.5 - y) * unnest(x), 6) * 1000000) AS BIGINT) AS g6
+        FROM x
+      ), nn GROUP BY j
+    ),
+    w1 AS (SELECT list(0.0 - 0.25 * g ORDER BY j) AS w FROM g1),
+    p2 AS (
+      SELECT x.x, x.y,
+             1.0 / (1.0 + exp(-list_dot_product(w1.w, x.x))) AS p
+      FROM x, w1
+    ),
+    g2 AS (
+      SELECT j, round(CAST(SUM(g6) AS DOUBLE) / (any_value(nn.n) * 1000000.0), 6) AS g
+      FROM (
+        SELECT generate_subscripts(x, 1) AS j,
+               CAST(round(round((p - y) * unnest(x), 6) * 1000000) AS BIGINT) AS g6
+        FROM p2
+      ), nn GROUP BY j
+    )
+    SELECT CAST(g2.j - 1 AS BIGINT) AS dim,
+           round(w1.w[CAST(g2.j AS INT)] - 0.25 * g2.g, 6) AS weight
+    FROM g2, w1
+"""
+
+
+def test_logreg_duckdb_oracle(spark, sf_dir):
+    import duckdb
+
+    from check import frame_to_multiset, oracle_type_problems
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = logreg_lite(emb, F.col("label") == 0, iters=2).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    assert not oracle_type_problems(con, LOGREG_ORACLE)
+    want = con.execute(LOGREG_ORACLE).fetchdf()
+
+    assert len(got) == len(want) > 0
+    assert frame_to_multiset(got) == frame_to_multiset(want)
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes
+# ---------------------------------------------------------------------------
+
+def test_naive_bayes_separable_classes(spark):
+    from knime_core_columnar_spark.operators.ml import naive_bayes_classify
+
+    rows = [(i, "hund katze maus", "de") for i in range(10)]
+    rows += [(100 + i, "dog cat mouse", "en") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = naive_bayes_classify(df)
+    assert out.count() == 20
+    assert out.filter("NOT match").count() == 0
+
+
+NB_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), cw AS (
+      SELECT w, lang, COUNT(*) AS cwc FROM tok GROUP BY w, lang
+    ), ctot AS (
+      SELECT lang, COUNT(*) AS nc FROM tok GROUP BY lang
+    ), vocab AS (SELECT DISTINCT w FROM cw),
+    vs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS V FROM vocab),
+    model AS (
+      SELECT vocab.w, ctot.lang AS c,
+             CAST(round(round(ln((CAST(COALESCE(cw.cwc, 0) AS DOUBLE) + 1.0)
+                                 / (CAST(ctot.nc AS DOUBLE) + 1.0 * vs.V)), 6)
+                        * 1000000) AS BIGINT) AS lp6
+      FROM vocab CROSS JOIN ctot
+      LEFT JOIN cw ON cw.w = vocab.w AND cw.lang = ctot.lang
+      CROSS JOIN vs
+    ), nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ndocs FROM documents),
+    prior AS (
+      SELECT lang AS c,
+             CAST(round(round(ln(CAST(COUNT(*) AS DOUBLE) / any_value(nd.ndocs)), 6)
+                        * 1000000) AS BIGINT) AS prior6
+      FROM documents, nd GROUP BY lang
+    ), scores AS (
+      SELECT tok.doc_id, model.c,
+             CAST(SUM(model.lp6) AS BIGINT) + any_value(prior.prior6) AS s6
+      FROM tok JOIN model ON tok.w = model.w
+               JOIN prior ON prior.c = model.c
+      GROUP BY tok.doc_id, model.c
+    ), best AS (
+      SELECT doc_id, c AS pred FROM (
+        SELECT doc_id, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s6 DESC, c) AS rk
+        FROM scores
+      ) WHERE rk = 1
+    )
+    SELECT d.doc_id, d.lang, best.pred, d.lang = best.pred AS match
+    FROM documents d JOIN best USING (doc_id)
+"""
+
+
+def test_naive_bayes_duckdb_oracle(spark, sf_dir):
+    import duckdb
+
+    from check import frame_to_multiset, oracle_type_problems
+    from knime_core_columnar_spark.operators.ml import naive_bayes_classify
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = naive_bayes_classify(d).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    assert not oracle_type_problems(con, NB_ORACLE)
+    want = con.execute(NB_ORACLE).fetchdf()
+
+    assert len(got) == len(want) > 0
+    # the fixture's text is synthetic and INDEPENDENT of lang, so accuracy
+    # can only be prior + token noise — the differential check is the gate;
+    # it should still beat picking a class uniformly at random
+    assert got["match"].mean() > 1.0 / got["lang"].nunique()
+    assert frame_to_multiset(got) == frame_to_multiset(want)
