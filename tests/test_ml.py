@@ -186,3 +186,32 @@ def test_naive_bayes_duckdb_oracle(spark, sf_dir):
     # it should still beat picking a class uniformly at random
     assert got["match"].mean() > 1.0 / got["lang"].nunique()
     assert frame_to_multiset(got) == frame_to_multiset(want)
+
+
+def test_ml_ops_partition_invariant(spark, sf_dir):
+    """The scaled-int aggregation discipline must make both models
+    bit-identical under adversarial partitioning."""
+    from knime_core_columnar_spark.operators.ml import naive_bayes_classify
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base_w = sorted(
+        (r["dim"], r["weight"])
+        for r in logreg_lite(emb, F.col("label") == 0, iters=2).collect()
+    )
+    stress_w = sorted(
+        (r["dim"], r["weight"])
+        for r in logreg_lite(
+            emb.repartition(37), F.col("label") == 0, iters=2
+        ).collect()
+    )
+    assert base_w == stress_w
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_p = sorted(
+        (r["doc_id"], r["pred"]) for r in naive_bayes_classify(d).collect()
+    )
+    stress_p = sorted(
+        (r["doc_id"], r["pred"])
+        for r in naive_bayes_classify(d.repartition(41)).collect()
+    )
+    assert base_p == stress_p
