@@ -282,3 +282,59 @@ def distributed_cumsum(
         .withColumn(out_col, (local + F.col("__off")).cast("long"))
         .drop("__pid", "__val", "__off")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches
+# ---------------------------------------------------------------------------
+
+def hll_shard_sketches(
+    df,
+    key,
+    shard_col,
+    lg_k: int = 12,
+):
+    """Per-shard HyperLogLog sketches for incremental distinct-count
+    maintenance — the sketch-table pattern behind every incremental
+    ingestion dashboard: each shard (day, source, ingest batch) keeps a
+    fixed-size binary sketch; the GLOBAL distinct count is a sketch
+    union, never a re-scan of history.
+
+    Uses Spark's native Apache DataSketches HLL aggregates (JVM-side,
+    partial-aggregated): the per-shard sketch is ~2^lg_k bytes
+    regardless of shard size, and union is associative and
+    commutative — exactly the mergeable-aggregate contract
+    incremental_agg_merge implements for count/sum, extended to
+    COUNT(DISTINCT). Estimates are deterministic for a given input SET
+    (hashing is seed-fixed) but approximate vs the exact count, so this
+    surface is pytest-gated (error bound + merge associativity +
+    union == whole-corpus sketch) rather than DuckDB-compared.
+
+    Returns one row per shard: ``shard_col``, ``sketch`` (binary),
+    ``estimate`` (long).
+    """
+    from pyspark.sql import functions as F
+
+    k = F.col(key) if isinstance(key, str) else key
+    return (
+        df.groupBy(shard_col)
+        .agg(F.hll_sketch_agg(k, F.lit(lg_k)).alias("sketch"))
+        .select(
+            shard_col,
+            "sketch",
+            F.hll_sketch_estimate("sketch").alias("estimate"),
+        )
+    )
+
+
+def hll_merge_estimate(sketches, lg_k: int = 12):
+    """Union a sketch table into one global distinct estimate (one row:
+    ``estimate``). At 100 TB this reads |shards| kilobyte-sized rows —
+    the whole point: history never re-scans."""
+    from pyspark.sql import functions as F
+
+    return sketches.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("sketch"), F.lit(False))
+        ).alias("estimate")
+    )

@@ -150,3 +150,45 @@ def test_distributed_cumsum_offsets_stable_without_exchange_reuse(spark):
             assert got[i] == acc
     finally:
         spark.conf.set("spark.sql.exchange.reuse", old)
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch maintenance
+# ---------------------------------------------------------------------------
+
+def test_hll_shard_sketches_accuracy_and_merge(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.operators.sampling import (
+        hll_merge_estimate,
+        hll_shard_sketches,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    shards = hll_shard_sketches(ev, "user_id", "event_type")
+    rows = {r["event_type"]: r for r in shards.collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for t, r in rows.items():
+        # lg_k=12 → relative standard error ~1.6%; allow 5%
+        assert abs(r["estimate"] - exact[t]) <= max(3, 0.05 * exact[t])
+
+    merged = hll_merge_estimate(shards).collect()[0]["estimate"]
+    exact_total = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(merged - exact_total) <= max(3, 0.05 * exact_total)
+
+    # merge associativity: unioning shard subsets then the partials must
+    # equal unioning everything at once
+    a = shards.limit(2)
+    b = shards.subtract(a)
+    from pyspark.sql import functions as FF
+
+    pa = a.agg(FF.hll_union_agg(FF.col("sketch"), FF.lit(False)).alias("sketch"))
+    pb = b.agg(FF.hll_union_agg(FF.col("sketch"), FF.lit(False)).alias("sketch"))
+    two_level = hll_merge_estimate(pa.unionByName(pb)).collect()[0]["estimate"]
+    assert two_level == merged
