@@ -609,3 +609,77 @@ def segment_dedup(
             " ",
         ).alias("dedup_text"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_words: int = 16,
+    anchor_stride: int = 8,
+) -> DataFrame:
+    """Span-level duplicate profiling — the content-defined-anchor
+    approximation of exact-substring training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    which uses a suffix array; a distributed suffix array is not worth
+    its constant here): spans of ``window_words`` consecutive words are
+    sampled at CONTENT-DEFINED anchors — word positions whose word-hash
+    is ≡ 0 mod ``anchor_stride`` — and a span is DUPLICATED if the same
+    word sequence occurs anywhere else in the corpus (another doc or
+    elsewhere in the same doc). Content-defined anchoring (the CDC idea
+    from dedup storage systems) is what makes shifted copies findable:
+    a passage pasted at a different offset in another document still
+    anchors at the same words, where any fixed-offset windowing would
+    sample misaligned spans and miss it. Catches copied passages that
+    document-level MinHash misses because the hosts differ.
+
+    Scale shape: anchors and spans come from pure array expressions
+    (one 60-bit hash per word, filter, slice+join — codegen, like
+    ``segment_dedup``'s chunking); only (doc_id, 64-bit span hash) pairs
+    shuffle, never span text; duplicate detection is one hash-keyed
+    count; the per-doc rollup re-clusters on doc_id. Expected one
+    anchor per ``anchor_stride`` words ⇒ the shuffled stream is
+    ~2×16 bytes per ``anchor_stride`` input words — far below corpus
+    size, the knob that a suffix array does not give you.
+
+    Word 1 is always an anchor, so every doc (including short, empty,
+    and NULL docs — their span is the whole text, '' for empty) yields
+    at least one span and no doc vanishes from the profile.
+
+    Returns (id_col, n_spans, n_dup_spans, dup_ratio) per input doc;
+    dup_ratio is a single IEEE division (engine-exact, no rounding).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.trim(txt), r"\s+")
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.size(words)),
+        lambda i: (i == 1)
+        | (base_hash60(F.element_at(words, i)) % anchor_stride == 0),
+    )
+    spans = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                anchors,
+                lambda p: F.array_join(F.slice(words, p, window_words), " "),
+            )
+        ).alias("__span"),
+    ).select(id_col, F.substring(F.md5("__span"), 1, 16).alias("__h"))
+    counts = spans.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        spans.join(counts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__c") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            (
+                F.col("n_dup_spans").cast("double")
+                / F.col("n_spans").cast("double")
+            ).alias("dup_ratio"),
+        )
+    )

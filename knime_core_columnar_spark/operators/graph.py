@@ -96,3 +96,73 @@ def pagerank_scaled(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts of the UNDIRECTED simple graph induced by
+    ``edges`` (direction ignored, self-loops and multi-edges dropped) —
+    the local-clustering signal (cohesive co-purchase neighborhoods,
+    template families in near-dup graphs).
+
+    Compact-forward shape: every edge is oriented from its lower-degree
+    endpoint to the higher (ties by id), which makes the wedge self-join
+    — the only quadratic-risk step — O(m^1.5) total wedges instead of
+    Σ deg² (a single celebrity node otherwise generates deg² wedges on
+    its own: the classic skew killer). Wedges close into triangles via
+    one join back against the oriented edge set; only (node, node) pairs
+    ever shuffle. The triad set is orientation-invariant, so results are
+    identical to the plain id-ordered 3-way join an oracle runs.
+
+    Returns (node, n_triangles) for every node incident to an edge,
+    zeros included.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # edge derivation may be expensive; used 4×
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    rank_lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(rank_lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(rank_lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    o1 = oriented.select(F.col("u"), F.col("v"))
+    o2 = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = o1.join(o2, "v").select("u", "v", "w")
+    closing = oriented.select(F.col("u"), F.col("v").alias("w"))
+    triads = wedges.join(closing, ["u", "w"])
+    per_node = (
+        triads.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )

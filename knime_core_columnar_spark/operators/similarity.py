@@ -17,6 +17,8 @@ accumulation — deterministic order) on double-cast values."""
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -574,4 +576,99 @@ def pq_topk(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def rrf_hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 10,
+    n_per_system: int = 50,
+    rrf_k: int = 60,
+    scale: int = 1_000_000,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    a lexical result list and an embedding result list — the standard
+    RAG retrieval shape (BM25 ⊕ dense, here term-overlap ⊕ cosine).
+    ``query_ids`` select the query documents; their distinct words form
+    the lexical query and their embedding the dense query (doc_id and
+    vec_id share the id space).
+
+    Each system contributes its top ``n_per_system`` list: lexical rank
+    orders by (|query words ∩ doc words| desc, doc_id) over docs with
+    positive overlap; dense rank orders by (cosine rounded to 6 decimals
+    desc, id). Fusion score is integer micro-units —
+    Σ scale div (rrf_k + rank) over the lists a doc appears in — so
+    fusion and final ordering are engine-exact; the only float is the
+    cosine, rounded exactly as the driver-green ann_topk family.
+
+    Scale shape: the query batch (words + vector per query) broadcasts;
+    both scoring passes are one scan each of corpus text / vectors with
+    a per-query WindowGroupLimit heap (no global sort); fusion joins two
+    ≤ |queries|·n_per_system frames. Nothing driver-side.
+
+    Returns (query_id, doc_id, lex_rank, vec_rank, rrf_scaled,
+    fused_rank) — ``fused_rank`` 1..k per query, absent-list ranks NULL.
+    """
+    ids = list(query_ids)
+    words_of = lambda c: F.array_distinct(  # noqa: E731
+        F.filter(F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+"), lambda w: w != "")
+    )
+    q_lex = docs.filter(F.col(doc_id_col).isin(ids)).select(
+        F.col(doc_id_col).alias("query_id"), words_of(F.col(text_col)).alias("__qw")
+    )
+    lex_scored = (
+        docs.select(
+            F.col(doc_id_col).alias("doc_id"), words_of(F.col(text_col)).alias("__dw")
+        )
+        .crossJoin(F.broadcast(q_lex))
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(F.array_intersect(F.col("__dw"), F.col("__qw"))).alias("__ov"),
+        )
+        .filter(F.col("__ov") > 0)
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("__ov").desc(), F.col("doc_id")
+    )
+    lex = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= n_per_system)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    vec = brute_force_topk(
+        embeddings,
+        embeddings.filter(F.col(vec_id_col).isin(ids)),
+        k=n_per_system,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(
+                F.expr(f"{scale} div ({rrf_k} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{scale} div ({rrf_k} + vec_rank)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf_scaled"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_scaled").desc(), F.col("doc_id")
+    )
+    return fused.withColumn("fused_rank", F.row_number().over(wf)).filter(
+        F.col("fused_rank") <= k
     )

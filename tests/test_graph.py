@@ -58,3 +58,30 @@ def test_pagerank_mass_conservation_bound(spark):
     total = r.agg(F.sum("rank")).collect()[0][0]
     n = 51
     assert 150_000 * n <= total <= 1_000_000 * n
+
+
+def test_triangle_counts_hand_graph(spark):
+    from knime_core_columnar_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5-1 +
+    # duplicate/reversed/self edges that must be ignored
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(2, 1), (1, 1), (5, 1), (1, 5)], "src long, dst long"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_triangle_counts_partition_invariant_and_star_safe(spark):
+    from knime_core_columnar_spark.operators.graph import triangle_counts
+
+    # star around hub 0 (no triangles) + one closed pair
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 40)] + [(1, 2)], "src long, dst long"
+    )
+    a = sorted(map(tuple, triangle_counts(edges).collect()))
+    b = sorted(map(tuple, triangle_counts(edges.repartition(7)).collect()))
+    assert a == b
+    d = dict(a)
+    assert d[0] == 1 and d[1] == 1 and d[2] == 1 and d[3] == 0

@@ -439,3 +439,114 @@ def test_decode_audio_features_empty_payload_is_null(spark):
         assert out[i]["n_samples"] == 0 and out[i]["duration_s"] == 0.0
         assert out[i]["mean_amp"] is None and out[i]["peak_amp"] is None
     assert out[3]["n_samples"] == 1 and out[3]["peak_amp"] == ord("b")
+
+
+def test_duplicate_spans_detects_copied_passage(spark):
+    from knime_core_columnar_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one two three four five six"),
+            # same passage at a DIFFERENT word offset: content-defined
+            # anchors must still line up
+            (2, "totally different head words here " + shared),
+            (3, " ".join(f"solo{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_spans(docs, window_words=8, anchor_stride=4).collect()
+    }
+    assert out[1]["n_dup_spans"] > 0 and out[2]["n_dup_spans"] > 0
+    assert out[3]["n_dup_spans"] == 0
+    for r in out.values():
+        assert 0.0 <= r["dup_ratio"] <= 1.0
+        assert r["n_spans"] >= 1
+
+
+def test_duplicate_spans_short_and_empty_docs(spark):
+    from knime_core_columnar_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"), (3, ""), (4, None), (5, "lonely-short")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # no doc vanishes
+    assert out[1]["n_dup_spans"] == 1 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 1 and out[4]["n_dup_spans"] == 1  # '' == ''
+    assert out[5]["n_dup_spans"] == 0
+
+
+def test_duplicate_spans_partition_invariant(spark, sf_dir):
+    from knime_core_columnar_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, duplicate_spans(docs).collect()))
+    b = sorted(map(tuple, duplicate_spans(docs.repartition(13)).collect()))
+    assert a == b
+
+
+def test_rrf_hybrid_topk_fuses_known_lists(spark):
+    from knime_core_columnar_spark.operators.similarity import rrf_hybrid_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),          # the query doc
+            (1, "alpha beta gamma zeta"),           # strong lexical
+            (2, "unrelated words entirely here"),   # vector-only
+            (3, "alpha misc misc misc"),            # weak lexical
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [0.0, 1.0]),       # doc1 orthogonal
+            (2, [0.9, 0.1]), (3, [0.5, 0.5]),       # doc2 closest to query
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = rrf_hybrid_topk(docs, emb, [0], k=4, n_per_system=3).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # lexical list: doc0 (4 overlap), doc1 (3), doc3 (1) — doc2 absent
+    assert rows[0]["lex_rank"] == 1 and rows[1]["lex_rank"] == 2
+    assert rows[3]["lex_rank"] == 3 and rows[2]["lex_rank"] is None
+    # vector list excludes the query itself: doc2, doc3, doc1
+    assert rows[2]["vec_rank"] == 1 and rows[3]["vec_rank"] == 2
+    assert rows[1]["vec_rank"] == 3 and rows[0]["vec_rank"] is None
+    # integer RRF: scale div (60+rank) summed over present lists
+    assert rows[3]["rrf_scaled"] == 1_000_000 // 63 + 1_000_000 // 62
+    assert rows[0]["rrf_scaled"] == 1_000_000 // 61
+    # doc1 (lex 2 + vec 3) and doc3 (lex 3 + vec 2) tie exactly under
+    # RRF's rank symmetry; the id tiebreak puts doc1 first
+    assert rows[1]["rrf_scaled"] == rows[3]["rrf_scaled"]
+    assert rows[1]["fused_rank"] == 1 and rows[3]["fused_rank"] == 2
+
+
+def test_rrf_hybrid_topk_on_corpus_invariants(spark, sf_dir):
+    from knime_core_columnar_spark.operators.similarity import rrf_hybrid_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [3, 47]
+    out = rrf_hybrid_topk(docs, emb, qids, k=10, n_per_system=25).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(qids)
+    for q, rs in by_q.items():
+        assert [r["fused_rank"] for r in sorted(rs, key=lambda r: r["fused_rank"])] == list(
+            range(1, len(rs) + 1)
+        )
+        # the query doc itself appears in its own lexical list (its
+        # overlap is maximal; the synthetic shared vocabulary means
+        # rank 1 may go to a lower-id doc tied at full overlap)
+        self_row = [r for r in rs if r["doc_id"] == q]
+        assert self_row and self_row[0]["lex_rank"] is not None
+    # partitioning cannot change the fused lists
+    out2 = rrf_hybrid_topk(
+        docs.repartition(13), emb.repartition(7), qids, k=10, n_per_system=25
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

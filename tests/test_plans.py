@@ -360,3 +360,63 @@ def test_bpe_word_frequencies_take_ordered(spark):
     )
     p = capped._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p
+
+
+def test_heavy_hitters_candidate_broadcast(spark):
+    """Misra-Gries exact recount: the candidate set (≤ capacity ×
+    partitions rows) must broadcast into the recount semi-join — the
+    corpus token stream never shuffles for the join."""
+    from knime_core_columnar_spark import catalog
+
+    p = plan_of(spark, "heavy_hitter_tokens") if "heavy_hitter_tokens" in catalog.QUERIES else None
+    if p is None:
+        df = catalog._R6_STAGED["heavy_hitter_tokens"][0](spark, SF)
+        p = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_triangle_counts_no_cartesian(spark):
+    """Wedge construction and closure are equi-joins on node keys —
+    never a cartesian/nested-loop over the edge set."""
+    from knime_core_columnar_spark import catalog
+
+    df = catalog._R6_STAGED["copurchase_triangles"][0](spark, SF)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rrf_hybrid_query_broadcast_and_group_limit(spark):
+    """Hybrid RRF: the query batch (words + vectors) broadcasts; both
+    per-system top-N lists use WindowGroupLimit heaps, no global sort
+    of the corpus."""
+    from knime_core_columnar_spark import catalog
+
+    df = catalog._R6_STAGED["hybrid_search_rrf"][0](spark, SF)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "WindowGroupLimit" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_table_fingerprint_single_scan_partial_agg(spark):
+    """All per-column checksums come from ONE partially-aggregated scan:
+    exactly one scan of the parquet file and a 1-row exchange."""
+    from knime_core_columnar_spark import catalog
+
+    df = catalog._R6_STAGED["table_checksums"][0](spark, SF)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # one scan per table (formatted mode prints each scan twice: tree
+    # node + detail block)
+    assert p.count("Scan parquet") == 4
+    assert "CartesianProduct" not in p
+    assert "Union" in p

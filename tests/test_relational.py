@@ -288,3 +288,42 @@ def test_equal_width_binning_top_edge(spark, sf_dir):
     rows = {r["bin"]: r for r in out.collect()}
     assert max(rows) == 9 and min(rows) >= 0
     assert sum(r["n"] for r in rows.values()) > 0
+
+
+def test_table_fingerprint_invariance_and_sensitivity(spark):
+    from knime_core_columnar_spark.operators.relational import table_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5), (3, None, 7)], "k int, s string, v int"
+    )
+    base = sorted(map(tuple, table_fingerprint(df).collect()))
+    # order/partitioning independent
+    assert base == sorted(map(tuple, table_fingerprint(df.repartition(7)).collect()))
+    assert base == sorted(
+        map(tuple, table_fingerprint(df.orderBy(F.desc("k"))).collect())
+    )
+    rows = {r[0]: (r[1], r[2]) for r in base}
+    assert rows["__table__"][0] == 3  # row count rides in n_nulls
+    assert rows["s"][0] == 1 and rows["v"][0] == 1
+    # any single cell change must move the table checksum and that column's
+    changed = spark.createDataFrame(
+        [(1, "a", None), (2, "B", 5), (3, None, 7)], "k int, s string, v int"
+    )
+    crows = {r[0]: (r[1], r[2]) for r in table_fingerprint(changed).collect()}
+    assert crows["__table__"][1] != rows["__table__"][1]
+    assert crows["s"][1] != rows["s"][1]
+    assert crows["k"][1] == rows["k"][1]  # untouched column unchanged
+    # NULL is distinct from empty string
+    empties = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5), (3, "", 7)], "k int, s string, v int"
+    )
+    erows = {r[0]: (r[1], r[2]) for r in table_fingerprint(empties).collect()}
+    assert erows["s"] != rows["s"]
+
+
+def test_table_fingerprint_empty_table(spark):
+    from knime_core_columnar_spark.operators.relational import table_fingerprint
+
+    df = spark.createDataFrame([], "k int, s string")
+    rows = {r[0]: (r[1], r[2]) for r in table_fingerprint(df).collect()}
+    assert rows == {"__table__": (0, 0), "k": (0, 0), "s": (0, 0)}
