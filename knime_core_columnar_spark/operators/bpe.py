@@ -37,7 +37,10 @@ from pyspark.sql import functions as F
 
 from knime_core_columnar_spark.operators.text import tokens
 
-__all__ = ["word_type_frequencies", "bpe_train", "bpe_merges_df", "bpe_segment"]
+__all__ = [
+    "word_type_frequencies", "bpe_train", "bpe_merges_df", "bpe_segment",
+    "bpe_encode",
+]
 
 
 def word_type_frequencies(
@@ -126,11 +129,7 @@ def bpe_merges_df(spark: SparkSession, merges) -> DataFrame:
     )
 
 
-def bpe_segment(word: str, merges, end_of_word: str = "</w>") -> list[str]:
-    """Apply learned merges to one word (greedy by merge rank) — the
-    inference side, exposed for tests and for driving tokenize-to-ids
-    pipelines with a learned vocabulary."""
-    ranks = {(a, b): r for r, a, b, _ in merges}
+def _segment_ranked(word: str, ranks: dict, end_of_word: str) -> list[str]:
     syms = list(word) + [end_of_word]
     while len(syms) > 1:
         cand = [
@@ -143,3 +142,61 @@ def bpe_segment(word: str, merges, end_of_word: str = "</w>") -> list[str]:
         _, i = min(cand)
         syms[i : i + 2] = [syms[i] + syms[i + 1]]
     return syms
+
+
+def bpe_segment(word: str, merges, end_of_word: str = "</w>") -> list[str]:
+    """Apply learned merges to one word (greedy by merge rank) — the
+    inference side, exposed for tests and for driving tokenize-to-ids
+    pipelines with a learned vocabulary."""
+    ranks = {(a, b): r for r, a, b, _ in merges}
+    return _segment_ranked(word, ranks, end_of_word)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Distributed corpus tokenization with a TRAINED merge table — the
+    inference half of the tokenizer (bpe_train learns merges; this
+    applies them to every document). The merge table (≤ num_merges
+    rows — kilobytes) ships inside the task closure, the standard
+    broadcast-the-model shape; the corpus streams through one
+    Arrow-batched ``mapInPandas`` scan with no shuffle at all.
+
+    Per-partition word→pieces memoization does the heavy lifting: word
+    TYPES repeat massively in natural text (Zipf), so the greedy merge
+    loop runs once per distinct word per partition, not once per token.
+    Encoding is a pure per-row function of (text, merges) — results are
+    independent of partitioning and batch boundaries.
+
+    Returns (id_col, pieces array<string>, n_pieces). NULL/empty text
+    yields an empty piece list, not a dropped row.
+    """
+    import pandas as pd
+
+    ranks = {(a, b): r for r, a, b, _ in merges}
+
+    def enc(batches):
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, pieces_col, n_col = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                pieces: list[str] = []
+                for w in (t or "").split():
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = _segment_ranked(w, ranks, end_of_word)
+                    pieces.extend(got)
+                ids.append(i)
+                pieces_col.append(pieces)
+                n_col.append(len(pieces))
+            yield pd.DataFrame(
+                {id_col: ids, "pieces": pieces_col, "n_pieces": n_col}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        enc, schema=f"{id_col} long, pieces array<string>, n_pieces long"
+    )

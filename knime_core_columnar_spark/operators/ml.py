@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 from knime_core_columnar_spark.operators.clustering import _sq_norm  # noqa: F401
 from knime_core_columnar_spark.operators.similarity import dot
 
-__all__ = ["logreg_lite", "naive_bayes_classify"]
+__all__ = [
+    "logreg_lite", "naive_bayes_classify", "one_hot", "target_encode",
+    "binary_auc", "classification_report",
+]
 
 
 def logreg_lite(
@@ -216,4 +219,217 @@ def naive_bayes_classify(
             F.col("__best.c").alias("pred"),
             (F.col(class_col) == F.col("__best.c")).alias("match"),
         )
+    )
+
+
+def one_hot(
+    df: DataFrame,
+    col: str,
+    max_categories: int = 256,
+    other_bucket: bool = True,
+    prefix: str | None = None,
+) -> DataFrame:
+    """One-hot encoding with a DETERMINISTIC, frequency-ranked category
+    set (KNIME's One to Many node): the ``max_categories`` most frequent
+    values (count desc, value asc — stable across engines and reruns)
+    each get an indicator column; everything else — rare values and
+    NULL — folds into ``<prefix>__OTHER`` when ``other_bucket`` (else
+    contributes all-zero indicators).
+
+    Scale shape: the category table is the only driver materialization
+    and it is bounded by ``max_categories`` (orderBy+limit compiles to
+    TakeOrdered — per-partition heaps, no global sort); encoding itself
+    is one codegen projection, no shuffle, no join.
+    """
+    p = prefix if prefix is not None else col
+    cats = [
+        r[0]
+        for r in (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.col("__n").desc(), F.col(col))
+            .limit(max_categories)
+            .collect()
+        )
+    ]
+    out = [F.col(c) for c in df.columns]
+    known = None
+    for v in cats:
+        eq = F.col(col).eqNullSafe(F.lit(v))
+        out.append(eq.cast("int").alias(f"{p}__{v}"))
+        known = eq if known is None else known | eq
+    if other_bucket:
+        other = ~known if known is not None else F.lit(True)
+        out.append(other.cast("int").alias(f"{p}__OTHER"))
+    return df.select(*out)
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    fold_col: str,
+    prior_weight: float = 10.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Leakage-safe (out-of-fold) smoothed target encoding — the
+    feature-engineering companion of ``sampling.grouped_kfold``: each
+    row's encoding uses only target values from OTHER folds, so the
+    encoded feature never sees its own row's label (the classic target-
+    leak that inflates validation scores).
+
+        enc(cat, fold) = (oof_sum(cat) + w · oof_mean(fold))
+                         / (oof_cnt(cat) + w)
+
+    where oof_* exclude ``fold`` and the smoothing prior is the
+    out-of-fold GLOBAL mean (categories unseen outside the fold get
+    exactly the prior). Target sums accumulate in decimal(27,6) —
+    engine-exact for label-like targets — and the final division is a
+    single IEEE op, so encodings are identical at any parallelism.
+
+    Scale shape: one (cat, fold) partial aggregation over the corpus;
+    category and fold totals re-aggregate the partials (small frames);
+    the encoding table is |cats|×|folds| rows, broadcast back onto the
+    corpus. Requires ≥2 folds.
+    """
+    oc = out_col or f"{cat_col}__te"
+    t = F.col(target_col).cast("decimal(27,6)")
+    cf = df.groupBy(cat_col, fold_col).agg(
+        F.count(F.lit(1)).alias("__c"), F.sum(t).alias("__s")
+    )
+    cat_tot = cf.groupBy(cat_col).agg(
+        F.sum("__c").alias("__cc"), F.sum("__s").alias("__cs")
+    )
+    fold_tot = cf.groupBy(fold_col).agg(
+        F.sum("__c").alias("__fc"), F.sum("__s").alias("__fs")
+    )
+    grand = cf.agg(F.sum("__c").alias("__gc"), F.sum("__s").alias("__gs"))
+    enc = (
+        cf.join(cat_tot, cat_col)
+        .join(fold_tot, fold_col)
+        .crossJoin(F.broadcast(grand))
+        .select(
+            cat_col,
+            fold_col,
+            (
+                (
+                    (F.col("__cs") - F.col("__s")).cast("double")
+                    + F.lit(prior_weight)
+                    * (
+                        (F.col("__gs") - F.col("__fs")).cast("double")
+                        / (F.col("__gc") - F.col("__fc")).cast("double")
+                    )
+                )
+                / ((F.col("__cc") - F.col("__c")).cast("double") + F.lit(prior_weight))
+            ).alias(oc),
+        )
+    )
+    return df.join(F.broadcast(enc), [cat_col, fold_col], "left")
+
+
+def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """EXACT ROC-AUC (Mann-Whitney with average-rank tie handling)
+    without a global window: scores aggregate to (score, n_pos, n_neg)
+    groups; a two-phase prefix sum (``sampling.distributed_cumsum`` —
+    range-sorted, no single-reducer window) supplies the negatives
+    strictly below each score; then
+
+        AUC = Σ_g  p_g · (2·cum_neg_before(g) + n_g)  /  (2 · P · N)
+
+    The numerator is EXACT int64 arithmetic (ties contribute n/2 via
+    the doubled form, no halves), so AUC is bit-identical at any
+    parallelism; the one division is a single IEEE op. Rows with label
+    NOT IN (0, 1) or NULL score are excluded (counted in the output).
+
+    Returns one row: (auc, n_pos, n_neg, n_excluded). AUC is NULL when
+    either class is empty.
+    """
+    lab = F.col(label_col).cast("long")
+    valid = lab.isin(0, 1) & F.col(score_col).isNotNull()
+    n_excluded = df.filter(~F.coalesce(valid, F.lit(False))).count()
+    g = (
+        df.filter(valid)
+        .groupBy(F.col(score_col).cast("double").alias("__s"))
+        .agg(
+            F.sum(lab).alias("__p"),
+            F.sum(F.lit(1) - lab).alias("__n"),
+        )
+    )
+    from knime_core_columnar_spark.operators.sampling import distributed_cumsum
+
+    c = distributed_cumsum(
+        g, [F.col("__s")], F.col("__n"), out_col="__cumn", exclusive=True
+    )
+    agg = c.agg(
+        F.sum(
+            F.col("__p") * (F.lit(2) * F.col("__cumn") + F.col("__n"))
+        ).alias("__numer2"),
+        F.sum("__p").alias("n_pos"),
+        F.sum("__n").alias("n_neg"),
+    )
+    return agg.select(
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("__numer2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
+        F.coalesce("n_pos", F.lit(0)).alias("n_pos"),
+        F.coalesce("n_neg", F.lit(0)).alias("n_neg"),
+        F.lit(n_excluded).alias("n_excluded"),
+    )
+
+
+def classification_report(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision/recall/F1 from one confusion aggregation
+    (KNIME Scorer node): the corpus collapses to the |labels|×|preds|
+    pair-count table in a single partial-aggregated shuffle; every
+    metric derives from that small frame. Classes = union of observed
+    labels and predictions, so a never-predicted class still reports
+    recall and a never-true class reports precision. Divisions are
+    single IEEE ops on exact counts; 0/0 cases are NULL.
+
+    Returns (class, n_true, n_pred, tp, precision, recall, f1).
+    """
+    pairs = (
+        df.groupBy(
+            F.col(label_col).cast("string").alias("__l"),
+            F.col(pred_col).cast("string").alias("__p"),
+        ).agg(F.count(F.lit(1)).alias("__c"))
+    )
+    truth = pairs.groupBy(F.col("__l").alias("class")).agg(
+        F.sum("__c").alias("n_true")
+    )
+    pred = pairs.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__c").alias("n_pred")
+    )
+    tp = (
+        pairs.filter(F.col("__l") == F.col("__p"))
+        .select(F.col("__l").alias("class"), F.col("__c").alias("tp"))
+    )
+    base = (
+        truth.join(pred, "class", "full_outer")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp").cast("double") / F.col("n_pred")
+    )
+    rec = F.when(
+        F.col("n_true") > 0, F.col("tp").cast("double") / F.col("n_true")
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        F.lit(2.0) * prec * rec / (prec + rec),
+    )
+    return base.select(
+        "class", "n_true", "n_pred", "tp",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
     )

@@ -338,3 +338,59 @@ def hll_merge_estimate(sketches, lg_k: int = 12):
             F.hll_union_agg(F.col("sketch"), F.lit(False))
         ).alias("estimate")
     )
+
+
+def grouped_kfold(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 5,
+    salt: str = "kfold",
+    fold_col: str = "fold",
+):
+    """Leakage-safe k-fold assignment: every row of a GROUP (user,
+    document source, session — whatever unit correlated rows share)
+    lands in the same fold, so no group straddles a train/validation
+    boundary. Fold = md5 hash of the group key — deterministic,
+    partitioning-independent, stable across reruns and engines (same
+    keyed-hash family as ``hash_split``), and computed without a
+    shuffle: one codegen expression per row, no join against a group
+    table.
+
+    Returns the input with ``fold_col`` appended (0..k-1)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    h = F.conv(
+        F.substring(F.md5(F.concat(key, F.lit("|" + salt))), 1, 15), 16, 10
+    ).cast("long")
+    return df.withColumn(fold_col, (h % k).cast("int"))
+
+
+def kfold_audit(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    fold_col: str = "fold",
+):
+    """Audit frame for a fold assignment: per fold, row count, group
+    count, and the number of LEAKED groups (groups also present in
+    another fold — structurally 0 for grouped_kfold output; nonzero
+    flags a hand-rolled assignment that split a group). One aggregation
+    over (group, fold) pairs, then a fold-level rollup."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    per_group = (
+        df.select(key.alias("__g"), F.col(fold_col))
+        .groupBy("__g", fold_col)
+        .agg(F.count(F.lit(1)).alias("__rows"))
+    )
+    spread = per_group.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__nfolds")
+    )
+    return (
+        per_group.join(spread, "__g")
+        .groupBy(fold_col)
+        .agg(
+            F.sum("__rows").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("__nfolds") > 1).cast("long")).alias("n_leaked_groups"),
+        )
+    )

@@ -123,3 +123,145 @@ def top_tokens_exact(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
     return heavy_hitters(toks, "token", min_count=min_count, capacity=capacity)
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    shard_col: str | None = None,
+    bins: int = 64,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Mergeable equi-width histogram — the quantile companion to
+    ``sampling.hll_shard_sketches``: per shard, a fixed ``bins``-row
+    (bin, n) table whose union IS the merge operation (bin counts are
+    associative sums), so incremental quantile maintenance over a 100 TB
+    history is re-aggregation of kilobyte-sized partials, never a
+    history re-scan.
+
+    ``lo``/``hi`` fix the bin edges; when omitted they come from one
+    exact min/max aggregate over the input (one extra 1-row-per-shard
+    pass — pass them explicitly in incremental settings, where the
+    domain must be pinned anyway for partials to stay mergeable).
+    Values at ``hi`` land in the last bin (closed top edge, like
+    equal-width binning); NULLs are dropped.
+
+    Returns (shard, bin, bin_lo, bin_hi, n) — ``shard`` is '' when
+    ``shard_col`` is None. Only non-empty bins are emitted.
+    """
+    v = F.col(value_col).cast("double")
+    shard = (
+        F.col(shard_col).cast("string") if shard_col else F.lit("")
+    ).alias("shard")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(v).alias("lo"), F.max(v).alias("hi")
+        ).head()
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+    if lo is None:  # empty input
+        return df.sparkSession.createDataFrame(
+            [], "shard string, bin int, bin_lo double, bin_hi double, n long"
+        )
+    width = (float(hi) - float(lo)) / bins if hi > lo else 1.0
+    bin_ = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int")
+        ),
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(shard, bin_.alias("bin"))
+        .groupBy("shard", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "shard",
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame, probs: Sequence[float]
+) -> DataFrame:
+    """Quantile estimates from a (merged) histogram sketch: linear
+    interpolation within the containing bin — max error one bin width.
+    Accepts the output of ``histogram_sketch`` (any number of shards —
+    they are merged here by summing bin counts, which is the whole
+    point of the sketch). Returns (prob, estimate)."""
+    merged = (
+        hist.groupBy("bin", "bin_lo", "bin_hi")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("bin")
+        .collect()  # ≤ bins rows — sketch-sized, never data-sized
+    )
+    total = sum(r["n"] for r in merged)
+    out = []
+    for p in probs:
+        if total == 0:
+            out.append((float(p), None))
+            continue
+        target = p * total
+        acc = 0
+        est = merged[-1]["bin_hi"]
+        for r in merged:
+            if acc + r["n"] >= target:
+                frac = (target - acc) / r["n"] if r["n"] else 0.0
+                est = r["bin_lo"] + frac * (r["bin_hi"] - r["bin_lo"])
+                break
+            acc += r["n"]
+        out.append((float(p), float(est)))
+    spark = hist.sparkSession
+    return spark.createDataFrame(out, "prob double, estimate double")
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    capacity: int = 256,
+    target_rows_per_task: int = 4_000_000,
+    total_count: int | None = None,
+) -> DataFrame:
+    """Shuffle-key skew diagnosis — the planning tool behind
+    ``relational.salted_join``'s salt factor: find the heavy join/group
+    keys BEFORE running the expensive shuffle, with Misra-Gries-bounded
+    state (never a full key GROUP BY).
+
+    Reports every key holding more than n/(capacity+1) of the rows
+    (exact counts via the heavy-hitter recount) with its row share and
+    the salt factor — ceil(count / target_rows_per_task) — that would
+    split it into target-sized reducer tasks. An empty result certifies
+    no key exceeds the 1/(capacity+1) share: at capacity 256, no
+    reducer gets more than ~0.4% of the table, i.e. the shuffle is safe
+    without salting.
+
+    Returns (key, n_rows, row_share, salt_factor) ordered nowhere —
+    sort at display time; the frame is at most ``capacity × partitions``
+    rows.
+    """
+    keyed = df.select(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]).alias(
+            "__key"
+        )
+    )
+    n = keyed.count() if total_count is None else total_count
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "key string, n_rows long, row_share double, salt_factor int"
+        )
+    floor = n // (capacity + 1) + 1
+    hh = heavy_hitters(keyed, "__key", min_count=floor, capacity=capacity,
+                       total_count=n)
+    return hh.select(
+        F.col("__key").alias("key"),
+        F.col("n_occurrences").alias("n_rows"),
+        (F.col("n_occurrences") / F.lit(float(n))).alias("row_share"),
+        F.ceil(F.col("n_occurrences") / F.lit(target_rows_per_task))
+        .cast("int")
+        .alias("salt_factor"),
+    )

@@ -65,3 +65,43 @@ def test_corpus_scale_smoke(spark, sf_dir):
     # counts are non-increasing is NOT guaranteed by BPE, but all must
     # be >= min_pair_count (default 2)
     assert all(c >= 2 for *_, c in merges)
+
+
+def test_bpe_encode_matches_per_word_segmenter(spark):
+    from knime_core_columnar_spark.operators.bpe import bpe_encode, bpe_segment
+
+    df = _paper_corpus(spark)
+    merges = bpe_train(df, num_merges=10, min_pair_count=1)
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "newest"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    want1 = (
+        bpe_segment("low", merges)
+        + bpe_segment("lower", merges)
+        + bpe_segment("lowest", merges)
+    )
+    assert out[1]["pieces"] == want1
+    assert out[1]["n_pieces"] == len(want1)
+    assert out[2]["pieces"] == bpe_segment("newest", merges)
+    assert out[3]["pieces"] == [] and out[4]["pieces"] == []  # no dropped rows
+    # every word reconstructs: concatenating its pieces strips to word+</w>
+    joined = "".join(out[2]["pieces"]).replace("</w>", " ").strip()
+    assert joined == "newest"
+
+
+def test_bpe_encode_partition_invariant_on_corpus(spark, sf_dir):
+    from knime_core_columnar_spark.operators.bpe import bpe_encode
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    merges = bpe_train(d, num_merges=15, max_types=5000)
+    a = sorted(
+        (r["doc_id"], tuple(r["pieces"])) for r in bpe_encode(d, merges).collect()
+    )
+    b = sorted(
+        (r["doc_id"], tuple(r["pieces"]))
+        for r in bpe_encode(d.repartition(13), merges).collect()
+    )
+    assert a == b and len(a) == 100
+    assert all(p for _, p in a)  # non-empty docs encode to pieces

@@ -215,3 +215,105 @@ def test_ml_ops_partition_invariant(spark, sf_dir):
         for r in naive_bayes_classify(d.repartition(41)).collect()
     )
     assert base_p == stress_p
+
+
+def test_one_hot_frequency_ranked_and_other(spark):
+    from knime_core_columnar_spark.operators.ml import one_hot
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [(None,)],
+        "cat string",
+    )
+    out = one_hot(df, "cat", max_categories=2)
+    assert "cat__a" in out.columns and "cat__b" in out.columns
+    assert "cat__c" not in out.columns and "cat__OTHER" in out.columns
+    rows = out.collect()
+    assert sum(r["cat__a"] for r in rows) == 5
+    assert sum(r["cat__b"] for r in rows) == 3
+    # rare value c AND the NULL row both fold into OTHER
+    assert sum(r["cat__OTHER"] for r in rows) == 3
+    # each row is one-hot: exactly one indicator set
+    for r in rows:
+        assert r["cat__a"] + r["cat__b"] + r["cat__OTHER"] == 1
+
+
+def test_target_encode_out_of_fold_hand_computed(spark):
+    from knime_core_columnar_spark.operators.ml import target_encode
+
+    # category x: fold0 targets [1, 1], fold1 targets [0]
+    # category y: only fold0 [0]  -> in fold1 y is unseen... (no y rows
+    # in fold1, so no output row needed there)
+    df = spark.createDataFrame(
+        [("x", 1.0, 0), ("x", 1.0, 0), ("x", 0.0, 1), ("y", 0.0, 0)],
+        "cat string, t double, fold int",
+    )
+    out = {
+        (r["cat"], r["fold"], r["t"]): r["cat__te"]
+        for r in target_encode(df, "cat", "t", "fold", prior_weight=2.0).collect()
+    }
+    # fold0 x rows: oof = fold1 only -> x sum 0, cnt 1; oof global mean =
+    # fold1 mean = 0/1 = 0 -> enc = (0 + 2*0)/(1+2) = 0
+    assert out[("x", 0, 1.0)] == 0.0
+    # fold1 x row: oof = fold0 -> x sum 2, cnt 2; oof gmean = fold0 mean
+    # = 2/3 -> enc = (2 + 2*(2/3))/(2+2)
+    assert abs(out[("x", 1, 0.0)] - (2 + 2 * (2 / 3)) / 4) < 1e-12
+    # fold0 y row: oof y count 0 -> pure prior = oof gmean = 0
+    assert out[("y", 0, 0.0)] == 0.0
+
+
+def test_binary_auc_exact_with_ties_and_exclusions(spark):
+    from knime_core_columnar_spark.operators.ml import binary_auc
+
+    # scores: pos [0.9, 0.5], neg [0.5, 0.1] -> pairs: (0.9 beats both
+    # negs) + (0.5 vs 0.1 win, 0.5 vs 0.5 tie=0.5) => (2 + 1.5)/4 = 0.875
+    rows = [(0.9, 1), (0.5, 1), (0.5, 0), (0.1, 0), (0.7, 2), (None, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = binary_auc(df, "score", "label").collect()[0]
+    assert r["auc"] == 0.875
+    assert r["n_pos"] == 2 and r["n_neg"] == 2 and r["n_excluded"] == 2
+    # degenerate: single class -> NULL auc
+    one = spark.createDataFrame([(0.3, 1), (0.6, 1)], "score double, label int")
+    assert binary_auc(one, "score", "label").collect()[0]["auc"] is None
+
+
+def test_binary_auc_matches_numpy_rank_formula(spark):
+    import numpy as np
+
+    from knime_core_columnar_spark.operators.ml import binary_auc
+
+    rng = [(float(((i * 37) % 19) / 19.0), int((i * 13) % 3 == 0)) for i in range(500)]
+    df = spark.createDataFrame(rng, "score double, label int")
+    got = binary_auc(df, "score", "label").collect()[0]["auc"]
+    scores = np.array([s for s, _ in rng])
+    labels = np.array([l for _, l in rng])
+    # average ranks (scipy-free): rank via argsort with tie averaging
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty(len(scores))
+    sorted_scores = scores[order]
+    i = 0
+    while i < len(scores):
+        j = i
+        while j + 1 < len(scores) and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    P, N = labels.sum(), (1 - labels).sum()
+    want = (ranks[labels == 1].sum() - P * (P + 1) / 2) / (P * N)
+    assert abs(got - want) < 1e-12
+    # partition invariance (exact integer path)
+    got2 = binary_auc(df.repartition(13), "score", "label").collect()[0]["auc"]
+    assert got == got2
+
+
+def test_classification_report_counts(spark):
+    from knime_core_columnar_spark.operators.ml import classification_report
+
+    rows = [("a", "a")] * 3 + [("a", "b")] * 1 + [("b", "b")] * 2 + [("c", "a")] * 1
+    df = spark.createDataFrame(rows, "label string, pred string")
+    rep = {r["class"]: r for r in classification_report(df, "label", "pred").collect()}
+    assert rep["a"]["n_true"] == 4 and rep["a"]["n_pred"] == 4 and rep["a"]["tp"] == 3
+    assert rep["a"]["precision"] == 0.75 and rep["a"]["recall"] == 0.75
+    assert rep["b"]["precision"] == 2 / 3 and rep["b"]["recall"] == 1.0
+    # class c never predicted: precision NULL, recall 0
+    assert rep["c"]["n_pred"] == 0 and rep["c"]["precision"] is None
+    assert rep["c"]["recall"] == 0.0 and rep["c"]["f1"] is None

@@ -192,3 +192,27 @@ def test_hll_shard_sketches_accuracy_and_merge(spark, sf_dir):
     pb = b.agg(FF.hll_union_agg(FF.col("sketch"), FF.lit(False)).alias("sketch"))
     two_level = hll_merge_estimate(pa.unionByName(pb)).collect()[0]["estimate"]
     assert two_level == merged
+
+
+def test_grouped_kfold_no_leakage_and_stability(spark):
+    from knime_core_columnar_spark.operators.sampling import (
+        grouped_kfold,
+        kfold_audit,
+    )
+
+    rows = [(u, e) for u in range(200) for e in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, event long")
+    folded = grouped_kfold(df, ["user_id"], k=5)
+    audit = {r["fold"]: r for r in kfold_audit(folded, ["user_id"]).collect()}
+    assert set(audit) <= set(range(5)) and len(audit) == 5
+    assert all(r["n_leaked_groups"] == 0 for r in audit.values())
+    assert sum(r["n_rows"] for r in audit.values()) == 1000
+    assert sum(r["n_groups"] for r in audit.values()) == 200
+    # deterministic + partitioning-independent
+    a = sorted(map(tuple, folded.collect()))
+    b = sorted(map(tuple, grouped_kfold(df.repartition(13), ["user_id"], k=5).collect()))
+    assert a == b
+    # audit flags a genuinely leaky assignment
+    leaky = df.withColumn("fold", (F.col("event") % 5).cast("int"))
+    bad = kfold_audit(leaky, ["user_id"]).collect()
+    assert sum(r["n_leaked_groups"] for r in bad) > 0

@@ -77,3 +77,57 @@ def test_top_tokens_exact_on_documents(spark, sf_dir):
     ).filter(F.col("token") != "")
     assert got == _exact(toks, "token", 40)
     assert got  # corpus has common tokens at this threshold
+
+
+def test_histogram_sketch_merge_equals_exact_counts(spark):
+    from knime_core_columnar_spark.operators.sketch import (
+        histogram_sketch,
+        quantiles_from_histogram,
+    )
+
+    rows = [(i % 3, float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "shard int, v double")
+    # sharded sketch with pinned domain == unsharded sketch after merge
+    sharded = histogram_sketch(df, "v", shard_col="shard", bins=50, lo=0.0, hi=999.0)
+    flat = histogram_sketch(df, "v", bins=50, lo=0.0, hi=999.0)
+    merged = {
+        (r["bin"], r["n"])
+        for r in sharded.groupBy("bin").agg(F.sum("n").alias("n")).collect()
+    }
+    assert merged == {(r["bin"], r["n"]) for r in flat.collect()}
+    # total mass preserved
+    assert sum(n for _, n in merged) == 1000
+    # quantiles within one bin width of exact (uniform data)
+    q = {r["prob"]: r["estimate"] for r in
+         quantiles_from_histogram(sharded, [0.25, 0.5, 0.9]).collect()}
+    width = 999.0 / 50
+    for p, exact in [(0.25, 249.75), (0.5, 499.5), (0.9, 899.1)]:
+        assert abs(q[p] - exact) <= width
+
+
+def test_histogram_sketch_edges_and_nulls(spark):
+    from knime_core_columnar_spark.operators.sketch import histogram_sketch
+
+    df = spark.createDataFrame(
+        [(0.0,), (10.0,), (None,), (5.0,)], "v double"
+    )
+    rows = {r["bin"]: r for r in histogram_sketch(df, "v", bins=10).collect()}
+    assert sum(r["n"] for r in rows.values()) == 3  # NULL dropped
+    assert rows[9]["n"] == 1  # hi lands in last bin (closed top edge)
+    assert rows[0]["n"] == 1
+
+
+def test_skew_profile_flags_hub_key(spark):
+    from knime_core_columnar_spark.operators.sketch import skew_profile
+
+    rows = [("hub",)] * 500 + [(f"k{i}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_profile(df, ["k"], capacity=64, target_rows_per_task=100).collect()
+    keys = {r["key"]: r for r in out}
+    assert "hub" in keys
+    assert keys["hub"]["n_rows"] == 500
+    assert abs(keys["hub"]["row_share"] - 0.5) < 1e-9
+    assert keys["hub"]["salt_factor"] == 5  # ceil(500/100)
+    # balanced table -> empty profile (certifies shuffle-safe)
+    flat = spark.createDataFrame([(f"k{i % 100}",) for i in range(1000)], "k string")
+    assert skew_profile(flat, ["k"], capacity=64).count() == 0
