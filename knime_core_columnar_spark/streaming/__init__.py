@@ -23,10 +23,14 @@ from knime_core_columnar_spark.streaming.ops import (
     stream_stream_interval_join,
     streaming_asof_enrich,
     tumbling_window_agg,
+    trending_tokens,
+    windowed_token_counts,
 )
 
 __all__ = [
     "stream_from_directory",
+    "windowed_token_counts",
+    "trending_tokens",
     "corpus_quality_monitor",
     "tumbling_window_agg",
     "sliding_window_agg",

@@ -458,3 +458,55 @@ def stream_stream_interval_join(
         & (F.col(rt) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, "inner").drop(rk)
+
+
+def windowed_token_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Windowed token-frequency stream — the ingestion-time twin of the
+    batch vocabulary/heavy-hitter audits: per (window, token) exact
+    counts over the incoming corpus. Batch/stream agnostic like
+    ``corpus_quality_monitor``.
+
+    State shape: one counter per (active window, token) — bounded by
+    vocabulary × windows-within-watermark, the same envelope as any
+    windowed agg here (token cardinality is vocabulary-bounded, not
+    corpus-bounded). Counts are exact integers, so the stream replay
+    equals the batch computation row-for-row.
+
+    Returns (win_start, token, n).
+    """
+    d = _maybe_watermark(df, ts_col, watermark)
+    toks = d.select(
+        F.col(ts_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy(F.window(F.col(ts_col), window).alias("win"), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "token", "n")
+    )
+
+
+def trending_tokens(counts: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k tokens per window from a ``windowed_token_counts`` frame —
+    the ranking step, run batch-side (on the sink table or inside a
+    foreachBatch) because streaming append mode cannot rank within a
+    still-open window. Deterministic total order (n desc, token asc);
+    WindowGroupLimit keeps per-partition k-row heaps.
+
+    Returns (win_start, token, n, rank) with rank 1..k per window.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), F.col("token")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -177,3 +177,66 @@ def test_impute_invariants(spark, vals):
                 assert got[i] in observed
             elif got[i] is not None and observed:
                 assert min(observed) - 1e-6 <= got[i] <= max(observed) + 1e-6
+
+
+@given(
+    stream=st.lists(
+        st.sampled_from([f"k{i}" for i in range(12)]), min_size=1, max_size=400
+    ),
+    capacity=st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_summary_invariants(stream, capacity):
+    """Pure-kernel MG properties on arbitrary streams: the summary never
+    exceeds capacity, stores only undercounts, and retains every key
+    with frequency > n/(capacity+1) (the pigeonhole guarantee the
+    distributed exactness proof builds on)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from knime_core_columnar_spark.operators.sketch import _mg_partition
+
+    out = list(_mg_partition(iter([pd.DataFrame({"__key": stream})]), capacity))[0]
+    got = dict(zip(out["__key"], out["__undercount"]))
+    true = Counter(stream)
+    assert len(got) <= capacity
+    n = len(stream)
+    for k, v in got.items():
+        assert v <= true[k]  # undercount, never overcount
+        assert true[k] - v <= n // (capacity + 1) + 1  # bounded loss
+    for k, c in true.items():
+        if c > n / (capacity + 1):
+            assert k in got, f"heavy key {k} ({c}/{n}) evicted"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_triangle_counts_match_bruteforce(spark_session, edges):
+    """Random small graphs: the degree-oriented distributed count equals
+    a brute-force enumeration over the cleaned undirected edge set."""
+    from itertools import combinations
+
+    from knime_core_columnar_spark.operators.graph import triangle_counts
+
+    clean = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({x for e in clean for x in e})
+    want = {v: 0 for v in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= clean:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    df = spark_session.createDataFrame(
+        list(clean) or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == want

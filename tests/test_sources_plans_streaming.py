@@ -486,3 +486,46 @@ def test_stream_stream_interval_join_batch_parity(spark, events, tmp_path):
         for r in spark.sql("select * from t_ssj").collect()
     )
     assert got == want
+
+
+def test_windowed_token_counts_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed per-window token counts equal the batch replay exactly
+    (integer counts are order-independent), and trending_tokens ranks
+    deterministically on top."""
+    src_dir = str(tmp_path / "tok_in")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") * 120),
+    )
+    docs.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = ST.stream_from_directory(spark, src_dir, schema)
+    counts = ST.windowed_token_counts(stream, window="1 hour", watermark="1 minute")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("t_tok")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["token"]): r["n"]
+        for r in spark.sql("select * from t_tok").collect()
+    }
+    batch = ST.windowed_token_counts(
+        spark.read.parquet(src_dir), window="1 hour", watermark=None
+    )
+    want = {(r["win_start"], r["token"]): r["n"] for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+    top = ST.trending_tokens(batch, k=5)
+    per_win = {}
+    for r in top.collect():
+        per_win.setdefault(r["win_start"], []).append(r)
+    for rows in per_win.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        ns = [r["n"] for r in rows]
+        assert ns == sorted(ns, reverse=True)

@@ -33,7 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/testdata/sf0.1"
 HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
-         "ann_topk_ivf", "unigram_lm_quality", "token_shards"]
+         "ann_topk_ivf", "unigram_lm_quality", "token_shards",
+         # round-4-continued additions (documents/embeddings-based)
+         "heavy_hitter_tokens", "duplicate_span_profile",
+         "hybrid_search_rrf"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
@@ -102,6 +105,8 @@ def main():
     from knime_core_columnar_spark import catalog
     from knime_core_columnar_spark.session import get_spark
 
+    catalog.register_r5_queries(force=True)
+    catalog.register_r6_queries(force=True)
     spark = get_spark(app_name="scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
