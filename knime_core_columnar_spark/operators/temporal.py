@@ -31,7 +31,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "resample_timeseries"]
 
 
 def asof_join(
@@ -151,3 +151,97 @@ def range_join(
     for k in key:  # equal by construction; keep the left copy only
         joined = joined.drop(r_b[k])
     return joined.drop("__lb", "__pb", "__rb")
+
+
+def resample_timeseries(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    strategy: str = "ffill",
+) -> DataFrame:
+    """Align each key's irregular observations to a fixed time grid —
+    the resampling step in front of windowed models and hourly rollups
+    (pandas ``resample``/KNIME's timestamp alignment, distributed).
+
+    Grid: per key, timestamps from ``date_trunc(step-unit, min ts)`` to
+    max ts every ``step`` — generated as a per-key array expression
+    (codegen sequence + explode; no driver spine, no cross join with a
+    global calendar, unlike a date-spine approach the grid is exactly
+    as long as each key's own span). Values attach via ``asof_join``:
+
+    - ``ffill``: last observation at-or-before each grid point (the
+      step-function reading of a sensor/price series);
+    - ``interp``: linear interpolation between the straddling
+      observations (falls back to the boundary value outside the
+      observed range).
+
+    Scale shape: the grid explode is ~span/step rows per key; both asof
+    passes shuffle once on the key each (the documented asof plan); no
+    windows over the whole table, no per-key collect. Deterministic:
+    with duplicate timestamps the asof tie rule (max/min remaining
+    struct) picks the same observation at any parallelism.
+
+    Returns (key_col, grid_ts, value_col) — one row per grid point.
+    """
+    if strategy not in ("ffill", "interp"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    unit = step.split()[-1].rstrip("s")
+    span = df.groupBy(key_col).agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
+        F.max(ts_col).cast("timestamp").alias("__hi"),
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+        ).alias("grid_ts"),
+    )
+    obs = df.select(
+        key_col,
+        F.col(ts_col).cast("timestamp").alias("__ots"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    back = asof_join(
+        grid.withColumnRenamed("grid_ts", "__gts"),
+        obs.withColumnRenamed("__ots", "__gts"),
+        on="__gts",
+        by=key_col,
+        suffix="_p",
+    ).select(
+        key_col,
+        F.col("__gts").alias("grid_ts"),
+        F.col("__v").alias("__prev"),
+        F.col("__gts_p").alias("__prev_ts"),
+    )
+    if strategy == "ffill":
+        return back.select(
+            key_col, "grid_ts", F.col("__prev").alias(value_col)
+        )
+    fwd = asof_join(
+        grid.withColumnRenamed("grid_ts", "__gts"),
+        obs.withColumnRenamed("__ots", "__gts"),
+        on="__gts",
+        by=key_col,
+        suffix="_n",
+        direction="forward",
+    ).select(
+        key_col,
+        F.col("__gts").alias("grid_ts"),
+        F.col("__v").alias("__next"),
+        F.col("__gts_n").alias("__next_ts"),
+    )
+    j = back.join(fwd, [key_col, "grid_ts"])
+    dt = F.unix_timestamp("__next_ts") - F.unix_timestamp("__prev_ts")
+    frac = (
+        F.unix_timestamp("grid_ts") - F.unix_timestamp("__prev_ts")
+    ).cast("double") / dt.cast("double")
+    interp = F.when(
+        F.col("__prev").isNull(), F.col("__next")
+    ).when(
+        F.col("__next").isNull() | (dt == 0), F.col("__prev")
+    ).otherwise(
+        F.col("__prev") + (F.col("__next") - F.col("__prev")) * frac
+    )
+    return j.select(key_col, "grid_ts", interp.alias(value_col))

@@ -203,3 +203,73 @@ def test_impute_strategies(spark):
         impute(df, "v", "i", ["k"], "bogus")
     with _pt.raises(ValueError):
         impute(df, "v", "i", ["k"], "fixed")
+
+
+def test_resample_ffill_hand_case(spark):
+    from knime_core_columnar_spark.operators.temporal import resample_timeseries
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 10.0),
+        (1, "2024-01-01 02:30:00", 30.0),
+        (2, "2024-01-01 05:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        (r["k"], str(r["grid_ts"])): r["v"]
+        for r in resample_timeseries(df, "k", "ts", "v", step="1 hour").collect()
+    }
+    # key 1 grid: 00:00..02:00 hourly; 00:00 precedes first obs -> NULL
+    assert out[(1, "2024-01-01 00:00:00")] is None
+    assert out[(1, "2024-01-01 01:00:00")] == 10.0
+    assert out[(1, "2024-01-01 02:00:00")] == 10.0
+    # key 2: single point -> single grid row carrying nothing-before
+    assert out[(2, "2024-01-01 05:00:00")] == 7.0
+    assert len(out) == 4
+
+
+def test_resample_interp_and_invariance(spark):
+    from knime_core_columnar_spark.operators.temporal import resample_timeseries
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 0.0),
+        (1, "2024-01-01 04:00:00", 40.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        str(r["grid_ts"]): r["v"]
+        for r in resample_timeseries(df, "k", "ts", "v", step="1 hour",
+                                     strategy="interp").collect()
+    }
+    assert out["2024-01-01 00:00:00"] == 0.0
+    assert out["2024-01-01 01:00:00"] == 10.0
+    assert out["2024-01-01 02:00:00"] == 20.0
+    assert out["2024-01-01 03:00:00"] == 30.0
+    assert out["2024-01-01 04:00:00"] == 40.0
+    a = sorted(map(tuple, resample_timeseries(df, "k", "ts", "v",
+                                              strategy="interp").collect()))
+    b = sorted(map(tuple, resample_timeseries(df.repartition(7), "k", "ts", "v",
+                                              strategy="interp").collect()))
+    assert a == b
+
+
+def test_resample_on_events_volume(spark, sf_dir):
+    from knime_core_columnar_spark.operators.temporal import resample_timeseries
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "ts", "value")
+    )
+    out = resample_timeseries(ev, "user_id", "ts", "value", step="6 hours")
+    rows = out.collect()
+    assert len(rows) > 0
+    # grid covers each user's span: count >= distinct users
+    users = {r["user_id"] for r in rows}
+    assert users == {r["user_id"] for r in ev.select("user_id").distinct().collect()}
+    # ffill never invents values: every non-null value appears in source
+    src_vals = {r["value"] for r in ev.collect()}
+    assert {r["value"] for r in rows if r["value"] is not None} <= src_vals
