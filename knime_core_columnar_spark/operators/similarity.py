@@ -672,3 +672,71 @@ def rrf_hybrid_topk(
     return fused.withColumn("fused_rank", F.row_number().over(wf)).filter(
         F.col("fused_rank") <= k
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    reference: Sequence[float] | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-distribution drift monitor: per group (a time window,
+    an ingestion batch, a source), the centroid's cosine similarity to a
+    reference direction — the cheap first-line detector for upstream
+    embedding-model swaps, encoding bugs, or topic shift in a corpus
+    feed. ``reference`` defaults to the overall centroid of ``df``
+    (computed from the same aggregate — no second scan).
+
+    Exactness: per-dimension sums accumulate in int64 micro-units
+    (value·scale rounded), so centroids are identical at any
+    parallelism; the final cosine is IEEE ops on those exact sums,
+    rounded to 6 decimals like the rest of the similarity family.
+
+    Scale shape: one explode to (group, dim, int64) — D rows per vector
+    — and one partial-aggregated groupBy; group count is windows ×
+    sources, so everything after the aggregation is monitor-sized.
+
+    Returns (group_col, n_vecs, cos_to_reference).
+    """
+    dims = df.select(
+        F.col(group_col).alias("__g"),
+        F.posexplode(vec_col).alias("__d", "__x"),
+    ).select(
+        "__g", "__d",
+        F.round(F.col("__x").cast("double") * scale, 0).cast("long").alias("__xi"),
+    )
+    per = dims.groupBy("__g", "__d").agg(
+        F.sum("__xi").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    cent = per.groupBy("__g").agg(
+        F.array_sort(
+            F.collect_list(F.struct("__d", "__s"))
+        ).alias("__ds"),
+        F.first(F.col("__n")).alias("n_vecs"),
+    ).select(
+        "__g", "n_vecs",
+        F.transform(F.col("__ds"), lambda s: s["__s"].cast("double")).alias("__c"),
+    )
+    if reference is None:
+        ref_row = (
+            per.groupBy("__d").agg(F.sum("__s").alias("__s"))
+            .orderBy("__d")
+            .collect()  # D rows — dimension-sized, never corpus-sized
+        )
+        reference = [float(r["__s"]) for r in ref_row]
+    ref = F.array(*[F.lit(float(x)) for x in reference])
+    num = F.aggregate(
+        F.zip_with(F.col("__c"), ref, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nc = F.sqrt(F.aggregate(
+        F.transform(F.col("__c"), lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x))
+    nr = F.sqrt(F.aggregate(
+        F.transform(ref, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return cent.select(
+        F.col("__g").alias(group_col),
+        "n_vecs",
+        F.round(num / (nc * nr), 6).alias("cos_to_reference"),
+    )

@@ -550,3 +550,41 @@ def test_rrf_hybrid_topk_on_corpus_invariants(spark, sf_dir):
         docs.repartition(13), emb.repartition(7), qids, k=10, n_per_system=25
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_embedding_drift_detects_shifted_group(spark):
+    from knime_core_columnar_spark.operators.similarity import embedding_drift
+
+    # groups a,b share a direction; group c is orthogonal
+    rows = (
+        [("a", [1.0, 0.0, 0.1]) for _ in range(10)]
+        + [("b", [0.9, 0.0, 0.2]) for _ in range(10)]
+        + [("c", [0.0, 1.0, 0.0]) for _ in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, embedding array<float>")
+    out = {r["g"]: r for r in embedding_drift(df, "g").collect()}
+    assert all(r["n_vecs"] == 10 for r in out.values())
+    # a and b hug the overall centroid; c is the outlier (the shared-
+    # direction groups still score well clear of the orthogonal one)
+    assert out["a"]["cos_to_reference"] > 0.85
+    assert out["b"]["cos_to_reference"] > 0.85
+    assert out["c"]["cos_to_reference"] < 0.6
+    # explicit reference pins the axis exactly
+    ref = embedding_drift(df, "g", reference=[1.0, 0.0, 0.0])
+    vals = {r["g"]: r["cos_to_reference"] for r in ref.collect()}
+    assert vals["c"] == 0.0 and vals["a"] > 0.99
+    # partition invariance (integer centroid sums)
+    a = sorted(map(tuple, embedding_drift(df, "g", reference=[1.0, 0.0, 0.0]).collect()))
+    b = sorted(map(tuple, embedding_drift(df.repartition(7), "g",
+                                          reference=[1.0, 0.0, 0.0]).collect()))
+    assert a == b
+
+
+def test_embedding_drift_on_labels(spark, sf_dir):
+    from knime_core_columnar_spark.operators.similarity import embedding_drift
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_drift(emb, "label").collect()
+    assert len(out) == emb.select("label").distinct().count()
+    assert all(-1.0 <= r["cos_to_reference"] <= 1.0 for r in out)
+    assert sum(r["n_vecs"] for r in out) == emb.count()

