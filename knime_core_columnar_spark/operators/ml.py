@@ -36,7 +36,8 @@ from knime_core_columnar_spark.operators.similarity import dot
 
 __all__ = [
     "logreg_lite", "naive_bayes_classify", "one_hot", "target_encode",
-    "binary_auc", "classification_report",
+    "binary_auc", "classification_report", "decision_tree_lite",
+    "decision_tree_predict", "random_forest_lite",
 ]
 
 
@@ -433,3 +434,261 @@ def classification_report(
         "class", "n_true", "n_pred", "tp",
         prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
     )
+
+
+def decision_tree_lite(
+    df: DataFrame,
+    label_expr: Column,
+    vec_col: str = "embedding",
+    max_depth: int = 3,
+    bins: int = 16,
+    min_leaf: int = 5,
+):
+    """Histogram-based binary decision-tree learner (KNIME Decision Tree
+    Learner's capability, built level-wise the way LightGBM/XGBoost
+    train at scale): per depth level, ONE corpus aggregation produces
+    the (node, feature, bin) → (count, positives) histogram — a frame
+    bounded by nodes × dims × bins regardless of corpus size — and the
+    split election runs driver-side over that bounded table (the same
+    bounded-table-on-driver shape as BPE training).
+
+    Determinism end to end: bin edges come from exact global min/max
+    (order-independent), histogram counts are exact int64, Gini gains
+    are IEEE ops on those exact ints with ties broken by (feature, bin)
+    — identical trees at any parallelism (tested).
+
+    Split rule: feature j ≤ upper-edge-of-bin b goes left. A node stops
+    splitting when it is pure, smaller than 2·min_leaf, at max_depth, or
+    no split has positive Gini gain; either CHILD smaller than min_leaf
+    vetoes the split.
+
+    Returns (tree, spark_df) where ``tree`` is
+    {node: {"leaf": bool, "feature": j, "threshold": x, "n": n,
+    "n_pos": p, "prob": p/n}} and ``spark_df`` the same as a DataFrame
+    (node, is_leaf, feature, threshold, n, n_pos, prob). Node ids:
+    root 0, children of k are 2k+1 / 2k+2.
+    """
+    x = df.select(
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__x"),
+        label_expr.cast("int").alias("__y"),
+    )
+    edges = (
+        x.select(F.posexplode("__x").alias("__j", "__v"))
+        .groupBy("__j")
+        .agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"))
+        .orderBy("__j")
+        .collect()  # D rows
+    )
+    los = [r["lo"] for r in edges]
+    widths = [
+        ((r["hi"] - r["lo"]) / bins if r["hi"] > r["lo"] else 1.0) for r in edges
+    ]
+    lo_arr = F.array(*[F.lit(float(v)) for v in los])
+    w_arr = F.array(*[F.lit(float(v)) for v in widths])
+    binned = x.select(
+        F.zip_with(
+            "__x",
+            F.zip_with(lo_arr, w_arr, lambda a, b: F.struct(
+                a.alias("lo"), b.alias("w"))),
+            lambda v, p: F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((v - p["lo"]) / p["w"]).cast("int"),
+                ),
+            ),
+        ).alias("__b"),
+        "__y",
+        F.lit(0).alias("__node"),
+    ).localCheckpoint()  # rows re-scanned once per level
+
+    def gini(p: int, n: int) -> float:
+        if n == 0:
+            return 0.0
+        q = p / n
+        return 2.0 * q * (1.0 - q)
+
+    tree: dict[int, dict] = {}
+    open_nodes = {0}
+    for depth in range(max_depth + 1):
+        if not open_nodes:
+            break
+        hist = (
+            binned.filter(F.col("__node").isin(list(open_nodes)))
+            .select("__node", "__y", F.posexplode("__b").alias("__j", "__bin"))
+            .groupBy("__node", "__j", "__bin")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum("__y").alias("p"),
+            )
+            .collect()  # ≤ |open| × D × bins rows
+        )
+        by_node: dict[int, dict] = {}
+        for r in hist:
+            by_node.setdefault(r["__node"], {}).setdefault(
+                r["__j"], {}
+            )[r["__bin"]] = (r["c"], r["p"])
+        splits: dict[int, tuple[int, int]] = {}
+        next_open = set()
+        for node in sorted(open_nodes):
+            feats = by_node.get(node)
+            if feats is None:
+                continue
+            f0 = next(iter(feats.values()))
+            n_tot = sum(c for c, _ in f0.values())
+            p_tot = sum(p for _, p in f0.values())
+            leaf = {
+                "leaf": True, "feature": None, "threshold": None,
+                "n": n_tot, "n_pos": p_tot,
+                "prob": (p_tot / n_tot) if n_tot else 0.0,
+            }
+            if (
+                depth == max_depth
+                or n_tot < 2 * min_leaf
+                or p_tot == 0
+                or p_tot == n_tot
+            ):
+                tree[node] = leaf
+                continue
+            parent_imp = gini(p_tot, n_tot)
+            best = None  # (neg_gain, j, bin) — min wins, ties (j, bin) asc
+            for j in sorted(feats):
+                cl = pl = 0
+                for b in range(bins - 1):
+                    c, p = feats[j].get(b, (0, 0))
+                    cl += c
+                    pl += p
+                    cr, pr = n_tot - cl, p_tot - pl
+                    if cl < min_leaf or cr < min_leaf:
+                        continue
+                    gain = parent_imp - (
+                        cl / n_tot * gini(pl, cl) + cr / n_tot * gini(pr, cr)
+                    )
+                    if gain > 1e-12:
+                        key = (-gain, j, b)
+                        if best is None or key < best:
+                            best = key
+            if best is None:
+                tree[node] = leaf
+                continue
+            _, j, b = best
+            splits[node] = (j, b)
+            tree[node] = {
+                "leaf": False, "feature": j,
+                "threshold": los[j] + (b + 1) * widths[j],
+                "n": n_tot, "n_pos": p_tot,
+                "prob": (p_tot / n_tot) if n_tot else 0.0,
+            }
+            next_open.add(2 * node + 1)
+            next_open.add(2 * node + 2)
+        if splits:
+            expr = F.col("__node")
+            for node, (j, b) in sorted(splits.items()):
+                expr = F.when(
+                    F.col("__node") == node,
+                    F.when(
+                        F.element_at("__b", j + 1) <= b, F.lit(2 * node + 1)
+                    ).otherwise(F.lit(2 * node + 2)),
+                ).otherwise(expr)
+            binned = binned.withColumn("__node", expr).localCheckpoint()
+        open_nodes = next_open
+
+    spark = df.sparkSession
+    rows = [
+        (
+            int(k), bool(v["leaf"]),
+            None if v["feature"] is None else int(v["feature"]),
+            None if v["threshold"] is None else float(v["threshold"]),
+            int(v["n"]), int(v["n_pos"]), float(round(v["prob"], 6)),
+        )
+        for k, v in sorted(tree.items())
+    ]
+    tdf = spark.createDataFrame(
+        rows,
+        "node long, is_leaf boolean, feature int, threshold double, "
+        "n long, n_pos long, prob double",
+    )
+    return tree, tdf
+
+
+def decision_tree_predict(
+    df: DataFrame,
+    tree: dict,
+    vec_col: str = "embedding",
+    out_col: str = "prob",
+) -> DataFrame:
+    """Score with a trained ``decision_tree_lite`` model: the tree
+    (≤ 2^depth nodes — bytes) compiles into one nested CASE expression,
+    so scoring is a pure codegen projection: no join, no shuffle, no
+    Python."""
+    def node_expr(node: int):
+        spec = tree.get(node)
+        if spec is None or spec["leaf"]:
+            prob = 0.0 if spec is None else round(spec["prob"], 6)
+            return F.lit(float(prob))
+        j, t = spec["feature"], spec["threshold"]
+        return F.when(
+            F.element_at(F.col(vec_col), j + 1).cast("double") <= F.lit(t),
+            node_expr(2 * node + 1),
+        ).otherwise(node_expr(2 * node + 2))
+
+    return df.withColumn(out_col, node_expr(0))
+
+
+def random_forest_lite(
+    df: DataFrame,
+    id_col: str,
+    label_expr: Column,
+    vec_col: str = "embedding",
+    n_trees: int = 5,
+    max_depth: int = 3,
+    bins: int = 16,
+    min_leaf: int = 5,
+    sample_pct: int = 80,
+):
+    """Bagged ensemble of ``decision_tree_lite`` trees (KNIME Random
+    Forest Learner's capability, binary targets): tree t trains on the
+    DETERMINISTIC bootstrap-style subset
+    ``md5(id | t) % 100 < sample_pct`` — the same keyed-hash discipline
+    as ``sampling.hash_split``, so ensembles are identical across
+    partitionings, reruns, and engines (no RNG state anywhere).
+    ``id_col`` exists precisely to make bagging a pure row function.
+
+    Cost: n_trees × (max_depth+1) histogram passes, each the bounded
+    (node, feature, bin) aggregation of the base learner. Diversity
+    comes from the subsample (feature subsampling is omitted — at the
+    fixed depths used here the subsample alone decorrelates trees).
+
+    Returns (trees, predict) where ``trees`` is the list of tree dicts
+    and ``predict(df)`` scores by mean leaf probability — n_trees
+    nested-CASE expressions averaged in one codegen projection.
+    """
+    trees = []
+    for t in range(n_trees):
+        keep = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(id_col).cast("string"),
+                                   F.lit(f"|rf{t}"))), 1, 15
+                ), 16, 10
+            ).cast("long") % 100 < sample_pct
+        )
+        tree, _ = decision_tree_lite(
+            df.filter(keep), label_expr, vec_col,
+            max_depth=max_depth, bins=bins, min_leaf=min_leaf,
+        )
+        trees.append(tree)
+
+    def predict(frame: DataFrame, out_col: str = "prob") -> DataFrame:
+        cols = []
+        for i, tree in enumerate(trees):
+            frame = decision_tree_predict(
+                frame, tree, vec_col, out_col=f"__p{i}"
+            )
+            cols.append(F.col(f"__p{i}"))
+        avg = sum(cols[1:], cols[0]) / F.lit(float(len(cols)))
+        return frame.withColumn(out_col, F.round(avg, 6)).drop(
+            *[f"__p{i}" for i in range(len(trees))]
+        )
+
+    return trees, predict

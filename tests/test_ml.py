@@ -317,3 +317,102 @@ def test_classification_report_counts(spark):
     # class c never predicted: precision NULL, recall 0
     assert rep["c"]["n_pred"] == 0 and rep["c"]["precision"] is None
     assert rep["c"]["recall"] == 0.0 and rep["c"]["f1"] is None
+
+
+def _tree_data(spark):
+    # separable on dim 0 at 0.5 (a bin edge never falls between 0.49
+    # and 0.50's bins at the test's bin counts) with one noise dim
+    rows = []
+    for i in range(200):
+        x0 = (i % 100) / 100.0
+        rows.append(([x0, float((i * 7) % 13) / 13.0], int(x0 >= 0.5)))
+    return spark.createDataFrame(rows, "embedding array<double>, label int")
+
+
+def test_decision_tree_learns_separable_split(spark):
+    from knime_core_columnar_spark.operators.ml import (
+        decision_tree_lite,
+        decision_tree_predict,
+    )
+
+    df = _tree_data(spark)
+    tree, tdf = decision_tree_lite(
+        df, F.col("label"), max_depth=2, bins=16, min_leaf=5
+    )
+    root = tree[0]
+    assert not root["leaf"] and root["feature"] == 0
+    assert abs(root["threshold"] - 0.5) < 0.1  # one bin width of 0.5
+    # leaves are pure on this data
+    leaves = [v for v in tree.values() if v["leaf"]]
+    assert all(v["prob"] in (0.0, 1.0) for v in leaves)
+    # predictor reproduces labels exactly
+    scored = decision_tree_predict(df, tree)
+    bad = scored.filter(
+        (F.col("prob") >= 0.5).cast("int") != F.col("label")
+    ).count()
+    assert bad == 0
+    # DataFrame mirror agrees with the dict
+    rows = {r["node"]: r for r in tdf.collect()}
+    assert rows[0]["feature"] == 0 and not rows[0]["is_leaf"]
+    assert rows[0]["n"] == 200
+
+
+def test_decision_tree_partition_invariant_and_stopping(spark):
+    from knime_core_columnar_spark.operators.ml import decision_tree_lite
+
+    df = _tree_data(spark)
+    t1, _ = decision_tree_lite(df, F.col("label"), max_depth=3, bins=8)
+    t2, _ = decision_tree_lite(
+        df.repartition(13), F.col("label"), max_depth=3, bins=8
+    )
+    assert t1 == t2  # exact histograms -> identical trees
+    # depth 0 -> a single leaf with the global rate
+    t0, tdf0 = decision_tree_lite(df, F.col("label"), max_depth=0)
+    assert t0[0]["leaf"] and t0[0]["n"] == 200
+    assert abs(t0[0]["prob"] - 0.49) < 0.02
+    assert tdf0.count() == 1
+    # pure input -> leaf immediately
+    pure = spark.createDataFrame(
+        [([1.0, 0.0], 1)] * 20, "embedding array<double>, label int"
+    )
+    tp, _ = decision_tree_lite(pure, F.col("label"), max_depth=3)
+    assert tp[0]["leaf"] and tp[0]["prob"] == 1.0
+
+
+def test_decision_tree_min_leaf_veto(spark):
+    from knime_core_columnar_spark.operators.ml import decision_tree_lite
+
+    # 19 zeros + 1 one: any split isolating the one violates min_leaf=5
+    rows = [([float(i == 0)], int(i == 0)) for i in range(20)]
+    df = spark.createDataFrame(rows, "embedding array<double>, label int")
+    tree, _ = decision_tree_lite(df, F.col("label"), max_depth=3, min_leaf=5)
+    assert tree[0]["leaf"]
+    assert tree[0]["n_pos"] == 1 and tree[0]["n"] == 20
+
+
+def test_random_forest_deterministic_and_accurate(spark):
+    from knime_core_columnar_spark.operators.ml import random_forest_lite
+
+    rows = []
+    for i in range(300):
+        x0 = (i % 100) / 100.0
+        rows.append((i, [x0, float((i * 11) % 17) / 17.0], int(x0 >= 0.5)))
+    df = spark.createDataFrame(
+        rows, "rid long, embedding array<double>, label int"
+    )
+    trees, predict = random_forest_lite(
+        df, "rid", F.col("label"), n_trees=3, max_depth=2, bins=8
+    )
+    assert len(trees) == 3
+    # subsampled trees may differ, but all recover feature 0 at the root
+    assert all((t[0]["leaf"] is False and t[0]["feature"] == 0) for t in trees)
+    scored = predict(df)
+    bad = scored.filter(
+        (F.col("prob") >= 0.5).cast("int") != F.col("label")
+    ).count()
+    assert bad == 0
+    # deterministic bagging: same ensemble from any partitioning
+    trees2, _ = random_forest_lite(
+        df.repartition(13), "rid", F.col("label"), n_trees=3, max_depth=2, bins=8
+    )
+    assert trees == trees2
