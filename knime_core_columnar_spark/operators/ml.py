@@ -37,7 +37,7 @@ from knime_core_columnar_spark.operators.similarity import dot
 __all__ = [
     "logreg_lite", "naive_bayes_classify", "one_hot", "target_encode",
     "binary_auc", "classification_report", "decision_tree_lite",
-    "decision_tree_predict", "random_forest_lite",
+    "decision_tree_predict", "random_forest_lite", "gbt_lite",
 ]
 
 
@@ -692,3 +692,202 @@ def random_forest_lite(
         )
 
     return trees, predict
+
+
+def gbt_lite(
+    df: DataFrame,
+    label_expr: Column,
+    vec_col: str = "embedding",
+    n_rounds: int = 3,
+    lr: float = 0.5,
+    max_depth: int = 2,
+    bins: int = 16,
+    min_leaf: int = 5,
+):
+    """Gradient-boosted trees for binary targets (KNIME Gradient Boosted
+    Trees Learner's capability) — the standard histogram formulation:
+    features are binned ONCE (exact global min/max edges, shared by
+    every round, as LightGBM does); each round fits a REGRESSION tree to
+    the pseudo-residual ``y − σ(F)`` by SSE-gain splits over a
+    (node, feature, bin) → (count, Σ residual) histogram whose residual
+    sums are int64 micro-units — so splits, leaf values, and therefore
+    the whole ensemble are identical at any parallelism; the score
+    update ``F += lr · leaf(x)`` is a nested-CASE codegen projection
+    (localCheckpoint per round truncates lineage like every iterative
+    operator here).
+
+    Cost: n_rounds × (max_depth+1) bounded histogram passes over the
+    binned frame — per-level frames are nodes × dims × bins regardless
+    of corpus size.
+
+    Returns (model, predict): ``model`` = {"f0": base log-odds,
+    "trees": [tree dict per round]} with tree nodes
+    {"leaf": bool, "feature": j, "bin": b, "threshold": x, "value": v};
+    ``predict(frame)`` appends ``prob`` = σ(F) — one projection, no
+    shuffle, no Python.
+    """
+    x = df.select(
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__x"),
+        label_expr.cast("int").alias("__y"),
+    )
+    edges = (
+        x.select(F.posexplode("__x").alias("__j", "__v"))
+        .groupBy("__j")
+        .agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"))
+        .orderBy("__j")
+        .collect()
+    )
+    los = [r["lo"] for r in edges]
+    widths = [
+        ((r["hi"] - r["lo"]) / bins if r["hi"] > r["lo"] else 1.0) for r in edges
+    ]
+    lo_arr = F.array(*[F.lit(float(v)) for v in los])
+    w_arr = F.array(*[F.lit(float(v)) for v in widths])
+    binned = x.select(
+        F.zip_with(
+            "__x",
+            F.zip_with(lo_arr, w_arr, lambda a, b: F.struct(
+                a.alias("lo"), b.alias("w"))),
+            lambda v, p: F.least(
+                F.lit(bins - 1),
+                F.greatest(F.lit(0), F.floor((v - p["lo"]) / p["w"]).cast("int")),
+            ),
+        ).alias("__b"),
+        "__y",
+    ).localCheckpoint()
+    tot = binned.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__y").alias("p")
+    ).head()
+    n_all, p_all = tot["n"], tot["p"] or 0
+    rate = min(max((p_all or 0) / n_all if n_all else 0.5, 1e-6), 1 - 1e-6)
+    import math
+
+    f0 = round(math.log(rate / (1 - rate)), 6)
+
+    def tree_case(tree: dict, node: int = 0) -> Column:
+        spec = tree.get(node)
+        if spec is None:
+            return F.lit(0.0)
+        if spec["leaf"]:
+            return F.lit(float(spec["value"]))
+        return F.when(
+            F.element_at("__b", spec["feature"] + 1) <= spec["bin"],
+            tree_case(tree, 2 * node + 1),
+        ).otherwise(tree_case(tree, 2 * node + 2))
+
+    cur = binned.withColumn("__f", F.lit(float(f0)))
+    trees: list[dict] = []
+    for _ in range(n_rounds):
+        cur = cur.withColumn(
+            "__r6",
+            F.round(
+                F.round(
+                    F.col("__y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__f"))),
+                    6,
+                ) * 1_000_000,
+                0,
+            ).cast("long"),
+        ).withColumn("__node", F.lit(0))
+        tree: dict[int, dict] = {}
+        open_nodes = {0}
+        for depth in range(max_depth + 1):
+            if not open_nodes:
+                break
+            hist = (
+                cur.filter(F.col("__node").isin(list(open_nodes)))
+                .select("__node", "__r6", F.posexplode("__b").alias("__j", "__bin"))
+                .groupBy("__node", "__j", "__bin")
+                .agg(F.count(F.lit(1)).alias("c"), F.sum("__r6").alias("s"))
+                .collect()
+            )
+            by_node: dict[int, dict] = {}
+            for r in hist:
+                by_node.setdefault(r["__node"], {}).setdefault(
+                    r["__j"], {}
+                )[r["__bin"]] = (r["c"], r["s"])
+            splits = {}
+            next_open = set()
+            for node in sorted(open_nodes):
+                feats = by_node.get(node)
+                if feats is None:
+                    continue
+                f0v = next(iter(feats.values()))
+                c_tot = sum(c for c, _ in f0v.values())
+                s_tot = sum(s for _, s in f0v.values())
+                leaf = {
+                    "leaf": True, "feature": None, "bin": None,
+                    "threshold": None,
+                    "value": round(s_tot / (c_tot * 1e6), 6) if c_tot else 0.0,
+                }
+                if depth == max_depth or c_tot < 2 * min_leaf:
+                    tree[node] = leaf
+                    continue
+                base = (s_tot * s_tot) / c_tot
+                best = None  # (neg_gain, j, bin)
+                for j in sorted(feats):
+                    cl = sl = 0
+                    for b in range(bins - 1):
+                        c, s = feats[j].get(b, (0, 0))
+                        cl += c
+                        sl += s
+                        cr, sr = c_tot - cl, s_tot - sl
+                        if cl < min_leaf or cr < min_leaf:
+                            continue
+                        gain = (sl * sl) / cl + (sr * sr) / cr - base
+                        if gain > 1e-6:
+                            key = (-gain, j, b)
+                            if best is None or key < best:
+                                best = key
+                if best is None:
+                    tree[node] = leaf
+                    continue
+                _, j, b = best
+                splits[node] = (j, b)
+                tree[node] = {
+                    "leaf": False, "feature": j, "bin": b,
+                    "threshold": los[j] + (b + 1) * widths[j],
+                    "value": None,
+                }
+                next_open.add(2 * node + 1)
+                next_open.add(2 * node + 2)
+            if splits:
+                expr = F.col("__node")
+                for node, (j, b) in sorted(splits.items()):
+                    expr = F.when(
+                        F.col("__node") == node,
+                        F.when(
+                            F.element_at("__b", j + 1) <= b, F.lit(2 * node + 1)
+                        ).otherwise(F.lit(2 * node + 2)),
+                    ).otherwise(expr)
+                cur = cur.withColumn("__node", expr)
+            open_nodes = next_open
+        trees.append(tree)
+        cur = cur.withColumn(
+            "__f", F.col("__f") + F.lit(lr) * tree_case(tree)
+        ).drop("__node", "__r6").localCheckpoint()
+
+    model = {"f0": f0, "lr": lr, "trees": trees,
+             "los": los, "widths": widths, "bins": bins}
+
+    def predict(frame: DataFrame, out_col: str = "prob") -> DataFrame:
+        b = F.zip_with(
+            F.transform(F.col(vec_col), lambda v: v.cast("double")),
+            F.zip_with(
+                F.array(*[F.lit(float(v)) for v in los]),
+                F.array(*[F.lit(float(v)) for v in widths]),
+                lambda a, bb: F.struct(a.alias("lo"), bb.alias("w")),
+            ),
+            lambda v, p: F.least(
+                F.lit(bins - 1),
+                F.greatest(F.lit(0), F.floor((v - p["lo"]) / p["w"]).cast("int")),
+            ),
+        )
+        scored = frame.withColumn("__b", b)
+        f = F.lit(float(f0))
+        for tree in trees:
+            f = f + F.lit(lr) * tree_case(tree)
+        return scored.withColumn(
+            out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-f)), 6)
+        ).drop("__b")
+
+    return model, predict

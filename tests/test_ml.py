@@ -416,3 +416,55 @@ def test_random_forest_deterministic_and_accurate(spark):
         df.repartition(13), "rid", F.col("label"), n_trees=3, max_depth=2, bins=8
     )
     assert trees == trees2
+
+
+def test_gbt_stumps_fit_additive_signal(spark):
+    from knime_core_columnar_spark.operators.ml import gbt_lite
+
+    # majority-vote target over 3 INDEPENDENT grid features (base-5
+    # digits): one depth-1 stump underfits; boosting rounds must
+    # recover the additive structure
+    rows = []
+    for i in range(375):
+        x = [((i // 5**d) % 5) / 5.0 for d in range(3)]
+        score = sum(1 for v in x if v >= 0.5)
+        rows.append((x, int(score >= 2)))
+    df = spark.createDataFrame(rows, "embedding array<double>, label int")
+
+    def acc(n_rounds):
+        _, predict = gbt_lite(
+            df, F.col("label"), n_rounds=n_rounds, lr=1.0, max_depth=1, bins=8
+        )
+        s = predict(df)
+        return (
+            s.filter((F.col("prob") >= 0.5).cast("int") == F.col("label")).count()
+            / 375
+        )
+
+    a1, a8 = acc(1), acc(8)
+    assert a8 > a1  # boosting actually boosts
+    assert a8 == 1.0  # the additive target is exactly recoverable
+
+
+def test_gbt_separable_and_partition_invariant(spark):
+    from knime_core_columnar_spark.operators.ml import gbt_lite
+
+    rows = []
+    for i in range(200):
+        x0 = (i % 100) / 100.0
+        rows.append(([x0, float((i * 11) % 17) / 17.0], int(x0 >= 0.5)))
+    df = spark.createDataFrame(rows, "embedding array<double>, label int")
+    m1, predict = gbt_lite(df, F.col("label"), n_rounds=3, max_depth=2, bins=8)
+    bad = (
+        predict(df)
+        .filter((F.col("prob") >= 0.5).cast("int") != F.col("label"))
+        .count()
+    )
+    assert bad == 0
+    m2, _ = gbt_lite(
+        df.repartition(13), F.col("label"), n_rounds=3, max_depth=2, bins=8
+    )
+    assert m1["trees"] == m2["trees"] and m1["f0"] == m2["f0"]
+    # probabilities move off the prior in the right direction
+    probs = {r["label"]: r["prob"] for r in predict(df).collect()}
+    assert probs[1] > 0.5 > probs[0]
