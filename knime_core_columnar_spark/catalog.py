@@ -6567,9 +6567,11 @@ _apply_driver_window()
 #      + 35 rotation greens, and point _apply_driver_window at it;
 #   3. move _DRIVER_WINDOW_R4 into _DRIVER_GREEN list once
 #      CORRECTNESS_r04 lands green.
-# All 10 staged queries already pass tools/check.py (168/168) and the
-# stress parallelism gate; test_staged_registration_flips_cleanly pins
-# the flip mechanics.
+# All staged queries (5× _R5_STAGED + 5× _R6_STAGED + 5× _R7_STAGED)
+# already pass tools/check.py and the stress parallelism gate;
+# test_staged_registration_flips_cleanly / test_r7_staged_registration_
+# flips_cleanly pin the flip mechanics. _R7_STAGED flips in round 6 (or
+# whenever cumulative driver coverage has absorbed the earlier batches).
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
@@ -7051,3 +7053,380 @@ def register_r6_queries(force: bool = False) -> bool:
 
 
 register_r6_queries()
+
+
+# ---------------------------------------------------------------------------
+# Round-7 STAGED registrations — same freeze discipline as _R5_STAGED /
+# _R6_STAGED: implemented, pytest-gated, and replica-oracle-checked now;
+# folded into QUERIES by a later round once driver coverage has caught
+# up (register_r7_queries(force=True) or SPARK_GRAFT_REGISTER_R7=1).
+# ---------------------------------------------------------------------------
+
+CMS_FREQUENCY_ORACLE = """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ), tok AS (SELECT token FROM toks WHERE token <> ''),
+    tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    probes AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents WHERE doc_id < 20
+    ), pr AS (SELECT token FROM probes WHERE token <> ''),
+    cells AS (
+      SELECT t.r,
+             ('0x' || substring(md5(CAST(t.r AS VARCHAR) || '|' || tc.token), 1, 15))::BIGINT
+               % 64 AS bucket,
+             CAST(SUM(tc.n) AS BIGINT) AS cnt
+      FROM tc CROSS JOIN range(4) t(r)
+      GROUP BY 1, 2
+    ),
+    pb AS (
+      SELECT pr.token, t.r,
+             ('0x' || substring(md5(CAST(t.r AS VARCHAR) || '|' || pr.token), 1, 15))::BIGINT
+               % 64 AS bucket
+      FROM pr CROSS JOIN range(4) t(r)
+    ),
+    est AS (
+      SELECT pb.token, MIN(COALESCE(cells.cnt, 0)) AS est_count
+      FROM pb LEFT JOIN cells ON cells.r = pb.r AND cells.bucket = pb.bucket
+      GROUP BY pb.token
+    )
+    SELECT est.token, CAST(est.est_count AS BIGINT) AS est_count,
+           CAST(COALESCE(tc.n, 0) AS BIGINT) AS exact_count,
+           CAST(est.est_count - COALESCE(tc.n, 0) AS BIGINT) AS overcount
+    FROM est LEFT JOIN tc ON tc.token = est.token
+"""
+
+
+def _r7_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators.sketch.cms_*):
+    per-source shard sketches are built and MERGED (proving the
+    incremental-maintenance contract: merge = bucket-count sum), then
+    probed for the vocabulary of the first 20 docs; exact recounts of
+    the probe set expose the guaranteed-nonnegative overcount. Width 64
+    deliberately forces collisions so the min-over-rows estimate does
+    real work. All md5/integer — bit-identical on any engine; the
+    oracle replays the identical sketch in SQL from full token counts
+    (equivalent because bucket counts are sums over colliding tokens)."""
+    from knime_core_columnar_spark.operators.sketch import (
+        cms_estimate,
+        cms_merge,
+        cms_sketch,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    sketch = cms_merge(
+        cms_sketch(tok, "token", depth=4, width=64, shard_cols=["source"])
+    )
+    probes = (
+        d.filter(F.col("doc_id") < 20)
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    est = cms_estimate(sketch, probes, "token", depth=4, width=64)
+    exact = (
+        tok.join(F.broadcast(probes), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, "token", "left")
+        .select(
+            "token",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.coalesce("exact_count", F.lit(0)).cast("long").alias("exact_count"),
+            (F.col("est_count") - F.coalesce("exact_count", F.lit(0)))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )
+
+
+SET_SIMILARITY_JOIN_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+               i -> ('0x' || substring(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT)) AS s
+      FROM toks
+    ), nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS n_overlap,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS n_union
+      FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(n_overlap AS BIGINT) AS n_overlap,
+           CAST(n_union AS BIGINT) AS n_union
+    FROM pairs WHERE 5 * n_overlap >= 3 * n_union
+"""
+
+
+def _r7_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 3/5 self-join via PPJoin-style prefix filtering
+    (operators.dedup.prefix_filter_jaccard_pairs) — zero false
+    negatives, unlike the MinHash tier. The oracle is a brute-force
+    all-pairs list_intersect in DuckDB over the same 60-bit shingle
+    hashes: feasible at sf0.01, and precisely the quadratic scan the
+    prefix filter provably reproduces without running it."""
+    from knime_core_columnar_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold_num=3, threshold_den=5
+    )
+
+
+GOLDEN_RECORD_ORACLE = """
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, p_name, p_brand, p_type, p_size,
+             string_split(p_name, ' ')[-1] AS block FROM part
+    ), prs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM p a JOIN p b ON a.block = b.block AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION ALL
+      SELECT id_b, id_a FROM prs
+    ), reach AS (
+      SELECT a AS node, a AS label FROM e
+      UNION
+      SELECT e.a, reach.label FROM e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node, MIN(label) AS entity FROM reach GROUP BY node
+    ), assign AS (
+      SELECT p.*, COALESCE(comp.entity, p.p_partkey) AS entity_id
+      FROM p LEFT JOIN comp ON comp.node = p.p_partkey
+    ), multi AS (
+      SELECT entity_id FROM assign GROUP BY entity_id HAVING COUNT(*) > 1
+    ), m AS (
+      SELECT assign.* FROM assign JOIN multi USING (entity_id)
+    ), bm AS (
+      SELECT entity_id, p_brand,
+             ROW_NUMBER() OVER (PARTITION BY entity_id
+                                ORDER BY COUNT(*) DESC, p_brand) AS rk
+      FROM m GROUP BY entity_id, p_brand
+    ), tm AS (
+      SELECT entity_id, p_type,
+             ROW_NUMBER() OVER (PARTITION BY entity_id
+                                ORDER BY COUNT(*) DESC, p_type) AS rk
+      FROM m GROUP BY entity_id, p_type
+    )
+    SELECT m.entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           MIN(m.p_partkey) AS canonical_id,
+           MAX(m.p_size) AS max_size,
+           MIN(bm.p_brand) AS brand_mode,
+           MIN(tm.p_type) AS type_mode
+    FROM m
+    JOIN bm ON bm.entity_id = m.entity_id AND bm.rk = 1
+    JOIN tm ON tm.entity_id = m.entity_id AND tm.rk = 1
+    GROUP BY m.entity_id
+"""
+
+
+def _r7_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge after entity resolution
+    (operators.relational.golden_records): the same blocking + edit
+    distance + connected components as the entity_resolution query,
+    then each multi-record entity collapses to one golden record —
+    mode-with-deterministic-tie-break for categoricals (brand, type),
+    max for p_size, min p_partkey as the canonical id. The oracle
+    replays survivorship with window functions over the recursive-CTE
+    closure."""
+    from knime_core_columnar_spark.operators.dedup import connected_components
+    from knime_core_columnar_spark.operators.relational import golden_records
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    )
+    a = p.select(F.col("p_partkey").alias("id_a"),
+                 F.col("p_name").alias("name_a"), "block")
+    b = p.select(F.col("p_partkey").alias("id_b"),
+                 F.col("p_name").alias("name_b"), "block")
+    pairs = (
+        a.join(b, ["block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    assign = p.join(comp, p["p_partkey"] == comp["node"], "left").select(
+        p["*"], F.coalesce(F.col("label"), F.col("p_partkey")).alias("entity_id")
+    )
+    multi = (
+        assign.groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("entity_id")
+    )
+    members = assign.join(multi, "entity_id")
+    g = golden_records(
+        members, "entity_id", "p_partkey",
+        mode_cols=["p_brand", "p_type"], max_cols=["p_size"],
+    )
+    return g.select(
+        "entity_id",
+        F.col("n_records").cast("long").alias("n_records"),
+        F.col("canonical_id"),
+        F.col("p_size_max").alias("max_size"),
+        F.col("p_brand_mode").alias("brand_mode"),
+        F.col("p_type_mode").alias("type_mode"),
+    )
+
+
+SOURCE_QUOTA_SAMPLE_ORACLE = """
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '|quota'), doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ), q AS (
+      SELECT *, least(n, CAST(floor(10 * sqrt(n)) AS BIGINT)) AS quota FROM r
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(quota) AS BIGINT) AS quota,
+           CAST(SUM(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= quota THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_kept
+    FROM q GROUP BY source
+"""
+
+
+def _r7_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping with sqrt temperature
+    (operators.sampling.quota_sample): each source keeps at most
+    10·sqrt(n) docs, chosen by a deterministic md5 order — the
+    domain-rebalancing step of web-corpus curation. chars_kept makes
+    the check sensitive to WHICH rows survive, not just how many."""
+    from knime_core_columnar_spark.operators.sampling import quota_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = quota_sample(d, "source", "doc_id", scale=10, salt="quota")
+    return kept.groupBy("source").agg(
+        F.max("__n_group").cast("long").alias("n_docs"),
+        F.max("__quota").cast("long").alias("quota"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )
+
+
+CLUSTER_CONSENSUS_LANG_ORACLE = (
+    _NEARDUP_EDGE_CTE
+    + """
+    , reach AS (
+      SELECT a AS node, a AS label FROM e
+      UNION
+      SELECT e.a, reach.label FROM e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    ), m AS (
+      SELECT comp.cluster_id, d.doc_id, d.lang
+      FROM comp JOIN documents d ON d.doc_id = comp.node
+    ), lc AS (
+      SELECT cluster_id, lang, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY COUNT(*) DESC, lang) AS rk
+      FROM m GROUP BY cluster_id, lang
+    ), agg AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM m GROUP BY cluster_id
+    )
+    SELECT agg.cluster_id, lc.lang AS consensus_lang, agg.n_docs,
+           agg.n_langs, CAST(agg.n_docs - lc.n AS BIGINT) AS n_minority
+    FROM agg JOIN lc ON lc.cluster_id = agg.cluster_id AND lc.rk = 1
+    WHERE agg.n_docs > 1
+    """
+)
+
+
+def _r7_cluster_consensus_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language consensus over near-duplicate clusters: the lang-ID
+    repair step of corpus curation (near-identical docs should agree on
+    language; a minority label inside a dup cluster is usually a
+    misclassification). Reuses the full near-dup machinery — MinHash
+    LSH candidates → exact-Jaccard verify → connected components — then
+    a per-cluster majority vote with a deterministic tie-break
+    (max count, then smallest lang), plus the minority count a repair
+    pass would flip. Only multi-doc clusters are reported."""
+    from knime_core_columnar_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, "doc_id", "text", num_perm=16, bands=4)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cand
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    m = comp.join(
+        d.select("doc_id", "lang"), comp["node"] == F.col("doc_id")
+    ).select(F.col("label").alias("cluster_id"), "doc_id", "lang")
+    lc = m.groupBy("cluster_id", "lang").agg(F.count(F.lit(1)).alias("__n"))
+    winner = lc.groupBy("cluster_id").agg(
+        F.min(
+            F.struct((-F.col("__n")).alias("__neg"), F.col("lang").alias("__v"),
+                     F.col("__n").alias("__cnt"))
+        ).alias("__w")
+    ).select(
+        "cluster_id", F.col("__w.__v").alias("consensus_lang"),
+        F.col("__w.__cnt").alias("__win_n"),
+    )
+    agg = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    return (
+        agg.join(winner, "cluster_id")
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "cluster_id", "consensus_lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            (F.col("n_docs") - F.col("__win_n")).cast("long").alias("n_minority"),
+        )
+    )
+
+
+_R7_STAGED: dict[str, tuple] = {
+    "cms_frequency": (_r7_cms_frequency, CMS_FREQUENCY_ORACLE),
+    "set_similarity_join": (_r7_set_similarity_join, SET_SIMILARITY_JOIN_ORACLE),
+    "golden_record": (_r7_golden_record, GOLDEN_RECORD_ORACLE),
+    "source_quota_sample": (_r7_source_quota_sample, SOURCE_QUOTA_SAMPLE_ORACLE),
+    "cluster_consensus_lang": (
+        _r7_cluster_consensus_lang,
+        CLUSTER_CONSENSUS_LANG_ORACLE,
+    ),
+}
+
+
+def register_r7_queries(force: bool = False) -> bool:
+    """Fold the staged round-7 queries into QUERIES/ORACLES. No-op until
+    a later round flips ``force`` (or sets SPARK_GRAFT_REGISTER_R7=1)."""
+    import os
+
+    if not (force or os.environ.get("SPARK_GRAFT_REGISTER_R7")):
+        return False
+    for name, (fn, oracle) in _R7_STAGED.items():
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+    return True
+
+
+register_r7_queries()

@@ -683,3 +683,97 @@ def duplicate_spans(
             ).alias("dup_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered EXACT set-similarity self-join (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT Jaccard self-join over word-shingle sets via prefix
+    filtering — the deterministic complement to the MinHash tier:
+    MinHash misses a (tunable) fraction of true pairs; this finds
+    EVERY pair with J ≥ threshold, with no randomness to tune.
+
+    Prefix-filter principle (Chaudhuri et al. SSJoin / Xiao et al.
+    PPJoin): order each doc's shingles by a GLOBAL total order
+    (corpus document-frequency ascending, ties by hash — rarest
+    first) and keep only the first ``s − ceil(t·s) + 1`` of a
+    size-``s`` set. Any pair with J ≥ t has intersection ≥ ceil(t·s)
+    on both sides, so the globally-smallest shared shingle provably
+    lands in BOTH prefixes — joining on prefix shingles alone loses
+    nothing. Rarest-first makes the inverted-index join short: high-DF
+    boilerplate shingles almost never survive into a prefix, which is
+    exactly the skew that kills a naive shingle self-join.
+
+    The threshold is a rational num/den and the verify predicate is
+    integer (``den·|∩| ≥ num·|∪|``) — no float anywhere, so results
+    are bit-identical across engines and partitionings.
+
+    Scale shape: one DF aggregation over shingles, one per-doc window
+    to rank, a prefix-sized equi-join for candidates, and a
+    candidate-sized verify join against the full (distinct) shingle
+    arrays. Docs with fewer than ``shingle_n`` tokens have no shingles
+    and never pair.
+
+    Returns (id_a, id_b, n_overlap, n_union) for every qualifying pair.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a rational in (0, 1]")
+    from pyspark.sql import Window
+
+    rows = shingle_rows(df, id_col, text_col, shingle_n).select(
+        F.col(id_col), base_hash60(F.col("__s")).alias("__h")
+    )
+    freq = rows.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        rows.join(freq, "__h")
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("__df", "__h")
+            ),
+        )
+        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    # prefix length p = s - ceil(num*s/den) + 1, all-integer
+    prefix = ranked.filter(
+        F.col("__rk")
+        <= F.col("__sz")
+        - F.expr(f"({threshold_num} * __sz + {threshold_den - 1}) div {threshold_den}")
+        + F.lit(1)
+    ).select(id_col, "__h")
+    a = prefix.select(F.col(id_col).alias("id_a"), "__h")
+    b = prefix.select(F.col(id_col).alias("id_b"), "__h")
+    candidates = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = rows.groupBy(id_col).agg(
+        F.collect_list("__h").alias("__hs"), F.count(F.lit(1)).alias("__size")
+    )
+    pairs = (
+        candidates.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__hs_a"),
+                      F.col("__size").alias("__sa")), "id_a")
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hs_b"),
+                      F.col("__size").alias("__sb")), "id_b")
+        .withColumn("n_overlap",
+                    F.size(F.array_intersect("__hs_a", "__hs_b")).cast("long"))
+        .withColumn("n_union",
+                    (F.col("__sa") + F.col("__sb") - F.col("n_overlap")).cast("long"))
+    )
+    return pairs.filter(
+        F.lit(threshold_den) * F.col("n_overlap")
+        >= F.lit(threshold_num) * F.col("n_union")
+    ).select("id_a", "id_b", "n_overlap", "n_union")

@@ -428,3 +428,54 @@ def table_fingerprint(
         F.coalesce("n_nulls", F.lit(0)).alias("n_nulls"),
         F.coalesce("checksum", F.lit(0)).alias("checksum"),
     )
+
+
+def golden_records(
+    df: "DataFrame",
+    entity_col: str,
+    id_col: str,
+    mode_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+) -> "DataFrame":
+    """Survivorship merge — collapse each resolved entity's member
+    records into one golden record (the step AFTER entity resolution:
+    ``dedup.connected_components`` decides WHICH records are the same
+    thing; this decides what the merged record SAYS).
+
+    Deterministic survivorship rules, one per column class:
+      - ``mode_cols``: most frequent non-null value; ties broken by the
+        smallest value — implemented as ``min(struct(-n, value))`` over
+        per-(entity, value) counts, so the winner is engine- and
+        partitioning-independent (a bare "first" would not be);
+      - ``max_cols`` / ``min_cols``: extremum of the column;
+      - canonical id: the minimum ``id_col`` of the entity.
+
+    Scale shape: one groupBy per mode column (re-using the entity
+    partitioning) plus one base aggregation, all map-side combinable;
+    joins are on entity_col, co-partitioned. No windows over the full
+    table, no collect.
+
+    Returns one row per entity: (entity_col, n_records, canonical_id,
+    <col>_mode …, <col>_max …, <col>_min …).
+    """
+    base = df.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min(F.col(id_col)).alias("canonical_id"),
+        *[F.max(c).alias(f"{c}_max") for c in max_cols],
+        *[F.min(c).alias(f"{c}_min") for c in min_cols],
+    )
+    out = base
+    for c in mode_cols:
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(entity_col, c)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        winner = counts.groupBy(entity_col).agg(
+            F.min(
+                F.struct((-F.col("__n")).alias("__neg"), F.col(c).alias("__v"))
+            )["__v"].alias(f"{c}_mode")
+        )
+        out = out.join(winner, entity_col, "left")
+    return out

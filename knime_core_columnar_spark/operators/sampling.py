@@ -394,3 +394,49 @@ def kfold_audit(
             F.sum((F.col("__nfolds") > 1).cast("long")).alias("n_leaked_groups"),
         )
     )
+
+
+def quota_sample(
+    df,
+    group_col: str,
+    id_col: str,
+    scale: int = 10,
+    salt: str = "quota",
+):
+    """Per-group quota capping with sqrt temperature — the domain/source
+    rebalancing step of web-corpus curation (cap docs per domain so a
+    handful of giant hosts cannot dominate the training mix, while small
+    sources keep proportionally MORE of their docs).
+
+    Quota per group g with n_g rows: ``min(n_g, floor(scale·sqrt(n_g)))``
+    — the sqrt "temperature" used for multilingual/source rebalancing:
+    a 100× bigger source keeps only 10× more docs. Which rows survive is
+    decided by a deterministic md5 order (hash of ``id_col`` + salt, ties
+    by id), so the kept set is a uniform-at-random-looking, seed-stable
+    sample independent of partitioning and input order.
+
+    sqrt/floor are safe cross-engine: IEEE-754 sqrt and multiply are
+    correctly rounded, so every engine computes the identical double and
+    the identical floor.
+
+    Scale shape: one hash-partitioned window per group (count + rank) —
+    no global window, no shuffle beyond the group partitioning. Returns
+    the input rows that survive, plus (__n_group, __quota, __rank)
+    audit columns.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+    wg = Window.partitionBy(group_col)
+    ranked = (
+        df.withColumn("__rank",
+                      F.row_number().over(wg.orderBy(h, F.col(id_col))))
+        .withColumn("__n_group", F.count(F.lit(1)).over(wg))
+    )
+    quota = F.least(
+        F.col("__n_group"),
+        F.floor(F.lit(scale) * F.sqrt(F.col("__n_group"))).cast("long"),
+    )
+    return ranked.withColumn("__quota", quota).filter(
+        F.col("__rank") <= F.col("__quota")
+    )

@@ -265,3 +265,115 @@ def skew_profile(
         .cast("int")
         .alias("salt_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(key: "F.Column", row: int, width: int) -> "F.Column":
+    """Bucket of ``key`` in sketch row ``row`` — 60-bit md5 prefix mod
+    width, cross-engine: DuckDB
+    ``('0x' || substring(md5(r || '|' || key), 1, 15))::BIGINT % width``."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}|"), key)), 1, 15), 16, 10
+        ).cast("long")
+        % width
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    shard_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Count-min sketch of the ``key_col`` stream as a SPARSE count table
+    (``*shard_cols``, row, bucket, n) — at most ``depth × width`` rows
+    per shard regardless of corpus size.
+
+    The frequency companion to ``sampling.hll_shard_sketches``: keep one
+    tiny sketch per ingest shard (day, source, batch) and answer "roughly
+    how often does token X occur corpus-wide?" without ever re-scanning
+    — merging is just summing bucket counts (``cms_merge``), so an
+    incremental pipeline folds a new shard's sketch into the running
+    corpus sketch in O(depth × width).
+
+    Estimates (``cms_estimate``) are classic CMS: never under the true
+    count, over by at most ~2n/width with probability 1 − 2^-depth.
+    Everything is md5-derived and integer — the sketch is bit-identical
+    on any engine and any partitioning.
+
+    Scale shape: one explode of ``depth`` (row, bucket) pairs per key
+    occurrence, one partial-aggregated groupBy — the same cost as a
+    word-count, with output bounded by the sketch size, not the
+    vocabulary.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    key = F.col(key_col).cast("string")
+    cells = df.select(
+        *shard_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(key, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("__cell"),
+    )
+    return cells.groupBy(
+        *shard_cols, F.col("__cell.row").alias("row"),
+        F.col("__cell.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_merge(sketch: DataFrame) -> DataFrame:
+    """Fold per-shard CMS sketches into one: bucket counts are
+    associative sums, so the merge is a groupBy — the whole point of
+    keeping sketches instead of raw token streams."""
+    return sketch.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for every key in ``keys`` against a
+    merged sketch: min over the ``depth`` rows of the key's bucket
+    count. The sketch (≤ depth × width rows) is broadcast; the probe
+    side never shuffles.
+
+    Returns (key_col, est_count). est_count ≥ the true count always;
+    a key absent from the stream can still estimate > 0 (collisions) —
+    CMS semantics."""
+    key = F.col(key_col).cast("string")
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(key, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("__cell"),
+    ).select(key_col, F.col("__cell.row").alias("row"),
+             F.col("__cell.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count"))
+    )

@@ -499,3 +499,55 @@ def test_validate_row_level_checks_single_scan(spark):
     p = _explain(spark, rep)
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "CartesianProduct" not in p
+
+
+def test_cms_frequency_broadcast_sketch_no_cartesian(spark):
+    """CMS probe: the merged sketch (≤ depth × width rows) broadcasts
+    into the estimate join; the probe side never shuffles for it."""
+    from knime_core_columnar_spark import catalog
+
+    df = catalog._R7_STAGED["cms_frequency"][0](spark, SF)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_set_similarity_join_equi_joins_only(spark):
+    """Prefix-filter join: candidates come from an equi-join on prefix
+    shingle hashes and verification from equi-joins on doc ids — never
+    a cartesian/nested-loop over the corpus."""
+    from knime_core_columnar_spark import catalog
+
+    df = catalog._R7_STAGED["set_similarity_join"][0](spark, SF)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_source_quota_sample_windows_are_per_group(spark):
+    """Quota sampling: every window is partitioned by source — no
+    single-reducer global window anywhere in the plan."""
+    from knime_core_columnar_spark import catalog
+
+    df = catalog._R7_STAGED["source_quota_sample"][0](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    for line in p.splitlines():
+        if line.strip().startswith("Window") or "Window [" in line:
+            assert "source" in line, f"global window: {line}"
+
+
+def test_golden_record_no_cartesian(spark):
+    """Survivorship: blocking join + co-partitioned entity aggregations
+    — no cartesian/nested-loop."""
+    from knime_core_columnar_spark import catalog
+
+    df = catalog._R7_STAGED["golden_record"][0](spark, SF)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
