@@ -6567,11 +6567,11 @@ _apply_driver_window()
 #      + 35 rotation greens, and point _apply_driver_window at it;
 #   3. move _DRIVER_WINDOW_R4 into _DRIVER_GREEN list once
 #      CORRECTNESS_r04 lands green.
-# All staged queries (5× _R5_STAGED + 5× _R6_STAGED + 5× _R7_STAGED)
-# already pass tools/check.py and the stress parallelism gate;
-# test_staged_registration_flips_cleanly / test_r7_staged_registration_
-# flips_cleanly pin the flip mechanics. _R7_STAGED flips in round 6 (or
-# whenever cumulative driver coverage has absorbed the earlier batches).
+# All staged queries (5× _R5_STAGED + 5× _R6_STAGED + 5× _R7_STAGED +
+# 5× _R8_STAGED) already pass tools/check.py and the stress parallelism
+# gate; the per-batch test_r*_staged_registration_flips_cleanly tests
+# pin the flip mechanics. Flip order: R5+R6 in round 5, R7 in round 6,
+# R8 in round 7 (or faster once cumulative driver coverage catches up).
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
@@ -7430,3 +7430,238 @@ def register_r7_queries(force: bool = False) -> bool:
 
 
 register_r7_queries()
+
+
+# ---------------------------------------------------------------------------
+# Round-8 STAGED registrations — same freeze discipline as _R5/_R6/_R7:
+# implemented, pytest-gated, replica-oracle-checked now; registration
+# deferred (register_r8_queries(force=True) / SPARK_GRAFT_REGISTER_R8=1).
+# ---------------------------------------------------------------------------
+
+JOIN_EXPLOSION_ORACLE = """
+    WITH l AS (
+      SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS n_left
+      FROM events GROUP BY 1
+    ), r AS (
+      SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS n_right
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT CAST((SELECT COUNT(*) FROM events) // 128 AS BIGINT) AS thr
+    )
+    SELECT l.key, CAST(l.n_left AS BIGINT) AS n_left,
+           CAST(r.n_right AS BIGINT) AS n_right,
+           CAST(l.n_left * r.n_right AS BIGINT) AS n_output_rows,
+           CAST(ceil(CAST(l.n_left * r.n_right AS DOUBLE) / 5000000.0) AS INTEGER)
+             AS salt_factor
+    FROM l JOIN r USING (key), t
+    WHERE l.n_left >= greatest(50, t.thr) AND r.n_right >= greatest(50, t.thr)
+"""
+
+
+def _r8_join_explosion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size pre-flight (operators.relational.join_explosion_profile):
+    which keys of a planned events⋈events stream-stream self-join would
+    explode? Both sides scanned with Misra-Gries-bounded state + exact
+    recount — never a full GROUP BY of the fact table; output is exact
+    (every key heavy on BOTH sides, exact counts, exact row product,
+    suggested salt fan-out). Thresholds scale with the table so the
+    same query is sound at every sf."""
+    from knime_core_columnar_spark.operators.relational import (
+        join_explosion_profile,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    n = _parquet_rows(sf_dir, "events")
+    thr = max(50, n // 128)
+    return join_explosion_profile(
+        e, e, "event_type", "event_type", min_left=thr, min_right=thr,
+        capacity=256, left_total=n, right_total=n,
+    )
+
+
+SOURCE_SIMILARITY_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), shr AS (
+      SELECT d.source, unnest(sh.s) AS x
+      FROM sh JOIN documents d USING (doc_id)
+    ), h0 AS (
+      SELECT source,
+             ('0x' || substring(md5(x), 1, 15))::BIGINT % 2147483647 AS h
+      FROM shr
+    ), sig AS (
+      SELECT source, t.i,
+             MIN(((2 * t.i + 1) * h0.h + 104729 * t.i) % 2147483647) AS m
+      FROM h0 CROSS JOIN range(16) t(i)
+      GROUP BY source, t.i
+    )
+    SELECT a.source AS grp_a, b.source AS grp_b,
+           CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+    FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+    GROUP BY a.source, b.source
+"""
+
+
+def _r8_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level similarity sketches
+    (operators.dedup.minhash_group_signatures): one mergeable 16-component
+    MinHash signature per source (elementwise min over member docs =
+    MinHash of the shingle-set union), then all-pairs component-match
+    counts — n_match/16 estimates the source-pair Jaccard without ever
+    comparing documents. The signature table is one row per source, so
+    the pair join broadcasts; the oracle replays the identical hash
+    family in SQL."""
+    from knime_core_columnar_spark.operators.dedup import (
+        group_signature_matches,
+        minhash_group_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_group_signatures(d, "source", "doc_id", "text",
+                                    num_perm=16, shingle_n=3)
+    return group_signature_matches(sigs, "source", num_perm=16)
+
+
+LENGTH_BUCKETED_BATCHES_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n
+      FROM documents
+    ), nz AS (SELECT * FROM toks WHERE n > 0),
+    b AS (
+      SELECT doc_id, n,
+             CASE WHEN n <= 1 THEN 0
+                  ELSE CAST(length(bin(n - 1)) AS BIGINT) END AS bucket
+      FROM nz
+    ), r AS (
+      SELECT bucket, n,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '|lenbatch'), doc_id)
+               AS rk
+      FROM b
+    )
+    SELECT bucket, CAST((rk - 1) // 32 AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(MAX(n) * COUNT(*) AS BIGINT) AS padded_tokens
+    FROM r GROUP BY bucket, (rk - 1) // 32
+"""
+
+
+def _r8_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning
+    (operators.packing.length_bucketed_batches): power-of-two token-
+    length classes via integer bit-length (no float log2), deterministic
+    md5 order inside each bucket, 32-doc batches padding to their own
+    max — the padding-efficiency batching strategy for variable-length
+    SFT/eval sets, complementary to pack_sequences' concat packing."""
+    from knime_core_columnar_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return length_bucketed_batches(d, "doc_id", "text", batch_size=32)
+
+
+NOVELTY_SCORES_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+               i -> ('0x' || substring(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT))
+               AS s
+      FROM toks
+    ), rows_ AS (
+      SELECT doc_id, unnest(s) AS h FROM sh WHERE len(s) > 0
+    ), freq AS (
+      SELECT h, COUNT(*) AS df FROM rows_ GROUP BY h
+    )
+    SELECT rows_.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN freq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel
+    FROM rows_ JOIN freq USING (h)
+    GROUP BY rows_.doc_id
+"""
+
+
+def _r8_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty (operators.dedup.shingle_novelty): the share
+    of a doc's distinct shingles that occur nowhere else — the
+    diversity-sampling signal complementary to boilerplate_ngrams.
+    One shingle pass + one DF aggregation + one join back; integer
+    output."""
+    from knime_core_columnar_spark.operators.dedup import shingle_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    return shingle_novelty(d, "doc_id", "text", shingle_n=3)
+
+
+STREAM_QUOTA_ADMISSION_ORACLE = """
+    WITH r AS (
+      SELECT event_id, ts, event_type, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS admit_rank
+      FROM events
+    )
+    SELECT event_id, ts, event_type, user_id, value,
+           CAST(admit_rank AS BIGINT) AS admit_rank
+    FROM r WHERE admit_rank <= 100
+"""
+
+
+def _r8_stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.ops.streaming_quota_admission: the first
+    100 events per type in (ts, event_id) order — exactly the admitted
+    set the stateful streaming operator produces when the stream is
+    replayed in timestamp order (pinned by the micro-batch parity
+    test). Expressed with the per-key window the streaming kernel
+    guarantees; state per key in the stream is ONE integer."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("admit_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("admit_rank") <= 100)
+        .select("event_id", "ts", "event_type", "user_id", "value",
+                "admit_rank")
+    )
+
+
+_R8_STAGED: dict[str, tuple] = {
+    "join_explosion_profile": (
+        _r8_join_explosion_profile, JOIN_EXPLOSION_ORACLE,
+    ),
+    "source_similarity": (_r8_source_similarity, SOURCE_SIMILARITY_ORACLE),
+    "length_bucketed_batches": (
+        _r8_length_bucketed_batches, LENGTH_BUCKETED_BATCHES_ORACLE,
+    ),
+    "novelty_scores": (_r8_novelty_scores, NOVELTY_SCORES_ORACLE),
+    "stream_quota_admission": (
+        _r8_stream_quota_admission, STREAM_QUOTA_ADMISSION_ORACLE,
+    ),
+}
+
+
+def register_r8_queries(force: bool = False) -> bool:
+    """Fold the staged round-8 queries into QUERIES/ORACLES. No-op until
+    a later round flips ``force`` (or sets SPARK_GRAFT_REGISTER_R8=1)."""
+    import os
+
+    if not (force or os.environ.get("SPARK_GRAFT_REGISTER_R8")):
+        return False
+    for name, (fn, oracle) in _R8_STAGED.items():
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+    return True
+
+
+register_r8_queries()

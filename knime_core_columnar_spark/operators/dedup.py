@@ -777,3 +777,96 @@ def prefix_filter_jaccard_pairs(
         F.lit(threshold_den) * F.col("n_overlap")
         >= F.lit(threshold_num) * F.col("n_union")
     ).select("id_a", "id_b", "n_overlap", "n_union")
+
+
+def minhash_group_signatures(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature of a GROUP of documents (source, domain, ingest
+    batch) — the corpus-level similarity sketch: a group's signature is
+    the elementwise min of its members' signatures, i.e. the MinHash of
+    the UNION of their shingle sets. Elementwise min is associative and
+    commutative, so group signatures are mergeable exactly like the HLL
+    and CMS sketches: maintain one kilobyte-sized signature per ingest
+    shard, fold new batches in with a min, and estimate any-two-group
+    Jaccard as (matching components) / num_perm without touching the
+    corpus again. Same hash family as the doc-level tier
+    (minhash_signature_table), so doc- and group-level sketches compose.
+
+    Shingles come from the per-DOCUMENT shingle pass (a group is a set
+    union of documents, never a concatenation — no cross-document
+    shingles), then one hash aggregation on group_col.
+
+    Returns (group_col, h0..h{num_perm-1})."""
+    sh = shingle_rows(df.select(id_col, text_col), id_col, text_col, shingle_n)
+    grouped = sh.join(df.select(id_col, group_col), id_col)
+    base = grouped.select(
+        group_col, (base_hash60(F.col("__s")) % MINHASH_P).alias("__h0")
+    )
+    hashed = base.select(
+        group_col,
+        *[perm_hash(F.col("__h0"), i).alias(f"h{i}") for i in range(num_perm)],
+    )
+    return hashed.groupBy(group_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_perm)]
+    )
+
+
+def group_signature_matches(
+    sigs: DataFrame, group_col: str, num_perm: int = 16
+) -> DataFrame:
+    """All-pairs component-match counts between group signatures — the
+    group-similarity readout: n_match/num_perm estimates the Jaccard of
+    the two groups' shingle sets. The signature table has one row per
+    GROUP (tiny), so the self-join broadcasts; integer output, engine-
+    exact. Returns (grp_a, grp_b, n_match) for grp_a < grp_b."""
+    a = sigs.select(
+        F.col(group_col).alias("grp_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_perm)],
+    )
+    b = sigs.select(
+        F.col(group_col).alias("grp_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_perm)],
+    )
+    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+    match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(num_perm)
+    )
+    return pairs.select("grp_a", "grp_b", match.alias("n_match"))
+
+
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: how much of a doc's distinct shingle set
+    appears NOWHERE else in the corpus — the diversity-sampling signal
+    complementary to ``boilerplate_ngrams`` (which flags the common
+    tail, this scores the unique head; upweighting high-novelty docs is
+    the standard counter to near-template corpora).
+
+    One shingle pass, one document-frequency aggregation, one join back
+    — only (hash, df) pairs and (id, flags) shuffle. Integer output
+    (n_shingles, n_novel); downstream ratios are the caller's choice of
+    precision. Docs with < shingle_n tokens have no shingles and are
+    absent from the result (no 0/0 rows).
+    """
+    rows = shingle_rows(df, id_col, text_col, shingle_n).select(
+        F.col(id_col), base_hash60(F.col("__s")).alias("__h")
+    )
+    freq = rows.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        rows.join(freq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("__df") == 1).cast("long")).cast("long").alias("n_novel"),
+        )
+    )

@@ -79,3 +79,57 @@ def pack_sequences(
         return pdf[[id_col, "stream", "pack_id", token_col]]
 
     return base.groupBy("stream").applyInPandas(_pack, schema=schema)
+
+
+def length_bucketed_batches(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 32,
+    salt: str = "lenbatch",
+):
+    """Length-bucketed batch planning — the padding-efficiency
+    complement to ``pack_sequences``: instead of concatenating docs into
+    fixed token windows, group similar-length docs so dynamic padding
+    to the batch max wastes little (the dominant batching strategy for
+    variable-length SFT/eval sets).
+
+    Buckets are power-of-two length classes computed in INTEGER
+    arithmetic — ``bucket = len(bin(n-1))``, i.e. docs with
+    2^(bucket-1) < n_tokens ≤ 2^bucket share a bucket — deliberately
+    not float log2, whose libm rounding differs across engines (the
+    bit-length formulation is exact everywhere ``bin()`` exists).
+    Within a bucket, docs are ordered by a deterministic md5 hash (ties
+    by id) and cut into ``batch_size``-row batches; each batch pads to
+    its own max length.
+
+    Scale shape: one token-count projection, one per-bucket window
+    (buckets are corpus-spanning but the window partitions by bucket —
+    no global window), one (bucket, batch) aggregation. Returns one row
+    per batch: (bucket, batch_id, n_docs, total_tokens, padded_tokens)
+    where padded_tokens = batch max × n_docs.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("__n"),
+    ).filter(F.col("__n") > 0)
+    bucketed = toks.withColumn(
+        "bucket",
+        F.when(F.col("__n") <= 1, F.lit(0)).otherwise(
+            F.length(F.bin(F.col("__n") - 1)).cast("long")
+        ),
+    )
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+    w = Window.partitionBy("bucket").orderBy(h, F.col(id_col))
+    batched = bucketed.withColumn(
+        "batch_id", ((F.row_number().over(w) - F.lit(1)) / F.lit(batch_size))
+        .cast("long"),
+    )
+    return batched.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__n").cast("long").alias("total_tokens"),
+        (F.max("__n") * F.count(F.lit(1))).cast("long").alias("padded_tokens"),
+    )

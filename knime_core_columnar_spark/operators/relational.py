@@ -479,3 +479,55 @@ def golden_records(
         )
         out = out.join(winner, entity_col, "left")
     return out
+
+
+def join_explosion_profile(
+    left: "DataFrame",
+    right: "DataFrame",
+    left_key: str,
+    right_key: str,
+    min_left: int,
+    min_right: int,
+    capacity: int = 256,
+    target_rows_per_task: int = 5_000_000,
+    left_total: int | None = None,
+    right_total: int | None = None,
+) -> "DataFrame":
+    """Pre-flight join-size diagnosis — find the keys that would explode
+    a join BEFORE running it (the 100 TB pre-check: one hot key on both
+    sides multiplies; n_left × n_right rows land in one reducer unless
+    salted).
+
+    EXACT contract: every key with ≥ ``min_left`` rows on the left AND
+    ≥ ``min_right`` rows on the right, with exact counts and the exact
+    output-row product. Both sides are scanned with the Misra-Gries +
+    exact-recount machinery (``sketch.heavy_hitters``) so per-partition
+    state stays O(capacity) — never a full GROUP BY of either fact
+    table; the final join is between two heavy-key tables of at most
+    ``capacity × partitions`` rows. The thresholds inherit heavy_hitters'
+    exactness floor (min_count > n/(capacity+1)), which the call checks.
+
+    Returns (key, n_left, n_right, n_output_rows, salt_factor) where
+    salt_factor = ceil(product / target_rows_per_task) — the salting
+    fan-out that would level the reducers. Empty result = the join is
+    safe at these thresholds.
+    """
+    from knime_core_columnar_spark.operators.sketch import heavy_hitters
+
+    hl = heavy_hitters(
+        left.select(F.col(left_key).cast("string").alias("key")),
+        "key", min_count=min_left, capacity=capacity, total_count=left_total,
+    ).select("key", F.col("n_occurrences").alias("n_left"))
+    hr = heavy_hitters(
+        right.select(F.col(right_key).cast("string").alias("key")),
+        "key", min_count=min_right, capacity=capacity, total_count=right_total,
+    ).select("key", F.col("n_occurrences").alias("n_right"))
+    return (
+        hl.join(hr, "key")
+        .withColumn("n_output_rows", F.col("n_left") * F.col("n_right"))
+        .withColumn(
+            "salt_factor",
+            F.ceil(F.col("n_output_rows") / F.lit(target_rows_per_task))
+            .cast("int"),
+        )
+    )

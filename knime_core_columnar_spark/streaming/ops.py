@@ -510,3 +510,70 @@ def trending_tokens(counts: DataFrame, k: int = 10) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+_QUOTA_OUT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("admit_rank", T.LongType()),
+])
+_QUOTA_STATE_SCHEMA = T.StructType([T.StructField("admitted", T.LongType())])
+
+
+def streaming_quota_admission(df: DataFrame, quota: int = 100) -> DataFrame:
+    """Stateful per-key quota admission — the streaming twin of
+    ``sampling.quota_sample``'s capping side: admit only the first
+    ``quota`` events per key (event_type) at ingestion time, drop the
+    rest at the door. The curation use: cap each source/domain during
+    ingest so a firehose host cannot flood the corpus before batch
+    rebalancing ever sees it.
+
+    State per key is ONE integer (events admitted so far) —
+    applyInPandasWithState with a bounded state row, nothing buffered.
+    Events inside each Arrow batch are processed in (ts, event_id)
+    order, so when the stream delivers in timestamp order (the replay/
+    backfill case) the admitted set is exactly the batch-mode
+    ``row_number() over (partition by key order by ts, event_id) <=
+    quota`` — the oracle the parity test and the batch twin replay.
+
+    Returns admitted events with their 1-based ``admit_rank``.
+    """
+
+    def _fn(key, pdfs, state):
+        admitted = state.get[0] if state.exists else 0
+        take = max(quota - admitted, 0)
+        if take > 0:
+            # One sort across the WHOLE micro-batch (Arrow chunks arrive
+            # in arbitrary order): buffering is bounded by the group's
+            # rows in this micro-batch — the same envelope as any
+            # grouped kernel — and makes the admitted set identical to
+            # the batch-mode row_number twin when input is replayed in
+            # timestamp order.
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"])
+            head = batch.head(take).copy()
+            head["admit_rank"] = range(admitted + 1, admitted + len(head) + 1)
+            head["event_type"] = key[0]
+            admitted += len(head)
+            state.update((admitted,))
+            if len(head):
+                yield head[["event_id", "ts", "event_type", "user_id",
+                            "value", "admit_rank"]]
+        else:
+            for _ in pdfs:  # drain; quota already exhausted
+                pass
+            state.update((admitted,))
+
+    return (
+        df.groupBy("event_type")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=_QUOTA_OUT_SCHEMA,
+            stateStructType=_QUOTA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

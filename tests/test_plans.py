@@ -551,3 +551,43 @@ def test_golden_record_no_cartesian(spark):
     )
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_join_explosion_profile_broadcast_no_full_groupby_shuffle(spark):
+    """Pre-flight profiler: both candidate recounts broadcast their
+    (sketch-bounded) candidate sets; the final heavy⋈heavy join is
+    between two tiny tables — no cartesian anywhere."""
+    from knime_core_columnar_spark import catalog
+
+    df = catalog._R8_STAGED["join_explosion_profile"][0](spark, SF)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_source_similarity_signature_join_broadcast(spark):
+    """Group-signature pair join: one row per source — the self-join
+    must broadcast (nested-loop on the < condition is fine at
+    signature-table size), never shuffle the corpus for it."""
+    from knime_core_columnar_spark import catalog
+
+    df = catalog._R8_STAGED["source_similarity"][0](spark, SF)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_length_bucketed_batches_windows_per_bucket(spark):
+    """Batch planner: the ranking window partitions by bucket — no
+    single-reducer global window."""
+    from knime_core_columnar_spark import catalog
+
+    df = catalog._R8_STAGED["length_bucketed_batches"][0](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    for line in p.splitlines():
+        if line.strip().startswith("Window") or "Window [" in line:
+            assert "bucket" in line, f"global window: {line}"

@@ -1,0 +1,231 @@
+"""Round-8 staged operators: join-explosion pre-flight, group MinHash
+similarity, length-bucketed batching, shingle novelty, and the stateful
+streaming quota admission (with real micro-batch parity)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from knime_core_columnar_spark.operators.dedup import (
+    group_signature_matches,
+    minhash_group_signatures,
+    minhash_signature_table,
+    shingle_novelty,
+)
+from knime_core_columnar_spark.operators.packing import length_bucketed_batches
+from knime_core_columnar_spark.operators.relational import join_explosion_profile
+from knime_core_columnar_spark.streaming import ops as ST
+
+
+# ---------------------------------------------------------------------------
+# Join-explosion pre-flight
+# ---------------------------------------------------------------------------
+
+def test_join_explosion_exact_counts_and_salt(spark):
+    left = spark.createDataFrame(
+        [("hot",)] * 300 + [("warm",)] * 100 + [(f"c{i}",) for i in range(50)],
+        "k string",
+    )
+    right = spark.createDataFrame(
+        [("hot",)] * 200 + [("warm",)] * 30 + [(f"d{i}",) for i in range(40)],
+        "k string",
+    )
+    out = {
+        r["key"]: r
+        for r in join_explosion_profile(
+            left, right, "k", "k", min_left=60, min_right=60, capacity=64,
+            target_rows_per_task=50_000,
+        ).collect()
+    }
+    # warm has 30 on the right (< 60) -> only hot qualifies
+    assert set(out) == {"hot"}
+    hot = out["hot"]
+    assert (hot["n_left"], hot["n_right"], hot["n_output_rows"]) == (300, 200, 60000)
+    assert hot["salt_factor"] == 2  # ceil(60000 / 50000)
+
+
+def test_join_explosion_empty_means_safe(spark):
+    df = spark.createDataFrame([(f"k{i % 40}",) for i in range(400)], "k string")
+    out = join_explosion_profile(
+        df, df, "k", "k", min_left=50, min_right=50, capacity=64
+    )
+    assert out.count() == 0
+
+
+def test_join_explosion_inherits_exactness_floor(spark):
+    df = spark.createDataFrame([(f"k{i}",) for i in range(500)], "k string")
+    with pytest.raises(ValueError):
+        join_explosion_profile(df, df, "k", "k", min_left=2, min_right=2,
+                               capacity=4)
+
+
+# ---------------------------------------------------------------------------
+# Group MinHash signatures
+# ---------------------------------------------------------------------------
+
+_GDOCS = [
+    (1, "g1", "a b c d e f g h i j"),
+    (2, "g1", "a b c d e f g h i k"),
+    (3, "g2", "p q r s t u v w x y"),
+    (4, "g2", "p q r s t u v w x z"),
+]
+
+
+def test_group_signature_is_elementwise_min_of_docs(spark):
+    df = spark.createDataFrame(_GDOCS, "doc_id long, source string, text string")
+    doc_sigs = minhash_signature_table(df, "doc_id", "text", num_perm=8).collect()
+    by_doc = {r["doc_id"]: [r[f"h{i}"] for i in range(8)] for r in doc_sigs}
+    grp = {
+        r["source"]: [r[f"h{i}"] for i in range(8)]
+        for r in minhash_group_signatures(
+            df, "source", "doc_id", "text", num_perm=8
+        ).collect()
+    }
+    want_g1 = [min(by_doc[1][i], by_doc[2][i]) for i in range(8)]
+    assert grp["g1"] == want_g1
+
+
+def test_group_signature_matches_identical_and_disjoint(spark):
+    rows = _GDOCS + [(5, "g3", "a b c d e f g h i j")]  # g3 == doc 1 == g1-ish
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sigs = minhash_group_signatures(df, "source", num_perm=16)
+    out = {
+        (r["grp_a"], r["grp_b"]): r["n_match"]
+        for r in group_signature_matches(sigs, "source", num_perm=16).collect()
+    }
+    # g1 and g2 share no shingles: a component match is possible but the
+    # estimate must be far below the near-identical pair
+    assert out[("g1", "g3")] > out[("g2", "g3")]
+    # g3's set is a subset of g1's union -> many matching minima
+    assert out[("g1", "g3")] >= 12
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batches
+# ---------------------------------------------------------------------------
+
+def test_length_buckets_and_padding_math(spark):
+    docs = [(i, " ".join(["w"] * n)) for i, n in enumerate(
+        [1, 2, 3, 4, 5, 8, 9, 16, 17]
+    )]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = length_bucketed_batches(df, batch_size=32).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # bit-length classes: n=1->0, n=2->1, n in (2,4]->2, (4,8]->3,
+    # (8,16]->4, (16,32]->5
+    assert set(by_bucket) == {0, 1, 2, 3, 4, 5}
+    b3 = by_bucket[3][0]  # lengths 5 and 8
+    assert b3["n_docs"] == 2 and b3["total_tokens"] == 13
+    assert b3["padded_tokens"] == 16  # padded to max(5,8)=8 x 2 docs
+    # batch splitting: 40 docs of the same bucket at batch_size 32 -> 2 batches
+    many = spark.createDataFrame(
+        [(100 + i, " ".join(["w"] * 7)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    got = length_bucketed_batches(many, batch_size=32).collect()
+    assert sorted(r["n_docs"] for r in got) == [8, 32]
+
+
+def test_length_buckets_partitioning_invariant(spark):
+    docs = [(i, " ".join(["w"] * ((i % 37) + 1))) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def run(frame):
+        return {tuple(r) for r in length_bucketed_batches(frame).collect()}
+
+    assert run(df.repartition(1)) == run(df.repartition(19, "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Shingle novelty
+# ---------------------------------------------------------------------------
+
+def test_shingle_novelty_counts(spark):
+    docs = [
+        (1, "a b c d e"),   # shingles: abc bcd cde
+        (2, "a b c x y"),   # shares 'a b c' with doc 1
+        (3, "q r"),         # too short: no shingles
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in shingle_novelty(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_shingles"] == 3 and out[1]["n_novel"] == 2
+    assert out[2]["n_shingles"] == 3 and out[2]["n_novel"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Streaming quota admission
+# ---------------------------------------------------------------------------
+
+def test_streaming_quota_admission_matches_batch_twin(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), f"t{i % 3}", i % 7, float(i))
+        for i in range(300)
+    ]
+    schema = ("event_id long, ts timestamp, event_type string, "
+              "user_id long, value double")
+    src_dir = str(tmp_path / "quota_in")
+    df = spark.createDataFrame(rows, schema)
+    # two files, delivered one per trigger IN TIMESTAMP ORDER (the
+    # replay/backfill contract the kernel documents)
+    df.filter("event_id < 150").coalesce(1).write.parquet(src_dir)
+    df.filter("event_id >= 150").coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = ST.stream_from_directory(spark, src_dir,
+                                      spark.read.parquet(src_dir).schema)
+    admitted = ST.streaming_quota_admission(stream, quota=60)
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName("t_quota")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["event_type"], r["admit_rank"])
+        for r in spark.sql("select * from t_quota").collect()
+    }
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    want = {
+        (r["event_id"], r["event_type"], r["admit_rank"])
+        for r in df.withColumn("admit_rank",
+                               F.row_number().over(w).cast("long"))
+        .filter(F.col("admit_rank") <= 60)
+        .collect()
+    }
+    assert got == want
+    # exactly quota admitted per key (300 events / 3 types = 100 > 60)
+    per_key = {}
+    for _, k, _r in got:
+        per_key[k] = per_key.get(k, 0) + 1
+    assert per_key == {"t0": 60, "t1": 60, "t2": 60}
+
+
+# ---------------------------------------------------------------------------
+# Staged registration wiring
+# ---------------------------------------------------------------------------
+
+def test_r8_staged_registration_flips_cleanly():
+    from knime_core_columnar_spark import catalog
+
+    n_before = len(catalog.QUERIES)
+    assert not set(catalog._R8_STAGED) & set(catalog.QUERIES)
+    try:
+        assert catalog.register_r8_queries(force=True)
+        assert len(catalog.QUERIES) == n_before + 5
+        assert set(catalog.ORACLES) <= set(catalog.QUERIES)
+        for name in catalog._R8_STAGED:
+            assert callable(catalog.QUERIES[name])
+    finally:
+        for name in catalog._R8_STAGED:
+            catalog.QUERIES.pop(name, None)
+            catalog.ORACLES.pop(name, None)
+        assert len(catalog.QUERIES) == n_before
