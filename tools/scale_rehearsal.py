@@ -107,6 +107,8 @@ def main():
 
     catalog.register_r5_queries(force=True)
     catalog.register_r6_queries(force=True)
+    catalog.register_r7_queries(force=True)
+    catalog.register_r8_queries(force=True)
     spark = get_spark(app_name="scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -118,7 +120,9 @@ def main():
             print(f"# synthesized x{r} in {time.perf_counter()-t0:.1f}s",
                   file=sys.stderr)
         timings = {}
-        for name in HEAVY:
+        names = (os.environ.get("SPARK_GRAFT_REHEARSAL_QUERIES", "").split(",")
+                 if os.environ.get("SPARK_GRAFT_REHEARSAL_QUERIES") else HEAVY)
+        for name in names:
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
