@@ -7665,3 +7665,71 @@ def register_r8_queries(force: bool = False) -> bool:
 
 
 register_r8_queries()
+
+
+# ---------------------------------------------------------------------------
+# ROUND-5 WINDOW, PRE-STAGED (playbook implementation). In round 5,
+# once CORRECTNESS_r04 confirms the round-4 window green:
+#   1. append _DRIVER_WINDOW_R4 to _DRIVER_GREEN_R123;
+#   2. replace the `_apply_driver_window()` call above with
+#      `apply_round5_layout()`.
+# Everything else — staged registration, ordering — is below and tested
+# (test_round5_layout_applies_cleanly).
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW_R5 = [
+    # the 5 never-driver-checked leftovers (head of the round-5 window)
+    "struct_roundtrip", "map_ops", "explode_words", "array_set_ops",
+    "pct_of_total",
+    # the round-4 registrations (driver-checkable for the first time)
+    "avro_roundtrip", "event_transitions", "neardup_pagerank",
+    "pq_topk_adc", "zorder_layout",
+    # the staged r5+r6 batches, folded in by apply_round5_layout()
+    "semantic_dedup", "bigram_lm_quality", "decontaminate_bloom",
+    "stream_stream_join_batch", "bpe_merges",
+    "heavy_hitter_tokens", "table_checksums", "copurchase_triangles",
+    "duplicate_span_profile", "hybrid_search_rrf",
+    # 30 rotation greens (oldest driver evidence first: r01-era queries
+    # whose CORRECTNESS rows predate two rounds of refactoring)
+    "q1_pricing_summary", "select_project_map", "filter_rows",
+    "slice_rows", "multi_slice", "concatenate_union", "append_hstack",
+    "row_index", "cast_spec", "missing_value_columns",
+    "join_customer_orders", "sort_topk", "distinct_rows",
+    "window_topk_per_group", "join_semi", "join_anti",
+    "join_left_outer", "q3_shipping_priority", "q5_local_supplier",
+    "rollup_returns", "cube_orders", "grouping_sets",
+    "set_intersect", "set_except", "union_distinct",
+    "window_running_sum", "window_lag_lead", "window_moving_avg",
+    "count_distinct_agg", "percentile_stats",
+]
+
+
+def _reorder_for_window(window_names: list[str], greens: set[str]) -> None:
+    """Reorder QUERIES/ORACLES: window first, then never-checked, then
+    greens — the same layout contract as _apply_driver_window."""
+    global QUERIES, ORACLES
+    missing = [n for n in window_names if n not in QUERIES]
+    assert not missing, f"driver window names not registered: {missing}"
+    window = set(window_names)
+    rest_unchecked = [
+        n for n in QUERIES if n not in window and n not in greens
+    ]
+    rest_green = [n for n in QUERIES if n in greens and n not in window]
+    order = window_names + rest_unchecked + rest_green
+    assert len(order) == len(QUERIES)
+    QUERIES = {n: QUERIES[n] for n in order}
+    ORACLES = {n: ORACLES[n] for n in order if n in ORACLES}
+
+
+def apply_round5_layout() -> None:
+    """Round-5 flip: fold the staged r5+r6 batches into the catalog and
+    rotate the driver window onto _DRIVER_WINDOW_R5 (50 slots: 5
+    leftovers + 5 round-4 registrations + 10 freshly staged + 30
+    rotation greens)."""
+    register_r5_queries(force=True)
+    register_r6_queries(force=True)
+    assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
+    _reorder_for_window(
+        _DRIVER_WINDOW_R5,
+        set(_DRIVER_GREEN_R123) | set(_DRIVER_WINDOW_R4),
+    )

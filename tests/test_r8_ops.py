@@ -229,3 +229,27 @@ def test_r8_staged_registration_flips_cleanly():
             catalog.QUERIES.pop(name, None)
             catalog.ORACLES.pop(name, None)
         assert len(catalog.QUERIES) == n_before
+
+
+def test_round5_layout_applies_cleanly():
+    """Playbook insurance: apply_round5_layout folds r5+r6 (168 total)
+    and puts the 50-name round-5 window at the head of QUERIES."""
+    from knime_core_columnar_spark import catalog
+
+    snap_q = dict(catalog.QUERIES)
+    snap_o = dict(catalog.ORACLES)
+    try:
+        catalog.apply_round5_layout()
+        names = list(catalog.QUERIES)
+        assert len(names) == len(snap_q) + 10
+        assert names[:50] == catalog._DRIVER_WINDOW_R5
+        assert set(catalog.ORACLES) <= set(catalog.QUERIES)
+        # every window name is either never driver-checked or a
+        # deliberate rotation green — none missing from the catalog
+        for n in catalog._DRIVER_WINDOW_R5:
+            assert callable(catalog.QUERIES[n])
+    finally:
+        catalog.QUERIES.clear()
+        catalog.QUERIES.update(snap_q)
+        catalog.ORACLES.clear()
+        catalog.ORACLES.update(snap_o)
