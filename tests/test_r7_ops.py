@@ -253,3 +253,45 @@ def test_r7_staged_registration_flips_cleanly():
             catalog.QUERIES.pop(name, None)
             catalog.ORACLES.pop(name, None)
         assert len(catalog.QUERIES) == n_before
+
+
+def test_prefix_filter_randomized_matches_brute_force(spark):
+    """Randomized differential check of the no-false-negative claim:
+    seeded random corpora (small vocab -> dense overlaps, the worst
+    case for prefix pruning) must yield EXACTLY the brute-force pair
+    set at several thresholds."""
+    import random
+
+    for seed, (num, den) in [(11, (1, 2)), (23, (3, 5)), (47, (4, 5))]:
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_filter_jaccard_pairs(
+                df, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", shingle_n=3, threshold=num / den
+            ).collect()
+        }
+        assert got == want, f"seed {seed} t={num}/{den}"
+
+
+def test_cms_width_one_degenerates_to_total_count(spark):
+    """Sanity invariant: with width=1 every key collides into the same
+    bucket, so every estimate equals the total stream length."""
+    counts = {f"k{i}": i + 1 for i in range(10)}
+    total = sum(counts.values())
+    df = _token_df(spark, counts)
+    sk = cms_merge(cms_sketch(df, "token", depth=3, width=1))
+    probes = spark.createDataFrame([(k,) for k in counts], "token string")
+    est = cms_estimate(sk, probes, "token", depth=3, width=1).collect()
+    assert all(r["est_count"] == total for r in est)
