@@ -6567,11 +6567,11 @@ _apply_driver_window()
 #      + 35 rotation greens, and point _apply_driver_window at it;
 #   3. move _DRIVER_WINDOW_R4 into _DRIVER_GREEN list once
 #      CORRECTNESS_r04 lands green.
-# All staged queries (5× _R5_STAGED + 5× _R6_STAGED + 5× _R7_STAGED +
-# 5× _R8_STAGED) already pass tools/check.py and the stress parallelism
-# gate; the per-batch test_r*_staged_registration_flips_cleanly tests
-# pin the flip mechanics. Flip order: R5+R6 in round 5, R7 in round 6,
-# R8 in round 7 (or faster once cumulative driver coverage catches up).
+# All staged queries (5 each in _R5/_R6/_R7/_R8/_R9_STAGED = 25)
+# already pass tools/check.py and the stress parallelism gate; the
+# per-batch test_r*_staged_registration_flips_cleanly tests pin the
+# flip mechanics. Flip order: R5+R6 in round 5 (apply_round5_layout),
+# then one batch per round (or faster once driver coverage catches up).
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
@@ -7733,3 +7733,248 @@ def apply_round5_layout() -> None:
         _DRIVER_WINDOW_R5,
         set(_DRIVER_GREEN_R123) | set(_DRIVER_WINDOW_R4),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 STAGED registrations — same freeze discipline as _R5.._R8.
+# ---------------------------------------------------------------------------
+
+_BENFORD_CASE = (
+    "CASE obs.digit WHEN 1 THEN 0.3010299956639812 "
+    "WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 "
+    "WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 "
+    "WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 "
+    "WHEN 8 THEN 0.05115252244738129 ELSE 0.04575749056067514 END"
+)
+
+BENFORD_AUDIT_ORACLE = f"""
+    WITH src AS (
+      SELECT 'o_totalprice' AS col_name,
+             CAST(abs(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS DECIMAL(20,0))) AS VARCHAR) AS s
+      FROM orders
+      UNION ALL
+      SELECT 'l_extendedprice',
+             CAST(abs(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS DECIMAL(20,0))) AS VARCHAR)
+      FROM lineitem
+    ), digits AS (
+      SELECT col_name, CAST(substring(s, 1, 1) AS INTEGER) AS digit FROM src
+    ), obs AS (
+      SELECT col_name, digit, CAST(COUNT(*) AS BIGINT) AS n_observed
+      FROM digits WHERE digit >= 1 GROUP BY col_name, digit
+    ), tot AS (
+      SELECT col_name, CAST(SUM(n_observed) AS BIGINT) AS n
+      FROM obs GROUP BY col_name
+    )
+    SELECT obs.col_name, obs.digit, obs.n_observed,
+           CAST(floor((CAST(tot.n AS DOUBLE) * ({_BENFORD_CASE}))
+                      * 1000000.0) AS BIGINT) AS expected_micro
+    FROM obs JOIN tot USING (col_name)
+"""
+
+
+def _r9_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford audit (operators.validate.benford_digit_audit)
+    over the two money columns — the fabricated-amounts forensic.
+    Exact-decimal digit extraction (no float-to-string); expected counts
+    multiply the identical compile-time double literals in both engines
+    (same IEEE product ⇒ same floor; the quota_sample sqrt argument)."""
+    from knime_core_columnar_spark.operators.validate import (
+        benford_digit_audit,
+    )
+
+    o = benford_digit_audit(_t(spark, sf_dir, "orders"), ["o_totalprice"])
+    l = benford_digit_audit(
+        _t(spark, sf_dir, "lineitem"), ["l_extendedprice"]
+    )
+    return o.unionByName(l).withColumnRenamed("column", "col_name")
+
+
+K_ANONYMITY_ORACLE = """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(n) AS BIGINT) AS k_min,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk
+    FROM g
+"""
+
+
+def _r9_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators.validate.k_anonymity_audit) over the
+    customer quasi-identifiers (nation, market segment) at k=5 — the
+    privacy release gate: one hash aggregation on the quasi tuple, a
+    one-row report of groups and rows a release would expose."""
+    from knime_core_columnar_spark.operators.validate import k_anonymity_audit
+
+    return k_anonymity_audit(
+        _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=5
+    )
+
+
+CDC_APPLY_ORACLE = """
+    WITH base AS (
+      SELECT event_id, ts, user_id, value FROM (
+        SELECT event_id, ts, user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events WHERE ts < TIMESTAMP '2024-01-15'
+      ) WHERE rk = 1
+    ), ch AS (
+      SELECT event_id, ts, user_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+    ), latest AS (
+      SELECT * FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rk
+        FROM ch
+      ) WHERE rk = 1
+    )
+    SELECT event_id, ts, user_id, value
+    FROM base WHERE user_id NOT IN (SELECT user_id FROM latest)
+    UNION ALL
+    SELECT event_id, ts, user_id, value FROM latest WHERE op <> 'D'
+"""
+
+
+def _r9_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog replay (operators.relational.apply_changelog): the
+    base snapshot is each user's last event before Jan 15; events from
+    Jan 15 on replay as a changelog where 'error' means DELETE and
+    anything else upserts. Winner per key = greatest (ts, event_id) —
+    a total order, so the final state is engine- and partitioning-
+    exact. One window over the changelog only; base rows join, never
+    window."""
+    from knime_core_columnar_spark.operators.relational import apply_changelog
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        e.filter(F.col("ts") < cutoff)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    changelog = e.filter(F.col("ts") >= cutoff).select(
+        "event_id", "ts", "user_id", "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+    )
+    return apply_changelog(
+        base, changelog, keys=["user_id"], op_col="op",
+        seq_cols=["ts", "event_id"],
+    )
+
+
+CONTAINMENT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+               i -> ('0x' || substring(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT)) AS s
+      FROM toks
+    ), nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_overlap,
+           CAST(len(a.s) AS BIGINT) AS size_a
+    FROM nz a JOIN nz b ON a.doc_id <> b.doc_id
+    WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * len(a.s)
+"""
+
+
+def _r9_containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment ≥ 4/5
+    (operators.dedup.containment_pairs) — the quote/excerpt detector
+    Jaccard cannot be (a short doc embedded in a long host scores
+    containment 1.0 but Jaccard ≈ 0). Inverted-index candidates +
+    integer verify; the oracle is brute-force ordered-pairs
+    list_intersect."""
+    from knime_core_columnar_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold_num=4, threshold_den=5
+    )
+
+
+CONCENTRATION_ORACLE = """
+    SELECT * FROM (
+      SELECT 'o_orderstatus' AS col_name,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq_counts,
+             CAST(MAX(n) AS BIGINT) AS top_count
+      FROM (SELECT o_orderstatus, COUNT(*) AS n FROM orders
+            WHERE o_orderstatus IS NOT NULL GROUP BY 1)
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(SUM(n) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n * n) AS BIGINT), CAST(MAX(n) AS BIGINT)
+      FROM (SELECT o_orderpriority, COUNT(*) AS n FROM orders
+            WHERE o_orderpriority IS NOT NULL GROUP BY 1)
+      UNION ALL
+      SELECT 'l_returnflag', CAST(SUM(n) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n * n) AS BIGINT), CAST(MAX(n) AS BIGINT)
+      FROM (SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+            WHERE l_returnflag IS NOT NULL GROUP BY 1)
+    )
+"""
+
+
+def _r9_concentration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer value-concentration audit
+    (operators.validate.concentration_profile): n, distinct, Σcount²,
+    top count per categorical column — Gini impurity and top-share are
+    exact rationals derived from these, with none of entropy's
+    cross-engine ln() hazard."""
+    from knime_core_columnar_spark.operators.validate import (
+        concentration_profile,
+    )
+
+    o = concentration_profile(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"]
+    )
+    l = concentration_profile(_t(spark, sf_dir, "lineitem"), ["l_returnflag"])
+    return o.unionByName(l).withColumnRenamed("column", "col_name")
+
+
+_R9_STAGED: dict[str, tuple] = {
+    "benford_audit": (_r9_benford_audit, BENFORD_AUDIT_ORACLE),
+    "k_anonymity_audit": (_r9_k_anonymity_audit, K_ANONYMITY_ORACLE),
+    "cdc_apply_changelog": (_r9_cdc_apply, CDC_APPLY_ORACLE),
+    "containment_quotes": (_r9_containment_quotes, CONTAINMENT_ORACLE),
+    "concentration_profile": (
+        _r9_concentration_profile, CONCENTRATION_ORACLE,
+    ),
+}
+
+
+def register_r9_queries(force: bool = False) -> bool:
+    """Fold the staged round-9 queries into QUERIES/ORACLES. No-op until
+    a later round flips ``force`` (or sets SPARK_GRAFT_REGISTER_R9=1)."""
+    import os
+
+    if not (force or os.environ.get("SPARK_GRAFT_REGISTER_R9")):
+        return False
+    for name, (fn, oracle) in _R9_STAGED.items():
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+    return True
+
+
+register_r9_queries()

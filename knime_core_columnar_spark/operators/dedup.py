@@ -884,3 +884,55 @@ def shingle_novelty(
             F.sum((F.col("__df") == 1).cast("long")).cast("long").alias("n_novel"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT |A∩B| / |A| ≥ num/den — the
+    quote/excerpt detector Jaccard cannot be: a 50-shingle quote inside
+    a 5000-shingle article has Jaccard ≈ 0.01 but containment 1.0.
+    Curation uses: find docs that are substantially embedded in larger
+    docs (syndication, quoting, wrapper pages) and keep the canonical
+    host.
+
+    Inverted-index candidates (docs sharing ≥ 1 shingle hash — the
+    only sub-quadratic exact generator for containment, since a
+    contained doc shares EVERY shingle with its host), then an integer
+    verify ``den·|∩| ≥ num·|A|``. No floats anywhere. Emits ordered
+    pairs: (id_a contained-in id_b), both directions evaluated, a ≠ b.
+
+    Scale note: candidate volume is Σ_shingle df² — fine when the
+    shingle space is large relative to the corpus (real text), dense
+    on tiny-vocabulary corpora; same tier guidance as the prefix
+    filter (this is the audit tier; pre-restrict with LSH candidates
+    for low-diversity corpora).
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a rational in (0, 1]")
+    rows = shingle_rows(df, id_col, text_col, shingle_n).select(
+        F.col(id_col), base_hash60(F.col("__s")).alias("__h")
+    ).localCheckpoint(eager=False)
+    sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = rows.select(F.col(id_col).alias("id_a"), "__h")
+    b = rows.select(F.col(id_col).alias("id_b"), "__h")
+    inter = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"),
+                                F.col("__sz").alias("size_a")), "id_a")
+        .filter(F.lit(threshold_den) * F.col("n_overlap")
+                >= F.lit(threshold_num) * F.col("size_a"))
+        .select("id_a", "id_b",
+                F.col("n_overlap").cast("long").alias("n_overlap"),
+                F.col("size_a").cast("long").alias("size_a"))
+    )

@@ -531,3 +531,44 @@ def join_explosion_profile(
             .cast("int"),
         )
     )
+
+
+def apply_changelog(
+    base: "DataFrame",
+    changelog: "DataFrame",
+    keys: Sequence[str],
+    op_col: str,
+    seq_cols: Sequence[str],
+    delete_op: str = "D",
+) -> "DataFrame":
+    """CDC changelog application — materialize the final state of a
+    keyed table from a base snapshot plus an ordered stream of
+    upserts/deletes (the Debezium/binlog replay shape; ``upsert`` is
+    the special case with no deletes and one change per key).
+
+    Per key, the WINNING change is the one with the greatest
+    ``seq_cols`` tuple (a total order — pass a tiebreaker column);
+    a winning delete removes the key, a winning upsert replaces the
+    row, keys never mentioned keep their base row.
+
+    Scale shape: one per-key window over the CHANGELOG only (the
+    changelog is the small side of CDC by construction), then one
+    outer join against the base keyed on ``keys`` — base rows never
+    enter a window. Deterministic at any parallelism because the
+    sequence tuple is a total order.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    latest = (
+        changelog.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    survivors = latest.filter(F.col(op_col) != delete_op).drop(op_col)
+    kept_base = base.join(
+        latest.select(*[F.col(k) for k in keys]), list(keys), "left_anti"
+    )
+    return kept_base.unionByName(survivors)

@@ -196,3 +196,118 @@ def validate(df: DataFrame, checks: Sequence[_Check]) -> DataFrame:
         "n_violations",
         "n_rows",
     )
+
+
+def benford_digit_audit(
+    df: DataFrame, cols: Sequence[str], scale: int = 1_000_000
+) -> DataFrame:
+    """First-significant-digit audit against Benford's law — the
+    fabricated/synthetic-amount forensic: naturally occurring amounts
+    follow P(d) = log10(1 + 1/d); invented ones rarely do.
+
+    Exactness discipline: values are taken through DECIMAL(18,2) (an
+    exact representation, no float-to-string drift), the first digit is
+    the first character of the integer-cents string, and the expected
+    counts are n × log10(1+1/d) with the log10 constants inlined as
+    compile-time double literals — both engines multiply the identical
+    pair of doubles, so floor(micro-units) is engine-exact (the same
+    IEEE argument as quota_sample's sqrt).
+
+    One pass per audited column over a stacked projection (no joins),
+    partial-aggregated. Returns (column, digit, n_observed,
+    expected_micro) with expected_micro = floor(n_col × P(d) × scale).
+    """
+    import math
+
+    stacked = None
+    for c in cols:
+        cents = F.abs(
+            (F.col(c).cast("decimal(18,2)") * 100).cast("decimal(20,0)")
+        )
+        part = df.select(
+            F.lit(c).alias("column"),
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
+        ).filter(F.col("digit") >= 1)
+        stacked = part if stacked is None else stacked.unionByName(part)
+    obs = stacked.groupBy("column", "digit").agg(
+        F.count(F.lit(1)).alias("n_observed")
+    )
+    totals = obs.groupBy("column").agg(F.sum("n_observed").alias("__n"))
+    probs = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (F.lit(d), F.lit(math.log10(1.0 + 1.0 / d)))
+        ]
+    )
+    return (
+        obs.join(totals, "column")
+        .select(
+            "column",
+            "digit",
+            F.col("n_observed").cast("long").alias("n_observed"),
+            F.floor(
+                F.col("__n").cast("double")
+                * probs[F.col("digit")]
+                * F.lit(float(scale))
+            ).cast("long").alias("expected_micro"),
+        )
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier combinations — the
+    privacy gate for releasing or training on tabular data: any
+    combination of quasi-identifiers shared by fewer than ``k`` rows
+    re-identifies those rows. One hash aggregation on the
+    quasi-identifier tuple (the same shape as the duplicate check);
+    nothing row-level leaves the executors.
+
+    Returns a one-row report: (n_rows, n_groups, k_min, n_violating_groups,
+    n_rows_at_risk) — n_rows_at_risk is the count of rows living in
+    sub-k groups, the number a release would expose."""
+    groups = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return groups.agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("__n").cast("long").alias("k_min"),
+        F.sum((F.col("__n") < k).cast("long")).cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+        .cast("long").alias("n_rows_at_risk"),
+    )
+
+
+def concentration_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column value-concentration profile in EXACT integers — the
+    skew/imbalance audit (is one label/status/category dominating?)
+    without entropy's cross-engine ln() hazard: report n, distinct
+    count, Σ count², and the top count; Gini impurity
+    1 − Σ(nᵢ/N)² = (N² − Σnᵢ²)/N² and top-share are exact rationals a
+    consumer derives from these integers.
+
+    One hash aggregation per audited column (each reuses the scan via
+    Spark's shared-scan scheduling when actions align); no windows, no
+    collect. Returns (column, n_rows, n_distinct, sum_sq_counts,
+    top_count)."""
+    out = None
+    for c in cols:
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        prof = counts.agg(
+            F.sum("__n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("__n") * F.col("__n")).cast("long")
+            .alias("sum_sq_counts"),
+            F.max("__n").cast("long").alias("top_count"),
+        ).select(F.lit(c).alias("column"), "n_rows", "n_distinct",
+                 "sum_sq_counts", "top_count")
+        out = prof if out is None else out.unionByName(prof)
+    return out

@@ -591,3 +591,29 @@ def test_length_bucketed_batches_windows_per_bucket(spark):
     for line in p.splitlines():
         if line.strip().startswith("Window") or "Window [" in line:
             assert "bucket" in line, f"global window: {line}"
+
+
+def test_cdc_apply_changelog_window_on_changelog_only(spark):
+    """CDC replay: both windows partition by the key (no global
+    window); base rows join, never window; no cartesian."""
+    from knime_core_columnar_spark import catalog
+
+    df = catalog._R9_STAGED["cdc_apply_changelog"][0](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    for line in p.splitlines():
+        if line.strip().startswith("Window") or "Window [" in line:
+            assert "user_id" in line, f"global window: {line}"
+    assert "CartesianProduct" not in p
+
+
+def test_containment_quotes_equi_joins_only(spark):
+    """Containment: inverted-index candidates and size attach are
+    equi-joins — no cartesian/nested-loop over the corpus."""
+    from knime_core_columnar_spark import catalog
+
+    df = catalog._R9_STAGED["containment_quotes"][0](spark, SF)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

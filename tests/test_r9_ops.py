@@ -1,0 +1,164 @@
+"""Round-9 staged operators: Benford digit audit, k-anonymity audit,
+CDC changelog apply, shingle containment, exact concentration profile."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knime_core_columnar_spark.operators.dedup import containment_pairs
+from knime_core_columnar_spark.operators.relational import apply_changelog
+from knime_core_columnar_spark.operators.validate import (
+    benford_digit_audit,
+    concentration_profile,
+    k_anonymity_audit,
+)
+
+
+# ---------------------------------------------------------------------------
+# Benford digit audit
+# ---------------------------------------------------------------------------
+
+def test_benford_digit_extraction_and_expected(spark):
+    import math
+
+    rows = [(1.23,), (12.34,), (123.45,), (912.00,), (0.05,), (-45.00,)]
+    df = spark.createDataFrame(rows, "amount double")
+    out = {r["digit"]: r for r in benford_digit_audit(df, ["amount"]).collect()}
+    # digits: 123->1, 1234->1, 12345->1, 91200->9, 5->5, 4500->4
+    assert {d: out[d]["n_observed"] for d in out} == {1: 3, 9: 1, 5: 1, 4: 1}
+    # expected_micro = floor(6 * log10(1+1/d) * 1e6), same arithmetic
+    want1 = int(
+        __import__("math").floor((6.0 * math.log10(2.0)) * 1_000_000.0)
+    )
+    assert out[1]["expected_micro"] == want1
+
+
+def test_benford_skips_zero_amounts(spark):
+    df = spark.createDataFrame([(0.0,), (0.004,), (5.0,)], "amount double")
+    out = benford_digit_audit(df, ["amount"]).collect()
+    # 0.00 and 0.004 round to zero cents -> first digit 0 -> excluded
+    assert {(r["digit"], r["n_observed"]) for r in out} == {(5, 1)}
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+# ---------------------------------------------------------------------------
+
+def test_k_anonymity_report(spark):
+    rows = (
+        [("US", "A")] * 10 + [("US", "B")] * 3 + [("DE", "A")] * 1
+    )
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    r = k_anonymity_audit(df, ["nation", "seg"], k=5).collect()[0]
+    assert r["n_rows"] == 14 and r["n_groups"] == 3
+    assert r["k_min"] == 1
+    assert r["n_violating_groups"] == 2  # (US,B)=3 and (DE,A)=1
+    assert r["n_rows_at_risk"] == 4
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply
+# ---------------------------------------------------------------------------
+
+def test_apply_changelog_upsert_delete_untouched(spark):
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")],
+        "k long, seq long, v string",
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, 11, "a2", "U"),   # update k=1
+            (1, 12, "a3", "U"),   # later update wins
+            (2, 11, "x", "D"),    # delete k=2
+            (4, 11, "new", "U"),  # insert k=4
+            (5, 11, "tmp", "U"),  # insert then delete -> gone
+            (5, 12, "tmp", "D"),
+        ],
+        "k long, seq long, v string, op string",
+    )
+    out = {
+        r["k"]: (r["seq"], r["v"])
+        for r in apply_changelog(base, ch, ["k"], "op", ["seq"]).collect()
+    }
+    assert out == {1: (12, "a3"), 3: (10, "c"), 4: (11, "new")}
+
+
+def test_apply_changelog_partitioning_invariant(spark):
+    base = spark.createDataFrame(
+        [(i, 0, f"b{i}") for i in range(50)], "k long, seq long, v string"
+    )
+    ch = spark.createDataFrame(
+        [(i % 60, j + 1, f"v{i}_{j}", "D" if (i + j) % 7 == 0 else "U")
+         for i in range(120) for j in range(3)],
+        "k long, seq long, v string, op string",
+    )
+
+    def run(b, c):
+        return {tuple(r) for r in apply_changelog(b, c, ["k"], "op", ["seq", "v"]).collect()}
+
+    assert run(base.repartition(1), ch.repartition(1)) == run(
+        base.repartition(7, "k"), ch.repartition(13, "v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment
+# ---------------------------------------------------------------------------
+
+def test_containment_asymmetric_quote_detection(spark):
+    quote = "alpha beta gamma delta epsilon"          # 3 shingles
+    host = quote + " zeta eta theta iota kappa lam mu nu xi"  # superset
+    docs = [(1, quote), (2, host), (3, "p q r s t u v w")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): (r["n_overlap"], r["size_a"])
+        for r in containment_pairs(df, threshold_num=4, threshold_den=5).collect()
+    }
+    # quote fully contained in host: (1 in 2) qualifies with overlap == size
+    assert out[(1, 2)][0] == out[(1, 2)][1] == 3
+    # host NOT contained in quote (3/12 < 4/5); disjoint doc pairs absent
+    assert (2, 1) not in out
+    assert all(3 not in pair for pair in out)
+
+
+def test_containment_rejects_bad_threshold(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        containment_pairs(df, threshold_num=0)
+
+
+# ---------------------------------------------------------------------------
+# Concentration profile
+# ---------------------------------------------------------------------------
+
+def test_concentration_profile_exact_integers(spark):
+    rows = [("A",)] * 6 + [("B",)] * 3 + [("C",)] * 1 + [(None,)]
+    df = spark.createDataFrame(rows, "status string")
+    r = {x["column"]: x for x in concentration_profile(df, ["status"]).collect()}
+    p = r["status"]
+    assert p["n_rows"] == 10 and p["n_distinct"] == 3
+    assert p["sum_sq_counts"] == 36 + 9 + 1
+    assert p["top_count"] == 6
+    # Gini impurity derivable exactly: 1 - 46/100
+    assert (p["n_rows"] ** 2 - p["sum_sq_counts"]) / p["n_rows"] ** 2 == 0.54
+
+
+# ---------------------------------------------------------------------------
+# Staged registration wiring
+# ---------------------------------------------------------------------------
+
+def test_r9_staged_registration_flips_cleanly():
+    from knime_core_columnar_spark import catalog
+
+    n_before = len(catalog.QUERIES)
+    assert not set(catalog._R9_STAGED) & set(catalog.QUERIES)
+    try:
+        assert catalog.register_r9_queries(force=True)
+        assert len(catalog.QUERIES) == n_before + 5
+        assert set(catalog.ORACLES) <= set(catalog.QUERIES)
+        for name in catalog._R9_STAGED:
+            assert callable(catalog.QUERIES[name])
+    finally:
+        for name in catalog._R9_STAGED:
+            catalog.QUERIES.pop(name, None)
+            catalog.ORACLES.pop(name, None)
+        assert len(catalog.QUERIES) == n_before
