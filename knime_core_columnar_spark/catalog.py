@@ -7242,7 +7242,11 @@ def _r7_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode-with-deterministic-tie-break for categoricals (brand, type),
     max for p_size, min p_partkey as the canonical id. The oracle
     replays survivorship with window functions over the recursive-CTE
-    closure."""
+    closure. Oracle practicality note: the DuckDB recursive closure is
+    quadratic in component size and impractical at sf0.1 (an inherited
+    property of the entity_resolution oracle, whose Spark side runs
+    sf0.1 in ~35 s); driver comparisons run at sf0.01 where both sides
+    are seconds."""
     from knime_core_columnar_spark.operators.dedup import connected_components
     from knime_core_columnar_spark.operators.relational import golden_records
 
