@@ -6556,22 +6556,16 @@ _apply_driver_window()
 
 
 # ---------------------------------------------------------------------------
-# ROUND-5 PLAYBOOK (for the next session): flip the staged queries and
-# rotate the window in one commit —
-#   1. call register_r5_queries(force=True) AND register_r6_queries(
-#      force=True) at import time (replace the guarded calls below);
-#   2. define _DRIVER_WINDOW_R5 = the 5 never-driver-checked leftovers
-#      ["struct_roundtrip", "map_ops", "explode_words", "array_set_ops",
-#       "pct_of_total"]
-#      + the 10 staged names (5× _R5_STAGED + 5× _R6_STAGED)
-#      + 35 rotation greens, and point _apply_driver_window at it;
-#   3. move _DRIVER_WINDOW_R4 into _DRIVER_GREEN list once
-#      CORRECTNESS_r04 lands green.
-# All staged queries (5 each in _R5/_R6/_R7/_R8/_R9_STAGED = 25)
-# already pass tools/check.py and the stress parallelism gate; the
-# per-batch test_r*_staged_registration_flips_cleanly tests pin the
-# flip mechanics. Flip order: R5+R6 in round 5 (apply_round5_layout),
-# then one batch per round (or faster once driver coverage catches up).
+# ROUND-5 PLAYBOOK — EXECUTED (round 5, after CORRECTNESS_r04 landed
+# 50/50 green): `apply_round5_layout()` now runs at import time (bottom
+# of this module). It registers the staged r5+r6 batches and rotates the
+# driver window onto _DRIVER_WINDOW_R5 (50 slots: 5 never-driver-checked
+# leftovers + 5 round-4 registrations + 10 freshly staged r5/r6 names +
+# 30 rotation greens — see the list itself, which is the source of
+# truth). _DRIVER_WINDOW_R4 is treated as green (folded into the greens
+# set inside apply_round5_layout).
+# Burn-down schedule (committed in README §Staging): R7+R8 flip in
+# round 6, R9 in round 7 — zero `_R*_STAGED` dicts left by round 7.
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
@@ -7672,13 +7666,9 @@ register_r8_queries()
 
 
 # ---------------------------------------------------------------------------
-# ROUND-5 WINDOW, PRE-STAGED (playbook implementation). In round 5,
-# once CORRECTNESS_r04 confirms the round-4 window green:
-#   1. append _DRIVER_WINDOW_R4 to _DRIVER_GREEN_R123;
-#   2. replace the `_apply_driver_window()` call above with
-#      `apply_round5_layout()`.
-# Everything else — staged registration, ordering — is below and tested
-# (test_round5_layout_applies_cleanly).
+# ROUND-5 WINDOW — ACTIVE since round 5 (CORRECTNESS_r04 landed 50/50
+# green, so _DRIVER_WINDOW_R4 is folded into the greens set here).
+# `apply_round5_layout()` is invoked at the bottom of this module.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_R5 = [
@@ -7982,3 +7972,9 @@ def register_r9_queries(force: bool = False) -> bool:
 
 
 register_r9_queries()
+
+
+# Round-5 flip (see ROUND-5 PLAYBOOK above): register the staged r5+r6
+# batches and rotate the driver window onto _DRIVER_WINDOW_R5. Runs at
+# import time so the driver's `queries()` sees the rotated 50-name head.
+apply_round5_layout()

@@ -79,12 +79,15 @@ def test_semdedup_duckdb_oracle(spark, sf_dir):
 
 
 def test_r5_staging_wiring():
-    """Staged round-5 queries: registration is a guarded no-op now, the
-    staged names are fresh (no collisions), and every staged oracle is a
-    non-empty SQL string."""
+    """Round-5 batch is REGISTERED since the round-5 flip: every former
+    _R5_STAGED name is live in QUERIES with its oracle (or deliberately
+    oracle-less), and the staged dict still matches what was folded in."""
     from knime_core_columnar_spark import catalog
 
-    assert not set(catalog._R5_STAGED) & set(catalog.QUERIES)
+    assert set(catalog._R5_STAGED) <= set(catalog.QUERIES)
     for name, (fn, oracle) in catalog._R5_STAGED.items():
+        assert catalog.QUERIES[name] is fn
         assert callable(fn)
         assert oracle is None or "SELECT" in oracle.upper()
+        if oracle is not None:
+            assert catalog.ORACLES[name] is oracle

@@ -134,21 +134,15 @@ def test_skew_profile_flags_hub_key(spark):
 
 
 def test_staged_registration_flips_cleanly():
-    """Round-5/6 flip insurance: forcing the staged registrations yields
-    a consistent catalog (oracles only for registered queries, no name
-    collisions with the 158 registered set, callables importable)."""
+    """Round-5 flip happened at import time: re-forcing the r5/r6
+    registrations is idempotent (no duplicate names, same catalog size,
+    oracles still a subset of queries)."""
     from knime_core_columnar_spark import catalog
 
     n_before = len(catalog.QUERIES)
-    try:
-        assert catalog.register_r5_queries(force=True)
-        assert catalog.register_r6_queries(force=True)
-        assert len(catalog.QUERIES) == n_before + 10
-        assert set(catalog.ORACLES) <= set(catalog.QUERIES)
-        for name in list(catalog._R5_STAGED) + list(catalog._R6_STAGED):
-            assert callable(catalog.QUERIES[name])
-    finally:
-        for name in list(catalog._R5_STAGED) + list(catalog._R6_STAGED):
-            catalog.QUERIES.pop(name, None)
-            catalog.ORACLES.pop(name, None)
-        assert len(catalog.QUERIES) == n_before
+    assert catalog.register_r5_queries(force=True)
+    assert catalog.register_r6_queries(force=True)
+    assert len(catalog.QUERIES) == n_before
+    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
+    for name in list(catalog._R5_STAGED) + list(catalog._R6_STAGED):
+        assert callable(catalog.QUERIES[name])
