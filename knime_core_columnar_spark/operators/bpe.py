@@ -197,6 +197,9 @@ def bpe_encode(
                 {id_col: ids, "pieces": pieces_col, "n_pieces": n_col}
             )
 
+    # the id column keeps its incoming type (string doc-ids are as
+    # common as int64 ones); only pieces/n_pieces are invented here
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        enc, schema=f"{id_col} long, pieces array<string>, n_pieces long"
+        enc, schema=f"{id_col} {id_type}, pieces array<string>, n_pieces long"
     )

@@ -306,6 +306,20 @@ def target_encode(
         F.sum("__c").alias("__fc"), F.sum("__s").alias("__fs")
     )
     grand = cf.agg(F.sum("__c").alias("__gc"), F.sum("__s").alias("__gs"))
+    # plan-embedded fold validation (same discipline as concatenate's
+    # duplicate check): if any fold holds ALL rows, the out-of-fold
+    # global mean is 0/0 — fail loudly at execution instead of silently
+    # emitting NULL encodings for that fold. The assert rides the tiny
+    # |cats|×|folds| encoding frame, not the corpus.
+    oof_n = (F.col("__gc") - F.col("__fc")).cast("double")
+    fold_ok = F.assert_true(
+        F.col("__gc") > F.col("__fc"),
+        F.concat(
+            F.lit("target_encode: fold "),
+            F.col(fold_col).cast("string"),
+            F.lit(" contains every row — need >=2 non-empty folds"),
+        ),
+    )
     enc = (
         cf.join(cat_tot, cat_col)
         .join(fold_tot, fold_col)
@@ -314,12 +328,17 @@ def target_encode(
             cat_col,
             fold_col,
             (
-                (
+                # the assert MUST be the LEFT operand: Add short-circuits
+                # when its left side is NULL, and the 0/0 division makes
+                # the encoding NULL in exactly the single-fold case the
+                # assert guards — right-placed it would never evaluate
+                F.coalesce(fold_ok.cast("double"), F.lit(0.0))
+                + (
                     (F.col("__cs") - F.col("__s")).cast("double")
                     + F.lit(prior_weight)
                     * (
                         (F.col("__gs") - F.col("__fs")).cast("double")
-                        / (F.col("__gc") - F.col("__fc")).cast("double")
+                        / oof_n
                     )
                 )
                 / ((F.col("__cc") - F.col("__c")).cast("double") + F.lit(prior_weight))

@@ -293,7 +293,13 @@ def concentration_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     One hash aggregation per audited column (each reuses the scan via
     Spark's shared-scan scheduling when actions align); no windows, no
     collect. Returns (column, n_rows, n_distinct, sum_sq_counts,
-    top_count)."""
+    top_count). ``sum_sq_counts`` is accumulated in decimal(38,0) and
+    emitted as its exact decimal STRING: a single category holding
+    > ~3e9 rows (realistic for a 100 TB status column) makes count²
+    exceed int64, so the squares are widened to decimal BEFORE
+    multiplication — the same overflow discipline as table_fingerprint —
+    and the string rendering keeps the value exact (and engine-portable:
+    pandas coerces wide decimals to lossy float64) past 2⁶³."""
     out = None
     for c in cols:
         counts = (
@@ -301,10 +307,11 @@ def concentration_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             .groupBy(F.col(c))
             .agg(F.count(F.lit(1)).alias("__n"))
         )
+        n_dec = F.col("__n").cast("decimal(19,0)")
         prof = counts.agg(
             F.sum("__n").cast("long").alias("n_rows"),
             F.count(F.lit(1)).cast("long").alias("n_distinct"),
-            F.sum(F.col("__n") * F.col("__n")).cast("long")
+            F.sum(n_dec * n_dec).cast("decimal(38,0)").cast("string")
             .alias("sum_sq_counts"),
             F.max("__n").cast("long").alias("top_count"),
         ).select(F.lit(c).alias("column"), "n_rows", "n_distinct",

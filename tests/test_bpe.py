@@ -91,6 +91,28 @@ def test_bpe_encode_matches_per_word_segmenter(spark):
     assert joined == "newest"
 
 
+def test_bpe_encode_preserves_id_column_type(spark):
+    """String (and int) doc-ids pass through untouched — the mapInPandas
+    output schema derives the id field's type from the input, it is not
+    hardcoded to long."""
+    from knime_core_columnar_spark.operators.bpe import bpe_encode
+
+    merges = bpe_train(_paper_corpus(spark), num_merges=3, min_pair_count=1)
+    docs = spark.createDataFrame(
+        [("doc-a", "low"), ("doc-b", "newest")], "doc_id string, text string"
+    )
+    out = bpe_encode(docs, merges)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r["doc_id"]: r["pieces"] for r in out.collect()}
+    assert set(got) == {"doc-a", "doc-b"} and got["doc-a"]
+
+    docs_int = spark.createDataFrame([(7, "low")], "doc_id int, text string")
+    assert (
+        bpe_encode(docs_int, merges).schema["doc_id"].dataType.simpleString()
+        == "int"
+    )
+
+
 def test_bpe_encode_partition_invariant_on_corpus(spark, sf_dir):
     from knime_core_columnar_spark.operators.bpe import bpe_encode
 

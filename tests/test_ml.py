@@ -261,6 +261,21 @@ def test_target_encode_out_of_fold_hand_computed(spark):
     assert out[("y", 0, 0.0)] == 0.0
 
 
+def test_target_encode_single_fold_fails_loudly(spark):
+    """A fold holding every row makes the out-of-fold mean 0/0; the
+    plan-embedded assert must raise, not silently emit NULL encodings."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from knime_core_columnar_spark.operators.ml import target_encode
+
+    df = spark.createDataFrame(
+        [("x", 1.0, 0), ("y", 0.0, 0)], "cat string, t double, fold int"
+    )
+    with pytest.raises(SparkRuntimeException, match="target_encode"):
+        target_encode(df, "cat", "t", "fold").collect()
+
+
 def test_binary_auc_exact_with_ties_and_exclusions(spark):
     from knime_core_columnar_spark.operators.ml import binary_auc
 

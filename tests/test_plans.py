@@ -463,11 +463,30 @@ def test_binary_auc_no_global_window(spark):
         F.col("value").alias("score"),
         (F.col("event_id") % 2).cast("int").alias("label"),
     )
-    p = _explain(spark, binary_auc(ev, "score", "label"))
-    # a lone Window over no partition keys would shuffle to 1 task;
-    # the plan may contain partition-local windows but no
-    # 'Window' whose required distribution is SinglePartition
-    assert "SinglePartition" not in p.split("AdaptiveSparkPlan")[0] or True
+    auc = binary_auc(ev, "score", "label")
+    p = _explain(spark, auc)
+    # a corpus-wide Window over no partition keys would shuffle all rows
+    # to 1 task. The two-phase prefix sum is allowed (a) per-partition
+    # windows partitioned by __pid over the corpus and (b) ONE unparti-
+    # tioned window over the per-partition TOTALS frame (≤ #partitions
+    # rows — metadata-sized at any scale, it sums __t). A partitioned
+    # Window prints three bracket groups "[exprs], [partSpec],
+    # [orderSpec]"; an unpartitioned one only two — any 2-group Window
+    # whose exprs touch something other than the __t totals column is a
+    # genuine single-reducer scan of the corpus and fails the pin.
+    ep = auc._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for line in ep.splitlines():
+        s = line.strip().lstrip("+-*:( ").strip()
+        if s.startswith("Window "):
+            groups = re.findall(r"\[.*?\]", s)
+            if len(groups) >= 3:
+                assert "__pid" in groups[-2], f"unexpected partition: {line}"
+            else:
+                assert "sum(__t#" in groups[0], (
+                    f"global window over non-totals frame in AUC plan: {line}"
+                )
     # the decisive pin: partial aggregation happens before any exchange
     assert "HashAggregate" in p
     assert "CartesianProduct" not in p

@@ -136,10 +136,28 @@ def test_concentration_profile_exact_integers(spark):
     r = {x["column"]: x for x in concentration_profile(df, ["status"]).collect()}
     p = r["status"]
     assert p["n_rows"] == 10 and p["n_distinct"] == 3
-    assert p["sum_sq_counts"] == 36 + 9 + 1
+    # sum_sq_counts is an exact decimal STRING (int64-overflow-proof at
+    # 100 TB category sizes); consumers parse it with int()
+    assert int(p["sum_sq_counts"]) == 36 + 9 + 1
     assert p["top_count"] == 6
     # Gini impurity derivable exactly: 1 - 46/100
-    assert (p["n_rows"] ** 2 - p["sum_sq_counts"]) / p["n_rows"] ** 2 == 0.54
+    ssq = int(p["sum_sq_counts"])
+    assert (p["n_rows"] ** 2 - ssq) / p["n_rows"] ** 2 == 0.54
+
+
+def test_concentration_profile_survives_int64_overflow(spark):
+    """A single category with n > 3e9 must not wrap: the squares are
+    decimal-widened before multiplication. Simulated by pre-aggregated
+    counts fed through the same expression shape."""
+    from pyspark.sql import functions as F
+
+    n = 4_000_000_000  # count² = 1.6e19 > 2⁶³-1 ≈ 9.22e18
+    counts = spark.createDataFrame([(n,)], "c long")
+    d = counts.select(
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").cast("string").alias("s")
+    ).collect()[0]["s"]
+    assert int(d) == n * n
 
 
 # ---------------------------------------------------------------------------
