@@ -3365,26 +3365,75 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching: candidate pairs meet only within a block
     key (last name token) — the classic entity-resolution shape that
     replaces the O(n²) cross product with a per-block join — then exact
-    Levenshtein ≤ 2 verifies. Same candidate-pruning philosophy as the
-    MinHash/SimHash dedup tiers, on edit distance instead of Jaccard."""
+    Levenshtein ≤ 2 verifies (length-gap pre-filter + thresholded
+    banded DP).
+
+    AGGREGATE-THROUGH-THE-JOIN: record-level pair counts reconstruct
+    EXACTLY from name-level aggregates, so the expensive verification
+    runs over DISTINCT names only (the same clique-contraction insight
+    as entity_resolution, extended to the counting semantics):
+      · same-name pairs all verify (lev = 0) → C(cnt, 2) per name;
+      · a verified name pair (n1, n2) contributes cnt1·cnt2 record
+        pairs (each unordered record pair counted once under the
+        id_a < id_b convention);
+      · a record is a LEFT (appears as the smaller id of some verified
+        pair) iff some verified partner has a larger id: all but the
+        max-id record of a multi-record name qualify via their own
+        clique (cnt − 1), and the max-id record qualifies iff a
+        verified neighbor name's max id exceeds it.
+    At 100 TB the pair join touches |distinct names|, not |rows| —
+    record-level cost is one hash aggregation."""
     p = _t(spark, sf_dir, "part").select(
         "p_partkey", "p_name",
         F.element_at(F.split("p_name", " "), -1).alias("block"),
     )
-    a = p.select(
-        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "block"
+    names = p.groupBy("block", "p_name").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("p_partkey").alias("maxid")
     )
-    b = p.select(
-        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "block"
+    a = names.select(
+        "block", F.col("p_name").alias("name_a"),
+        F.col("cnt").alias("cnt_a"), F.col("maxid").alias("max_a"),
     )
-    pairs = (
+    b = names.select(
+        "block", F.col("p_name").alias("name_b"),
+        F.col("cnt").alias("cnt_b"), F.col("maxid").alias("max_b"),
+    )
+    vp = (
         a.join(b, "block")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        .filter(F.levenshtein("name_a", "name_b", 2) >= 0)
     )
-    return pairs.groupBy("block").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.count_distinct("key_a").alias("n_left"),
+    nbr = (
+        vp.select("block", F.col("name_a").alias("p_name"),
+                  F.col("max_b").alias("__nm"))
+        .unionByName(vp.select("block", F.col("name_b").alias("p_name"),
+                               F.col("max_a").alias("__nm")))
+        .groupBy("block", "p_name")
+        .agg(F.max("__nm").alias("nbr_max"))
+    )
+    per_name = names.join(nbr, ["block", "p_name"], "left").select(
+        "block",
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("same_pairs"),
+        (
+            (F.col("cnt") - 1)
+            + F.when(F.col("nbr_max") > F.col("maxid"), 1).otherwise(0)
+        ).cast("long").alias("lefts"),
+    )
+    cross = vp.groupBy("block").agg(
+        F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("cross_pairs")
+    )
+    return (
+        per_name.groupBy("block")
+        .agg(F.sum("same_pairs").alias("__sp"), F.sum("lefts").alias("__lf"))
+        .join(cross, "block", "left")
+        .select(
+            "block",
+            (F.col("__sp") + F.coalesce(F.col("cross_pairs"), F.lit(0)))
+            .cast("long").alias("n_pairs"),
+            F.col("__lf").cast("long").alias("n_left"),
+        )
+        .filter(F.col("n_pairs") > 0)
     )
 
 
@@ -4831,14 +4880,30 @@ def anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution / record linkage end-to-end: blocking (last
-    name token) → edit-distance verification (Levenshtein ≤ 2) →
-    connected-component clustering (the SAME iterative min-label
-    propagation as the near-dup pipeline) → entity ids. Output: the
-    multi-record entities with their sizes — the merge queue a data
-    steward reviews. Blocked join instead of O(n²); CC shuffles only
-    (node, label) pairs; the oracle replays the closure as a recursive
-    CTE — a different evaluation strategy validating the Spark loop."""
+    """Entity resolution / record linkage end-to-end, TWO-TIER:
+
+    1. EXACT tier — identical names collapse to one representative per
+       name (min p_partkey) with a single hash aggregation. Identical
+       rows are the bulk of real duplicate mass, and every same-name
+       pair trivially verifies (lev = 0), so carrying them into the
+       fuzzy tier would square the edge count for nothing (measured at
+       sf0.1: 5.5 M part-level edges vs 24 distinct-name edges).
+    2. FUZZY tier — blocking (last name token) → length-gap pre-filter
+       (lev >= |Δlen|) → THRESHOLDED Levenshtein (banded DP, early exit;
+       returns -1 past the threshold so >= 0 <=> lev <= 2) →
+       connected components over the REPRESENTATIVE graph (same
+       min-label propagation as the near-dup pipeline).
+
+    The collapse is exact, not an approximation: same-name records form
+    cliques in the record-level graph, so contracting each clique to
+    its min-id node preserves components and the min-id entity label.
+    At 100 TB the exact tier is one shuffle on the join key and the
+    fuzzy tier's cost scales with DISTINCT values, not rows — when all
+    names are unique it degenerates to the original record-level plan.
+    Output: multi-record entities with sizes — the merge queue a data
+    steward reviews. Oracle replays the closure as a recursive CTE over
+    record-level pairs — a different evaluation strategy validating
+    both the Spark loop and the clique contraction."""
     from knime_core_columnar_spark.operators.dedup import connected_components
 
     p = _t(spark, sf_dir, "part").select(
@@ -4846,23 +4911,27 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.element_at(F.split("p_name", " "), -1).alias("block"),
     )
-    a = p.select(
-        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"), "block"
+    names = p.groupBy("p_name", "block").agg(
+        F.min("p_partkey").alias("rep"), F.count(F.lit(1)).alias("cnt")
     )
-    b = p.select(
-        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"), "block"
+    a = names.select(
+        F.col("rep").alias("id_a"), F.col("p_name").alias("name_a"), "block"
+    )
+    b = names.select(
+        F.col("rep").alias("id_b"), F.col("p_name").alias("name_b"), "block"
     )
     pairs = (
         a.join(b, ["block"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        .filter(F.levenshtein("name_a", "name_b", 2) >= 0)
         .select("id_a", "id_b")
     )
     comp = connected_components(pairs, "id_a", "id_b")
-    assign = p.join(comp, p["p_partkey"] == comp["node"], "left").select(
-        "p_partkey",
-        F.coalesce(F.col("label"), F.col("p_partkey")).alias("entity_id"),
+    name_entity = names.join(comp, names["rep"] == comp["node"], "left").select(
+        "p_name", F.coalesce(F.col("label"), F.col("rep")).alias("entity_id")
     )
+    assign = p.join(name_entity, "p_name").select("p_partkey", "entity_id")
     return (
         assign.groupBy("entity_id")
         .agg(F.count(F.lit(1)).alias("n_records"))
@@ -7248,20 +7317,29 @@ def _r7_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_name", "p_brand", "p_type", "p_size",
         F.element_at(F.split("p_name", " "), -1).alias("block"),
     )
-    a = p.select(F.col("p_partkey").alias("id_a"),
-                 F.col("p_name").alias("name_a"), "block")
-    b = p.select(F.col("p_partkey").alias("id_b"),
-                 F.col("p_name").alias("name_b"), "block")
+    # two-tier edge derivation (see entity_resolution): exact-name
+    # collapse to min-id representatives, then blocked + length-gap +
+    # thresholded-Levenshtein verification over DISTINCT names only —
+    # clique contraction preserves components and min-id labels exactly
+    names = p.groupBy("p_name", "block").agg(
+        F.min("p_partkey").alias("rep")
+    )
+    a = names.select(F.col("rep").alias("id_a"),
+                     F.col("p_name").alias("name_a"), "block")
+    b = names.select(F.col("rep").alias("id_b"),
+                     F.col("p_name").alias("name_b"), "block")
     pairs = (
         a.join(b, ["block"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        .filter(F.levenshtein("name_a", "name_b", 2) >= 0)
         .select("id_a", "id_b")
     )
     comp = connected_components(pairs, "id_a", "id_b")
-    assign = p.join(comp, p["p_partkey"] == comp["node"], "left").select(
-        p["*"], F.coalesce(F.col("label"), F.col("p_partkey")).alias("entity_id")
+    name_entity = names.join(comp, names["rep"] == comp["node"], "left").select(
+        "p_name", F.coalesce(F.col("label"), F.col("rep")).alias("entity_id")
     )
+    assign = p.join(name_entity, "p_name").select(p["*"], "entity_id")
     multi = (
         assign.groupBy("entity_id")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -7909,20 +7987,23 @@ CONCENTRATION_ORACLE = """
       SELECT 'o_orderstatus' AS col_name,
              CAST(SUM(n) AS BIGINT) AS n_rows,
              CAST(COUNT(*) AS BIGINT) AS n_distinct,
-             CAST(SUM(n * n) AS BIGINT) AS sum_sq_counts,
+             CAST(CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+                       AS DECIMAL(38,0)) AS VARCHAR) AS sum_sq_counts,
              CAST(MAX(n) AS BIGINT) AS top_count
       FROM (SELECT o_orderstatus, COUNT(*) AS n FROM orders
             WHERE o_orderstatus IS NOT NULL GROUP BY 1)
       UNION ALL
       SELECT 'o_orderpriority', CAST(SUM(n) AS BIGINT),
              CAST(COUNT(*) AS BIGINT),
-             CAST(SUM(n * n) AS BIGINT), CAST(MAX(n) AS BIGINT)
+             CAST(CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+                       AS DECIMAL(38,0)) AS VARCHAR), CAST(MAX(n) AS BIGINT)
       FROM (SELECT o_orderpriority, COUNT(*) AS n FROM orders
             WHERE o_orderpriority IS NOT NULL GROUP BY 1)
       UNION ALL
       SELECT 'l_returnflag', CAST(SUM(n) AS BIGINT),
              CAST(COUNT(*) AS BIGINT),
-             CAST(SUM(n * n) AS BIGINT), CAST(MAX(n) AS BIGINT)
+             CAST(CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+                       AS DECIMAL(38,0)) AS VARCHAR), CAST(MAX(n) AS BIGINT)
       FROM (SELECT l_returnflag, COUNT(*) AS n FROM lineitem
             WHERE l_returnflag IS NOT NULL GROUP BY 1)
     )

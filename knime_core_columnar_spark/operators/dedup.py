@@ -432,26 +432,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the convergence flag rides the label-update projection, so the
+        # probe is a filter-count over the ALREADY-materialized (eager
+        # localCheckpoint) frame — no extra label-vs-label join per round
+        upd = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
         new_labels = (
             labels.join(nbr, labels["node"] == nbr["src"], "left")
             .select(
                 F.col("node"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                upd.alias("__new"),
+                (upd < F.col("label")).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.select("node", F.col("__new").alias("label"))
         if changed == 0:
             break
-    return labels
+    return labels.select("node", "label")
 
 
 def ngram_contamination(
