@@ -22,12 +22,19 @@ Exact comparison — no float tolerance — so any mismatch here is a real
 risk at grading time, and local green implies driver green.
 
 Usage: python tools/check.py [sf_dir] [query ...]
+
+When SPARK_GRAFT_CHECK_OUT is set (e.g. CHECK_r05.json), a machine-
+readable per-query result map is written there so the judge can audit
+the full-catalog local gate without a re-run:
+  {"<query>": {"status": "ok"|"okR"|"FAIL", "rows": N, "err": ...}, ...}
+plus a "_meta" entry recording sf_dir, git sha, and counts.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
 import decimal as _decimal
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -129,6 +136,11 @@ def main():
         )
 
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, status, rows=None, err=None):
+        results[name] = {"status": status, "rows": rows, "err": err}
+
     for name, fn in catalog.QUERIES.items():
         if only and name not in only:
             continue
@@ -138,15 +150,18 @@ def main():
             scols = list(spdf.columns)
         except Exception as e:
             failures.append(name)
+            record(name, "FAIL", err=f"spark error: {e}")
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in catalog.ORACLES:
+            record(name, "okR", rows=len(spdf))
             print(f"okR  {name}: rows-only ({len(spdf)} rows)")
             continue
         sql = catalog.ORACLES[name]
         bad_types = oracle_type_problems(con, sql)
         if bad_types:
             failures.append(name)
+            record(name, "FAIL", err=f"oracle emits {bad_types}")
             print(f"FAIL {name}: oracle emits {bad_types} — pandas will coerce "
                   f"to float64; CAST the aggregate to BIGINT in the SQL")
             continue
@@ -155,6 +170,7 @@ def main():
             ocols = list(opdf.columns)
         except Exception as e:
             failures.append(name)
+            record(name, "FAIL", err=f"duckdb error: {e}")
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = []
@@ -172,8 +188,10 @@ def main():
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             failures.append(name)
+            record(name, "FAIL", rows=len(spdf), err="; ".join(problems)[:500])
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
+            record(name, "ok", rows=len(spdf))
             print(f"ok   {name} ({len(spdf)} rows)")
 
     n_run = len([n for n in catalog.QUERIES if not only or n in only])
@@ -185,6 +203,36 @@ def main():
         failures.append("<no queries ran>")
         print("FAIL no queries matched — nothing was verified")
     print(f"\n{max(n_run - len(failures), 0)}/{n_run} pass")
+
+    out_path = os.environ.get("SPARK_GRAFT_CHECK_OUT")
+    if out_path:
+        import json
+        import subprocess
+
+        try:
+            sha = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"], cwd="/root/repo",
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:
+            sha = "unknown"
+        artifact = {
+            "_meta": {
+                "sf_dir": sf_dir,
+                "git_sha": sha,
+                "n_run": n_run,
+                "n_pass": max(n_run - len(failures), 0),
+                "n_fail": len(failures),
+                "staged_env": sorted(
+                    k for k in os.environ if k.startswith("SPARK_GRAFT_REGISTER_")
+                ),
+            },
+            **results,
+        }
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=False)
+        print(f"wrote {out_path}")
+
     spark.stop()
     sys.exit(1 if failures else 0)
 
