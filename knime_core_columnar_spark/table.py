@@ -562,16 +562,25 @@ class ColumnarTable:
             # suffix is appended REPEATEDLY until unique, so the n-th
             # duplicate of 'k' becomes k, k_dup, k_dup_dup, ... — and a
             # pre-existing 'k_dup' key can collide with the renamed
-            # second 'k', which the reference reconciles by iterating.
-            # Renamed keys always end in '_dup', so when NO input key
-            # matches that pattern (the overwhelmingly common case —
-            # probed with one early-out, shuffle-free scan that Catalyst
-            # prunes down to the RowID column), a single suffix pass is
-            # provably collision-free and the result stays LAZY. Only
-            # pattern-matching inputs take the eager iterate-until-unique
-            # path, with the union cached so each convergence probe
-            # doesn't recompute the lineage; the cache is dropped once
-            # the keys converge.
+            # second 'k'. Renamed keys always end in '_dup', so when NO
+            # input key matches that pattern (the overwhelmingly common
+            # case — probed with one early-out, shuffle-free scan that
+            # Catalyst prunes down to the RowID column), a single suffix
+            # pass is provably collision-free and the result stays LAZY.
+            #
+            # Pattern-matching inputs take the SINGLE-PASS exact path:
+            # every key decomposes as root + "_dup"*depth with a
+            # pattern-free root, and collisions can only happen within a
+            # root family. The reference's sequential "append _dup until
+            # unique" is, per family, the parking-function greedy
+            # (row i takes the smallest free slot >= its depth); slots
+            # map back to keys as root + "_dup"*slot. One Arrow-batched
+            # applyInPandas over root families computes it lazily in the
+            # plan — no driver iteration, no convergence probes, no
+            # cache pinning (the old path ran up to 10 suffix passes
+            # with an isEmpty() action each). Cross-family collisions
+            # are impossible: distinct pattern-free roots yield distinct
+            # root+suffix strings.
             def _suffix_pass(u):
                 w = Window.partitionBy(ROW_KEY).orderBy("__src", "__orig")
                 occ = F.row_number().over(w) - 1
@@ -586,23 +595,38 @@ class ColumnarTable:
             if pattern_free:
                 union = _suffix_pass(union)
             else:
-                base = union.persist()
-                union = base
-                try:
-                    for _ in range(10):
-                        union = _suffix_pass(union)
-                        if union.groupBy(ROW_KEY).count().filter("count > 1").isEmpty():
-                            break
-                    else:
-                        raise ValueError(
-                            "concatenate UNIQUIFY_WITH_SUFFIX: RowIDs did not "
-                            "become unique within 10 suffix passes"
-                        )
-                finally:
-                    # Convergence is decided; the final consumption
-                    # recomputes lazily from lineage instead of pinning
-                    # the union in cache for the session's lifetime.
-                    base.unpersist()
+                import pandas as pd
+
+                out_schema = T.StructType(
+                    [f for f in union.schema.fields if f.name != "__root"]
+                )
+
+                def _family_greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                    # rows of ONE root family, reference row order =
+                    # (__src, original key); the greedy's used-set is
+                    # exactly the keys emitted so far in that order
+                    pdf = pdf.sort_values(
+                        ["__src", "__orig"], kind="stable"
+                    ).reset_index(drop=True)
+                    root = pdf["__root"].iat[0]
+                    used: set[int] = set()
+                    keys = []
+                    for orig in pdf["__orig"]:
+                        e = (len(orig) - len(root)) // 4  # trailing _dup count
+                        while e in used:
+                            e += 1
+                        used.add(e)
+                        keys.append(root + "_dup" * e)
+                    pdf[ROW_KEY] = keys
+                    return pdf.drop(columns=["__root"])
+
+                union = (
+                    union.withColumn(
+                        "__root", F.regexp_replace(ROW_KEY, "(_dup)+$", "")
+                    )
+                    .groupBy("__root")
+                    .applyInPandas(_family_greedy, schema=out_schema)
+                )
             union = union.drop("__orig")
         elif row_id_policy is RowIdPolicy.FAIL_ON_DUPLICATES:
             w = Window.partitionBy(ROW_KEY)

@@ -132,16 +132,49 @@ def test_concatenate_uniquify(spark, small):
 def test_concatenate_uniquify_preexisting_dup_keys(spark):
     """A table already containing 'k_dup' collides with the renamed
     second 'k' — the reference reconciles until unique
-    (ColumnarConcatenater.java:252-292); one suffix pass is not enough."""
+    (ColumnarConcatenater.java:252-292). The single-pass parking greedy
+    must give the exact sequential-reference assignment: k(1)→k,
+    k_dup(2)→k_dup, k(3)→k collides→k_dup collides→k_dup_dup."""
     a = ColumnarTable(
         spark.createDataFrame([("k", 1), ("k_dup", 2)], f"{ROW_KEY} string, v int")
     )
     b = ColumnarTable(spark.createDataFrame([("k", 3)], f"{ROW_KEY} string, v int"))
     t = a.concatenate([b], row_id_policy=RowIdPolicy.UNIQUIFY_WITH_SUFFIX)
     rows = {r[ROW_KEY]: r["v"] for r in t.df.collect()}
-    assert len(rows) == 3  # all RowIDs unique
-    assert rows["k"] == 1 and rows["k_dup"] == 2  # first occurrences keep names
-    assert 3 in rows.values()  # the colliding row survived under a new key
+    assert rows == {"k": 1, "k_dup": 2, "k_dup_dup": 3}
+
+
+def test_concatenate_uniquify_pathological_single_pass(spark):
+    """Deep pre-existing suffix chains resolve in ONE pass: no driver
+    convergence loop — exactly two jobs run (the pattern probe and the
+    final collect; the old path added up to 10 isEmpty() probes)."""
+    a = ColumnarTable(
+        spark.createDataFrame(
+            [("k", 1), ("k_dup", 2), ("k_dup_dup", 3), ("z_dup_dup", 9)],
+            f"{ROW_KEY} string, v int",
+        )
+    )
+    b = ColumnarTable(
+        spark.createDataFrame(
+            [("k", 4), ("k_dup", 5), ("z", 8)], f"{ROW_KEY} string, v int"
+        )
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("uniq-pathological", "job-count pin")
+    t = a.concatenate([b], row_id_policy=RowIdPolicy.UNIQUIFY_WITH_SUFFIX)
+    rows = {r[ROW_KEY]: r["v"] for r in t.df.collect()}
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("uniq-pathological"))
+    sc.setJobGroup(None, None)
+    # sequential reference greedy: k→k, k_dup→k_dup, k_dup_dup→k_dup_dup,
+    # z_dup_dup→z_dup_dup, k(4)→slots 0,1,2 used→k_dup_dup_dup,
+    # k_dup(5)→slots 1,2,3 used→k_dup_dup_dup_dup, z(8)→z
+    assert rows == {
+        "k": 1, "k_dup": 2, "k_dup_dup": 3, "z_dup_dup": 9,
+        "k_dup_dup_dup": 4, "k_dup_dup_dup_dup": 5, "z": 8,
+    }
+    assert len(set(rows)) == 7
+    # one probe + one collect; the greedy itself is plan-embedded
+    assert n_jobs <= 3, f"expected <=3 jobs, saw {n_jobs}"
 
 
 def test_concatenate_regenerate(spark, small):
