@@ -509,11 +509,59 @@ def read_knime_arrow(
     return table
 
 
+def _struct_dict_encode_array(arr):
+    """Per-batch struct-dict encoding of one String/VarBinary array —
+    the storage layout the reference writes when dict encoding is on
+    (AbstractOnHeapArrowDictEncodedData.java:89-91: child "0" = dict
+    key, child "1" = dict entry; keys ascend in first-appearance order,
+    DictKeys.java:94-146, and the entry is populated ONLY at the key's
+    first occurrence — later rows carry the key alone). Vectorized:
+    Arrow dictionary_encode assigns first-appearance-ordered indices;
+    numpy finds first-occurrence rows; no per-row Python."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    valid = np.asarray(arr.is_valid())
+    enc = pc.dictionary_encode(arr)
+    idx = np.asarray(pc.fill_null(enc.indices.cast(pa.int64()), 0))
+    vi = np.arange(n, dtype=np.int64)[valid]
+    vk = idx[valid]
+    _, first_pos = np.unique(vk, return_index=True)
+    is_first = np.zeros(n, dtype=bool)
+    is_first[vi[first_pos]] = True
+    entries = pc.if_else(pa.array(is_first), arr, pa.nulls(n, arr.type))
+    # LONG_KEY storage (uint64) — the widest ascending generator; the
+    # extension type accepts u8/u32/u64 (StructDictEncodedExtensionType
+    # .java:101-111) and u64 never exhausts keys mid-batch
+    keys = pa.array(idx.astype(np.uint64), mask=~valid)
+    return pa.StructArray.from_arrays(
+        [keys, entries], names=["0", "1"],
+        mask=pa.array(~valid) if not valid.all() else None,
+    )
+
+
+def _struct_dict_field(name: str, value_type) -> "Any":
+    import pyarrow as pa
+
+    storage = pa.struct(
+        [pa.field("0", pa.uint64()), pa.field("1", value_type)]
+    )
+    return pa.field(
+        name, storage, nullable=True,
+        metadata={EXT_NAME_KEY: STRUCT_DICT_EXT.encode(), EXT_META_KEY: b""},
+    )
+
+
 def write_knime_arrow(
     table: ColumnarTable,
     path: str,
     chunk_size: int = 28_000,
     compression: str | None = "lz4",
+    dict_encode: bool = True,
 ) -> int:
     """Write a single Arrow IPC file with the KNIME envelope — the
     footer/schema metadata keys the reference stamps on its stores
@@ -534,17 +582,42 @@ def write_knime_arrow(
     footprint. KNIME's modern reader and ``read_knime_arrow`` both
     understand it natively (only the LEGACY LZ4-*block* codec needs
     the custom decompressor above). ``compression=None`` writes
-    uncompressed (readable by every KNIME version)."""
+    uncompressed (readable by every KNIME version).
+
+    ``dict_encode=True`` (default, matching the reference's store
+    builder default — DefaultColumnarBatchStore.java:282-287) writes
+    String/VarBinary DATA columns as per-batch
+    ``knime.struct_dict_encoded`` storage structs (child "0" = uint64
+    ascending dict key, child "1" = value at its first occurrence
+    only). The RowID column stays plain: its values are unique by
+    contract, so dict encoding it would be pure overhead."""
     import pyarrow as pa
     import pyarrow.ipc
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    from knime_core_columnar_spark.schema import ROW_KEY
+
     df = table.df
     n_cols = len(to_arrow_schema(df.schema))
     # combine first: toArrow() chunks at Spark partition boundaries,
     # which would leak into the batch geometry instead of chunk_size
-    arrow_table = df.toArrow().combine_chunks().replace_schema_metadata(
+    arrow_table = df.toArrow().combine_chunks()
+    schema = arrow_table.schema
+    dict_cols = [
+        f.name
+        for f in schema
+        if dict_encode
+        and f.name != ROW_KEY
+        and (pa.types.is_string(f.type) or pa.types.is_large_string(f.type)
+             or pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type))
+        and not (f.metadata or {}).get(EXT_NAME_KEY)
+    ]
+    out_fields = [
+        _struct_dict_field(f.name, f.type) if f.name in dict_cols else f
+        for f in schema
+    ]
+    out_schema = pa.schema(out_fields).with_metadata(
         {
             KNIME_CHUNK_SIZE_KEY: str(chunk_size),
             KNIME_FACTORY_VERSIONS_KEY: ",".join(["0"] * n_cols),
@@ -553,7 +626,20 @@ def write_knime_arrow(
     total = arrow_table.num_rows
     opts = pa.ipc.IpcWriteOptions(compression=compression)
     with pa.OSFile(path, "wb") as sink:
-        with pa.ipc.new_file(sink, arrow_table.schema, options=opts) as writer:
+        with pa.ipc.new_file(sink, out_schema, options=opts) as writer:
             for batch in arrow_table.to_batches(max_chunksize=chunk_size):
+                if dict_cols:
+                    # per-batch dictionaries (keys restart each batch),
+                    # exactly the reference's replacement-dictionary
+                    # geometry
+                    cols = [
+                        _struct_dict_encode_array(batch.column(i))
+                        if schema.field(i).name in dict_cols
+                        else batch.column(i)
+                        for i in range(batch.num_columns)
+                    ]
+                    batch = pa.RecordBatch.from_arrays(
+                        cols, schema=out_schema.remove_metadata()
+                    )
                 writer.write_batch(batch)
     return total

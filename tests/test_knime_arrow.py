@@ -124,8 +124,15 @@ def test_write_lz4_frame_compressed_roundtrip(spark, tmp_path):
     )
     lz4_path = str(tmp_path / "compressed.arrow")
     raw_path = str(tmp_path / "uncompressed.arrow")
-    assert write_knime_arrow(t, lz4_path, chunk_size=100) == 400
-    assert write_knime_arrow(t, raw_path, chunk_size=100, compression=None) == 400
+    # dict_encode=False isolates the CODEC's effect: with dict encoding
+    # on (the default), the repeated strings are already deduplicated
+    # before compression and the 3x ratio would be unmeasurable
+    assert write_knime_arrow(
+        t, lz4_path, chunk_size=100, dict_encode=False
+    ) == 400
+    assert write_knime_arrow(
+        t, raw_path, chunk_size=100, compression=None, dict_encode=False
+    ) == 400
 
     import os
 
@@ -144,6 +151,68 @@ def test_write_lz4_frame_compressed_roundtrip(spark, tmp_path):
         assert got == {
             f"Row{i}": (i, "the quick brown fox " * 20) for i in range(400)
         }
+
+
+def test_write_dict_encoded_roundtrip_and_layout(spark, tmp_path):
+    """Default write struct-dict-encodes String/VarBinary data columns
+    per batch (DefaultColumnarBatchStore.java:282-287): on-disk layout
+    is struct<"0" uint64, "1" value> with the knime.struct_dict_encoded
+    extension tag, keys ascend in first-appearance order and RESTART
+    each batch, each entry materializes once, RowID stays plain — and
+    the file round-trips value-exactly through read_knime_arrow."""
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    from knime_core_columnar_spark.sources.knime_arrow import write_knime_arrow
+    from knime_core_columnar_spark.table import ColumnarTable
+
+    colors = ["red", "green", "blue"]
+    rows = [
+        (f"Row{i}", colors[i % 3] if i % 7 else None, i) for i in range(120)
+    ]
+    t = ColumnarTable(
+        spark.createDataFrame(rows, "_row_key string, c string, n long")
+    )
+    path = str(tmp_path / "dictenc.arrow")
+    assert write_knime_arrow(t, path, chunk_size=40, compression=None) == 120
+
+    with pa.memory_map(path) as src:
+        rd = pa.ipc.open_file(src)
+        sch = rd.schema
+        f_c = sch.field("c")
+        assert pa.types.is_struct(f_c.type)
+        assert f_c.type.field(0).name == "0"
+        assert f_c.type.field(0).type == pa.uint64()
+        assert f_c.type.field(1).type == pa.string()
+        assert (f_c.metadata or {})[b"ARROW:extension:name"] == (
+            b"knime.struct_dict_encoded"
+        )
+        # RowID column NOT dict-encoded
+        assert pa.types.is_string(sch.field("_row_key").type) or (
+            pa.types.is_large_string(sch.field("_row_key").type)
+        )
+        assert rd.num_record_batches == 3
+        b0 = rd.get_batch(0).column(sch.get_field_index("c"))
+        # per-batch dictionary: each batch's keys start at 0 and every
+        # entry appears exactly once
+        ent = [v for v in b0.field(1).to_pylist() if v is not None]
+        assert sorted(ent) == sorted(set(ent))
+        keys0 = [v for v in b0.field(0).to_pylist() if v is not None]
+        assert min(keys0) == 0
+        b2 = rd.get_batch(2).column(sch.get_field_index("c"))
+        keys2 = [v for v in b2.field(0).to_pylist() if v is not None]
+        assert min(keys2) == 0  # keys restart per batch
+
+    back = read_knime_arrow(spark, path)
+    got = {r["_row_key"]: (r["c"], r["n"]) for r in back.df.collect()}
+    assert got == {k: (c, n) for k, c, n in rows}
+    # opting out writes plain columns
+    plain = str(tmp_path / "plain.arrow")
+    write_knime_arrow(t, plain, chunk_size=40, compression=None,
+                      dict_encode=False)
+    with pa.memory_map(plain) as src:
+        sch = pa.ipc.open_file(src).schema
+        assert not pa.types.is_struct(sch.field("c").type)
 
 
 def test_lz4_block_golden_values(spark):
