@@ -8059,3 +8059,60 @@ register_r9_queries()
 # batches and rotate the driver window onto _DRIVER_WINDOW_R5. Runs at
 # import time so the driver's `queries()` sees the rotated 50-name head.
 apply_round5_layout()
+
+
+# ---------------------------------------------------------------------------
+# ROUND-6 PLAYBOOK (for the next session, once CORRECTNESS_r05 lands
+# green): one-line flip — replace the `apply_round5_layout()` call above
+# with `apply_round6_layout()`. That registers the staged R7+R8 batches
+# (atop R5+R6, which apply_round6_layout re-applies first) and rotates
+# the window onto _DRIVER_WINDOW_R6: the 10 R7+R8 names (first driver
+# check) + 40 rotation greens whose driver evidence is oldest (r02-era,
+# not already re-checked by the round-5 rotation). After round 5 every
+# registered name has a driver row, so there are no never-checked
+# leftovers. Round 7 then registers R9 (register_r9_queries(force=True))
+# and the staging program is complete — see README §Staging.
+# test_round6_layout_prestaged pins the mechanics.
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW_R6 = [
+    # the staged r7+r8 batches, registered by apply_round6_layout()
+    'cms_frequency', 'set_similarity_join', 'golden_record',
+    'source_quota_sample', 'cluster_consensus_lang', 'join_explosion_profile',
+    'source_similarity', 'length_bucketed_batches', 'novelty_scores',
+    'stream_quota_admission',
+    # 40 rotation greens, oldest driver evidence first (r02-era rows
+    # that were not part of the round-5 rotation)
+    'json_extract', 'q12_priority_class',
+    'concat_uniquify', 'q4_order_priority', 'q6_forecast_revenue',
+    'q7_nation_volume', 'q8_market_share', 'q10_returned_items',
+    'q13_custdist', 'q14_promo_revenue', 'q15_top_supplier',
+    'q17_small_qty_revenue', 'q18_large_orders', 'q19_disjunctive',
+    'q22_idle_balance', 'asof_join_events', 'asof_forward_events',
+    'range_join_events', 'moment_stats', 'corr_stats',
+    'ann_topk_lsh', 'embedding_neardup_lsh', 'hash_split_stats',
+    'stratified_sample_stats', 'zscore_normalize', 'iqr_outliers',
+    'salted_join_skew', 'bucketed_join', 'upsert_orders',
+    'events_dedup_latest', 'argmax_per_group', 'fuzzy_match_names',
+    'tfidf_top_terms', 'chunk_documents', 'doc_repetition',
+    'quality_filter_flags', 'multimodal_meta', 'video_frame_sample',
+    'session_windows_batch', 'sliding_windows_batch',
+]
+
+
+def apply_round6_layout() -> None:
+    """Round-6 flip: register the staged r7+r8 batches (r5+r6 first, for
+    call-order independence) and rotate the driver window onto
+    _DRIVER_WINDOW_R6 (50 slots: 10 freshly staged + 40 rotation
+    greens). Greens = everything driver-checked through round 5."""
+    register_r5_queries(force=True)
+    register_r6_queries(force=True)
+    register_r7_queries(force=True)
+    register_r8_queries(force=True)
+    assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
+    _reorder_for_window(
+        _DRIVER_WINDOW_R6,
+        set(_DRIVER_GREEN_R123)
+        | set(_DRIVER_WINDOW_R4)
+        | set(_DRIVER_WINDOW_R5),
+    )

@@ -318,13 +318,21 @@ class ColumnarTable:
         ColumnarVirtualTable.java:432-436; offset persisted by ROWINDEX
         (TableTransformNodeSettingsPersistor.java:408-411).
 
-        Contiguous indices need a total order ⇒ one shuffle
-        (row_number over a global window). Keep opt-in on big tables;
-        for scale-path needs prefer zip_with_index() (no global sort).
-        """
+        Contiguous indices need a total order ⇒ one distributed
+        range-partitioned sort (``sampling.global_index``, the two-phase
+        zipWithIndex) — NOT a ``row_number`` over a global window, which
+        would funnel every row through one reducer at 100 TB. The
+        default order (RowID) is total; a caller-supplied ``order_by``
+        should include a unique tie-break or positions within ties are
+        partition-order-dependent (the same caveat a global-window
+        row_number has). ``zip_with_index()`` stays the cheaper O(scan)
+        alternative when no semantic order is needed."""
+        from knime_core_columnar_spark.operators.sampling import global_index
+
         ob = [F.expr(o) if isinstance(o, str) else o for o in (order_by or [F.col(ROW_KEY)])]
-        w = Window.orderBy(*ob)
-        df = self._df.withColumn(name, (F.row_number().over(w) - 1 + offset).cast("long"))
+        df = global_index(self._df, ob, name)
+        if offset:
+            df = df.withColumn(name, (F.col(name) + offset).cast("long"))
         return self._wrap(df)
 
     def zip_with_index(self, name: str = "_row_index", offset: int = 0) -> "ColumnarTable":
@@ -553,10 +561,21 @@ class ColumnarTable:
             union = union.unionByName(p)
 
         if row_id_policy is RowIdPolicy.REGENERATE:
-            w = Window.orderBy("__src", ROW_KEY)
-            union = union.withColumn(
-                ROW_KEY, F.concat(F.lit("Row"), (F.row_number().over(w) - 1).cast("string"))
+            # Row0..RowN-1 in (table, key) order WITHOUT a single-task
+            # global window: the range-partitioned two-phase index
+            # (sampling.global_index) — the old row_number().over(
+            # Window.orderBy(...)) funneled the whole union through one
+            # reducer, a scale-killer at 100 TB
+            from knime_core_columnar_spark.operators.sampling import (
+                global_index,
             )
+
+            union = global_index(
+                union, [F.col("__src"), F.col(ROW_KEY)], "__pos"
+            )
+            union = union.withColumn(
+                ROW_KEY, F.concat(F.lit("Row"), F.col("__pos").cast("string"))
+            ).drop("__pos")
         elif row_id_policy is RowIdPolicy.UNIQUIFY_WITH_SUFFIX:
             # Reference parity (ColumnarConcatenater.java:252-292): the
             # suffix is appended REPEATEDLY until unique, so the n-th

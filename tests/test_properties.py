@@ -81,6 +81,59 @@ def test_concatenate_uniquify_preserves_multiplicity(spark_session, vals):
     assert all(k.endswith("_dup") or not k.endswith("_dup") for k in keys)
 
 
+def _reference_uniquify(keys: list[str]) -> list[str]:
+    """Brute-force simulation of the reference's sequential semantics
+    (ColumnarConcatenater.java:252-292): process rows in order, append
+    '_dup' until the key is not among the keys emitted so far."""
+    used: set[str] = set()
+    out = []
+    for k in keys:
+        while k in used:
+            k = k + "_dup"
+        used.add(k)
+        out.append(k)
+    return out
+
+
+@given(
+    roots=st.lists(
+        st.tuples(
+            st.sampled_from(["k", "key", "x_dup", "a"]),
+            st.integers(min_value=0, max_value=3),  # pre-existing depth
+        ),
+        min_size=1, max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_concatenate_uniquify_matches_sequential_reference(
+    spark_session, roots
+):
+    """DIFFERENTIAL: the single-pass parking greedy must equal the
+    reference's sequential append-until-unique on arbitrary mixes of
+    pre-suffixed keys — including roots that themselves end in _dup
+    (x_dup: depth parsing must not strip the root's own suffix into the
+    family of 'x'). Keys are fed as ONE table so the row order the
+    implementation uses (src, then original key) is reproducible: the
+    reference simulation consumes the same sorted order."""
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.table import ColumnarTable, RowIdPolicy
+
+    keys = [root + "_dup" * d for root, d in roots]
+    # implementation order within one table is (src, original key):
+    # replicate it for the sequential reference
+    ordered = sorted(keys)
+    expect = sorted(_reference_uniquify(ordered))
+    df = spark_session.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "_row_key string, v int"
+    )
+    t = ColumnarTable(df)
+    out = t.concatenate([], row_id_policy=RowIdPolicy.UNIQUIFY_WITH_SUFFIX)
+    got = sorted(r["_row_key"] for r in out.df.collect())
+    assert got == expect
+    assert len(set(got)) == len(keys)
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     text=st.text(

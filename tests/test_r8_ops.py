@@ -231,6 +231,33 @@ def test_r8_staged_registration_flips_cleanly():
         assert len(catalog.QUERIES) == n_before
 
 
+def test_round6_layout_prestaged():
+    """Playbook insurance for the round-6 flip: apply_round6_layout
+    registers r7+r8 (183 total minus r9's 5) and puts the 50-name
+    round-6 window at the head of QUERIES; every window name resolves
+    to a callable."""
+    from knime_core_columnar_spark import catalog
+
+    snap_q = dict(catalog.QUERIES)
+    snap_o = dict(catalog.ORACLES)
+    try:
+        catalog.apply_round6_layout()
+        names = list(catalog.QUERIES)
+        assert len(names) == len(snap_q) + 10
+        assert names[:50] == catalog._DRIVER_WINDOW_R6
+        assert set(catalog.ORACLES) <= set(catalog.QUERIES)
+        for n in catalog._DRIVER_WINDOW_R6:
+            assert callable(catalog.QUERIES[n])
+        # the 10 staged names head the window (first driver check)
+        staged = set(catalog._R7_STAGED) | set(catalog._R8_STAGED)
+        assert set(names[:10]) == staged
+    finally:
+        catalog.QUERIES.clear()
+        catalog.QUERIES.update(snap_q)
+        catalog.ORACLES.clear()
+        catalog.ORACLES.update(snap_o)
+
+
 def test_round5_layout_is_applied_and_idempotent():
     """The round-5 flip ran at import time: the staged r5+r6 batches are
     registered (168 total) and the 50-name round-5 window heads QUERIES.
@@ -248,6 +275,10 @@ def test_round5_layout_is_applied_and_idempotent():
     snap_q = dict(catalog.QUERIES)
     snap_o = dict(catalog.ORACLES)
     catalog.apply_round5_layout()
-    assert list(catalog.QUERIES) == list(snap_q)
+    # same catalog contents and the same 50-name window head. Full-list
+    # order equality is deliberately NOT asserted: other tests may have
+    # force-registered extra queries (e.g. partsupp) whose slot between
+    # "never-checked" and "greens" legitimately moves on re-layout.
     assert catalog.QUERIES == snap_q
     assert catalog.ORACLES == snap_o
+    assert list(catalog.QUERIES)[:50] == catalog._DRIVER_WINDOW_R5

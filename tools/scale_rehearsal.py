@@ -36,10 +36,16 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          "ann_topk_ivf", "unigram_lm_quality", "token_shards",
          # round-4-continued additions (documents/embeddings-based)
          "heavy_hitter_tokens", "duplicate_span_profile",
-         "hybrid_search_rrf"]
+         "hybrid_search_rrf",
+         # round-5: the connected-components family (part-based; the
+         # synthesizer emits decorrelated part replicas for these)
+         "entity_resolution", "golden_record", "neardup_clusters"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
+    """Per-table: each table is only written if absent, so adding a new
+    table to the rehearsal set does not force re-synthesizing the rest
+    in pre-existing replica directories."""
     from pyspark.sql import functions as F
 
     n_docs, n_vecs = 5000, 2000
@@ -47,7 +53,10 @@ def synthesize(spark, out_dir: str, r: int) -> None:
     vecs = spark.read.parquet(f"{BASE}/embeddings.parquet")
     reps = spark.range(r).withColumnRenamed("id", "__k")
 
-    d = (
+    if os.path.exists(f"{out_dir}/documents.parquet"):
+        d = None
+    else:
+        d = (
         docs.crossJoin(reps)
         .select(
             (F.col("doc_id") + F.col("__k") * n_docs).alias("doc_id"),
@@ -68,11 +77,12 @@ def synthesize(spark, out_dir: str, r: int) -> None:
             ).alias("text"),
             "lang", "source",
         )
-        .withColumn("n_chars", F.length("text"))
-    )
-    d.repartition(max(1, r // 2)).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
-    )
+            .withColumn("n_chars", F.length("text"))
+        )
+    if d is not None:
+        d.repartition(max(1, r // 2)).write.mode("overwrite").parquet(
+            f"{out_dir}/documents.parquet"
+        )
 
     v = (
         vecs.crossJoin(reps)
@@ -93,9 +103,44 @@ def synthesize(spark, out_dir: str, r: int) -> None:
             "label",
         )
     )
-    v.repartition(max(1, r // 10)).write.mode("overwrite").parquet(
-        f"{out_dir}/embeddings.parquet"
+    if not os.path.exists(f"{out_dir}/embeddings.parquet"):
+        v.repartition(max(1, r // 10)).write.mode("overwrite").parquet(
+            f"{out_dir}/embeddings.parquet"
+        )
+
+    # part: replica k keeps every within-replica name relationship
+    # (entity cliques, blocks, edit distances) and makes replicas
+    # mutually invisible: the LAST name token (the blocking key) gets a
+    # 6-hex suffix derived from (block, k), so two rows of one replica
+    # share a block/edit-distance iff their originals did — the suffix
+    # is identical within (block, k) and cancels out of the Levenshtein
+    # — while cross-replica rows land in disjoint blocks. Duplicate
+    # DENSITY therefore stays constant as the corpus grows (the same
+    # argument as the documents decorrelation above); the entity graph
+    # becomes R disjoint copies, so superstep count is scale-invariant
+    # by construction and the rehearsal measures pure volume.
+    n_parts = 20_000
+    part = spark.read.parquet(f"{BASE}/part.parquet")
+    pk = (
+        part.crossJoin(reps)
+        .select(
+            (F.col("p_partkey") + F.col("__k") * n_parts).alias("p_partkey"),
+            F.concat(
+                F.col("p_name"), F.lit("-"),
+                F.substring(
+                    F.md5(F.concat(
+                        F.element_at(F.split("p_name", " "), -1),
+                        F.lit("|"), F.col("__k").cast("string"),
+                    )), 1, 6,
+                ),
+            ).alias("p_name"),
+            "p_brand", "p_type", "p_size", "p_retailprice",
+        )
     )
+    if not os.path.exists(f"{out_dir}/part.parquet"):
+        pk.repartition(max(1, r // 4)).write.mode("overwrite").parquet(
+            f"{out_dir}/part.parquet"
+        )
 
 
 def main():
@@ -114,7 +159,11 @@ def main():
 
     for r in factors:
         sf_dir = BASE if r == 1 else f"{out_root}/x{r}"
-        if r != 1 and not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        need = any(
+            not os.path.exists(f"{sf_dir}/{t}.parquet")
+            for t in ("documents", "embeddings", "part")
+        )
+        if r != 1 and need:
             t0 = time.perf_counter()
             synthesize(spark, sf_dir, r)
             print(f"# synthesized x{r} in {time.perf_counter()-t0:.1f}s",
