@@ -572,6 +572,45 @@ def test_golden_record_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_entity_resolution_two_tier_collapse(spark):
+    """The blocked-Levenshtein join must consume the DISTINCT-name
+    aggregate (exact tier), not raw part rows: every levenshtein()
+    evaluation sits above a HashAggregate on (p_name, block), and the
+    thresholded 3-arg form is used (banded DP with early exit). Guards
+    the round-5 clique-contraction from silently regressing to the
+    5.5M-record-pair plan. Pinned on fuzzy_match_names — the one
+    consumer whose whole derivation stays lazy (entity_resolution and
+    golden_record share the identical pair-derivation code but execute
+    it eagerly inside connected_components, so their final plan only
+    shows the post-CC assignment; the no-cartesian pin below covers
+    them)."""
+    import re
+
+    from knime_core_columnar_spark import catalog
+
+    df = catalog.QUERIES["fuzzy_match_names"](spark, SF)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"levenshtein\([^)]*\)?\)", p)
+    assert m, "no levenshtein in plan"
+    # optimized plan renders the threshold as Some(2)
+    assert "Some(2)" in m.group(0), f"unthresholded DP: {m.group(0)}"
+    # the join feeding the DP aggregates names first: an Aggregate on
+    # p_name must appear BELOW the first levenshtein in the tree
+    lev_pos = p.find("levenshtein")
+    agg_pos = p.find("Aggregate [", lev_pos)
+    assert agg_pos != -1, "no name-collapse aggregate below the DP"
+    assert "p_name" in p[agg_pos : agg_pos + 250]
+    # length-gap pre-filter present
+    assert "length(" in p
+    assert "CartesianProduct" not in p and "Nested" not in p
+
+    # the eager consumers: still never cartesian/nested-loop
+    for name in ("entity_resolution",):
+        q = catalog.QUERIES[name](spark, SF)
+        ep = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "CartesianProduct" not in ep and "Nested" not in ep, name
+
+
 def test_join_explosion_profile_broadcast_no_full_groupby_shuffle(spark):
     """Pre-flight profiler: both candidate recounts broadcast their
     (sketch-bounded) candidate sets; the final heavy⋈heavy join is

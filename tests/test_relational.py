@@ -327,3 +327,35 @@ def test_table_fingerprint_empty_table(spark):
     df = spark.createDataFrame([], "k int, s string")
     rows = {r[0]: (r[1], r[2]) for r in table_fingerprint(df).collect()}
     assert rows == {"__table__": (0, 0), "k": (0, 0), "s": (0, 0)}
+
+
+def test_fuzzy_match_names_count_reconstruction(spark, tmp_path):
+    """Hand-computed check of the aggregate-through-the-join counting in
+    the catalog's fuzzy_match_names: record-level n_pairs/n_left must
+    reconstruct exactly from name-level aggregates — including the
+    neighbor-max rule that makes a multi-record name's max-id record a
+    LEFT only when a verified neighbor name has a bigger id."""
+    from knime_core_columnar_spark import catalog
+
+    rows = [
+        # "red apple" x3 -> clique pairs (1,2),(1,3),(2,3)
+        (1, "red apple"), (2, "red apple"), (3, "red apple"),
+        # "ted apple" (lev 1 vs "red apple", same block) -> cross pairs
+        # (1,10),(2,10),(3,10); id 10 > maxid(red apple)=3, so record 3
+        # is also a left via the cross pair
+        (10, "ted apple"),
+        # same block, length gap > 2 -> never verified
+        (20, "navy zzzz apple"),
+        # lone name in its own block -> block must not appear
+        (30, "blue rock"),
+    ]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    got = {
+        r["block"]: (r["n_pairs"], r["n_left"])
+        for r in catalog.QUERIES["fuzzy_match_names"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # record-level ground truth: 3 same-name + 3 cross pairs, lefts {1,2,3}
+    assert got == {"apple": (6, 3)}
