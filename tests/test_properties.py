@@ -293,3 +293,69 @@ def test_triangle_counts_match_bruteforce(spark_session, edges):
         r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
     }
     assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    parts=st.lists(
+        st.sampled_from(
+            # last token = block; names engineered so some cross-name
+            # pairs verify (lev<=2) and some miss on the length gap
+            ["red apple", "ted apple", "tedd apple", "navy zzzz apple",
+             "blue rock", "blue sock", "bluee rock"]
+        ),
+        min_size=1, max_size=14,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_fuzzy_match_counts_match_record_bruteforce(
+    spark_session, tmp_path_factory, parts
+):
+    """DIFFERENTIAL: the name-collapsed fuzzy_match_names must equal a
+    record-level brute force (all within-block pairs, python
+    Levenshtein) on arbitrary multiplicity mixes — the clique/cross/
+    neighbor-max reconstruction has to survive every combination of
+    duplicated and unique names."""
+    from knime_core_columnar_spark import catalog
+
+    rows = [(i + 1, name) for i, name in enumerate(parts)]
+    # brute force at record level
+    import collections
+
+    by_block = collections.defaultdict(list)
+    for pid, name in rows:
+        by_block[name.rsplit(" ", 1)[-1]].append((pid, name))
+    expect = {}
+    for blk, members in by_block.items():
+        n_pairs, lefts = 0, set()
+        for i in range(len(members)):
+            for j in range(len(members)):
+                (ia, na), (ib, nb) = members[i], members[j]
+                if ia < ib and _lev(na, nb) <= 2:
+                    n_pairs += 1
+                    lefts.add(ia)
+        if n_pairs:
+            expect[blk] = (n_pairs, len(lefts))
+
+    d = tmp_path_factory.mktemp("fuzzy")
+    spark_session.createDataFrame(
+        rows, "p_partkey long, p_name string"
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    got = {
+        r["block"]: (r["n_pairs"], r["n_left"])
+        for r in catalog.QUERIES["fuzzy_match_names"](
+            spark_session, str(d)
+        ).collect()
+    }
+    assert got == expect
