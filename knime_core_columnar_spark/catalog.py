@@ -7479,8 +7479,121 @@ def _r7_cluster_consensus_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_RULES_ORACLE = """
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+                  AS DOUBLE) / greatest(len(toks), 1) AS mean_wl,
+             CAST(len(list_filter(toks, x -> contains(x, '#')
+                                        OR contains(x, '...'))) AS DOUBLE)
+               / greatest(len(toks), 1) AS symbol_ratio,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / greatest(len(toks), 1) AS alpha_ratio,
+             len(list_filter(toks, x -> list_contains(
+                 ['the','be','to','of','and','that','have','with'],
+                 lower(x)))) AS n_stop
+      FROM s
+    ), r AS (
+      SELECT doc_id, n_words, mean_wl, symbol_ratio, alpha_ratio, n_stop,
+             list_filter([
+               CASE WHEN n_words < 20 THEN 'too_few_words' END,
+               CASE WHEN n_words > 80 THEN 'too_many_words' END,
+               CASE WHEN mean_wl < 3.2 THEN 'mean_word_len_low' END,
+               CASE WHEN mean_wl > 4.2 THEN 'mean_word_len_high' END,
+               CASE WHEN symbol_ratio > 0.1 THEN 'symbol_ratio_high' END,
+               CASE WHEN alpha_ratio < 0.8 THEN 'alpha_ratio_low' END,
+               CASE WHEN n_stop < 1 THEN 'too_few_stopwords' END
+             ], x -> x IS NOT NULL) AS reasons
+      FROM m
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(mean_wl, 6) AS mean_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           CAST(n_stop AS BIGINT) AS n_stopwords,
+           len(reasons) = 0 AS keep,
+           coalesce(array_to_string(reasons, ','), '') AS fail_reasons
+    FROM r
+"""
+
+
+def _r7_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery (operators.text.gopher_rules) with thresholds
+    fitted to the synthetic corpus (20-80 words, mean word length
+    3.2-4.2, >=1 stopword) so keeps and every fail reason both occur.
+    One scan, zero shuffles: all seven rules are array expressions over
+    the token split, and the fail_reasons audit column is built from
+    the same conditions — no second pass, no Python."""
+    from knime_core_columnar_spark.operators.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_rules(
+        d, min_words=20, max_words=80, min_mean_word_len=3.2,
+        max_mean_word_len=4.2, max_symbol_ratio=0.1,
+        min_alpha_ratio=0.8, min_stopwords=1,
+    )
+
+
+C4_LINE_FILTER_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS text2
+      FROM documents
+    ), s AS (
+      SELECT doc_id, text2,
+             list_filter(list_transform(string_split(text2, chr(10)),
+                                        x -> trim(x)),
+                         x -> x <> '') AS lines
+      FROM t
+    ), k AS (
+      SELECT doc_id, text2, lines,
+             list_filter(lines, x ->
+                 len(list_filter(string_split_regex(x, '\\s+'),
+                                 w -> w <> '')) >= 4
+                 AND regexp_matches(x, '[.!?"'']$')
+                 AND NOT contains(lower(x), 'javascript')
+                 AND NOT contains(lower(x), '{')) AS kept
+      FROM s
+    )
+    SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+           (len(kept) >= 2
+            AND NOT contains(lower(text2), 'lorem ipsum')) AS keep
+    FROM k
+"""
+
+
+def _r7_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaner (operators.text.c4_line_filter). The
+    synthetic corpus has no natural newlines, so the query first
+    synthesizes line structure deterministically — every literal
+    ' table ' becomes '.' + newline (identical left-to-right
+    non-overlapping replace in both engines) — then applies the real
+    operator: terminal-punctuation + min-4-words + blocklist line
+    rules, document dropped under 2 surviving lines. Pure Catalyst
+    (split / filter / array_join), no explode, no shuffle."""
+    from knime_core_columnar_spark.operators.text import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit(".\n"))
+    )
+    return c4_line_filter(
+        d2, min_words_per_line=4, require_terminal_punct=True,
+        min_kept_lines=2,
+    )
+
+
 _R7_STAGED: dict[str, tuple] = {
     "cms_frequency": (_r7_cms_frequency, CMS_FREQUENCY_ORACLE),
+    "gopher_rules": (_r7_gopher_rules, GOPHER_RULES_ORACLE),
+    "c4_line_filter": (_r7_c4_line_filter, C4_LINE_FILTER_ORACLE),
     "set_similarity_join": (_r7_set_similarity_join, SET_SIMILARITY_JOIN_ORACLE),
     "golden_record": (_r7_golden_record, GOLDEN_RECORD_ORACLE),
     "source_quota_sample": (_r7_source_quota_sample, SOURCE_QUOTA_SAMPLE_ORACLE),
@@ -8066,8 +8179,9 @@ apply_round5_layout()
 # green): one-line flip — replace the `apply_round5_layout()` call above
 # with `apply_round6_layout()`. That registers the staged R7+R8 batches
 # (atop R5+R6, which apply_round6_layout re-applies first) and rotates
-# the window onto _DRIVER_WINDOW_R6: the 10 R7+R8 names (first driver
-# check) + 40 rotation greens whose driver evidence is oldest (r02-era,
+# the window onto _DRIVER_WINDOW_R6: the 12 R7+R8 names (first driver
+# check; includes round-5's gopher_rules + c4_line_filter additions)
+# + 38 rotation greens whose driver evidence is oldest (r02-era,
 # not already re-checked by the round-5 rotation). After round 5 every
 # registered name has a driver row, so there are no never-checked
 # leftovers. Round 7 then registers R9 (register_r9_queries(force=True))
@@ -8077,7 +8191,8 @@ apply_round5_layout()
 
 _DRIVER_WINDOW_R6 = [
     # the staged r7+r8 batches, registered by apply_round6_layout()
-    'cms_frequency', 'set_similarity_join', 'golden_record',
+    'cms_frequency', 'gopher_rules', 'c4_line_filter',
+    'set_similarity_join', 'golden_record',
     'source_quota_sample', 'cluster_consensus_lang', 'join_explosion_profile',
     'source_similarity', 'length_bucketed_batches', 'novelty_scores',
     'stream_quota_admission',
@@ -8096,14 +8211,13 @@ _DRIVER_WINDOW_R6 = [
     'events_dedup_latest', 'argmax_per_group', 'fuzzy_match_names',
     'tfidf_top_terms', 'chunk_documents', 'doc_repetition',
     'quality_filter_flags', 'multimodal_meta', 'video_frame_sample',
-    'session_windows_batch', 'sliding_windows_batch',
 ]
 
 
 def apply_round6_layout() -> None:
     """Round-6 flip: register the staged r7+r8 batches (r5+r6 first, for
     call-order independence) and rotate the driver window onto
-    _DRIVER_WINDOW_R6 (50 slots: 10 freshly staged + 40 rotation
+    _DRIVER_WINDOW_R6 (50 slots: 12 freshly staged + 38 rotation
     greens). Greens = everything driver-checked through round 5."""
     register_r5_queries(force=True)
     register_r6_queries(force=True)

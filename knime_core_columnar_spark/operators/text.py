@@ -482,3 +482,149 @@ def build_vocab(
     return global_index(
         vocab, [F.col("count").desc(), F.col("token")], id_col
     ).select("token", "count", id_col)
+
+
+# ---------------------------------------------------------------------------
+# Rule-based document quality filters (Gopher / C4 families)
+# ---------------------------------------------------------------------------
+
+#: Rule names emitted by :func:`gopher_rules`, in the order they are
+#: evaluated. Shared with the DuckDB oracle so the reasons arrays are
+#: bit-identical across engines.
+GOPHER_RULE_NAMES = (
+    "too_few_words",
+    "too_many_words",
+    "mean_word_len_low",
+    "mean_word_len_high",
+    "symbol_ratio_high",
+    "alpha_ratio_low",
+    "too_few_stopwords",
+)
+
+#: The Gopher paper's stopword-presence marker set (Rae et al. 2021,
+#: table A1 uses a small English function-word list).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style rule battery (Rae et al. 2021 §A.1.1): word count
+    bounds, mean word length bounds, symbol-to-word ratio (# and
+    ellipsis), fraction of words containing an alphabetic character,
+    and stopword presence. Unlike a scalar ``quality_score``, every
+    rule's verdict is exposed: per-rule metrics, a ``keep`` flag, and a
+    ``fail_reasons`` array naming the violated rules (evaluation order
+    of :data:`GOPHER_RULE_NAMES`) — the audit trail curation pipelines
+    need to tune thresholds corpus-by-corpus.
+
+    Scale shape: one scan, all rules are Catalyst array/string
+    expressions over the token array (no explode, no shuffle, no
+    Python) — the filter fuses into whole-stage codegen and runs at
+    scan speed on 100 TB. Complements the reference's row-filter
+    surface (``ColumnarVirtualTable.java:254-257``) the same way the
+    other text filters do: an n-ary predicate over selected columns,
+    expressed declaratively."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    n_words = F.size(toks)
+    n_wordsd = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ).cast("double") / n_wordsd
+    n_symbol = F.size(
+        F.filter(toks, lambda x: x.contains("#") | x.contains("..."))
+    )
+    symbol_ratio = n_symbol.cast("double") / n_wordsd
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = n_alpha.cast("double") / n_wordsd
+    n_stop = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(*GOPHER_STOPWORDS))
+    )
+    checks = [
+        ("too_few_words", n_words < min_words),
+        ("too_many_words", n_words > max_words),
+        ("mean_word_len_low", mean_wl < min_mean_word_len),
+        ("mean_word_len_high", mean_wl > max_mean_word_len),
+        ("symbol_ratio_high", symbol_ratio > max_symbol_ratio),
+        ("alpha_ratio_low", alpha_ratio < min_alpha_ratio),
+        ("too_few_stopwords", n_stop < min_stopwords),
+    ]
+    reasons = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(name)) for name, cond in checks]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+        (F.size(reasons) == 0).alias("keep"),
+        F.array_join(reasons, ",").alias("fail_reasons"),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+    min_kept_lines: int = 3,
+    drop_substrings: tuple[str, ...] = ("javascript", "{"),
+    drop_doc_substrings: tuple[str, ...] = ("lorem ipsum",),
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): split the
+    document into lines, keep only lines that end in terminal
+    punctuation, have at least ``min_words_per_line`` words, and contain
+    none of ``drop_substrings`` (case-insensitive); drop the whole
+    document when fewer than ``min_kept_lines`` lines survive or when
+    the document contains any of ``drop_doc_substrings``. Returns
+    (id, n_lines, n_kept_lines, clean_text, keep) with ``clean_text``
+    the kept lines re-joined by newline.
+
+    Scale shape: pure Catalyst array expressions — ``split`` on newline,
+    one ``filter`` lambda per line (string predicates only),
+    ``array_join`` to rebuild. No explode, no shuffle, no Python: the
+    cleaner is a row-local map that fuses into the scan, exactly the
+    shape the reference's map operator prescribes for row-wise
+    transforms (``ColumnarVirtualTable.java:447-451``)."""
+    lines = F.split(F.col(text_col), "\n")
+    # NB: the lambda must be unary — F.trim itself has an optional second
+    # parameter, and pyspark's HOF binding would pass the element INDEX
+    # into it as the trim-character set.
+    trimmed_nonempty = F.filter(
+        F.transform(lines, lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+    def _line_ok(x: Column) -> Column:
+        cond = F.size(F.filter(F.split(x, r"\s+"), lambda w: w != "")) >= min_words_per_line
+        if require_terminal_punct:
+            cond = cond & x.rlike("[.!?\"']$")
+        for s in drop_substrings:
+            cond = cond & ~F.lower(x).contains(s.lower())
+        return cond
+
+    kept = F.filter(trimmed_nonempty, _line_ok)
+    doc_ok = F.size(kept) >= min_kept_lines
+    for s in drop_doc_substrings:
+        doc_ok = doc_ok & ~F.lower(F.col(text_col)).contains(s.lower())
+    return df.select(
+        F.col(id_col),
+        F.size(trimmed_nonempty).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        doc_ok.alias("keep"),
+    )

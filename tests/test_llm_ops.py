@@ -588,3 +588,91 @@ def test_embedding_drift_on_labels(spark, sf_dir):
     assert len(out) == emb.select("label").distinct().count()
     assert all(-1.0 <= r["cos_to_reference"] <= 1.0 for r in out)
     assert sum(r["n_vecs"] for r in out) == emb.count()
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    docs = spark.createDataFrame(
+        [
+            # clean: 6 words incl. 2 stopwords, mean wl in [3,10]
+            (1, "the quick brown foxes jump with energy today"),
+            (2, "hi"),                                   # too_few_words
+            (3, "aa " * 30 + "the of"),                  # mean_word_len_low
+            (4, "extraordinarily " * 6 + "the of"),      # mean_word_len_high
+            (5, "### #tag ... the cat sat on it"),       # symbol_ratio_high
+            (6, "1 2 3 4 5 6 the of"),                   # alpha_ratio_low
+            (7, "quick brown foxes jump over lazy dogs"),  # too_few_stopwords
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in X.gopher_rules(
+            docs, min_words=5, max_words=50, min_stopwords=2
+        ).collect()
+    }
+    assert out[1]["keep"] and out[1]["fail_reasons"] == ""
+    assert out[2]["fail_reasons"].split(",") == [
+        "too_few_words", "mean_word_len_low", "too_few_stopwords"
+    ]
+    assert "mean_word_len_low" in out[3]["fail_reasons"]
+    assert "mean_word_len_high" in out[4]["fail_reasons"]
+    assert "symbol_ratio_high" in out[5]["fail_reasons"]
+    assert "alpha_ratio_low" in out[6]["fail_reasons"]
+    assert out[7]["fail_reasons"] == "too_few_stopwords"
+    assert out[1]["n_stopwords"] == 2 and out[2]["n_words"] == 1
+    # word-count bound: max_words fires too
+    big = spark.createDataFrame([(8, "the of " + "word " * 60)], ["doc_id", "text"])
+    row = X.gopher_rules(big, min_words=5, max_words=50).collect()[0]
+    assert "too_many_words" in row["fail_reasons"] and not row["keep"]
+
+
+def test_gopher_rules_no_exchange_plan(spark):
+    docs = spark.createDataFrame([(1, "the of a b c")], ["doc_id", "text"])
+    plan = X.gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_c4_line_filter_rules(spark):
+    doc = "\n".join(
+        [
+            "This line has enough words to survive.",   # kept
+            "Too short.",                               # < 5 words
+            "this line mentions javascript so it dies.",  # blocklist
+            "a line with braces { inside } is dropped.",  # blocklist
+            "no terminal punctuation on this line",      # punct rule
+            "  Another good line padded with spaces stays here.  ",  # kept (trimmed)
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, doc),
+            (2, "Lorem Ipsum dolor sit amet here today.\nAnother fine sentence with many words."),
+            (3, "One good line that is long enough here.\n"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in X.c4_line_filter(docs, min_kept_lines=2).collect()}
+    assert out[1]["n_lines"] == 6 and out[1]["n_kept_lines"] == 2
+    assert out[1]["keep"]
+    assert out[1]["clean_text"].split("\n") == [
+        "This line has enough words to survive.",
+        "Another good line padded with spaces stays here.",
+    ]
+    # doc-level blocklist kills doc 2 even though 2 lines survive
+    assert out[2]["n_kept_lines"] == 2 and not out[2]["keep"]
+    # only 1 surviving line < min_kept_lines
+    assert out[3]["n_kept_lines"] == 1 and not out[3]["keep"]
+
+
+def test_c4_line_filter_optional_punct(spark):
+    docs = spark.createDataFrame(
+        [(1, "five words but no punctuation here\nanother five word line here too")],
+        ["doc_id", "text"],
+    )
+    strict = X.c4_line_filter(docs, min_kept_lines=1).collect()[0]
+    lax = X.c4_line_filter(
+        docs, min_kept_lines=1, require_terminal_punct=False
+    ).collect()[0]
+    assert strict["n_kept_lines"] == 0 and not strict["keep"]
+    assert lax["n_kept_lines"] == 2 and lax["keep"]

@@ -233,7 +233,7 @@ def test_r8_staged_registration_flips_cleanly():
 
 def test_round6_layout_prestaged():
     """Playbook insurance for the round-6 flip: apply_round6_layout
-    registers r7+r8 (183 total minus r9's 5) and puts the 50-name
+    registers r7+r8 (185 total minus r9's 5) and puts the 50-name
     round-6 window at the head of QUERIES; every window name resolves
     to a callable."""
     from knime_core_columnar_spark import catalog
@@ -243,14 +243,14 @@ def test_round6_layout_prestaged():
     try:
         catalog.apply_round6_layout()
         names = list(catalog.QUERIES)
-        assert len(names) == len(snap_q) + 10
+        staged = set(catalog._R7_STAGED) | set(catalog._R8_STAGED)
+        assert len(names) == len(snap_q) + len(staged)
         assert names[:50] == catalog._DRIVER_WINDOW_R6
         assert set(catalog.ORACLES) <= set(catalog.QUERIES)
         for n in catalog._DRIVER_WINDOW_R6:
             assert callable(catalog.QUERIES[n])
-        # the 10 staged names head the window (first driver check)
-        staged = set(catalog._R7_STAGED) | set(catalog._R8_STAGED)
-        assert set(names[:10]) == staged
+        # the staged names head the window (first driver check)
+        assert set(names[:len(staged)]) == staged
     finally:
         catalog.QUERIES.clear()
         catalog.QUERIES.update(snap_q)
