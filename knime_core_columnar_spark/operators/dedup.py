@@ -77,17 +77,27 @@ def shingle_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-grams as rows (id_col, __s) — the bulk shingle
-    path: ``zip_with`` over n shifted slices of the token array, then
-    one explode + distinct. ZERO shuffles before the distinct — the
-    n-gram assembly is scan-side row-local work, so at 100 TB shingling
+    """Word n-grams as rows (id_col, __s) — the bulk shingle path:
+    ``zip_with`` over n shifted slices of the token array, then one
+    explode. ZERO shuffles before the optional distinct — the n-gram
+    assembly is scan-side row-local work, so at 100 TB shingling
     parallelizes with the file splits and the only exchange is the
     dedup hash. (Two rejected shapes, both measured at sf0.1/260k
     shingles: posexplode + window-lead = same values but an extra
     pos-ordered shuffle of every token, 1.3× slower warm; transform
     with per-element ``element_at`` = interpreted lambda pathology, 7×
-    slower. ``zip_with`` of pre-sliced arrays stays vectorized.)"""
+    slower. ``zip_with`` of pre-sliced arrays stays vectorized.)
+
+    ``distinct=True`` gives SET semantics — required by every consumer
+    that counts or collects shingles (Jaccard sizes, containment,
+    novelty, boilerplate doc-frequencies). Pass ``distinct=False`` when
+    the downstream aggregate is duplicate-idempotent (MinHash minima):
+    the exploded rows then flow straight into the consumer's map-side
+    partial aggregation with NO exchange at all — at 100 TB that drops
+    a full (id, shingle-string) shuffle whose only effect was deduping
+    rows a ``min`` would ignore anyway."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     acc = F.slice(toks, 1, width)
@@ -97,9 +107,8 @@ def shingle_rows(
             F.slice(toks, k + 1, width),
             lambda x, y: F.concat_ws(" ", x, y),
         )
-    return df.select(
-        F.col(id_col), F.explode(acc).alias("__s")
-    ).distinct()
+    out = df.select(F.col(id_col), F.explode(acc).alias("__s"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signature(text_col: Column | str, num_perm: int = 16, shingle_n: int = 3) -> Column:
@@ -149,7 +158,12 @@ def minhash_signature_table(
     bit-checkable against a SQL oracle; swapping base_hash60 to
     F.xxhash64 is a one-line change where differential testing is not
     needed."""
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    # distinct=False: duplicate shingles cannot change a min, so the
+    # exploded rows feed the map-side partial aggregation directly —
+    # the signature computation's ONLY exchange is the final one-row-
+    # per-(doc, partition) combine (explode is row-local, so every
+    # shingle of a doc is already in one partition).
+    sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
     base = sh.select(id_col, (base_hash60(F.col("__s")) % MINHASH_P).alias("__h0"))
     hashed = base.select(
         id_col,

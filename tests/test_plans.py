@@ -675,3 +675,23 @@ def test_containment_quotes_equi_joins_only(spark):
     )
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_minhash_signature_single_exchange(spark):
+    """The signature computation's only exchange is the final map-side-
+    combined min aggregation: shingle explode is row-local and feeds
+    partial aggregation directly (distinct=False — duplicate shingles
+    cannot change a min, so the former dedup shuffle was pure cost)."""
+    from knime_core_columnar_spark.operators.dedup import minhash_signature_table
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = minhash_signature_table(df)
+    p = sig._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    nodes = re.findall(r"^\s*\(\d+\) (\w+)", p, re.M)
+    assert nodes.count("Exchange") == 1, nodes
+    # and both halves of the aggregation are present (partial + final)
+    assert nodes.count("HashAggregate") == 2, nodes

@@ -142,6 +142,57 @@ def synthesize(spark, out_dir: str, r: int) -> None:
             f"{out_dir}/part.parquet"
         )
 
+    # round-5 continued: the staged r9 family reads orders / lineitem /
+    # customer / events. Replication rule per table mirrors how a real
+    # corpus grows at 100 TB:
+    # - orders/lineitem (benford/concentration): keys shift per replica,
+    #   value distributions replicate — the audits are single-scan
+    #   partial aggregations to a handful of rows, so the realistic
+    #   scale-up is "same histogram, R× rows through the scan".
+    # - customer (k-anonymity): the quasi-identifier c_mktsegment gets a
+    #   per-replica suffix, so GROUP COUNT grows R× while group SIZES
+    #   stay constant — the audit's risk profile (and therefore its
+    #   output volume and shuffle width) scales the way a growing user
+    #   base does, instead of every group trivially passing k.
+    # - events (CDC replay): event/user ids shift per replica — disjoint
+    #   key spaces, constant per-key changelog depth, so the
+    #   window-over-changelog state stays bounded per key as volume
+    #   grows (the property the CDC plan is supposed to have).
+    def _shifted(tbl: str, key_shifts: dict, extra=None):
+        base_df = spark.read.parquet(f"{BASE}/{tbl}.parquet")
+        maxes = {
+            c: base_df.agg(F.max(c)).collect()[0][0] + 1 for c in key_shifts
+        }
+        out = base_df.crossJoin(reps)
+        for c in key_shifts:
+            out = out.withColumn(c, F.col(c) + F.col("__k") * maxes[c])
+        if extra is not None:
+            out = extra(out)
+        return out.drop("__k")
+
+    if not os.path.exists(f"{out_dir}/orders.parquet"):
+        _shifted("orders", {"o_orderkey": 1, "o_custkey": 1}).repartition(
+            max(1, r // 4)
+        ).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        _shifted("lineitem", {"l_orderkey": 1}).repartition(
+            max(1, r)
+        ).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    if not os.path.exists(f"{out_dir}/customer.parquet"):
+        _shifted(
+            "customer", {"c_custkey": 1},
+            extra=lambda d: d.withColumn(
+                "c_mktsegment",
+                F.concat_ws("-", "c_mktsegment", F.col("__k").cast("string")),
+            ),
+        ).repartition(max(1, r // 10)).write.mode("overwrite").parquet(
+            f"{out_dir}/customer.parquet"
+        )
+    if not os.path.exists(f"{out_dir}/events.parquet"):
+        _shifted("events", {"event_id": 1, "user_id": 1}).repartition(
+            max(1, r // 2)
+        ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
 
 def main():
     out_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_rehearsal"
@@ -154,6 +205,7 @@ def main():
     catalog.register_r6_queries(force=True)
     catalog.register_r7_queries(force=True)
     catalog.register_r8_queries(force=True)
+    catalog.register_r9_queries(force=True)
     spark = get_spark(app_name="scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -161,7 +213,8 @@ def main():
         sf_dir = BASE if r == 1 else f"{out_root}/x{r}"
         need = any(
             not os.path.exists(f"{sf_dir}/{t}.parquet")
-            for t in ("documents", "embeddings", "part")
+            for t in ("documents", "embeddings", "part", "orders",
+                      "lineitem", "customer", "events")
         )
         if r != 1 and need:
             t0 = time.perf_counter()
