@@ -74,6 +74,12 @@ HEADLINE = [
     "entity_resolution",
     "golden_record",
     "neardup_clusters",
+    # round-5 additions: the rule-based curation filters (scan-speed
+    # zero-exchange plans — benched so a regression into a shuffle or
+    # a Python fallback is visible); staged r7 until their round-6
+    # registration
+    "gopher_rules",
+    "c4_line_filter",
 ]
 
 # sub-0.3 s queries whose r3→r4 deltas exceeded 15% with overlapping

@@ -914,6 +914,7 @@ def containment_pairs(
     shingle_n: int = 3,
     threshold_num: int = 4,
     threshold_den: int = 5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT |A∩B| / |A| ≥ num/den — the
     quote/excerpt detector Jaccard cannot be: a 50-shingle quote inside
@@ -928,17 +929,38 @@ def containment_pairs(
     verify ``den·|∩| ≥ num·|A|``. No floats anywhere. Emits ordered
     pairs: (id_a contained-in id_b), both directions evaluated, a ≠ b.
 
-    Scale note: candidate volume is Σ_shingle df² — fine when the
-    shingle space is large relative to the corpus (real text), dense
-    on tiny-vocabulary corpora; same tier guidance as the prefix
-    filter (this is the audit tier; pre-restrict with LSH candidates
-    for low-diversity corpora).
+    Scale note — two tiers. Exact (``max_df=None``): candidate volume
+    is Σ_shingle df², and in ANY corpus the hottest shingles' document
+    frequency grows linearly with corpus size (boilerplate phrases),
+    so the exact tier's self-join grows quadratically — it is the
+    audit tier, like the prefix filter's. Scale tier (``max_df=K``):
+    shingles appearing in more than K documents are excluded from the
+    inverted index BEFORE the self-join (one extra hash agg on the
+    shingle hash). Those shingles are exactly the boilerplate that
+    carries no containment signal — the same reasoning as
+    ``boilerplate_ngrams`` — and the result becomes containment over
+    the ≤K-df shingle subset of A (denominator included: sizes are
+    computed on the SAME filtered index, so a doc made entirely of
+    boilerplate yields no pairs rather than false positives).
+    Candidate volume is then ≤ K · (filtered rows): linear in corpus
+    size for fixed K. At 100 TB run max_df≈1000 after a
+    boilerplate_ngrams pass; the rehearsal (SCALE.md) measures both
+    tiers.
     """
     if not (0 < threshold_num <= threshold_den):
         raise ValueError("threshold must be a rational in (0, 1]")
     rows = shingle_rows(df, id_col, text_col, shingle_n).select(
         F.col(id_col), base_hash60(F.col("__s")).alias("__h")
-    ).localCheckpoint(eager=False)
+    )
+    if max_df is not None:
+        rare = (
+            rows.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__h")
+        )
+        rows = rows.join(rare, "__h", "left_semi")
+    rows = rows.localCheckpoint(eager=False)
     sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a = rows.select(F.col(id_col).alias("id_a"), "__h")
     b = rows.select(F.col(id_col).alias("id_b"), "__h")

@@ -180,3 +180,28 @@ def test_r9_staged_registration_flips_cleanly():
             catalog.QUERIES.pop(name, None)
             catalog.ORACLES.pop(name, None)
         assert len(catalog.QUERIES) == n_before
+
+
+def test_containment_max_df_scale_tier(spark):
+    """The max_df tier drops boilerplate shingles from BOTH the index
+    and the sizes, so a boilerplate-only doc produces no pairs, while
+    rare-shingle containment is preserved."""
+    quote = "alpha beta gamma delta epsilon"
+    host = quote + " zeta eta theta iota kappa lam mu nu xi"
+    boiler = "click here to subscribe now"  # appears in many docs
+    docs = [(1, quote), (2, host), (3, boiler), (4, boiler), (5, boiler),
+            (6, boiler + " unique trailing words here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # cap at df<=2: the boilerplate shingles (df>=4) leave the index
+    out = {
+        (r["id_a"], r["id_b"]): (r["n_overlap"], r["size_a"])
+        for r in containment_pairs(df, max_df=2).collect()
+    }
+    assert out[(1, 2)] == (3, 3)          # real containment survives
+    assert all(a not in (3, 4, 5) for a, _ in out)  # boilerplate docs: no pairs
+    # exact tier (max_df=None) still reports the boilerplate cliques
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df).collect()
+    }
+    assert (3, 4) in exact and (1, 2) in exact

@@ -206,6 +206,23 @@ def main():
     catalog.register_r7_queries(force=True)
     catalog.register_r8_queries(force=True)
     catalog.register_r9_queries(force=True)
+
+    # Rehearsal-only entry: containment's SCALE tier (max_df cap). The
+    # exact tier's inverted-index self-join is Σdf² — quadratic in any
+    # corpus whose hot (boilerplate) shingles grow with corpus size,
+    # which the tiny-vocabulary synthetic corpus makes brutal (measured:
+    # disk-full shuffle spill at 10×). That is exactly why the operator
+    # has the max_df tier; the rehearsal measures it.
+    from knime_core_columnar_spark.operators.dedup import containment_pairs
+
+    catalog.QUERIES["containment_quotes_capped"] = (
+        lambda spark, sf_dir: containment_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            "doc_id", "text", shingle_n=3, threshold_num=4,
+            threshold_den=5, max_df=64,
+        )
+    )
+
     spark = get_spark(app_name="scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
