@@ -7824,7 +7824,195 @@ def _r8_stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_SELECT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, (text LIKE '%spark%') AS tgt,
+             string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ), r AS (
+      SELECT doc_id, tgt,
+             ('0x' || substring(md5(l[CAST(i AS INT)] || ' '
+                                    || l[CAST(i + 1 AS INT)]), 1, 15))::BIGINT
+               % 8192 AS b
+      FROM toks, LATERAL (SELECT unnest(range(1, len(l))) AS i) t
+    ), c AS (
+      SELECT b, COUNT(*) AS rb,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tb
+      FROM r GROUP BY b
+    ), tot AS (
+      SELECT CAST(SUM(rb) AS BIGINT) AS R, CAST(SUM(tb) AS BIGINT) AS T FROM c
+    ), lam AS (
+      SELECT b, CAST(round(round(
+                 ln(CAST(2 * tb + 1 AS DOUBLE) / CAST(2 * T + 8192 AS DOUBLE))
+               - ln(CAST(2 * rb + 1 AS DOUBLE) / CAST(2 * R + 8192 AS DOUBLE)),
+               6) * 1000000) AS BIGINT) AS lp6
+      FROM c, tot
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(CAST(SUM(lp6) AS DOUBLE) / 1000000.0, 6) AS dsir_logratio,
+           SUM(lp6) > 0 AS selected
+    FROM r JOIN lam USING (b) GROUP BY doc_id
+"""
+
+
+def _r8_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators.sampling.dsir_logratio,
+    after Xie et al. NeurIPS 2023): hashed-bigram log-likelihood ratio
+    of a target slice vs the raw corpus, per-bucket weights scaled
+    to int64 before the per-doc sum so selection (Σλ6 > 0) is
+    integer-exact cross-engine. One bucket agg (8192 rows) + broadcast
+    λ join + one per-doc agg. Target = docs mentioning 'spark' — a
+    CONTENT-based slice whose bigram distribution genuinely differs
+    from the corpus (the synthetic langs all share one vocabulary, so a
+    lang-based target would be distributionally identical to raw and
+    the smoothing term would push every score slightly negative)."""
+    from knime_core_columnar_spark.operators.sampling import dsir_logratio
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_logratio(
+        d, F.col("text").like("%spark%"), "doc_id", "text", n_buckets=8192
+    )
+
+
+URL_HOST_STATS_ORACLE = """
+    WITH u AS (
+      SELECT doc_id, lang,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+             || source || '.example.'
+             || (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+             || '/' || lang || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed' ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
+               AS url
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             regexp_replace(split_part(split_part(lower(trim(url)), '#', 1),
+                                       '?', 1),
+                            '^[a-z][a-z0-9+.-]*://', '') AS rest
+      FROM u
+    ), p AS (
+      SELECT doc_id, split_part(rest, '/', 1) AS hostport,
+             regexp_replace(substr(rest, length(split_part(rest, '/', 1)) + 1),
+                            '/+$', '') AS path
+      FROM s
+    ), h AS (
+      SELECT doc_id, path,
+             regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                            '^www\\.', '') AS host
+      FROM p
+    )
+    SELECT host AS url_host,
+           regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS url_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host || path) AS BIGINT) AS n_urls,
+           CAST(MAX(CASE WHEN host IN ('src3.example.com', 'src3.example.org')
+                           OR regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                              IN ('blocked.test')
+                         THEN 1 ELSE 0 END) AS BOOLEAN) AS blocked
+    FROM h GROUP BY host
+"""
+
+
+def _r8_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-host curation rollup
+    (operators.web.canonicalize_url / host_stats). The synthetic corpus
+    has no URL column, so the query first synthesizes one
+    deterministically from (doc_id, source, lang) — mixed-case scheme,
+    www prefix, explicit port, trailing slash, tracking query, fragment
+    — exercising every canonicalization rule; page ids collide mod 50
+    so re-crawl detection (n_docs vs n_urls) is non-trivial. Pure
+    Catalyst string expressions; one host-keyed hash aggregation."""
+    from knime_core_columnar_spark.operators.web import host_stats
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
+        F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example."),
+        F.when(did % 2 == 0, F.lit("com")).otherwise(F.lit("org")),
+        F.when(did % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/page/"),
+        (did % 50).cast("string"),
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 2 == 1, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return host_stats(
+        d.withColumn("url", url),
+        "url",
+        blocklist=["src3.example.com", "src3.example.org", "blocked.test"],
+    )
+
+
+INCREMENTAL_ADMIT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+               AS s
+      FROM toks
+    ), nz AS (
+      SELECT doc_id, s FROM sh WHERE len(s) > 0
+    ), mh AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(s, x ->
+                 ((2*i + 1) * (('0x' || substring(md5(x), 1, 15))::BIGINT
+                               % 2147483647)
+                  + 104729 * i) % 2147483647))) AS sig
+      FROM nz
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(CAST(b AS VARCHAR) || '|'
+                 || array_to_string(sig[b*4+1:b*4+4], ',')) AS key
+      FROM mh, (SELECT unnest(range(0, 4)) AS b)
+    ), cor AS (
+      SELECT DISTINCT b, key FROM bands WHERE doc_id % 10 <> 0
+    ), bat AS (
+      SELECT doc_id, b, key FROM bands WHERE doc_id % 10 = 0
+    )
+    SELECT bat.doc_id, CAST(COUNT(cor.key) AS BIGINT) AS n_hit_bands,
+           COUNT(cor.key) = 0 AS admitted
+    FROM bat LEFT JOIN cor ON bat.b = cor.b AND bat.key = cor.key
+    GROUP BY bat.doc_id
+"""
+
+
+def _r8_incremental_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission
+    (operators.dedup.incremental_dedup_admit): every 10th doc plays the
+    NEW ingest batch, the rest the existing corpus whose persisted
+    ``minhash_band_table`` index is the only corpus artifact consulted
+    — the daily-crawl admission pattern where per-ingest cost is
+    O(batch) signatures + one key join, never a corpus re-read."""
+    from knime_core_columnar_spark.operators.dedup import (
+        incremental_dedup_admit,
+        minhash_band_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    idx = minhash_band_table(corpus, "doc_id", "text", num_perm=16, bands=4)
+    return incremental_dedup_admit(batch, idx, "doc_id", "text",
+                                   num_perm=16, bands=4)
+
+
 _R8_STAGED: dict[str, tuple] = {
+    "dsir_select": (_r8_dsir_select, DSIR_SELECT_ORACLE),
+    "url_host_stats": (_r8_url_host_stats, URL_HOST_STATS_ORACLE),
+    "incremental_dedup_admit": (
+        _r8_incremental_dedup_admit, INCREMENTAL_ADMIT_ORACLE,
+    ),
     "join_explosion_profile": (
         _r8_join_explosion_profile, JOIN_EXPLOSION_ORACLE,
     ),
@@ -8179,9 +8367,10 @@ apply_round5_layout()
 # green): one-line flip — replace the `apply_round5_layout()` call above
 # with `apply_round6_layout()`. That registers the staged R7+R8 batches
 # (atop R5+R6, which apply_round6_layout re-applies first) and rotates
-# the window onto _DRIVER_WINDOW_R6: the 12 R7+R8 names (first driver
-# check; includes round-5's gopher_rules + c4_line_filter additions)
-# + 38 rotation greens whose driver evidence is oldest (r02-era,
+# the window onto _DRIVER_WINDOW_R6: the 15 R7+R8 names (first driver
+# check; includes round-5's gopher_rules + c4_line_filter + dsir_select
+# + url_host_stats + incremental_dedup_admit additions)
+# + 35 rotation greens whose driver evidence is oldest (r02-era,
 # not already re-checked by the round-5 rotation). After round 5 every
 # registered name has a driver row, so there are no never-checked
 # leftovers. Round 7 then registers R9 (register_r9_queries(force=True))
@@ -8195,8 +8384,9 @@ _DRIVER_WINDOW_R6 = [
     'set_similarity_join', 'golden_record',
     'source_quota_sample', 'cluster_consensus_lang', 'join_explosion_profile',
     'source_similarity', 'length_bucketed_batches', 'novelty_scores',
-    'stream_quota_admission',
-    # 40 rotation greens, oldest driver evidence first (r02-era rows
+    'stream_quota_admission', 'dsir_select', 'url_host_stats',
+    'incremental_dedup_admit',
+    # 35 rotation greens, oldest driver evidence first (r02-era rows
     # that were not part of the round-5 rotation)
     'json_extract', 'q12_priority_class',
     'concat_uniquify', 'q4_order_priority', 'q6_forecast_revenue',
@@ -8210,14 +8400,13 @@ _DRIVER_WINDOW_R6 = [
     'salted_join_skew', 'bucketed_join', 'upsert_orders',
     'events_dedup_latest', 'argmax_per_group', 'fuzzy_match_names',
     'tfidf_top_terms', 'chunk_documents', 'doc_repetition',
-    'quality_filter_flags', 'multimodal_meta', 'video_frame_sample',
 ]
 
 
 def apply_round6_layout() -> None:
     """Round-6 flip: register the staged r7+r8 batches (r5+r6 first, for
     call-order independence) and rotate the driver window onto
-    _DRIVER_WINDOW_R6 (50 slots: 12 freshly staged + 38 rotation
+    _DRIVER_WINDOW_R6 (50 slots: 15 freshly staged + 35 rotation
     greens). Greens = everything driver-checked through round 5."""
     register_r5_queries(force=True)
     register_r6_queries(force=True)

@@ -174,7 +174,7 @@ def minhash_signature_table(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_table(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -182,12 +182,13 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs (id_a < id_b) sharing ≥1 LSH band.
-
-    Plan shape: explode shingles → vectorized per-perm hash mins (one
-    aggregation) → B band keys per doc → shuffle on band key →
-    in-bucket self-join → distinct pairs. The only shuffled payload is
-    (id, band_key); document text never moves."""
+    """The STORABLE LSH index: (id_col, __b, __key) — ``bands`` rows per
+    document, where __key is the md5 of that band's signature slice.
+    This is the table an incremental pipeline persists (partitioned by
+    __b, bucketed by __key): appending a new ingest batch's rows keeps
+    the index current without touching old rows, and every LSH consumer
+    (pair candidates, admission, clustering) is a join against it.
+    """
     rows = num_perm // bands
     sig = minhash_signature_table(df, id_col, text_col, num_perm, shingle_n)
     band_structs = [
@@ -202,9 +203,26 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         id_col, F.explode(F.array(*band_structs)).alias("__c")
     ).select(id_col, F.col("__c.b").alias("__b"), F.col("__c.key").alias("__key"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Plan shape: explode shingles → vectorized per-perm hash mins (one
+    aggregation) → B band keys per doc → shuffle on band key →
+    in-bucket self-join → distinct pairs. The only shuffled payload is
+    (id, band_key); document text never moves."""
+    banded = minhash_band_table(df, id_col, text_col, num_perm, bands, shingle_n)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -216,6 +234,56 @@ def minhash_lsh_candidates(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def incremental_dedup_admit(
+    batch: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup ADMISSION: decide for each new-batch document
+    whether it collides with the EXISTING corpus, without re-reading or
+    re-hashing the corpus. ``corpus_bands`` is the persisted
+    ``minhash_band_table`` index (id, __b, __key); only its (__b, __key)
+    pairs are consulted — corpus text never moves.
+
+    This is the batch twin of the streaming admission operator
+    (streaming/ops.py dedup admission): a 100 TB pipeline ingesting
+    daily crawls computes signatures for the NEW batch only (O(batch)),
+    then one join against the stored index. After admission, append the
+    admitted docs' band rows to the index — the index stays current by
+    append, never rebuild.
+
+    Plan shape: batch → signature table (one agg) → ``bands`` key rows
+    per doc → left join against the DISTINCT corpus (__b, __key) set →
+    per-doc count of hit bands. With a small daily batch against a huge
+    stored index, AQE broadcasts the batch side, so the corpus index is
+    scanned once with NO shuffle of the corpus (and a Parquet index
+    partitioned on __b prunes to the touched bands). No windows, no
+    collect.
+
+    Output: (id_col, n_hit_bands, admitted) — admitted = zero shared
+    band keys. Same banding estimate as ``minhash_lsh_candidates``:
+    P(flagged | Jaccard j) = 1-(1-j^r)^b.
+    """
+    batch_bands = minhash_band_table(
+        batch, id_col, text_col, num_perm, bands, shingle_n
+    )
+    corpus_keys = (
+        corpus_bands.select("__b", "__key").distinct().withColumn("__hit", F.lit(1))
+    )
+    return (
+        batch_bands.join(corpus_keys, ["__b", "__key"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("__hit").alias("n_hit_bands"),
+            (F.count("__hit") == 0).alias("admitted"),
+        )
     )
 
 

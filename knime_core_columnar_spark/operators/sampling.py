@@ -30,6 +30,7 @@ __all__ = [
     "seeded_shuffle",
     "mixture_report",
     "weighted_sample_topk",
+    "dsir_logratio",
 ]
 
 _BUCKETS = 10_000
@@ -439,4 +440,111 @@ def quota_sample(
     )
     return ranked.withColumn("__quota", quota).filter(
         F.col("__rank") <= F.col("__quota")
+    )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.,
+    NeurIPS 2023, "Data Selection for Language Models via Importance
+    Resampling" — public method): score every document by how much its
+    hashed-bigram distribution looks like a TARGET slice of the corpus
+    (``target`` is a boolean Column, e.g. ``F.col("lang") == "en"``)
+    versus the raw corpus, then keep the documents whose importance
+    log-ratio is positive. This is the standard cheap stand-in for a
+    quality classifier: no trained model, just two n-gram count tables.
+
+    Math: bigrams are hashed into ``n_buckets`` buckets; with raw
+    per-bucket counts r_b (total R) and target counts t_b (total T),
+    the per-bucket weight is the add-half smoothed log-likelihood ratio
+
+        λ_b = ln((2·t_b+1)/(2·T+B)) − ln((2·r_b+1)/(2·R+B))
+
+    and a document's score is Σ λ_b over its bigram occurrences.
+
+    Determinism (the ``unigram_logprob`` discipline): λ_b is rounded to
+    6 decimals and scaled to int64 BEFORE the per-doc sum, so the only
+    cross-engine float op is ``ln`` of a ratio of exactly-representable
+    integers — same accepted 1-ulp residual risk documented at
+    ``text.unigram_logprob``. The ``selected`` flag compares the exact
+    INTEGER sum to zero, so selection is bit-stable cross-engine.
+
+    Scale shape (100 TB): bigram explode is scan-side row-local (the
+    ``shingle_rows`` zip_with trick inlined so the target flag rides
+    along); ONE hash aggregation produces BOTH count tables keyed by
+    bucket (B ≪ corpus rows — partial aggregation collapses each map
+    task to ≤B rows); totals derive from the B-row table itself; the
+    λ table is B rows and broadcast into the per-doc join; the per-doc
+    integer sum is the only full-width shuffle. No windows, no driver
+    collect, no UDF.
+
+    Output: ``id_col``, n_bigrams, dsir_logratio (sum of λ, 6-dec),
+    selected (integer-exact ``Σλ6 > 0``).
+
+    Sizing ``n_buckets``: the smoothing adds B/2 pseudo-counts to each
+    side, so B must be well below the corpus bigram-occurrence count or
+    the ratio (2t+1)/(2r+1) ≤ 1 (target ⊆ raw) dominates and everything
+    scores slightly negative. The paper's 10k-bucket default assumes a
+    web-scale corpus; scale B down for small corpora (tests use 64).
+    """
+    from knime_core_columnar_spark.operators.dedup import base_hash60
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    width = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, width),
+        F.slice(toks, 2, width),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    rows = df.select(
+        F.col(id_col),
+        target.cast("int").alias("__tgt"),
+        F.explode(bigrams).alias("__s"),
+    ).select(
+        id_col,
+        "__tgt",
+        (base_hash60(F.col("__s")) % n_buckets).alias("__b"),
+    )
+    counts = rows.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__rb"),
+        F.sum("__tgt").alias("__tb"),
+    )
+    totals = counts.agg(
+        F.sum("__rb").alias("__R"), F.sum("__tb").alias("__T")
+    )
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.round(
+            F.round(
+                F.log(
+                    (2 * F.col("__tb") + 1).cast("double")
+                    / (2 * F.col("__T") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (2 * F.col("__rb") + 1).cast("double")
+                    / (2 * F.col("__R") + n_buckets).cast("double")
+                ),
+                6,
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("__lp6"),
+    )
+    return (
+        rows.join(F.broadcast(lam), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("__lp6").cast("double") / F.lit(1_000_000.0), 6
+            ).alias("dsir_logratio"),
+            (F.sum("__lp6") > 0).alias("selected"),
+        )
     )

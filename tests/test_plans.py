@@ -695,3 +695,46 @@ def test_minhash_signature_single_exchange(spark):
     assert nodes.count("Exchange") == 1, nodes
     # and both halves of the aggregation are present (partial + final)
     assert nodes.count("HashAggregate") == 2, nodes
+
+
+def _staged_plan(spark, batch: str, name: str) -> str:
+    from knime_core_columnar_spark import catalog
+
+    df = getattr(catalog, batch)[name][0](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_dsir_select_broadcast_lambda_no_window(spark):
+    """DSIR: the λ table (≤ n_buckets rows) joins back broadcast; the
+    per-doc score is a hash aggregation, never a window; no cartesian.
+    A regression into a shuffled λ join would shuffle the full bigram
+    stream twice at 100 TB."""
+    p = _staged_plan(spark, "_R8_STAGED", "dsir_select")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+
+
+def test_url_host_stats_no_join_no_window(spark):
+    """URL canonicalization is scan-side row-local; the host rollup is
+    the plan's ONLY wide operation (hash agg). No join (the blocklist
+    is a literal IN), no window, no UDF."""
+    p = _staged_plan(spark, "_R8_STAGED", "url_host_stats")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "HashAggregate" in p
+
+
+def test_incremental_admit_no_cartesian_equi_join_only(spark):
+    """Admission is ONE equi-join of batch band keys against the stored
+    index's distinct key set — no cartesian/nested-loop, no window. The
+    corpus index side must never be re-shingled (its subtree contains
+    the explode; the batch side's explode is its own signature pass)."""
+    p = _staged_plan(spark, "_R8_STAGED", "incremental_dedup_admit")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p

@@ -244,7 +244,8 @@ def test_r7_staged_registration_flips_cleanly():
     assert not set(catalog._R7_STAGED) & set(catalog.QUERIES)
     try:
         assert catalog.register_r7_queries(force=True)
-        assert len(catalog.QUERIES) == n_before + 5
+        assert len(catalog.QUERIES) == n_before + len(catalog._R7_STAGED)
+        assert len(catalog._R7_STAGED) == 7
         assert set(catalog.ORACLES) <= set(catalog.QUERIES)
         for name in catalog._R7_STAGED:
             assert callable(catalog.QUERIES[name])

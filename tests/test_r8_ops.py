@@ -210,6 +210,151 @@ def test_streaming_quota_admission_matches_batch_twin(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+def test_dsir_logratio_separates_target_like_docs(spark):
+    from knime_core_columnar_spark.operators.sampling import dsir_logratio
+
+    docs = (
+        [(i, "en", "the quick brown fox jumps over the lazy dog again")
+         for i in range(10)]
+        + [(100 + i, "xx", "zebra quartz vortex glyph jinx waltz fjord pixel")
+           for i in range(10)]
+        # an UNLABELLED doc written in target-style bigrams must score
+        # positive even though its own lang says nothing useful
+        + [(999, "xx", "the quick brown fox jumps over the lazy dog")]
+    )
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    # n_buckets must be sized to the corpus: with B >> total bigram
+    # count the add-half smoothing swamps the likelihood signal (the
+    # ratio (2t+1)/(2r+1) <= 1 always, since target is a subset of raw) and
+    # everything scores slightly negative. 64 buckets ~ the ~180
+    # bigram occurrences here; the catalog query's 8192 matches the
+    # corpus-scale default from the DSIR paper.
+    out = {r["doc_id"]: r for r in
+           dsir_logratio(df, F.col("lang") == "en", n_buckets=64).collect()}
+    assert out[0]["selected"] and out[0]["dsir_logratio"] > 0
+    assert not out[100]["selected"] and out[100]["dsir_logratio"] < 0
+    assert out[999]["selected"]  # target-like content wins over its label
+    assert out[0]["n_bigrams"] == 9
+
+
+def test_dsir_partitioning_invariant(spark):
+    from knime_core_columnar_spark.operators.sampling import dsir_logratio
+
+    docs = [(i, "en" if i % 3 else "de",
+             " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+
+    def run(frame):
+        return {tuple(r) for r in
+                dsir_logratio(frame, F.col("lang") == "en").collect()}
+
+    assert run(df.repartition(1)) == run(df.repartition(13, "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+def test_canonicalize_url_rules(spark):
+    from knime_core_columnar_spark.operators.web import canonicalize_url
+
+    urls = [
+        (1, "HTTPS://WWW.Example.COM:8443/A/B/?q=1#frag"),
+        (2, "http://example.com/a/b"),
+        (3, "example.com/a/b/"),          # schemeless
+        (4, "https://sub.host.example.org"),  # no path
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    out = {r["id"]: r for r in canonicalize_url(df).collect()}
+    assert out[1]["url_host"] == "example.com"
+    assert out[1]["url_path"] == "/a/b"
+    assert out[1]["url_canonical"] == "example.com/a/b"
+    # 1, 2 and 3 canonicalize to the SAME page identity
+    assert out[1]["url_canonical"] == out[2]["url_canonical"]
+    assert out[2]["url_canonical"] == out[3]["url_canonical"]
+    assert out[4]["url_host"] == "sub.host.example.org"
+    assert out[4]["url_domain"] == "example.org"
+    assert out[4]["url_path"] == ""
+
+
+def test_host_stats_recrawl_and_blocklist(spark):
+    from knime_core_columnar_spark.operators.web import host_stats
+
+    urls = (
+        [(i, f"https://www.dup.com/page?sid={i}") for i in range(5)]  # 5 docs, 1 url
+        + [(10 + i, f"http://fresh.org/p{i}") for i in range(3)]      # 3 docs, 3 urls
+        + [(20, "https://evil.bad.net/x")]
+    )
+    df = spark.createDataFrame(urls, "id long, url string")
+    out = {r["url_host"]: r
+           for r in host_stats(df, blocklist=["bad.net"]).collect()}
+    assert out["dup.com"]["n_docs"] == 5 and out["dup.com"]["n_urls"] == 1
+    assert out["fresh.org"]["n_docs"] == 3 and out["fresh.org"]["n_urls"] == 3
+    assert out["evil.bad.net"]["blocked"]          # domain-level match
+    assert not out["dup.com"]["blocked"]
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup admission
+# ---------------------------------------------------------------------------
+
+def test_incremental_admit_flags_near_dups_only(spark):
+    from knime_core_columnar_spark.operators.dedup import (
+        incremental_dedup_admit,
+        minhash_band_table,
+        minhash_lsh_candidates,
+    )
+
+    corpus_docs = [(i, f"alpha beta gamma delta epsilon zeta eta theta d{i}")
+                   for i in range(20)]
+    batch_docs = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta d3"),  # = corpus 3
+        (101, "totally different words about completely other topics here now"),
+    ]
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(corpus_docs, schema)
+    batch = spark.createDataFrame(batch_docs, schema)
+    idx = minhash_band_table(corpus)
+    out = {r["doc_id"]: r for r in
+           incremental_dedup_admit(batch, idx).collect()}
+    assert not out[100]["admitted"] and out[100]["n_hit_bands"] == 4
+    assert out[101]["admitted"] and out[101]["n_hit_bands"] == 0
+
+    # parity with the pairwise path: a batch doc is rejected exactly when
+    # minhash_lsh_candidates over corpus+batch links it to a corpus doc
+    both = corpus.union(batch)
+    pairs = minhash_lsh_candidates(both).collect()
+    linked = {r["id_b"] for r in pairs if r["id_b"] >= 100 and r["id_a"] < 100}
+    linked |= {r["id_a"] for r in pairs if r["id_a"] >= 100 and r["id_b"] < 100}
+    assert linked == {i for i, r in out.items() if not r["admitted"]}
+
+
+def test_band_table_is_the_factored_candidates_index(spark):
+    """minhash_lsh_candidates must keep producing identical pairs after
+    the band-table refactor (the band table is its exact subtree)."""
+    from knime_core_columnar_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_candidates,
+    )
+
+    docs = [(i, f"one two three four five six seven w{i % 4}")
+            for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bt = minhash_band_table(df)
+    assert bt.columns == ["doc_id", "__b", "__key"]
+    assert bt.count() == 12 * 4
+    got = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(df).collect()}
+    # brute parity: docs sharing the w-suffix are identical texts
+    same = {(a, b) for a in range(12) for b in range(12)
+            if a < b and a % 4 == b % 4}
+    assert same <= got
+
+
+# ---------------------------------------------------------------------------
 # Staged registration wiring
 # ---------------------------------------------------------------------------
 
@@ -220,7 +365,8 @@ def test_r8_staged_registration_flips_cleanly():
     assert not set(catalog._R8_STAGED) & set(catalog.QUERIES)
     try:
         assert catalog.register_r8_queries(force=True)
-        assert len(catalog.QUERIES) == n_before + 5
+        assert len(catalog.QUERIES) == n_before + len(catalog._R8_STAGED)
+        assert len(catalog._R8_STAGED) == 8
         assert set(catalog.ORACLES) <= set(catalog.QUERIES)
         for name in catalog._R8_STAGED:
             assert callable(catalog.QUERIES[name])
