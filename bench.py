@@ -4,8 +4,17 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once as a count() action (forces the full plan,
-returns one long to the driver — no collect of result data).
+Each query is executed once as a CHECKSUM action — sum(xxhash64(all
+output columns)) — which forces the FULL plan including every computed
+column and returns one long to the driver (no collect of result data).
+
+Methodology change (round 5): rounds 1-4 timed ``.count()``, which is
+honest for aggregate-shaped outputs but lets Catalyst PRUNE computed
+columns on row-level queries — a projection-only query was being timed
+as a bare scan. The checksum action closes that hole. Expect a one-time
+step-up vs BENCH_r04 for the row-level subset (select_project_map,
+filter_rows, zorder_layout, gopher_rules, c4_line_filter, ...); the
+"action" field in the record marks which methodology produced a line.
 """
 
 from __future__ import annotations
@@ -87,6 +96,20 @@ HEADLINE = [
 NOISY_N5 = {"distinct_rows", "window_running_sum", "sort_topk"}
 
 
+def _force(df) -> None:
+    """Evaluate the full plan, every column included. Map-typed columns
+    (and structs containing maps) are not hashable by xxhash64, so they
+    go through to_json first."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.to_json(F.col(f.name)) if "map<" in f.dataType.simpleString()
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    df.agg(F.sum(F.xxhash64(*cols))).collect()
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -98,7 +121,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once (not timed)
-    catalog.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    _force(catalog.QUERIES["q1_pricing_summary"](spark, sf_dir))
 
     # best-of-N per query (default 3, override SPARK_GRAFT_BENCH_N):
     # single-shot local[32] timings are noisy (JIT, GC, python-worker
@@ -120,7 +143,7 @@ def main():
         runs = []
         for _ in range(n_this):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            _force(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         runs.sort()
         timings[name] = round(runs[0], 4)
@@ -138,6 +161,7 @@ def main():
         "queries": timings,
         "spread": spread,
         "sf": float(sf),
+        "action": "checksum",  # rounds 1-4: "count" (see module docstring)
         "n": n_runs,
         "n_noisy": {name: max(n_runs, 5) for name in NOISY_N5 if name in timings},
         "git_sha": _git_sha(),

@@ -8328,7 +8328,146 @@ def _r9_concentration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unionByName(l).withColumnRenamed("column", "col_name")
 
 
+def _moji_oracle() -> str:
+    """Mojibake oracle SQL, built at import from the SAME pattern
+    constants the operator uses (operators/text.py keeps them in \\u
+    escapes so no literal mojibake bytes live in any source file)."""
+    from knime_core_columnar_spark.operators.text import (
+        CONTROL_PATTERN,
+        MOJIBAKE_PATTERN,
+        REPLACEMENT_CHAR,
+    )
+
+    return f"""
+    WITH corrupted AS (
+      SELECT doc_id,
+             text
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN ' caf' || chr(195) || chr(169) ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN chr(65533) ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN chr(1) ELSE '' END) AS t2
+      FROM documents
+    ), counts AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t2, '{MOJIBAKE_PATTERN}')) AS BIGINT)
+               AS n_mojibake,
+             CAST(len(regexp_extract_all(t2, '{REPLACEMENT_CHAR}')) AS BIGINT)
+               AS n_replacement,
+             CAST(len(regexp_extract_all(t2, '{CONTROL_PATTERN}')) AS BIGINT)
+               AS n_control
+      FROM corrupted
+    )
+    SELECT doc_id, n_mojibake, n_replacement, n_control,
+           (n_mojibake = 0 AND n_replacement = 0 AND n_control = 0) AS clean
+    FROM counts
+"""
+
+
+MOJIBAKE_AUDIT_ORACLE = _moji_oracle()
+
+
+def _r9_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit (operators.text.mojibake_audit). The
+    synthetic corpus is clean ASCII, so the query first injects
+    deterministic damage — a double-decoded e-acute every 3rd doc, a
+    U+FFFD every 5th, a C0 control byte every 7th — then runs the real
+    operator. Zero-exchange scan-speed plan; the oracle counts the
+    identical RE2 matches via regexp_extract_all."""
+    from knime_core_columnar_spark.operators.text import mojibake_audit
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    corrupted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.lit(" cafÃ©")).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit("�")).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit("\x01")).otherwise(F.lit("")),
+        ),
+    )
+    return mojibake_audit(corrupted, "doc_id", "text")
+
+
+TOKEN_BUDGET_PLAN_ORACLE = """
+    WITH src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT *,
+             CAST(CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT)
+                            % 9 = 4
+                       THEN 0
+                       ELSE 10 + (CAST(regexp_extract(source, '([0-9]+)$', 1)
+                                       AS INT) % 7) * 5 END AS BIGINT)
+               AS weight
+      FROM src
+    ), tot AS (
+      SELECT CAST(SUM(weight) AS BIGINT) AS W FROM w WHERE weight > 0
+    ), prefixed AS (
+      SELECT w.*, W,
+             CAST(n_tokens AS DOUBLE) / weight AS rk,
+             SUM(n_tokens) OVER ord - n_tokens AS pt,
+             SUM(weight) OVER ord - weight AS pw
+      FROM w, tot WHERE weight > 0
+      WINDOW ord AS (ORDER BY CAST(n_tokens AS DOUBLE) / weight, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), flags AS (
+      SELECT *,
+             MIN(CASE WHEN (24000 - pt) * weight >= n_tokens * (W - pw)
+                      THEN 1 ELSE 0 END)
+               OVER (ORDER BY rk, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+               AS saturated
+      FROM prefixed
+    ), sat AS (
+      SELECT coalesce(SUM(CASE WHEN saturated THEN n_tokens END), 0) AS st,
+             coalesce(SUM(CASE WHEN saturated THEN weight END), 0) AS sw
+      FROM flags
+    ), alloc AS (
+      SELECT source, n_docs, n_tokens, weight, saturated,
+             CAST(CASE WHEN saturated THEN n_tokens
+                       ELSE (24000 - st) * weight // (W - sw) END AS BIGINT)
+               AS alloc_tokens
+      FROM flags, sat
+      UNION ALL
+      SELECT source, n_docs, n_tokens, weight, FALSE AS saturated,
+             CAST(0 AS BIGINT) AS alloc_tokens
+      FROM w WHERE NOT (weight > 0)
+    )
+    SELECT source, n_docs, n_tokens, weight, saturated, alloc_tokens,
+           CASE WHEN n_tokens > 0
+                THEN round(CAST(alloc_tokens AS DOUBLE) / n_tokens, 6)
+                ELSE 0.0 END AS sample_rate
+    FROM alloc
+"""
+
+
+def _r9_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact water-filling token-budget mixture planning
+    (operators.sampling.token_budget_plan): per-mille-ish weights
+    derived deterministically from the source number (with two
+    zero-weight sources exercising the excluded branch), budget 24000
+    tokens — below the ~27k-token supply at the gate SFs so the
+    high-weight sources saturate and the rest split the redistributed
+    remainder (a genuine mixed case). Integer cross-multiplied
+    saturation test; the only windows run over the ≤20-row source
+    table."""
+    from knime_core_columnar_spark.operators.sampling import token_budget_plan
+
+    d = _t(spark, sf_dir, "documents")
+    num = F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("int")
+    weight = F.when(num % 9 == 4, F.lit(0)).otherwise(
+        10 + (num % 7) * 5
+    )
+    return token_budget_plan(d, "source", weight, budget=24000)
+
+
 _R9_STAGED: dict[str, tuple] = {
+    "mojibake_audit": (_r9_mojibake_audit, MOJIBAKE_AUDIT_ORACLE),
+    "token_budget_plan": (_r9_token_budget_plan, TOKEN_BUDGET_PLAN_ORACLE),
     "benford_audit": (_r9_benford_audit, BENFORD_AUDIT_ORACLE),
     "k_anonymity_audit": (_r9_k_anonymity_audit, K_ANONYMITY_ORACLE),
     "cdc_apply_changelog": (_r9_cdc_apply, CDC_APPLY_ORACLE),

@@ -443,6 +443,119 @@ def quota_sample(
     )
 
 
+def token_budget_plan(
+    df: DataFrame,
+    source_col: str,
+    weight_expr: Column,
+    budget: int,
+    token_expr: Column | None = None,
+) -> DataFrame:
+    """Token-budget mixture planning with EXACT water-filling: given a
+    target share ``weight_expr`` (integer, e.g. per-mille) per source
+    and a total token ``budget``, compute each source's token
+    allocation and sampling rate. Undersupplied sources (fewer tokens
+    than their proportional share) keep everything; their unused budget
+    is redistributed across the rest — the water-filling allocation
+    every mixture-weighted pretraining run needs BEFORE sampling
+    (Σ alloc = budget whenever supply allows, no source over-asked).
+
+    Closed form instead of iteration: sort sources by supply/weight
+    ratio ascending; the saturated set is a PREFIX of that order, found
+    with a running-AND window over the cross-multiplied integer
+    condition  (B − prefix_t)·w_s ≥ t_s·(W − prefix_w).  The fill level
+    μ = (B − Σ_sat t)/(W − Σ_sat w) is an exact rational; allocations
+    are integer floor-divisions. No floats anywhere except the
+    order-by key (IEEE division of exact ints — correctly rounded,
+    identical cross-engine; ties broken by source name).
+
+    Scale shape: ONE corpus scan → per-source partial-aggregated
+    counts; everything after operates on the SOURCE-level table
+    (≤ thousands of rows), so its global windows and one-row totals
+    join are bounded-metadata operations — the same per-partition-
+    totals window class SCALE.md already accepts. Overflow bound:
+    (B − prefix_t)·w_s needs B·max_w < 2^63 — a 10^14-token budget at
+    per-mille weights is 10^17, inside int64.
+
+    Output: source, n_docs, n_tokens, weight, saturated,
+    alloc_tokens, sample_rate (= round(alloc/tokens, 6); 0 when the
+    source has no tokens or no weight).
+    """
+    from pyspark.sql import Window
+
+    if token_expr is None:
+        token_expr = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    src = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_expr).cast("long").alias("n_tokens"),
+        )
+        .withColumn("weight", weight_expr.cast("long"))
+    )
+    tot = src.agg(
+        F.sum("weight").alias("__W"), F.sum("n_tokens").alias("__T")
+    )
+    order = [
+        (F.col("n_tokens").cast("double") / F.col("weight")).asc(),
+        F.col("source").asc(),
+    ]
+    w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        src.filter(F.col("weight") > 0)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__pt", F.sum("n_tokens").over(w_run) - F.col("n_tokens"))
+        .withColumn("__pw", F.sum("weight").over(w_run) - F.col("weight"))
+        .withColumn(
+            "__ok",
+            (
+                (F.lit(int(budget)) - F.col("__pt")) * F.col("weight")
+                >= F.col("n_tokens") * (F.col("__W") - F.col("__pw"))
+            ).cast("int"),
+        )
+        .withColumn("saturated", F.min("__ok").over(w_run) == 1)
+    )
+    sat = ranked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("n_tokens"))), F.lit(0)
+        ).alias("__st"),
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("weight"))), F.lit(0)
+        ).alias("__sw"),
+    )
+    out = ranked.crossJoin(F.broadcast(sat)).withColumn(
+        "alloc_tokens",
+        F.when(F.col("saturated"), F.col("n_tokens")).otherwise(
+            F.expr(
+                f"({int(budget)}L - __st) * weight div (__W - __sw)"
+            )
+        ),
+    )
+    zero_weight = (
+        src.filter(~(F.col("weight") > 0))
+        .select(
+            "source", "n_docs", "n_tokens", "weight",
+            F.lit(False).alias("saturated"),
+            F.lit(0).cast("long").alias("alloc_tokens"),
+        )
+    )
+    return (
+        out.select("source", "n_docs", "n_tokens", "weight", "saturated",
+                   "alloc_tokens")
+        .unionByName(zero_weight)
+        .withColumn(
+            "sample_rate",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("alloc_tokens").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def dsir_logratio(
     df: DataFrame,
     target,

@@ -628,3 +628,61 @@ def c4_line_filter(
         F.array_join(kept, "\n").alias("clean_text"),
         doc_ok.alias("keep"),
     )
+
+
+# UTF-8-read-as-Latin-1 double-decode artifacts: explicit list of the
+# most common sequences ("Ã©" renders as the mojibake form of
+# e-acute, "â" as the mojibake right single quote, and
+# "Â " as the mojibake non-breaking space). Shared with the
+# DuckDB oracle (catalog interpolates it into the SQL), so both engines
+# count the identical matches. RE2-safe: plain alternation, no classes.
+MOJIBAKE_PATTERN = (
+    # \u00c3-led pairs: e-acute, e-grave, u-uml, n-tilde, a-uml, o-uml
+    "(\u00c3\u00a9|\u00c3\u00a8|\u00c3\u00bc|\u00c3\u00b1"
+    "|\u00c3\u00a4|\u00c3\u00b6"
+    # \u00e2\u20ac-led triples: curly quotes and dashes
+    "|\u00e2\u20ac\u2122|\u00e2\u20ac\u0153|\u00e2\u20ac\u009d"
+    "|\u00e2\u20ac\u201c|\u00e2\u20ac\u201d"
+    # \u00c2 + NBSP
+    "|\u00c2\u00a0)"
+)
+CONTROL_PATTERN = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+REPLACEMENT_CHAR = "\ufffd"
+
+
+def mojibake_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encoding-damage audit — the ftfy-style pre-pass of web-corpus
+    cleaning, as detection (counts per document) rather than repair:
+
+    - ``n_mojibake``: occurrences of the classic UTF-8-read-as-Latin-1
+      double-decode artifacts (``MOJIBAKE_PATTERN``: e-acute, u-umlaut,
+      curly quotes, dashes, NBSP in their double-decoded two/three-char
+      forms). An explicit-sequence list, so a genuine occurrence of one
+      of these exact sequences in clean text is the only false-positive
+      mode — far rarer than lead-byte heuristics.
+    - ``n_replacement``: U+FFFD replacement characters — bytes already
+      lost upstream.
+    - ``n_control``: C0 control characters other than tab/newline/CR,
+      plus DEL — binary junk inside text columns.
+
+    ``clean`` is true when all three are zero. Pure Catalyst
+    ``regexp_count`` with RE2-safe patterns (plain alternation, hex
+    classes, no lookaround), so the audit runs at scan speed with zero
+    exchanges and the DuckDB oracle (``len(regexp_extract_all)``)
+    counts the identical matches.
+    """
+    t = F.col(text_col)
+    moji = F.regexp_count(t, F.lit(MOJIBAKE_PATTERN))
+    repl = F.regexp_count(t, F.lit(REPLACEMENT_CHAR))
+    ctrl = F.regexp_count(t, F.lit(CONTROL_PATTERN))
+    return df.select(
+        F.col(id_col),
+        moji.cast("long").alias("n_mojibake"),
+        repl.cast("long").alias("n_replacement"),
+        ctrl.cast("long").alias("n_control"),
+        ((moji == 0) & (repl == 0) & (ctrl == 0)).alias("clean"),
+    )

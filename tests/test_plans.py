@@ -738,3 +738,32 @@ def test_incremental_admit_no_cartesian_equi_join_only(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Window" not in p
+
+
+def test_mojibake_audit_zero_exchange_scan(spark):
+    """The audit is a row-local select — literally zero exchanges: a
+    regression into any shuffle or Python eval means the regexp moved
+    out of codegen."""
+    import re
+
+    p = _staged_plan(spark, "_R9_STAGED", "mojibake_audit")
+    nodes = re.findall(r"^\s*\(\d+\) (\w+)", p, re.M)
+    assert "Exchange" not in nodes, nodes
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_token_budget_plan_windows_on_source_table_only(spark):
+    """Water-filling: the corpus scan feeds ONE partial-aggregated
+    groupBy(source); every window/join after that operates on the
+    ≤#sources-row aggregate (no shuffled join, no window before the
+    aggregation)."""
+    p = _staged_plan(spark, "_R9_STAGED", "token_budget_plan")
+    # joins are all broadcasts of one-row/source-level tables — a
+    # shuffled join would mean a full-width table reached the planner
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the corpus scan reads only (source, text): column pruning intact
+    read_schema = p[p.index("ReadSchema"):].splitlines()[0]
+    assert "source" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema

@@ -171,7 +171,8 @@ def test_r9_staged_registration_flips_cleanly():
     assert not set(catalog._R9_STAGED) & set(catalog.QUERIES)
     try:
         assert catalog.register_r9_queries(force=True)
-        assert len(catalog.QUERIES) == n_before + 5
+        assert len(catalog.QUERIES) == n_before + len(catalog._R9_STAGED)
+        assert len(catalog._R9_STAGED) == 7
         assert set(catalog.ORACLES) <= set(catalog.QUERIES)
         for name in catalog._R9_STAGED:
             assert callable(catalog.QUERIES[name])
@@ -205,3 +206,83 @@ def test_containment_max_df_scale_tier(spark):
         for r in containment_pairs(df).collect()
     }
     assert (3, 4) in exact and (1, 2) in exact
+
+
+# ---------------------------------------------------------------------------
+# Token-budget water-filling
+# ---------------------------------------------------------------------------
+
+def _tbp(spark, rows, budget):
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.operators.sampling import token_budget_plan
+
+    df = spark.createDataFrame(rows, "source string, text string")
+    weights = {"a": 10, "b": 20, "c": 40, "z": 0}
+    w = F.lit(None).cast("long")
+    for k, v in weights.items():
+        w = F.when(F.col("source") == k, F.lit(v)).otherwise(w)
+    return {r["source"]: r for r in
+            token_budget_plan(df, "source", w, budget=budget).collect()}
+
+
+def test_token_budget_waterfill_exact(spark):
+    # supply: a=30 tokens, b=4, c=40, z=50 (weight 0)
+    rows = (
+        [("a", " ".join(["w"] * 10))] * 3
+        + [("b", " ".join(["w"] * 4))]
+        + [("c", " ".join(["w"] * 8))] * 5
+        + [("z", " ".join(["w"] * 10))] * 5
+    )
+    out = _tbp(spark, rows, budget=40)
+    # b is tiny relative to its weight -> saturated, keeps all 4;
+    # remaining 36 split between a (w=10) and c (w=40): a gets
+    # 36*10 div 50 = 7, c gets 36*40 div 50 = 28
+    assert out["z"]["alloc_tokens"] == 0 and out["z"]["sample_rate"] == 0.0
+    assert out["b"]["saturated"] and out["b"]["alloc_tokens"] == 4
+    assert not out["a"]["saturated"] and out["a"]["alloc_tokens"] == 7
+    assert not out["c"]["saturated"] and out["c"]["alloc_tokens"] == 28
+    assert out["a"]["sample_rate"] == round(7 / 30, 6)
+
+
+def test_token_budget_all_saturated_when_budget_exceeds_supply(spark):
+    rows = [("a", "w w w"), ("b", "w w"), ("c", "w")]
+    out = _tbp(spark, rows, budget=1000)
+    for s in ("a", "b", "c"):
+        assert out[s]["saturated"] and out[s]["alloc_tokens"] == out[s]["n_tokens"]
+        assert out[s]["sample_rate"] == 1.0
+
+
+def test_token_budget_proportional_when_nothing_saturates(spark):
+    # equal tokens, budget far below every source's proportional share
+    rows = [("a", " ".join(["w"] * 100)), ("b", " ".join(["w"] * 100)),
+            ("c", " ".join(["w"] * 100))]
+    out = _tbp(spark, rows, budget=70)
+    # mu = 70/70 = 1 token per weight unit: a=10, b=20, c=40
+    assert [out[s]["alloc_tokens"] for s in "abc"] == [10, 20, 40]
+    assert not any(out[s]["saturated"] for s in "abc")
+    # allocation exhausts the budget exactly (floor drift bounded by #sources)
+    assert sum(out[s]["alloc_tokens"] for s in "abc") == 70
+
+
+# ---------------------------------------------------------------------------
+# Mojibake audit
+# ---------------------------------------------------------------------------
+
+def test_mojibake_audit_counts(spark):
+    from knime_core_columnar_spark.operators.text import mojibake_audit
+
+    docs = [
+        (1, "perfectly clean ascii text here"),
+        (2, "cafÃ© and itâ€™s broken twice"),
+        (3, "lost bytes �� here"),
+        (4, "binary\x01junk\x07inside"),
+        (5, "tabs\tand\nnewlines are fine"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in mojibake_audit(df).collect()}
+    assert out[1]["clean"] and out[5]["clean"]
+    assert out[2]["n_mojibake"] == 2 and not out[2]["clean"]
+    assert out[3]["n_replacement"] == 2
+    assert out[4]["n_control"] == 2
+    assert out[4]["n_mojibake"] == 0
