@@ -8465,7 +8465,59 @@ def _r9_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_plan(d, "source", weight, budget=24000)
 
 
+DUP_SPAN_EXTRACT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(coalesce(text, '')), '\\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS g
+      FROM toks,
+           UNNEST(generate_series(1, greatest(len(w) - 7, 0))) AS t(pos)
+    ), flagged AS (
+      SELECT doc_id, pos FROM grams
+      WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2)
+    ), with_prev AS (
+      SELECT doc_id, pos,
+             MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_end
+      FROM flagged
+    ), islands AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM with_prev
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_dup_grams
+    FROM islands GROUP BY doc_id, island
+"""
+
+
+def _r9_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span extraction (operators.dedup.dup_span_extract,
+    k=8): maximal merged token intervals whose every 8-gram repeats
+    corpus-wide — the removal ranges of suffix-array substring dedup,
+    computed as hash-count + gaps-and-islands. ~2.1k flagged positions
+    across 47 docs at sf0.01 collapse into a few hundred spans. The
+    oracle replays the identical pipeline on gram STRINGS (Spark counts
+    128-bit md5 keys — same multiset barring ~1e-13 collisions)."""
+    from knime_core_columnar_spark.operators.dedup import dup_span_extract
+
+    return dup_span_extract(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_count=2
+    )
+
+
 _R9_STAGED: dict[str, tuple] = {
+    "dup_span_extract": (_r9_dup_span_extract, DUP_SPAN_EXTRACT_ORACLE),
     "mojibake_audit": (_r9_mojibake_audit, MOJIBAKE_AUDIT_ORACLE),
     "token_budget_plan": (_r9_token_budget_plan, TOKEN_BUDGET_PLAN_ORACLE),
     "benford_audit": (_r9_benford_audit, BENFORD_AUDIT_ORACLE),

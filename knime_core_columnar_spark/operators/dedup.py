@@ -774,6 +774,100 @@ def duplicate_spans(
     )
 
 
+def dup_span_extract(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """EXACT duplicate-span extraction — the actionable counterpart of
+    ``duplicate_spans`` (which anchor-samples and reports a per-doc
+    ratio): every word position opens a ``k``-gram, a position is
+    FLAGGED when its exact word sequence occurs ≥ ``min_count`` times
+    corpus-wide (another doc or elsewhere in the same doc), and flagged
+    positions merge into maximal token intervals — the byte ranges the
+    suffix-array tool of Lee et al. 2022 emits for removal, computed
+    without a suffix array: k-gram multiplicity is a hash-count, and
+    interval merging is per-doc gaps-and-islands.
+
+    Scale shape: grams are pure array expressions (slice + join +
+    md5 — codegen); what shuffles is (doc_id, pos, 128-bit gram hash)
+    per TOKEN — corpus-token volume, the honest price of exactness
+    (``duplicate_spans`` is the sampled tier when that is too much).
+    Multiplicity is a partially-aggregated groupBy on the hash, so the
+    boilerplate hazard (one gram repeated 10⁸ times at 100 TB) collapses
+    map-side instead of flooding one window partition; the flagged
+    semi-join is hash-keyed (AQE-skew-eligible). Interval merging runs
+    under a doc-partitioned window (never global). 128-bit keys keep
+    birthday collisions ~1e-13 even at 10¹³ grams; a collision's only
+    effect is one spuriously flagged k-gram.
+
+    Returns one row per merged span: (id_col, span_start, span_end,
+    span_tokens, n_dup_grams) with 1-based token indices, ``span_end``
+    exclusive. Docs shorter than ``k`` words yield no rows.
+    """
+    from pyspark.sql import Window
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.trim(txt), r"\s+")
+    n_pos = F.size(words) - F.lit(k - 1)
+    positions = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                positions,
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.md5(F.array_join(F.slice(words, p, k), " ")).alias(
+                        "__h"
+                    ),
+                ),
+            )
+        ).alias("__g"),
+    ).select(id_col, F.col("__g.pos").alias("pos"), F.col("__g.__h").alias("__h"))
+    flagged_hashes = (
+        grams.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    flagged = grams.join(flagged_hashes, "__h", "left_semi")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("pos") + F.lit(k)).over(w_prev)
+    new_island = (
+        prev_end.isNull() | (F.col("pos") > prev_end)
+    ).cast("int")
+    islands = flagged.withColumn("__island", F.sum(new_island).over(w_run))
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+            "n_dup_grams",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Prefix-filtered EXACT set-similarity self-join (PPJoin-style)
 # ---------------------------------------------------------------------------

@@ -767,3 +767,25 @@ def test_token_budget_plan_windows_on_source_table_only(spark):
     read_schema = p[p.index("ReadSchema"):].splitlines()[0]
     assert "source" in read_schema and "text" in read_schema
     assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_dup_span_extract_partitioned_windows_only(spark):
+    """Exact substring dedup: the gram count is a partially-aggregated
+    groupBy (map-side combine absorbs boilerplate skew) and the interval
+    merge runs under DOC-partitioned windows — no global window, no
+    cartesian, no Python."""
+    from knime_core_columnar_spark import catalog
+
+    p = _staged_plan(spark, "_R9_STAGED", "dup_span_extract")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # every Window operator must be doc-partitioned — an unpartitioned
+    # window would funnel every flagged position through one task
+    ep = (
+        catalog._R9_STAGED["dup_span_extract"][0](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in ep.splitlines():
+        if line.strip().startswith("Window") or "Window [" in line:
+            assert "doc_id" in line, f"global window: {line}"

@@ -172,7 +172,7 @@ def test_r9_staged_registration_flips_cleanly():
     try:
         assert catalog.register_r9_queries(force=True)
         assert len(catalog.QUERIES) == n_before + len(catalog._R9_STAGED)
-        assert len(catalog._R9_STAGED) == 7
+        assert len(catalog._R9_STAGED) == 8
         assert set(catalog.ORACLES) <= set(catalog.QUERIES)
         for name in catalog._R9_STAGED:
             assert callable(catalog.QUERIES[name])
@@ -286,3 +286,58 @@ def test_mojibake_audit_counts(spark):
     assert out[3]["n_replacement"] == 2
     assert out[4]["n_control"] == 2
     assert out[4]["n_mojibake"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span extraction
+# ---------------------------------------------------------------------------
+
+def _spans(spark, docs, k=4, min_count=2):
+    from knime_core_columnar_spark.operators.dedup import dup_span_extract
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dup_span_extract(df, "doc_id", "text", k=k, min_count=min_count)
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in out.collect()
+    )
+
+
+def test_dup_span_cross_doc_shifted_copy(spark):
+    # the same 5-word passage at offset 1 in doc 1 and offset 3 in doc 2:
+    # k=4 flags positions 1,2 (doc 1) and 3,4 (doc 2); each doc's two
+    # overlapping flagged grams merge into ONE span covering the passage
+    passage = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, passage + " zeta eta theta"),
+        (2, "one two " + passage + " nine"),
+        (3, "totally unrelated words only here now"),
+    ]
+    assert _spans(spark, docs) == [(1, 1, 6, 2), (2, 3, 8, 2)]
+
+
+def test_dup_span_within_doc_repeat_merges(spark):
+    # "a b c d" occurs at positions 1 and 5 of the SAME doc; with k=4
+    # the flagged positions 1 and 5 touch (1+4=5 >= 5) so they merge
+    # into one span [1, 9) — the whole doubled region
+    docs = [(1, "a b c d a b c d"), (2, "x y z w v u t s")]
+    assert _spans(spark, docs) == [(1, 1, 9, 2)]
+
+
+def test_dup_span_disjoint_islands_stay_separate(spark):
+    # two repeated 4-grams separated by unique text in the host doc:
+    # islands must NOT merge across the gap (pos 9 > island-1 end 5)
+    docs = [
+        (1, "a b c d u1 u2 u3 u4 p q r s"),
+        (2, "a b c d x y z"),
+        (3, "m n o p q r s t"),
+    ]
+    out = _spans(spark, docs)
+    assert (1, 1, 5, 1) in out and (1, 9, 13, 1) in out
+    assert (2, 1, 5, 1) in out and (3, 4, 8, 1) in out
+
+
+def test_dup_span_short_and_empty_docs_yield_nothing(spark):
+    docs = [(1, "a b c"), (2, ""), (3, None), (4, "a b c")]
+    # docs 1 and 4 are identical but shorter than k=4: no k-gram exists
+    assert _spans(spark, docs) == []
