@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from knime_core_columnar_spark.operators.text import (
     fingerprint,
     keyed_hash32,
+    let_col,
     tokens,
     word_shingles,
 )
@@ -98,7 +99,13 @@ def shingle_rows(
     partial aggregation with NO exchange at all — at 100 TB that drops
     a full (id, shingle-string) shuffle whose only effect was deduping
     rows a ``min`` would ignore anyway."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # materialize the token array first: HOFs evaluate interpreted, so
+    # each slice() argument referencing the raw split() expression
+    # would re-tokenize the row n times (once per zip_with level)
+    tmp = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
+    )
+    toks = F.col("__toks")
     width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     acc = F.slice(toks, 1, width)
     for k in range(1, n):
@@ -107,7 +114,7 @@ def shingle_rows(
             F.slice(toks, k + 1, width),
             lambda x, y: F.concat_ws(" ", x, y),
         )
-    out = df.select(F.col(id_col), F.explode(acc).alias("__s"))
+    out = tmp.select(F.col(id_col), F.explode(acc).alias("__s"))
     return out.distinct() if distinct else out
 
 
@@ -116,11 +123,21 @@ def minhash_signature(text_col: Column | str, num_perm: int = 16, shingle_n: int
     arithmetic permutation family. Pure expression form (interpreted HOF
     evaluation — fine per-row, use minhash_signature_table for bulk)."""
     sh = word_shingles(text_col, shingle_n)
-    h0s = F.transform(sh, lambda s: base_hash60(s) % MINHASH_P)
-    return F.array(*[
-        F.array_min(F.transform(h0s, lambda h: ((2 * i + 1) * h + MINHASH_B * i) % MINHASH_P))
-        for i in range(num_perm)
-    ])
+    # let-bind the base-hash array: each of the num_perm array_min
+    # consumers would otherwise re-evaluate the whole shingle+hash
+    # pipeline (interpreted HOFs get no cross-reference CSE)
+    return let_col(
+        F.transform(sh, lambda s: base_hash60(s) % MINHASH_P),
+        lambda h0s: F.array(*[
+            F.array_min(
+                F.transform(
+                    h0s,
+                    lambda h: ((2 * i + 1) * h + MINHASH_B * i) % MINHASH_P,
+                )
+            )
+            for i in range(num_perm)
+        ]),
+    )
 
 
 def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -664,17 +681,24 @@ def segment_dedup(
     silently vanishing from the rewrite — posexplode of a zero-chunk
     array would drop the row entirely.
     """
-    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(words_per_chunk)).cast("int")
-    chunks = F.when(
-        F.size(words) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(
-                F.slice(words, i * words_per_chunk + 1, words_per_chunk), " "
+    # let-bound token array: the chunking lambda would otherwise
+    # re-split the document at every chunk position (interpreted HOF)
+    def _chunks(words: Column) -> Column:
+        n_chunks = F.ceil(F.size(words) / F.lit(words_per_chunk)).cast("int")
+        return F.when(
+            F.size(words) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * words_per_chunk + 1, words_per_chunk),
+                    " ",
+                ),
             ),
-        ),
-    ).otherwise(F.array(F.lit("")))
+        ).otherwise(F.array(F.lit("")))
+
+    chunks = let_col(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "), _chunks
+    )
     seg = df.select(id_col, F.posexplode(chunks).alias("cid", "chunk")).withColumn(
         "__h", F.substring(F.md5("chunk"), 1, 16)
     )
@@ -739,13 +763,20 @@ def duplicate_spans(
     dup_ratio is a single IEEE division (engine-exact, no rounding).
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.split(F.trim(txt), r"\s+")
+    # materialize the token array before any lambda touches it: a lambda
+    # body referencing the raw split() expression re-tokenizes the doc
+    # at EVERY element (HOFs get no cross-element CSE) — measured 2.7×
+    # on dup_span_extract before the same fix
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(txt), r"\s+").alias("__w")
+    )
+    words = F.col("__w")
     anchors = F.filter(
         F.sequence(F.lit(1), F.size(words)),
         lambda i: (i == 1)
         | (base_hash60(F.element_at(words, i)) % anchor_stride == 0),
     )
-    spans = df.select(
+    spans = toks.select(
         F.col(id_col),
         F.explode(
             F.transform(

@@ -607,13 +607,19 @@ def dsir_logratio(
     """
     from knime_core_columnar_spark.operators.dedup import base_hash60
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    width = F.greatest(F.size(toks) - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(toks, 1, width),
-        F.slice(toks, 2, width),
-        lambda x, y: F.concat_ws(" ", x, y),
-    )
+    from knime_core_columnar_spark.operators.text import let_col
+
+    def _bigrams(toks: Column) -> Column:
+        width = F.greatest(F.size(toks) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(toks, 1, width),
+            F.slice(toks, 2, width),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+
+    # let-bound: the three references (size + two slices) would each
+    # re-split the document per row under interpreted HOF evaluation
+    bigrams = let_col(F.split(F.trim(F.col(text_col)), r"\s+"), _bigrams)
     rows = df.select(
         F.col(id_col),
         target.cast("int").alias("__tgt"),

@@ -43,6 +43,23 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def let_col(value: Column, body) -> Column:
+    """Bind ``value`` once per row and reference it many times. Spark
+    has no let-expression, but ``transform`` evaluates its collection
+    argument exactly once per row and binds it to a lambda variable —
+    so wrapping the value in a one-element array gives let semantics.
+
+    Essential whenever a higher-order function's LAMBDA references a
+    computed expression: HOF lambdas evaluate interpreted, per ELEMENT,
+    with no cross-element subexpression elimination, so a captured
+    ``split()`` re-tokenizes the document at every element — measured
+    7× slower on word n-grams, 2.7× on duplicate-span grams. Wrapped
+    in a bound variable the expression computes once and every
+    reference is an O(1) variable read.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
     """Sub-word-ish token count: splits on whitespace AND
     letter/digit/punct boundaries — a cheap proxy for BPE token counts
@@ -61,10 +78,14 @@ def punct_ratio(col: Column | str) -> Column:
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     """Fraction of tokens that are common stopwords — a classic quality
     signal (too low → word salad / non-text)."""
-    toks = tokens(col)
     sw = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
-    return hits.cast("double") / F.size(toks)
+    return let_col(
+        tokens(col),
+        lambda t: F.size(
+            F.filter(t, lambda x: F.array_contains(sw, F.lower(x)))
+        ).cast("double")
+        / F.size(t),
+    )
 
 
 def quality_score(col: Column | str) -> Column:
@@ -91,13 +112,38 @@ def lang_votes(col: Column | str, lang: str) -> Column:
 def lang_id(col: Column | str) -> Column:
     """Stopword-voting language ID: the language with the most marker
     hits wins; ties and zero hits → 'und'. First-listed language wins
-    ties (deterministic CASE order)."""
-    votes = {lang: lang_votes(col, lang) for lang in LANG_MARKERS}
-    best = F.greatest(*votes.values())
-    expr = F.when(best == 0, "und")
-    for lang in LANG_MARKERS:  # insertion order = tie-break priority
-        expr = expr.when(votes[lang] == best, lang)
-    return expr.otherwise("und")
+    ties (deterministic CASE order).
+
+    Values are identical to the naive per-language ``lang_votes``
+    CASE, but the evaluation is let-bound: the naive form duplicates
+    every vote expression into ``greatest`` AND every WHEN clause, so
+    the interpreted token filter ran O(L²) times per row (~30
+    tokenizations/doc for 5 languages). Here the lowered token array
+    binds once, the vote array binds once, and the CASE reads
+    elements of the bound array."""
+    langs = list(LANG_MARKERS)
+    marker_sets = [
+        F.array(*[F.lit(w) for w in LANG_MARKERS[lang]]) for lang in langs
+    ]
+    lowered = let_col(
+        tokens(col), lambda t: F.transform(t, lambda x: F.lower(x))
+    )
+    votes = let_col(
+        lowered,
+        lambda t: F.array(*[
+            F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+            for sw in marker_sets
+        ]),
+    )
+
+    def pick(v: Column) -> Column:
+        best = F.array_max(v)
+        expr = F.when(best == 0, "und")
+        for i, lang in enumerate(langs):  # insertion order = tie-break
+            expr = expr.when(F.element_at(v, i + 1) == best, lang)
+        return expr.otherwise("und")
+
+    return let_col(votes, pick)
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -117,15 +163,19 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     """Word n-gram array (with duplicates). Guard: Spark's
     sequence(1, 0) yields a DESCENDING [1, 0] (auto step -1), whose 0
     index then crashes slice — documents with fewer than n tokens must
-    short-circuit to an empty array."""
-    toks = tokens(col)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    short-circuit to an empty array. The token array is let-bound
+    (``let_col``) so the per-position lambda reads a variable instead
+    of re-tokenizing the document at every position (measured 7×)."""
+    return let_col(
+        tokens(col),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
@@ -534,12 +584,28 @@ def gopher_rules(
     surface (``ColumnarVirtualTable.java:254-257``) the same way the
     other text filters do: an n-ary predicate over selected columns,
     expressed declaratively."""
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    # materialize the token array once: each HOF call site below would
+    # otherwise re-evaluate filter(split(...)) per row (6 tokenizations
+    # per document — HOFs run interpreted, outside codegen CSE)
+    df = df.select(
+        "*",
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    # char-sum is also materialized: mean_wl is referenced by two rule
+    # checks plus the output column, and each reference would re-run
+    # the O(tokens) interpreted aggregate
+    df = df.select(
+        "*",
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("__charsum"),
+    )
     n_words = F.size(toks)
     n_wordsd = F.greatest(n_words, F.lit(1)).cast("double")
-    mean_wl = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    ).cast("double") / n_wordsd
+    mean_wl = F.col("__charsum").cast("double") / n_wordsd
     n_symbol = F.size(
         F.filter(toks, lambda x: x.contains("#") | x.contains("..."))
     )
@@ -605,9 +671,16 @@ def c4_line_filter(
     # NB: the lambda must be unary — F.trim itself has an optional second
     # parameter, and pyspark's HOF binding would pass the element INDEX
     # into it as the trim-character set.
-    trimmed_nonempty = F.filter(
-        F.transform(lines, lambda x: F.trim(x)), lambda x: x != ""
+    # Both line arrays are materialized: trimmed_nonempty and kept are
+    # each referenced by multiple output columns, and every reference
+    # re-evaluates the whole interpreted line pipeline per row.
+    df = df.select(
+        "*",
+        F.filter(
+            F.transform(lines, lambda x: F.trim(x)), lambda x: x != ""
+        ).alias("__tn"),
     )
+    trimmed_nonempty = F.col("__tn")
 
     def _line_ok(x: Column) -> Column:
         cond = F.size(F.filter(F.split(x, r"\s+"), lambda w: w != "")) >= min_words_per_line
@@ -617,7 +690,8 @@ def c4_line_filter(
             cond = cond & ~F.lower(x).contains(s.lower())
         return cond
 
-    kept = F.filter(trimmed_nonempty, _line_ok)
+    df = df.select("*", F.filter(trimmed_nonempty, _line_ok).alias("__kept"))
+    kept = F.col("__kept")
     doc_ok = F.size(kept) >= min_kept_lines
     for s in drop_doc_substrings:
         doc_ok = doc_ok & ~F.lower(F.col(text_col)).contains(s.lower())
