@@ -789,3 +789,25 @@ def test_dup_span_extract_partitioned_windows_only(spark):
     for line in ep.splitlines():
         if line.strip().startswith("Window") or "Window [" in line:
             assert "doc_id" in line, f"global window: {line}"
+
+
+def test_tokenization_count_stays_bounded(spark):
+    """Interpreted-HOF discipline (round-5): lambdas must not capture
+    split()-derived expressions and heavy token arrays must be
+    let-bound/materialized, or the plan re-tokenizes each row many
+    times (lang_id regressed to O(langs²) splits before the fix). The
+    pin counts literal `split(` occurrences in the executed plan — a
+    regression re-inlines the expression and the count jumps."""
+    from knime_core_columnar_spark import catalog
+
+    bound = {
+        "text_quality_lang": 5,   # measured 4: quality metrics + let-bound lang votes
+        "dedup_minhash_lsh": 3,   # measured 2: shingle materialization per side
+        "segment_dedup": 3,       # measured 2
+        "neardup_pipeline": 3,    # measured 2
+    }
+    for name, limit in bound.items():
+        df = catalog.QUERIES[name](spark, SF)
+        ep = df._jdf.queryExecution().executedPlan().toString()
+        n = ep.count("split(")
+        assert n <= limit, f"{name}: {n} split() sites in plan (limit {limit})"
