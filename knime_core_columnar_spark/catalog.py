@@ -8516,7 +8516,141 @@ def _r9_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LEAKAGE_SAFE_SPLIT_ORACLE = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), mh AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(s, x ->
+                 ((2*i + 1) * (('0x' || substring(md5(x), 1, 15))::BIGINT % 2147483647)
+                  + 104729 * i) % 2147483647))) AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], ',')) AS key
+      FROM mh, (SELECT unnest(range(0, 4)) AS b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    ), verified AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+                JOIN sh sb ON sb.doc_id = cand.id_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION ALL
+      SELECT id_b, id_a FROM verified
+    ), reach AS (
+      SELECT a AS node, a AS label FROM e
+      UNION
+      SELECT e.a, reach.label FROM e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    ), labeled AS (
+      SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    )
+    SELECT doc_id, component,
+           CASE WHEN ('0x' || substring(md5('split_' || CAST(component AS VARCHAR)), 1, 8))::BIGINT
+                     % 1000 < 100 THEN 'test'
+                WHEN ('0x' || substring(md5('split_' || CAST(component AS VARCHAR)), 1, 8))::BIGINT
+                     % 1000 < 200 THEN 'val'
+                ELSE 'train' END AS split
+    FROM labeled
+"""
+
+
+def _r9_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split
+    (operators.sampling.leakage_safe_split): near-dup clusters from the
+    verified MinHash+LSH edge list (same derivation neardup_clusters
+    pins), split decided per CLUSTER by salted label hash — a near-copy
+    can never land in a different split than its twin. Oracle replays
+    the closure as a recursive CTE and the split as the documented
+    keyed_hash32 SQL equivalent."""
+    from knime_core_columnar_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from knime_core_columnar_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, "doc_id", "text", num_perm=16, bands=4)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cand
+    ).select("id_a", "id_b")
+    return leakage_safe_split(
+        d, pairs, "doc_id", test_permille=100, val_permille=100
+    )
+
+
+TOKEN_FERTILITY_ORACLE = """
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+             CAST(len(string_split_regex(trim(
+               regexp_replace(text, '([0-9]+|[^\\sA-Za-z0-9])', ' \\1 ', 'g')
+             ), '\\s+')) AS BIGINT) AS n_pieces,
+             CAST(len(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           round(CAST(SUM(n_pieces) AS DOUBLE) / SUM(n_words), 6) AS pieces_per_word,
+           round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_pieces), 6) AS chars_per_piece
+    FROM per_doc GROUP BY lang
+"""
+
+
+def _r9_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: per language, whitespace words vs
+    BPE-ish sub-word pieces (text.bpe_ish_token_count) and characters —
+    pieces_per_word (fertility) and chars_per_piece (compression) are
+    the go/no-go numbers for a tokenizer on a new language mix. One
+    scan, one partially-aggregated groupBy(lang); ratios are single
+    IEEE divisions of exact int64 sums."""
+    from knime_core_columnar_spark.operators.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        token_count(F.col("text")).cast("long").alias("__w"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("__p"),
+        F.length("text").cast("long").alias("__c"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("n_words"),
+        F.sum("__p").alias("n_pieces"),
+        F.sum("__c").alias("n_chars"),
+        F.round(
+            F.sum("__p").cast("double") / F.sum("__w").cast("double"), 6
+        ).alias("pieces_per_word"),
+        F.round(
+            F.sum("__c").cast("double") / F.sum("__p").cast("double"), 6
+        ).alias("chars_per_piece"),
+    )
+
+
 _R9_STAGED: dict[str, tuple] = {
+    "leakage_safe_split": (_r9_leakage_safe_split, LEAKAGE_SAFE_SPLIT_ORACLE),
+    "token_fertility": (_r9_token_fertility, TOKEN_FERTILITY_ORACLE),
     "dup_span_extract": (_r9_dup_span_extract, DUP_SPAN_EXTRACT_ORACLE),
     "mojibake_audit": (_r9_mojibake_audit, MOJIBAKE_AUDIT_ORACLE),
     "token_budget_plan": (_r9_token_budget_plan, TOKEN_BUDGET_PLAN_ORACLE),

@@ -443,6 +443,57 @@ def quota_sample(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    test_permille: int = 100,
+    val_permille: int = 100,
+    salt: str = "split",
+) -> DataFrame:
+    """Cluster-aware train/val/test split: near-duplicate documents must
+    never straddle a split boundary (a test doc whose near-copy sits in
+    train is silent eval contamination), so the split decision is made
+    per CONNECTED COMPONENT of the duplicate graph, not per document.
+    ``pairs`` is any (id_a, id_b) near-dup edge list — MinHash+LSH
+    verified pairs, exact-dup pairs, containment edges, or their union.
+
+    Every doc maps to its component label (min id; singletons to
+    themselves — ``connected_components`` handles the propagation) and
+    the split is a salted hash of the LABEL: test gets
+    ``test_permille``/1000 of clusters, val the next slice, train the
+    rest. Deterministic, partitioning-independent, and stable under
+    corpus growth ONLY for unchanged clusters (a merge of two clusters
+    re-rolls the merged label — unavoidable for any label-keyed rule).
+
+    Scale shape: the component join is id-keyed (the BSP label frame is
+    (node, int64)); the split itself is one hash on the label — no
+    extra shuffle beyond connected_components' supersteps. Returns
+    (id_col, component, split).
+    """
+    from knime_core_columnar_spark.operators.dedup import (
+        connected_components,
+    )
+    from knime_core_columnar_spark.operators.text import keyed_hash32
+
+    comp = connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        df.select(id_col)
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("label"), F.col(id_col)).alias("component"),
+        )
+    )
+    bucket = keyed_hash32(F.lit(salt), F.col("component").cast("string")) % 1000
+    return labeled.withColumn(
+        "split",
+        F.when(bucket < test_permille, "test")
+        .when(bucket < test_permille + val_permille, "val")
+        .otherwise("train"),
+    )
+
+
 def token_budget_plan(
     df: DataFrame,
     source_col: str,

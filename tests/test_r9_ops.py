@@ -172,7 +172,7 @@ def test_r9_staged_registration_flips_cleanly():
     try:
         assert catalog.register_r9_queries(force=True)
         assert len(catalog.QUERIES) == n_before + len(catalog._R9_STAGED)
-        assert len(catalog._R9_STAGED) == 8
+        assert len(catalog._R9_STAGED) == 10
         assert set(catalog.ORACLES) <= set(catalog.QUERIES)
         for name in catalog._R9_STAGED:
             assert callable(catalog.QUERIES[name])
@@ -341,3 +341,69 @@ def test_dup_span_short_and_empty_docs_yield_nothing(spark):
     docs = [(1, "a b c"), (2, ""), (3, None), (4, "a b c")]
     # docs 1 and 4 are identical but shorter than k=4: no k-gram exists
     assert _spans(spark, docs) == []
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split
+# ---------------------------------------------------------------------------
+
+def test_leakage_safe_split_clusters_share_split(spark):
+    from knime_core_columnar_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    # two clusters {1,2,3} (transitively: 1-2, 2-3) and {5,6}; 4,7,8 single
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in
+           leakage_safe_split(docs, pairs, "doc_id").collect()}
+    assert len(out) == 8
+    # component = min id of the cluster; singletons label themselves
+    assert [out[i]["component"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [out[i]["component"] for i in (5, 6)] == [5, 5]
+    assert out[4]["component"] == 4 and out[8]["component"] == 8
+    # the leakage guarantee: one split per component
+    for ids in [(1, 2, 3), (5, 6)]:
+        assert len({out[i]["split"] for i in ids}) == 1
+    assert set(r["split"] for r in out.values()) <= {"train", "val", "test"}
+
+
+def test_leakage_safe_split_permille_boundaries(spark):
+    from knime_core_columnar_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(200)], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    # all-test and all-train extremes are exact
+    all_test = leakage_safe_split(docs, empty, "doc_id", 1000, 0).collect()
+    assert {r["split"] for r in all_test} == {"test"}
+    all_train = leakage_safe_split(docs, empty, "doc_id", 0, 0).collect()
+    assert {r["split"] for r in all_train} == {"train"}
+
+
+# ---------------------------------------------------------------------------
+# Token fertility
+# ---------------------------------------------------------------------------
+
+def test_token_fertility_hand_counts(spark):
+    from knime_core_columnar_spark.operators.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [("don't stop!", ), ("a1b2", ), ("plain words here", )],
+        "text string",
+    )
+    rows = df.select(
+        token_count(F.col("text")).alias("w"),
+        bpe_ish_token_count(F.col("text")).alias("p"),
+    ).collect()
+    # "don't stop!" -> words 2; pieces: don ' t stop ! = 5
+    assert (rows[0]["w"], rows[0]["p"]) == (2, 5)
+    # "a1b2" -> 1 word; pieces: a 1 b 2 = 4
+    assert (rows[1]["w"], rows[1]["p"]) == (1, 4)
+    assert (rows[2]["w"], rows[2]["p"]) == (3, 3)
