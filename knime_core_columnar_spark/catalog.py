@@ -8648,7 +8648,58 @@ def _r9_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CALIBRATION_REPORT_ORACLE = """
+    WITH h AS (
+      SELECT ('0x' || substring(md5(CAST(event_id AS VARCHAR) || '|cal_s'), 1, 15))::BIGINT
+               % 10000 AS b1,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR) || '|cal_y'), 1, 15))::BIGINT
+               % 10000 AS b2
+      FROM events
+    ), scored AS (
+      SELECT b1 / 10000.0 AS score,
+             CASE WHEN b2 < b1 THEN 1 ELSE 0 END AS y
+      FROM h
+    ), binned AS (
+      SELECT least(9, CAST(floor(score * 10) AS INT)) AS bin, score, y
+      FROM scored
+    ), agg AS (
+      SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             round(CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+               AS mean_score,
+             round(CAST(SUM(y) AS DOUBLE) / count(*), 6) AS frac_pos
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, n, n_pos, mean_score, frac_pos,
+           round(abs(mean_score - frac_pos), 6) AS gap
+    FROM agg
+"""
+
+
+def _r9_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (operators.ml.calibration_report, 10 bins)
+    over a synthetic well-calibrated classifier: score = stable hash
+    bucket / 10⁴, label ~ Bernoulli(score) via an independent hash —
+    so frac_pos tracks mean_score and the per-bin gap is small by
+    construction. One partially-aggregated scan; decimal-exact score
+    sums."""
+    from knime_core_columnar_spark.operators.ml import calibration_report
+    from knime_core_columnar_spark.operators.sampling import hash_bucket
+
+    e = _t(spark, sf_dir, "events").select("event_id")
+    scored = e.select(
+        (hash_bucket(["event_id"], "cal_s") / F.lit(10000.0)).alias("score"),
+        (
+            hash_bucket(["event_id"], "cal_y")
+            < hash_bucket(["event_id"], "cal_s")
+        ).alias("label"),
+    )
+    return calibration_report(scored, "score", "label", n_bins=10)
+
+
 _R9_STAGED: dict[str, tuple] = {
+    "calibration_report": (_r9_calibration_report, CALIBRATION_REPORT_ORACLE),
     "leakage_safe_split": (_r9_leakage_safe_split, LEAKAGE_SAFE_SPLIT_ORACLE),
     "token_fertility": (_r9_token_fertility, TOKEN_FERTILITY_ORACLE),
     "dup_span_extract": (_r9_dup_span_extract, DUP_SPAN_EXTRACT_ORACLE),

@@ -348,6 +348,55 @@ def target_encode(
     return df.join(F.broadcast(enc), [cat_col, fold_col], "left")
 
 
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier: scores in
+    [0, 1] bucket into ``n_bins`` equal-width bins; each bin reports
+    count, positives, mean predicted score, observed positive fraction,
+    and the |confidence − accuracy| gap. ECE is the n-weighted sum of
+    ``gap`` — left to the consumer so the report stays one-row-per-bin.
+    The companion of ``binary_auc``: AUC says the ranking is right,
+    calibration says the probabilities are (a quality-classifier score
+    used as a sampling weight is only as good as its calibration).
+
+    Scale shape: ONE partially-aggregated groupBy over the scan —
+    n_bins rows out. The score sum accumulates in decimal(28,6) so
+    ``mean_score`` is identical at any parallelism (same discipline as
+    the mean imputer); ratios are single IEEE divisions of exact
+    sums."""
+    score = F.col(score_col)
+    bucket = F.least(
+        F.lit(n_bins - 1), F.floor(score * n_bins).cast("int")
+    ).alias("bin")
+    agg = (
+        df.select(bucket, score.alias("__s"), F.col(label_col).cast("long").alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+            F.sum(F.col("__s").cast("decimal(28,6)")).alias("__ss"),
+        )
+    )
+    mean_score = F.round(
+        F.col("__ss").cast("double") / F.col("n").cast("double"), 6
+    )
+    frac_pos = F.round(
+        F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+    )
+    return agg.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n",
+        "n_pos",
+        mean_score.alias("mean_score"),
+        frac_pos.alias("frac_pos"),
+        F.round(F.abs(mean_score - frac_pos), 6).alias("gap"),
+    )
+
+
 def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """EXACT ROC-AUC (Mann-Whitney with average-rank tie handling)
     without a global window: scores aggregate to (score, n_pos, n_neg)

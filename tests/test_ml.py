@@ -483,3 +483,25 @@ def test_gbt_separable_and_partition_invariant(spark):
     # probabilities move off the prior in the right direction
     probs = {r["label"]: r["prob"] for r in predict(df).collect()}
     assert probs[1] > 0.5 > probs[0]
+
+
+def test_calibration_report_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.operators.ml import calibration_report
+
+    rows = (
+        [(0.05, 0)] * 9 + [(0.05, 1)]        # bin 0: 10 rows, 1 pos
+        + [(0.95, 1)] * 8 + [(0.95, 0)] * 2  # bin 9: 10 rows, 8 pos
+        + [(1.0, 1)]                         # score==1.0 clamps to bin 9
+    )
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["bin"]: r for r in calibration_report(df, "score", "label").collect()}
+    assert set(out) == {0, 9}
+    b0 = out[0]
+    assert (b0["n"], b0["n_pos"]) == (10, 1)
+    assert b0["mean_score"] == 0.05 and b0["frac_pos"] == 0.1
+    assert b0["gap"] == 0.05
+    b9 = out[9]
+    assert (b9["n"], b9["n_pos"]) == (11, 9)
+    assert b9["mean_score"] == round((0.95 * 10 + 1.0) / 11, 6)
