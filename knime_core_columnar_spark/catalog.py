@@ -8698,7 +8698,60 @@ def _r9_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_report(scored, "score", "label", n_bins=10)
 
 
+NUMERIC_DRIFT_ORACLE = """
+    WITH old AS (
+      SELECT value FROM events WHERE event_id % 2 = 0
+    ), new AS (
+      SELECT value * 1.2 + 10 AS value FROM events WHERE event_id % 2 = 1
+    ), ob AS (
+      SELECT CAST(CASE WHEN value < 0 THEN -1
+                       WHEN value >= 500 THEN 10
+                       ELSE CAST(floor((value - 0) / 50.0) AS INT) END AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_old
+      FROM old WHERE value IS NOT NULL GROUP BY 1
+    ), nb AS (
+      SELECT CAST(CASE WHEN value < 0 THEN -1
+                       WHEN value >= 500 THEN 10
+                       ELSE CAST(floor((value - 0) / 50.0) AS INT) END AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_new
+      FROM new WHERE value IS NOT NULL GROUP BY 1
+    ), merged AS (
+      SELECT COALESCE(ob.bin, nb.bin) AS bin,
+             COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+      FROM ob FULL OUTER JOIN nb ON ob.bin = nb.bin
+    ), tot AS (
+      SELECT CAST(SUM(n_old) AS BIGINT) AS t_o, CAST(SUM(n_new) AS BIGINT) AS t_n
+      FROM merged
+    )
+    SELECT bin, n_old, n_new,
+           round(n_old / t_o, 6) AS pct_old,
+           round(n_new / t_n, 6) AS pct_new,
+           round(n_new / t_n - n_old / t_o, 6) AS pct_diff
+    FROM merged, tot
+"""
+
+
+def _r9_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift audit (operators.validate.numeric_drift_report):
+    the 'old' snapshot is the even-event half of events.value, the
+    'new' snapshot the odd half scaled+shifted (×1.2 + 10) — a real
+    location/scale drift the per-bin table makes visible. Fixed bin
+    edges [0, 500) / 50 so the binning is engine-portable; exact int64
+    counts, IEEE-division percentages."""
+    from knime_core_columnar_spark.operators.validate import (
+        numeric_drift_report,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    old = e.filter(F.col("event_id") % 2 == 0).select("value")
+    new = e.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.2 + 10).alias("value")
+    )
+    return numeric_drift_report(old, new, "value", lo=0.0, hi=500.0, n_bins=10)
+
+
 _R9_STAGED: dict[str, tuple] = {
+    "numeric_drift_report": (_r9_numeric_drift, NUMERIC_DRIFT_ORACLE),
     "calibration_report": (_r9_calibration_report, CALIBRATION_REPORT_ORACLE),
     "leakage_safe_split": (_r9_leakage_safe_split, LEAKAGE_SAFE_SPLIT_ORACLE),
     "token_fertility": (_r9_token_fertility, TOKEN_FERTILITY_ORACLE),

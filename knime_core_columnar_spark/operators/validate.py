@@ -318,3 +318,67 @@ def concentration_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
                  "sum_sq_counts", "top_count")
         out = prof if out is None else out.unionByName(prof)
     return out
+
+
+def numeric_drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution-drift audit between two snapshots of a numeric
+    column — the per-bin table behind PSI / KL drift monitors. Values
+    bucket into ``n_bins`` equal-width bins over the FIXED range
+    [lo, hi) plus underflow (-1) and overflow (``n_bins``) bins; fixed
+    edges, not quantiles, so the binning is deterministic and
+    engine-portable (approx-quantile edges differ per engine and per
+    run — they would unpin the oracle AND make two monitoring runs
+    incomparable, which defeats drift monitoring).
+
+    Returns one row per non-empty bin: (bin, n_old, n_new, pct_old,
+    pct_new, pct_diff) with exact int64 counts and single-IEEE-division
+    percentages. PSI = Σ (pct_new − pct_old)·ln(pct_new/pct_old) is
+    left to the consumer (ln() on smoothed ratios is policy — smoothing
+    epsilon and zero-bin handling vary by shop — while the counts are
+    facts).
+
+    Scale shape: one partially-aggregated groupBy per snapshot
+    (n_bins+2 rows each), full-outer merged on the bin id — no windows,
+    no corpus joins. NULLs are excluded (they are a missingness metric,
+    not a distribution value; ``not_null`` audits them)."""
+    width = (hi - lo) / n_bins
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(col).cast("double")
+        b = (
+            F.when(v < lo, F.lit(-1))
+            .when(v >= hi, F.lit(n_bins))
+            .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"))
+        )
+        return (
+            df.filter(v.isNotNull())
+            .groupBy(b.cast("long").alias("bin"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+    o = binned(old, "n_old")
+    n = binned(new, "n_new")
+    merged = o.join(n, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    tot = merged.agg(
+        F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
+    )
+    return merged.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.round(F.col("n_old") / F.col("__to"), 6).alias("pct_old"),
+        F.round(F.col("n_new") / F.col("__tn"), 6).alias("pct_new"),
+        F.round(
+            F.col("n_new") / F.col("__tn") - F.col("n_old") / F.col("__to"), 6
+        ).alias("pct_diff"),
+    )

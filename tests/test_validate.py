@@ -83,3 +83,30 @@ def test_validate_on_tpch_referential(spark, sf_dir):
     }
     assert all(r["status"] == "pass" for r in rep.values())
     assert rep["unique(o_orderkey)"]["n_rows"] == orders.count()
+
+
+def test_numeric_drift_report_hand_bins(spark):
+    from knime_core_columnar_spark.operators.validate import (
+        numeric_drift_report,
+    )
+
+    old = spark.createDataFrame(
+        [(5.0,), (15.0,), (15.5,), (-3.0,), (100.0,), (None,)], "value double"
+    )
+    new = spark.createDataFrame(
+        [(5.0,), (25.0,), (25.1,), (25.2,)], "value double"
+    )
+    out = {r["bin"]: r for r in
+           numeric_drift_report(old, new, "value", 0.0, 30.0, 3).collect()}
+    # old: bin 0 (5), bin 1 (15, 15.5), underflow -1 (-3), overflow 3 (100);
+    # NULL excluded. new: bin 0 (5), bin 2 (25, 25.1, 25.2)
+    assert (out[0]["n_old"], out[0]["n_new"]) == (1, 1)
+    assert (out[1]["n_old"], out[1]["n_new"]) == (2, 0)
+    assert (out[2]["n_old"], out[2]["n_new"]) == (0, 3)
+    assert (out[-1]["n_old"], out[-1]["n_new"]) == (1, 0)
+    assert (out[3]["n_old"], out[3]["n_new"]) == (1, 0)
+    assert out[2]["pct_new"] == 0.75 and out[2]["pct_old"] == 0.0
+    assert out[1]["pct_old"] == 0.4  # 2/5 non-null old rows
+    # percentages sum to 1 on both sides (no row lost to binning)
+    assert round(sum(r["pct_old"] for r in out.values()), 6) == 1.0
+    assert round(sum(r["pct_new"] for r in out.values()), 6) == 1.0
