@@ -8750,7 +8750,76 @@ def _r9_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_drift_report(old, new, "value", lo=0.0, hi=500.0, n_bins=10)
 
 
+DUP_SPAN_APPLY_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(coalesce(text, '')), '\\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS g
+      FROM toks,
+           UNNEST(generate_series(1, greatest(len(w) - 7, 0))) AS t(pos)
+    ), counts AS (
+      SELECT g, count(*) AS c,
+             MIN(doc_id * 1000000 + pos) AS win
+      FROM grams GROUP BY g HAVING count(*) >= 2
+    ), losers AS (
+      SELECT doc_id, pos
+      FROM grams JOIN counts USING (g)
+      WHERE NOT (doc_id = win // 1000000 AND pos = win % 1000000)
+    ), with_prev AS (
+      SELECT doc_id, pos,
+             MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_end
+      FROM losers
+    ), islands AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM with_prev
+    ), cuts AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+      FROM islands GROUP BY doc_id, island
+    ), cut_pos AS (
+      SELECT DISTINCT doc_id, cp
+      FROM cuts, UNNEST(generate_series(s, e - 1)) AS u(cp)
+    ), posns AS (
+      SELECT doc_id, i, w[i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(w))) AS gi(i)
+    ), kept AS (
+      SELECT p.doc_id, p.i, p.tok, (cp.cp IS NOT NULL) AS cut
+      FROM posns p LEFT JOIN cut_pos cp
+        ON cp.doc_id = p.doc_id AND cp.cp = p.i
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN NOT cut THEN tok END, ' '
+                               ORDER BY i), '') AS clean_text
+    FROM kept GROUP BY doc_id
+"""
+
+
+def _r9_dup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-dedup REWRITE (operators.dedup.dup_span_apply,
+    k=8): the corpus-first occurrence of every duplicated 8-gram
+    survives, all other copies are cut, documents are reassembled from
+    surviving tokens. Oracle replays winner selection (encoded
+    min(doc*1e6+pos) — positions ≪ 1e6 at every gate SF), the island
+    merge, and the token-level rebuild on gram STRINGS."""
+    from knime_core_columnar_spark.operators.dedup import dup_span_apply
+
+    return dup_span_apply(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_count=2
+    )
+
+
 _R9_STAGED: dict[str, tuple] = {
+    "dup_span_apply": (_r9_dup_span_apply, DUP_SPAN_APPLY_ORACLE),
     "numeric_drift_report": (_r9_numeric_drift, NUMERIC_DRIFT_ORACLE),
     "calibration_report": (_r9_calibration_report, CALIBRATION_REPORT_ORACLE),
     "leakage_safe_split": (_r9_leakage_safe_split, LEAKAGE_SAFE_SPLIT_ORACLE),

@@ -805,6 +805,178 @@ def duplicate_spans(
     )
 
 
+def _gram_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, __h1, __h2): one row per word position with the
+    two-seed xxhash64 key of its k-gram. Token array materialized once
+    per row (HOF-lambda discipline — see let_col)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(txt), r"\s+").alias("__w")
+    )
+    n_pos = F.size("__w") - F.lit(k - 1)
+    positions = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = lambda p: F.array_join(F.slice(F.col("__w"), p, k), " ")  # noqa: E731
+    return toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                positions,
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.xxhash64(gram(p)).alias("__h1"),
+                    F.xxhash64(gram(p), F.lit(k)).alias("__h2"),
+                ),
+            )
+        ).alias("__g"),
+    ).select(
+        id_col,
+        F.col("__g.pos").alias("pos"),
+        F.col("__g.__h1").alias("__h1"),
+        F.col("__g.__h2").alias("__h2"),
+    )
+
+
+def _flagged_gram_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int, min_count: int
+) -> DataFrame:
+    """Gram rows restricted to grams occurring >= min_count corpus-wide
+    (partially-aggregated multiplicity count + hash semi-join)."""
+    grams = _gram_rows(df, id_col, text_col, k)
+    flagged_hashes = (
+        grams.groupBy("__h1", "__h2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h1", "__h2")
+    )
+    return grams.join(flagged_hashes, ["__h1", "__h2"], "left_semi")
+
+
+def _span_islands(
+    flagged: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Gaps-and-islands interval grouping of flagged positions under a
+    doc-partitioned window: adds __island."""
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("pos") + F.lit(k)).over(w_prev)
+    new_island = (
+        prev_end.isNull() | (F.col("pos") > prev_end)
+    ).cast("int")
+    return flagged.withColumn("__island", F.sum(new_island).over(w_run))
+
+
+def dup_span_apply(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The REWRITE step of exact substring dedup: every duplicated
+    ``k``-gram position LOSES unless it is the corpus-first occurrence
+    of its gram (minimum ``(id, pos)`` — same winner rule as
+    ``segment_dedup``), losing positions merge into maximal spans, and
+    each document is reassembled with its losing spans cut out. The
+    canonical copy of every duplicated passage survives somewhere in
+    the corpus; all other copies are removed — Lee et al. 2022's
+    "keep one occurrence" policy at k-gram resolution.
+
+    Semantics note: winner protection is per-POSITION. When a losing
+    span partially overlaps tokens a neighbouring winner gram also
+    covers, the span's full ``[start, last_loser_pos + k)`` range is
+    still cut — a deterministic, engine-portable rule (the oracle
+    replays it exactly) that errs toward removing duplicated text.
+
+    Scale shape: ``dup_span_extract``'s machinery (token-volume gram
+    shuffle, partial-agg multiplicity, doc-partitioned islands) plus
+    one winner aggregation per gram hash — min(struct(id, pos)) is
+    partially aggregated, so boilerplate grams collapse map-side.
+    The rebuild joins cut spans back to the corpus id-keyed and drops
+    tokens with a per-row array filter (no explode of the corpus).
+
+    Returns (id_col, n_tokens, n_removed, clean_text); docs with
+    nothing to cut pass through with their (trimmed, whitespace-
+    normalized) text."""
+    grams = _gram_rows(df, id_col, text_col, k)
+    flagged_hashes = (
+        grams.groupBy("__h1", "__h2")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__win"),
+        )
+        .filter(F.col("__c") >= min_count)
+        .select("__h1", "__h2", "__win")
+    )
+    losers = (
+        grams.join(flagged_hashes, ["__h1", "__h2"])
+        .filter(
+            ~(
+                (F.col(f"__win.{id_col}") == F.col(id_col))
+                & (F.col("__win.pos") == F.col("pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    spans = (
+        _span_islands(losers, id_col, k)
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("__s"),
+            (F.max("pos") + F.lit(k)).alias("__e"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct(F.col("__s"), F.col("__e"))).alias(
+                "__cuts"
+            )
+        )
+    )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    rebuilt = (
+        df.select(F.col(id_col), F.split(F.trim(txt), r"\s+").alias("__w"))
+        .join(spans, id_col, "left")
+        .select(
+            id_col,
+            "__w",
+            F.coalesce(
+                F.col("__cuts"),
+                F.array().cast("array<struct<__s:int,__e:int>>"),
+            ).alias("__cuts"),
+        )
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("__w")),
+        lambda i: ~F.exists(
+            F.col("__cuts"), lambda sp: (i >= sp["__s"]) & (i < sp["__e"])
+        ),
+    )
+    return rebuilt.select(id_col, "__w", kept.alias("__kept")).select(
+        id_col,
+        F.size("__w").cast("long").alias("n_tokens"),
+        (F.size("__w") - F.size("__kept")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.col("__kept"), lambda i: F.element_at(F.col("__w"), i)
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 def dup_span_extract(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -842,57 +1014,8 @@ def dup_span_extract(
     span_tokens, n_dup_grams) with 1-based token indices, ``span_end``
     exclusive. Docs shorter than ``k`` words yield no rows.
     """
-    from pyspark.sql import Window
-
-    txt = F.coalesce(F.col(text_col), F.lit(""))
-    toks = df.select(
-        F.col(id_col), F.split(F.trim(txt), r"\s+").alias("__w")
-    )
-    n_pos = F.size("__w") - F.lit(k - 1)
-    positions = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
-        F.array().cast("array<int>")
-    )
-    gram = lambda p: F.array_join(F.slice(F.col("__w"), p, k), " ")  # noqa: E731
-    grams = toks.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                positions,
-                lambda p: F.struct(
-                    p.alias("pos"),
-                    F.xxhash64(gram(p)).alias("__h1"),
-                    F.xxhash64(gram(p), F.lit(k)).alias("__h2"),
-                ),
-            )
-        ).alias("__g"),
-    ).select(
-        id_col,
-        F.col("__g.pos").alias("pos"),
-        F.col("__g.__h1").alias("__h1"),
-        F.col("__g.__h2").alias("__h2"),
-    )
-    flagged_hashes = (
-        grams.groupBy("__h1", "__h2")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= min_count)
-        .select("__h1", "__h2")
-    )
-    flagged = grams.join(flagged_hashes, ["__h1", "__h2"], "left_semi")
-    w_prev = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    prev_end = F.max(F.col("pos") + F.lit(k)).over(w_prev)
-    new_island = (
-        prev_end.isNull() | (F.col("pos") > prev_end)
-    ).cast("int")
-    islands = flagged.withColumn("__island", F.sum(new_island).over(w_run))
+    flagged = _flagged_gram_rows(df, id_col, text_col, k, min_count)
+    islands = _span_islands(flagged, id_col, k)
     return (
         islands.groupBy(id_col, "__island")
         .agg(

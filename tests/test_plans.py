@@ -811,3 +811,24 @@ def test_tokenization_count_stays_bounded(spark):
         ep = df._jdf.queryExecution().executedPlan().toString()
         n = ep.count("split(")
         assert n <= limit, f"{name}: {n} split() sites in plan (limit {limit})"
+
+
+def test_dup_span_apply_no_corpus_explode_on_rebuild(spark):
+    """The rewrite joins cut spans back id-keyed and drops tokens with a
+    per-row array filter — the corpus text is never exploded a second
+    time, and no global window exists."""
+    from knime_core_columnar_spark import catalog
+
+    ep = (
+        catalog._R9_STAGED["dup_span_apply"][0](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in ep
+    assert "BatchEvalPython" not in ep and "ArrowEvalPython" not in ep
+    for line in ep.splitlines():
+        if line.strip().startswith("Window") or "Window [" in line:
+            assert "doc_id" in line, f"global window: {line}"
+    # the gram explode appears once per consumer (multiplicity count +
+    # winner probe = 2); the REBUILD must add none — a third explode
+    # means the corpus text got exploded again for reassembly
+    assert ep.count("Generate explode") <= 2

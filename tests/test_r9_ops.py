@@ -172,7 +172,7 @@ def test_r9_staged_registration_flips_cleanly():
     try:
         assert catalog.register_r9_queries(force=True)
         assert len(catalog.QUERIES) == n_before + len(catalog._R9_STAGED)
-        assert len(catalog._R9_STAGED) == 12
+        assert len(catalog._R9_STAGED) == 13
         assert set(catalog.ORACLES) <= set(catalog.QUERIES)
         for name in catalog._R9_STAGED:
             assert callable(catalog.QUERIES[name])
@@ -407,3 +407,48 @@ def test_token_fertility_hand_counts(spark):
     # "a1b2" -> 1 word; pieces: a 1 b 2 = 4
     assert (rows[1]["w"], rows[1]["p"]) == (1, 4)
     assert (rows[2]["w"], rows[2]["p"]) == (3, 3)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span rewrite
+# ---------------------------------------------------------------------------
+
+def _apply(spark, docs, k=4):
+    from knime_core_columnar_spark.operators.dedup import dup_span_apply
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in dup_span_apply(df, k=k).collect()
+    }
+
+
+def test_dup_span_apply_keeps_canonical_copy(spark):
+    passage = "alpha beta gamma delta"
+    docs = [
+        (1, passage + " u1 u2 u3 u4"),   # min (id,pos): the canonical copy
+        (2, "x y " + passage + " z w"),  # later copy cut
+        (3, "totally unrelated words only here"),
+    ]
+    out = _apply(spark, docs)
+    assert out[1] == (8, 0, "alpha beta gamma delta u1 u2 u3 u4")
+    assert out[2] == (8, 4, "x y z w")
+    assert out[3] == (5, 0, "totally unrelated words only here")
+
+
+def test_dup_span_apply_internal_repeat_first_wins(spark):
+    # within one doc the first occurrence is canonical when no earlier
+    # doc holds the gram; the second copy is cut
+    docs = [(7, "a b c d a b c d tail1 tail2")]
+    out = _apply(spark, docs)
+    # positions 1..7 open grams; "a b c d" at 1 (winner) and 5 (loser):
+    # cut [5, 9) -> removes the 2nd copy, keeps head + tails
+    assert out[7] == (10, 4, "a b c d tail1 tail2")
+
+
+def test_dup_span_apply_every_doc_present(spark):
+    # short and empty docs pass through unchanged (no k-gram exists)
+    docs = [(1, "a b"), (2, ""), (3, "a b")]
+    out = _apply(spark, docs)
+    assert out[1] == (2, 0, "a b") and out[3] == (2, 0, "a b")
+    assert out[2][1] == 0
