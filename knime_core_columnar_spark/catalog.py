@@ -8818,7 +8818,76 @@ def _r9_dup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIVERSE_SAMPLE_ORACLE = """
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS cell_id, embedding::DOUBLE[] AS c
+      FROM (
+        SELECT vec_id, embedding,
+               ('0x' || substring(md5(CAST(vec_id AS VARCHAR) || '|kmeans-seeds'), 1, 15))::BIGINT
+                 % 10000 AS h
+        FROM embeddings
+      ), nn
+      WHERE h <= least(10000, CAST(floor(320000.0 / n + 0.5) AS BIGINT))
+      ORDER BY h, vec_id LIMIT 8
+    ),
+    a1 AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                 + list_dot_product(s.c, s.c)
+                 - 2 * list_dot_product(e.embedding::DOUBLE[], s.c), s.cell_id) AS rk
+        FROM embeddings e, seeds s
+      ) WHERE rk = 1
+    ),
+    u1 AS (
+      SELECT cell_id, d, round(CAST(SUM(x6) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS m
+      FROM (
+        SELECT a1.cell_id,
+               generate_subscripts(e.embedding, 1) AS d,
+               CAST(round(CAST(unnest(e.embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        FROM embeddings e JOIN a1 USING (vec_id)
+      ) GROUP BY cell_id, d
+    ),
+    c1 AS (SELECT cell_id, list(m ORDER BY d) AS c FROM u1 GROUP BY cell_id),
+    a2 AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                 + list_dot_product(s.c, s.c)
+                 - 2 * list_dot_product(e.embedding::DOUBLE[], s.c), s.cell_id) AS rk
+        FROM embeddings e, c1 s
+      ) WHERE rk = 1
+    )
+    SELECT vec_id, cell_id, CAST(rk AS BIGINT) AS rank_in_cell FROM (
+      SELECT vec_id, cell_id,
+             ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY
+               ('0x' || substring(md5('diverse' || '_' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+               vec_id) AS rk
+      FROM a2
+    ) WHERE rk <= 10
+"""
+
+
+def _r9_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-balanced subset (operators.clustering.diverse_sample,
+    k=8 cells × 10 per cell): the Lloyd loop of kmeans_clusters (same
+    seeds, same two unrolled iterations in the oracle) followed by a
+    salted-hash per-cell pick — every discovered embedding mode
+    contributes equally to the sample."""
+    from knime_core_columnar_spark.operators.clustering import diverse_sample
+
+    e = _t(spark, sf_dir, "embeddings")
+    return diverse_sample(
+        e, k=8, n_per_cell=10, iters=2,
+        corpus_count=_parquet_rows(sf_dir, "embeddings"),
+    )
+
+
 _R9_STAGED: dict[str, tuple] = {
+    "diverse_sample": (_r9_diverse_sample, DIVERSE_SAMPLE_ORACLE),
     "dup_span_apply": (_r9_dup_span_apply, DUP_SPAN_APPLY_ORACLE),
     "numeric_drift_report": (_r9_numeric_drift, NUMERIC_DRIFT_ORACLE),
     "calibration_report": (_r9_calibration_report, CALIBRATION_REPORT_ORACLE),

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from knime_core_columnar_spark.operators.similarity import dot
 
-__all__ = ["kmeans_lite", "hash_seed_centroids", "assign_cells"]
+__all__ = ["kmeans_lite", "hash_seed_centroids", "assign_cells", "diverse_sample"]
 
 
 def _sq_norm(a: Column) -> Column:
@@ -101,27 +101,17 @@ def assign_cells(vecs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def kmeans_lite(
+def _lloyd(
     df: DataFrame,
-    k: int = 8,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    corpus_count: int | None = None,
-) -> DataFrame:
-    """Run ``iters`` fixed Lloyd iterations; return one row per
-    non-empty cluster: ``cell_id`` (the seed row's id), ``n_members``
-    (last assignment), and ``centroid_norm`` (L2 norm of the final
-    updated centroid, rounded to 6 decimals).
-
-    Clusters that lose all members in an assignment round disappear
-    (standard Lloyd behavior without re-seeding) — deterministic in
-    both engines.
-
-    ``corpus_count`` sizes the seed-sample threshold; pass it when the
-    row count is already known (catalog stats, a prior count) to skip
-    the one up-front counting scan — it need only be approximate to
-    within ~2× for the 4·k oversample to land."""
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    corpus_count: int | None,
+):
+    """The shared fixed-iteration Lloyd loop: returns (assigned, cents)
+    where ``assigned`` is (id, __v, __vv, cell_id) after the LAST
+    assignment and ``cents`` the final updated centroids."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 1:
@@ -159,6 +149,70 @@ def kmeans_lite(
                 lambda s: s["__m"],
             ).alias("__c")
         )
+    return assigned, cents
+
+
+def diverse_sample(
+    df: DataFrame,
+    k: int = 8,
+    n_per_cell: int = 10,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_count: int | None = None,
+    salt: str = "diverse",
+) -> DataFrame:
+    """Coverage-balanced subset selection over an embedding column:
+    cluster the corpus with the deterministic Lloyd loop, then take
+    ``n_per_cell`` rows from EVERY cell (salted-hash order, id
+    tie-break) — so the sample spans the embedding space instead of
+    mirroring its density. The diversity-sampling step of SFT/eval set
+    construction: a uniform sample over-represents the dominant mode,
+    this one guarantees every discovered mode contributes.
+
+    Scale shape: the Lloyd loop's broadcast-argmin scans (vectors never
+    shuffle for assignment) plus ONE cell-partitioned window for the
+    pick — k cells, so the window partitions are corpus/k-sized and the
+    pick is WindowGroupLimit-eligible when filtered on rank. Returns
+    (id_col, cell_id, rank_in_cell), k·n_per_cell rows at most."""
+    from pyspark.sql import Window
+
+    from knime_core_columnar_spark.operators.text import keyed_hash32
+
+    assigned, _ = _lloyd(df, k, iters, id_col, vec_col, corpus_count)
+    order_key = keyed_hash32(
+        F.lit(salt), F.col(id_col).cast("string")
+    )
+    w = Window.partitionBy("cell_id").orderBy(order_key, F.col(id_col))
+    return (
+        assigned.withColumn("rank_in_cell", F.row_number().over(w))
+        .filter(F.col("rank_in_cell") <= n_per_cell)
+        .select(id_col, "cell_id", F.col("rank_in_cell").cast("long").alias("rank_in_cell"))
+    )
+
+
+def kmeans_lite(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """Run ``iters`` fixed Lloyd iterations; return one row per
+    non-empty cluster: ``cell_id`` (the seed row's id), ``n_members``
+    (last assignment), and ``centroid_norm`` (L2 norm of the final
+    updated centroid, rounded to 6 decimals).
+
+    Clusters that lose all members in an assignment round disappear
+    (standard Lloyd behavior without re-seeding) — deterministic in
+    both engines.
+
+    ``corpus_count`` sizes the seed-sample threshold; pass it when the
+    row count is already known (catalog stats, a prior count) to skip
+    the one up-front counting scan — it need only be approximate to
+    within ~2× for the 4·k oversample to land."""
+    assigned, cents = _lloyd(df, k, iters, id_col, vec_col, corpus_count)
     sizes = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_members"))
     return sizes.join(cents, "cell_id").select(
         "cell_id",

@@ -172,7 +172,7 @@ def test_r9_staged_registration_flips_cleanly():
     try:
         assert catalog.register_r9_queries(force=True)
         assert len(catalog.QUERIES) == n_before + len(catalog._R9_STAGED)
-        assert len(catalog._R9_STAGED) == 13
+        assert len(catalog._R9_STAGED) == 14
         assert set(catalog.ORACLES) <= set(catalog.QUERIES)
         for name in catalog._R9_STAGED:
             assert callable(catalog.QUERIES[name])
@@ -452,3 +452,42 @@ def test_dup_span_apply_every_doc_present(spark):
     out = _apply(spark, docs)
     assert out[1] == (2, 0, "a b") and out[3] == (2, 0, "a b")
     assert out[2][1] == 0
+
+
+# ---------------------------------------------------------------------------
+# Diverse sample
+# ---------------------------------------------------------------------------
+
+def test_diverse_sample_covers_every_cell(spark):
+    from knime_core_columnar_spark.operators.clustering import diverse_sample
+
+    # two well-separated blobs: ids 0-19 near (0,0), ids 20-39 near (9,9)
+    rows = [(i, [0.0 + (i % 5) * 0.01, 0.0 + (i % 7) * 0.01]) for i in range(20)]
+    rows += [(i, [9.0 + (i % 5) * 0.01, 9.0 + (i % 7) * 0.01]) for i in range(20, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = diverse_sample(df, k=2, n_per_cell=3, iters=2, corpus_count=40)
+    got = out.collect()
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r["cell_id"], []).append(r)
+    # both blobs contribute exactly n_per_cell rows
+    assert len(by_cell) == 2
+    assert all(len(v) == 3 for v in by_cell.values())
+    assert all(1 <= r["rank_in_cell"] <= 3 for r in got)
+    # members stay with their blob: a low-id cell holds only low ids
+    for cell, members in by_cell.items():
+        ids = {r["vec_id"] for r in members}
+        assert ids <= set(range(20)) or ids <= set(range(20, 40))
+
+
+def test_diverse_sample_deterministic_across_partitionings(spark):
+    from knime_core_columnar_spark.operators.clustering import diverse_sample
+
+    rows = [(i, [float(i % 11), float(i % 13)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(d):
+        return sorted(tuple(r) for r in
+                      diverse_sample(d, k=4, n_per_cell=5, corpus_count=60).collect())
+
+    assert run(df.repartition(1)) == run(df.repartition(13, "vec_id"))
