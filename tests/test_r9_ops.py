@@ -491,3 +491,26 @@ def test_diverse_sample_deterministic_across_partitionings(spark):
                       diverse_sample(d, k=4, n_per_cell=5, corpus_count=60).collect())
 
     assert run(df.repartition(1)) == run(df.repartition(13, "vec_id"))
+
+
+def test_dup_span_apply_idempotent(spark):
+    """After the rewrite the surviving canonical copies are unique, so
+    a second pass finds nothing to cut (k-gram duplicates were all
+    removed; only sub-k fragments can remain)."""
+    from knime_core_columnar_spark.operators.dedup import dup_span_apply
+
+    passage = "p1 p2 p3 p4 p5 p6"
+    docs = [
+        (1, passage + " a b c d"),
+        (2, "x y " + passage),
+        (3, "m n " + passage + " o p"),
+        (4, "fresh content without any repeats at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    once = dup_span_apply(df, k=4)
+    again = dup_span_apply(
+        once.select(F.col("doc_id"), F.col("clean_text").alias("text")), k=4
+    )
+    assert {r["doc_id"]: r["n_removed"] for r in again.collect()} == {
+        1: 0, 2: 0, 3: 0, 4: 0
+    }
