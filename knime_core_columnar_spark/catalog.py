@@ -8330,8 +8330,10 @@ def _r9_concentration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _moji_oracle() -> str:
     """Mojibake oracle SQL, built at import from the SAME pattern
-    constants the operator uses (operators/text.py keeps them in \\u
-    escapes so no literal mojibake bytes live in any source file)."""
+    constants the operator uses (operators/text.py keeps the PATTERN
+    constants in \\u escapes; the catalog's damage-injection literals
+    and text.py's explanatory comment do intentionally contain the raw
+    sequences)."""
     from knime_core_columnar_spark.operators.text import (
         CONTROL_PATTERN,
         MOJIBAKE_PATTERN,
@@ -8508,7 +8510,8 @@ def _r9_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed as hash-count + gaps-and-islands. ~2.1k flagged positions
     across 47 docs at sf0.01 collapse into a few hundred spans. The
     oracle replays the identical pipeline on gram STRINGS (Spark counts
-    128-bit md5 keys — same multiset barring ~1e-13 collisions)."""
+    two-independent-seed xxhash64 key pairs — same multiset barring
+    ~1e-13 collisions)."""
     from knime_core_columnar_spark.operators.dedup import dup_span_extract
 
     return dup_span_extract(
@@ -8706,13 +8709,13 @@ NUMERIC_DRIFT_ORACLE = """
     ), ob AS (
       SELECT CAST(CASE WHEN value < 0 THEN -1
                        WHEN value >= 500 THEN 10
-                       ELSE CAST(floor((value - 0) / 50.0) AS INT) END AS BIGINT) AS bin,
+                       ELSE least(9, CAST(floor((value - 0) / 50.0) AS INT)) END AS BIGINT) AS bin,
              CAST(count(*) AS BIGINT) AS n_old
       FROM old WHERE value IS NOT NULL GROUP BY 1
     ), nb AS (
       SELECT CAST(CASE WHEN value < 0 THEN -1
                        WHEN value >= 500 THEN 10
-                       ELSE CAST(floor((value - 0) / 50.0) AS INT) END AS BIGINT) AS bin,
+                       ELSE least(9, CAST(floor((value - 0) / 50.0) AS INT)) END AS BIGINT) AS bin,
              CAST(count(*) AS BIGINT) AS n_new
       FROM new WHERE value IS NOT NULL GROUP BY 1
     ), merged AS (

@@ -820,6 +820,11 @@ def _gram_rows(
         F.array().cast("array<int>")
     )
     gram = lambda p: F.array_join(F.slice(F.col("__w"), p, k), " ")  # noqa: E731
+    # independence matters: xxhash64(a, b) CHAINS (b is hashed with the
+    # hash of a as seed), so xxhash64(gram, lit) would be a pure
+    # function of xxhash64(gram) — one 64-bit key pretending to be two.
+    # Leading with the literal makes the gram's seed differ between the
+    # two columns, giving a genuinely 128-bit pair.
     return toks.select(
         F.col(id_col),
         F.explode(
@@ -828,7 +833,7 @@ def _gram_rows(
                 lambda p: F.struct(
                     p.alias("pos"),
                     F.xxhash64(gram(p)).alias("__h1"),
-                    F.xxhash64(gram(p), F.lit(k)).alias("__h2"),
+                    F.xxhash64(F.lit(k), gram(p)).alias("__h2"),
                 ),
             )
         ).alias("__g"),

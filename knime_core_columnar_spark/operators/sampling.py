@@ -507,8 +507,11 @@ def token_budget_plan(
     allocation and sampling rate. Undersupplied sources (fewer tokens
     than their proportional share) keep everything; their unused budget
     is redistributed across the rest — the water-filling allocation
-    every mixture-weighted pretraining run needs BEFORE sampling
-    (Σ alloc = budget whenever supply allows, no source over-asked).
+    every mixture-weighted pretraining run needs BEFORE sampling. No
+    source is ever allocated more than it has; floor divisions leave a
+    shortfall of at most (#unsaturated − 1) tokens, so
+    Σ alloc ∈ [budget − (n−1), budget] whenever supply allows (exactly
+    budget when the fill level divides evenly).
 
     Closed form instead of iteration: sort sources by supply/weight
     ratio ascending; the saturated set is a PREFIX of that order, found
@@ -541,11 +544,15 @@ def token_budget_plan(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(token_expr).cast("long").alias("n_tokens"),
         )
-        .withColumn("weight", weight_expr.cast("long"))
+        # NULL weight (e.g. a weight_expr that fails to parse a source
+        # name) coalesces to 0 → the excluded branch, so the source
+        # still appears in the report instead of silently vanishing
+        # from BOTH filter branches
+        .withColumn(
+            "weight", F.coalesce(weight_expr.cast("long"), F.lit(0))
+        )
     )
-    tot = src.agg(
-        F.sum("weight").alias("__W"), F.sum("n_tokens").alias("__T")
-    )
+    tot = src.agg(F.sum("weight").alias("__W"))
     order = [
         (F.col("n_tokens").cast("double") / F.col("weight")).asc(),
         F.col("source").asc(),

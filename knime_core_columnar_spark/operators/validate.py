@@ -352,10 +352,19 @@ def numeric_drift_report(
 
     def binned(df: DataFrame, out: str) -> DataFrame:
         v = F.col(col).cast("double")
+        # the in-range floor is clamped to n_bins-1: width = (hi-lo)/n
+        # is inexact for most ranges, so a value just below hi can floor
+        # to n — the OVERFLOW bin id — without the clamp (same guard as
+        # calibration_report)
         b = (
             F.when(v < lo, F.lit(-1))
             .when(v >= hi, F.lit(n_bins))
-            .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"))
+            .otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
+                )
+            )
         )
         return (
             df.filter(v.isNotNull())

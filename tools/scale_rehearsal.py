@@ -244,19 +244,15 @@ def main():
         for name in names:
             best = None
             for _ in range(2):
-                t0 = time.perf_counter()
                 # checksum action, not count(): count() lets Catalyst
-                # prune computed columns on row-level queries (same
-                # methodology as bench.py round 5+)
-                from pyspark.sql import functions as F
+                # prune computed columns on row-level queries — ONE
+                # definition, shared with bench.py, so the two tools
+                # can never measure different things
+                from bench import _force
 
                 out = catalog.QUERIES[name](spark, sf_dir)
-                cols = [
-                    F.to_json(F.col(f.name))
-                    if "map<" in f.dataType.simpleString() else F.col(f.name)
-                    for f in out.schema.fields
-                ]
-                out.agg(F.sum(F.xxhash64(*cols))).collect()
+                t0 = time.perf_counter()
+                _force(out)
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
