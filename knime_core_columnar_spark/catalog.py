@@ -8889,7 +8889,80 @@ def _r9_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_MONITOR_ORACLE = """
+    WITH vals AS (
+      SELECT ts, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+    ), binv AS (
+      SELECT ts,
+             CAST(CASE WHEN v < 0 THEN -1
+                       WHEN v >= 500 THEN 10
+                       ELSE least(9, CAST(floor((v - 0) / 50.0) AS INT)) END
+                  AS BIGINT) AS bin
+      FROM vals
+    ), rb AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n FROM binv GROUP BY bin
+    ), rt AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t FROM rb
+    ), ref AS (
+      SELECT bin, round(n / t, 6) AS ref_pct FROM rb, rt
+    ), wc AS (
+      SELECT date_trunc('hour', ts) AS win_start, bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM binv GROUP BY 1, 2
+    ), grid AS (
+      SELECT w.win_start, CAST(b.bin AS BIGINT) AS bin
+      FROM (SELECT DISTINCT win_start FROM wc) w,
+           (SELECT unnest(generate_series(-1, 10)) AS bin) b
+    ), filled AS (
+      SELECT g.win_start, g.bin, COALESCE(wc.n, 0) AS n
+      FROM grid g LEFT JOIN wc ON wc.win_start = g.win_start
+                               AND wc.bin = g.bin
+    ), wt AS (
+      SELECT win_start, CAST(SUM(n) AS BIGINT) AS t
+      FROM filled GROUP BY win_start
+    )
+    SELECT f.win_start, f.bin, f.n,
+           round(f.n / wt.t, 6) AS pct,
+           COALESCE(ref.ref_pct, 0.0) AS ref_pct,
+           round(f.n / wt.t - COALESCE(ref.ref_pct, 0.0), 6) AS pct_diff
+    FROM filled f
+    JOIN wt ON wt.win_start = f.win_start
+    LEFT JOIN ref ON ref.bin = f.bin
+"""
+
+
+def _r9_drift_monitor_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift monitor (streaming.streaming_drift_monitor)
+    run in batch mode — the SAME code executes as a readStream in
+    production; the reference distribution is the full-corpus bin
+    shares of events.value, so per-hour windows drift against the
+    all-time shape. Stream/batch parity is pinned by
+    test_drift_monitor_stream_matches_batch. Zero-count bins are
+    emitted per window (a disappearing mode IS drift)."""
+    from knime_core_columnar_spark.operators.validate import drift_bin
+    from knime_core_columnar_spark.streaming.ops import (
+        streaming_drift_monitor,
+    )
+
+    e = _t(spark, sf_dir, "events").select("ts", "value")
+    v = F.col("value").cast("double")
+    rb = (
+        e.filter(v.isNotNull())
+        .groupBy(drift_bin(v, 0.0, 500.0, 10).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    rt = rb.agg(F.sum("__n").alias("__t"))
+    ref = rb.crossJoin(F.broadcast(rt)).select(
+        "bin", F.round(F.col("__n") / F.col("__t"), 6).alias("ref_pct")
+    )
+    return streaming_drift_monitor(
+        e, ref, "value", "ts", lo=0.0, hi=500.0, n_bins=10,
+        window="1 hour", watermark=None,
+    )
+
+
 _R9_STAGED: dict[str, tuple] = {
+    "drift_monitor_batch": (_r9_drift_monitor_batch, DRIFT_MONITOR_ORACLE),
     "diverse_sample": (_r9_diverse_sample, DIVERSE_SAMPLE_ORACLE),
     "dup_span_apply": (_r9_dup_span_apply, DUP_SPAN_APPLY_ORACLE),
     "numeric_drift_report": (_r9_numeric_drift, NUMERIC_DRIFT_ORACLE),

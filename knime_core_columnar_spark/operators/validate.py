@@ -320,6 +320,27 @@ def concentration_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return out
 
 
+def drift_bin(v: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """The shared fixed-edge bin id (int64): -1 = underflow, ``n_bins``
+    = overflow, 0..n_bins-1 equal-width in [lo, hi). The in-range floor
+    is clamped to n_bins-1: width = (hi-lo)/n is inexact for most
+    ranges, so a value just below hi could floor to n — the dedicated
+    overflow id — without the clamp (same guard as
+    calibration_report). One definition so the batch report and the
+    streaming monitor can never bin differently."""
+    width = (hi - lo) / n_bins
+    return (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(n_bins))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
+            )
+        )
+    ).cast("long")
+
+
 def numeric_drift_report(
     old: DataFrame,
     new: DataFrame,
@@ -348,27 +369,11 @@ def numeric_drift_report(
     (n_bins+2 rows each), full-outer merged on the bin id — no windows,
     no corpus joins. NULLs are excluded (they are a missingness metric,
     not a distribution value; ``not_null`` audits them)."""
-    width = (hi - lo) / n_bins
-
     def binned(df: DataFrame, out: str) -> DataFrame:
         v = F.col(col).cast("double")
-        # the in-range floor is clamped to n_bins-1: width = (hi-lo)/n
-        # is inexact for most ranges, so a value just below hi can floor
-        # to n — the OVERFLOW bin id — without the clamp (same guard as
-        # calibration_report)
-        b = (
-            F.when(v < lo, F.lit(-1))
-            .when(v >= hi, F.lit(n_bins))
-            .otherwise(
-                F.least(
-                    F.lit(n_bins - 1),
-                    F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
-                )
-            )
-        )
         return (
             df.filter(v.isNotNull())
-            .groupBy(b.cast("long").alias("bin"))
+            .groupBy(drift_bin(v, lo, hi, n_bins).alias("bin"))
             .agg(F.count(F.lit(1)).alias(out))
         )
     o = binned(old, "n_old")

@@ -18,6 +18,7 @@ from knime_core_columnar_spark.streaming.ops import (
     sliding_window_agg,
     stream_from_directory,
     streaming_dedup,
+    streaming_drift_monitor,
     streaming_neardup,
     stateful_running_totals,
     stream_stream_interval_join,
@@ -36,6 +37,7 @@ __all__ = [
     "sliding_window_agg",
     "session_windows",
     "streaming_dedup",
+    "streaming_drift_monitor",
     "streaming_neardup",
     "build_neardup_index",
     "stateful_running_totals",

@@ -577,3 +577,88 @@ def streaming_quota_admission(df: DataFrame, quota: int = 100) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_drift_monitor(
+    df: DataFrame,
+    ref: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 10,
+    window: str = "1 hour",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Windowed distribution-drift monitor — the streaming twin of
+    ``validate.numeric_drift_report``: each event-time window's values
+    bin with the SAME fixed-edge ``drift_bin`` expression the batch
+    report uses, per-window bin shares are compared against a static
+    reference distribution ``ref`` (bin, ref_pct), and every (window,
+    bin) row reports n, pct, ref_pct, pct_diff — including ZERO-count
+    bins, because a mode disappearing from the stream is exactly the
+    drift an alert must see.
+
+    Streaming-safe by construction: ONE stateful windowed aggregation
+    computes the whole bin vector as ``n_bins+2`` conditional sums
+    (bins are plan-time constants), so the per-window normalization is
+    in-row arithmetic, not a second stateful aggregation (chained
+    streaming aggs are the classic unsupported shape); the reference
+    join happens AFTER the aggregation, stream-static and stateless.
+    State per window is one row of ``n_bins+2`` longs, bounded by the
+    watermark. Batch/stream agnostic — a static frame replays the
+    identical plan for the oracle.
+    """
+    from knime_core_columnar_spark.operators.validate import drift_bin
+
+    d = _maybe_watermark(df, ts_col, watermark)
+    v = F.col(value_col).cast("double")
+    b = drift_bin(v, lo, hi, n_bins)
+    bins = list(range(-1, n_bins + 1))
+    agg = (
+        d.filter(v.isNotNull())
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(
+            *[
+                F.sum((b == i).cast("long")).alias(f"__c_{i + 1}")
+                for i in bins
+            ]
+        )
+    )
+    total = None
+    for i in bins:
+        c = F.col(f"__c_{i + 1}")
+        total = c if total is None else total + c
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("bin"),
+                F.col(f"__c_{i + 1}").alias("n"),
+            )
+            for i in bins
+        ]
+    )
+    exploded = agg.select(
+        F.col("win.start").alias("win_start"),
+        total.alias("__t"),
+        F.explode(pairs).alias("__p"),
+    ).select(
+        "win_start",
+        F.col("__p.bin").alias("bin"),
+        F.col("__p.n").alias("n"),
+        F.round(F.col("__p.n") / F.col("__t"), 6).alias("pct"),
+    )
+    r = ref.select(F.col("bin").cast("long").alias("bin"), "ref_pct")
+    return (
+        exploded.join(F.broadcast(r), "bin", "left")
+        .select(
+            "win_start",
+            "bin",
+            "n",
+            "pct",
+            F.coalesce(F.col("ref_pct"), F.lit(0.0)).alias("ref_pct"),
+            F.round(
+                F.col("pct") - F.coalesce(F.col("ref_pct"), F.lit(0.0)), 6
+            ).alias("pct_diff"),
+        )
+    )

@@ -529,3 +529,60 @@ def test_windowed_token_counts_stream_matches_batch(spark, sf_dir, tmp_path):
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         ns = [r["n"] for r in rows]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_drift_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The windowed drift monitor over a file stream equals the batch
+    replay exactly: one stateful agg (the bin vector), in-row
+    normalization, stream-static reference join."""
+    from knime_core_columnar_spark.operators.validate import drift_bin
+    from knime_core_columnar_spark.streaming.ops import (
+        streaming_drift_monitor,
+    )
+
+    src_dir = str(tmp_path / "ev_in")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("ts", "value")
+    ev.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    v = F.col("value").cast("double")
+    rb = (
+        ev.filter(v.isNotNull())
+        .groupBy(drift_bin(v, 0.0, 500.0, 10).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    rt = rb.agg(F.sum("__n").alias("__t"))
+    ref = rb.crossJoin(F.broadcast(rt)).select(
+        "bin", F.round(F.col("__n") / F.col("__t"), 6).alias("ref_pct")
+    )
+
+    stream = ST.stream_from_directory(spark, src_dir, schema)
+    mon = streaming_drift_monitor(
+        stream, ref, "value", "ts", 0.0, 500.0, 10,
+        window="1 hour", watermark="1 minute",
+    )
+    q = (
+        mon.writeStream.format("memory")
+        .queryName("t_drift")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["bin"]): (r["n"], r["pct"], r["ref_pct"], r["pct_diff"])
+        for r in spark.sql("select * from t_drift").collect()
+    }
+    batch = streaming_drift_monitor(
+        spark.read.parquet(src_dir), ref, "value", "ts", 0.0, 500.0, 10,
+        window="1 hour", watermark=None,
+    )
+    want = {
+        (r["win_start"], r["bin"]): (r["n"], r["pct"], r["ref_pct"], r["pct_diff"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+    # every window carries the full bin range, zero-count bins included
+    import collections
+    per_win = collections.Counter(w for (w, _) in want)
+    assert set(per_win.values()) == {12}
