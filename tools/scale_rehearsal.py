@@ -39,7 +39,10 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          "hybrid_search_rrf",
          # round-5: the connected-components family (part-based; the
          # synthesizer emits decorrelated part replicas for these)
-         "entity_resolution", "golden_record", "neardup_clusters"]
+         "entity_resolution", "golden_record", "neardup_clusters",
+         # round-5 staged heavies (need SPARK_GRAFT_REGISTER_R9=1):
+         # token-linear substring dedup + the CC-riding split
+         "dup_span_extract", "dup_span_apply", "leakage_safe_split"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
@@ -242,6 +245,10 @@ def main():
         names = (os.environ.get("SPARK_GRAFT_REHEARSAL_QUERIES", "").split(",")
                  if os.environ.get("SPARK_GRAFT_REHEARSAL_QUERIES") else HEAVY)
         for name in names:
+            if name not in catalog.QUERIES:
+                # staged name without its SPARK_GRAFT_REGISTER_R* env —
+                # skip rather than fail the whole rehearsal
+                continue
             best = None
             for _ in range(2):
                 # checksum action, not count(): count() lets Catalyst
