@@ -832,3 +832,48 @@ def test_dup_span_apply_no_corpus_explode_on_rebuild(spark):
     # winner probe = 2); the REBUILD must add none — a third explode
     # means the corpus text got exploded again for reassembly
     assert ep.count("Generate explode") <= 2
+
+
+def test_diverse_sample_group_limit_and_no_cartesian(spark):
+    """The per-cell pick compiles to WindowGroupLimit (rank<=n heaps
+    before the cell shuffle); centroids broadcast; no cross product."""
+    from knime_core_columnar_spark import catalog
+
+    ep = (
+        catalog._R9_STAGED["diverse_sample"][0](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in ep
+    assert "BroadcastExchange" in ep
+    assert "CartesianProduct" not in ep
+    # exactly one window (the pick); Lloyd iterations are agg+broadcast
+    assert ep.count("Window [") == 1
+
+
+def test_drift_monitor_single_stateful_agg_shape(spark):
+    """The drift monitor's bin vector is ONE aggregation (conditional
+    sums) — no window, no chained agg-of-agg on the stream path; the
+    reference joins broadcast after the agg."""
+    from knime_core_columnar_spark import catalog
+
+    ep = (
+        catalog._R9_STAGED["drift_monitor_batch"][0](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in ep
+    assert "CartesianProduct" not in ep
+    assert "BroadcastExchange" in ep  # the reference distribution
+
+
+def test_calibration_report_single_exchange(spark):
+    """One partially-aggregated groupBy: exactly one exchange, partial +
+    final HashAggregate pair."""
+    from knime_core_columnar_spark import catalog
+
+    ep = (
+        catalog._R9_STAGED["calibration_report"][0](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert ep.count("Exchange") == 1
+    assert ep.count("HashAggregate") >= 2
+    assert "Window" not in ep
