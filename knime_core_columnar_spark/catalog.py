@@ -8961,7 +8961,49 @@ def _r9_drift_monitor_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESAMPLE_FFILL_ORACLE = """
+    WITH obs AS (
+      SELECT user_id AS k, ts AS ots, CAST(MAX(value) AS DOUBLE) AS v
+      FROM events GROUP BY user_id, ts
+    ), span AS (
+      SELECT k, date_trunc('hour', MIN(ots)) AS lo, MAX(ots) AS hi
+      FROM obs GROUP BY k
+    ), grid AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gts
+      FROM span
+    )
+    SELECT g.k AS user_id, g.gts AS grid_ts, o.v AS value
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.k = o.k AND g.gts >= o.ots
+"""
+
+
+def _r9_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid resampling (operators.temporal.resample_timeseries,
+    ffill): each user's irregular event values align to an hourly grid
+    spanning exactly that user's observed range, gap hours carrying the
+    last observation forward. Observations pre-aggregate to one row
+    per (user, ts) (max value) so the as-of tie rule is moot and both
+    engines are deterministic; the oracle replays the grid with
+    generate_series and the carry-forward with DuckDB's native ASOF
+    JOIN — a genuinely different evaluation strategy than the
+    union+carry plan."""
+    from knime_core_columnar_spark.operators.temporal import (
+        resample_timeseries,
+    )
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").cast("double").alias("value"))
+    )
+    return resample_timeseries(
+        e, "user_id", "ts", "value", step="1 hour", strategy="ffill"
+    )
+
+
 _R9_STAGED: dict[str, tuple] = {
+    "resample_ffill": (_r9_resample_ffill, RESAMPLE_FFILL_ORACLE),
     "drift_monitor_batch": (_r9_drift_monitor_batch, DRIFT_MONITOR_ORACLE),
     "diverse_sample": (_r9_diverse_sample, DIVERSE_SAMPLE_ORACLE),
     "dup_span_apply": (_r9_dup_span_apply, DUP_SPAN_APPLY_ORACLE),
