@@ -9002,7 +9002,58 @@ def _r9_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESAMPLE_INTERP_ORACLE = """
+    WITH obs AS (
+      SELECT user_id AS k, ts AS ots, CAST(MAX(value) AS DOUBLE) AS v
+      FROM events GROUP BY user_id, ts
+    ), span AS (
+      SELECT k, date_trunc('hour', MIN(ots)) AS lo, MAX(ots) AS hi
+      FROM obs GROUP BY k
+    ), grid AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gts
+      FROM span
+    ), b AS (
+      SELECT g.k, g.gts, o.v AS pv, o.ots AS pts
+      FROM grid g ASOF LEFT JOIN obs o ON g.k = o.k AND g.gts >= o.ots
+    ), f AS (
+      SELECT g.k, g.gts, o.v AS nv, o.ots AS nts
+      FROM grid g ASOF LEFT JOIN obs o ON g.k = o.k AND g.gts <= o.ots
+    )
+    SELECT b.k AS user_id, b.gts AS grid_ts,
+           CASE WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL OR epoch(nts) = epoch(pts) THEN pv
+                ELSE pv + (nv - pv)
+                     * ((epoch(b.gts) - epoch(pts))
+                        / (epoch(nts) - epoch(pts)))
+           END AS value
+    FROM b JOIN f ON b.k = f.k AND b.gts = f.gts
+"""
+
+
+def _r9_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling (the other
+    resample_timeseries strategy): each grid hour's value interpolates
+    between the straddling observations on the epoch-seconds axis
+    (boundary hours fall back to the nearest observation). Integer
+    epoch differences keep the frac exact-input IEEE math identical
+    across engines; the oracle uses a backward + forward native ASOF
+    JOIN pair."""
+    from knime_core_columnar_spark.operators.temporal import (
+        resample_timeseries,
+    )
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").cast("double").alias("value"))
+    )
+    return resample_timeseries(
+        e, "user_id", "ts", "value", step="1 hour", strategy="interp"
+    )
+
+
 _R9_STAGED: dict[str, tuple] = {
+    "resample_interp": (_r9_resample_interp, RESAMPLE_INTERP_ORACLE),
     "resample_ffill": (_r9_resample_ffill, RESAMPLE_FFILL_ORACLE),
     "drift_monitor_batch": (_r9_drift_monitor_batch, DRIFT_MONITOR_ORACLE),
     "diverse_sample": (_r9_diverse_sample, DIVERSE_SAMPLE_ORACLE),

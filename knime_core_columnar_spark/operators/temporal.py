@@ -233,10 +233,14 @@ def resample_timeseries(
         F.col("__gts_n").alias("__next_ts"),
     )
     j = back.join(fwd, [key_col, "grid_ts"])
-    dt = F.unix_timestamp("__next_ts") - F.unix_timestamp("__prev_ts")
+    # cast-to-double keeps MICROSECOND precision on the time axis —
+    # unix_timestamp truncates to whole seconds, which skews the
+    # interpolation fraction for sub-second observation times (and
+    # diverges from any epoch()-based SQL replay)
+    dt = F.col("__next_ts").cast("double") - F.col("__prev_ts").cast("double")
     frac = (
-        F.unix_timestamp("grid_ts") - F.unix_timestamp("__prev_ts")
-    ).cast("double") / dt.cast("double")
+        F.col("grid_ts").cast("double") - F.col("__prev_ts").cast("double")
+    ) / dt
     interp = F.when(
         F.col("__prev").isNull(), F.col("__next")
     ).when(
