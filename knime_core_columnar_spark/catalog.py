@@ -9052,7 +9052,44 @@ def _r9_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURRICULUM_ORDER_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 AS BIGINT)
+             AS curriculum_pos
+    FROM t
+"""
+
+
+def _r9_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: every document's 0-based position in the
+    short-to-long training order (the classic length curriculum;
+    doc_id tie-break makes the order total). The global rank comes
+    from sampling.global_index — range-partitioned two-phase prefix
+    sum, NOT a single-reducer ROW_NUMBER window — so the ordering step
+    a curriculum dataloader shards by survives a 100 TB corpus. The
+    oracle IS the single-reducer window, validating the distributed
+    numbering against the naive total order."""
+    from knime_core_columnar_spark.operators.sampling import global_index
+    from knime_core_columnar_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return global_index(
+        d, [F.col("n_tokens"), F.col("doc_id")], "curriculum_pos"
+    ).select(
+        "doc_id", "n_tokens", F.col("curriculum_pos").cast("long").alias("curriculum_pos")
+    )
+
+
 _R9_STAGED: dict[str, tuple] = {
+    "curriculum_order": (_r9_curriculum_order, CURRICULUM_ORDER_ORACLE),
     "resample_interp": (_r9_resample_interp, RESAMPLE_INTERP_ORACLE),
     "resample_ffill": (_r9_resample_ffill, RESAMPLE_FFILL_ORACLE),
     "drift_monitor_batch": (_r9_drift_monitor_batch, DRIFT_MONITOR_ORACLE),

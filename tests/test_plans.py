@@ -877,3 +877,22 @@ def test_calibration_report_single_exchange(spark):
     assert ep.count("Exchange") == 1
     assert ep.count("HashAggregate") >= 2
     assert "Window" not in ep
+
+
+def test_curriculum_order_no_global_window(spark):
+    """The curriculum rank is the two-phase range-partitioned index —
+    a regression into a single-reducer ROW_NUMBER window (the oracle's
+    strategy) would funnel the corpus through one task."""
+    from knime_core_columnar_spark import catalog
+
+    ep = (
+        catalog._R9_STAGED["curriculum_order"][0](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in ep.splitlines():
+        s = line.strip()
+        if s.startswith("Window") or "Window [" in s:
+            assert "__pid" in s or "partition" in s.lower().split("[")[0], (
+                f"global window: {line}"
+            )
+    assert "CartesianProduct" not in ep

@@ -172,7 +172,7 @@ def test_r9_staged_registration_flips_cleanly():
     try:
         assert catalog.register_r9_queries(force=True)
         assert len(catalog.QUERIES) == n_before + len(catalog._R9_STAGED)
-        assert len(catalog._R9_STAGED) == 17
+        assert len(catalog._R9_STAGED) == 18
         assert set(catalog.ORACLES) <= set(catalog.QUERIES)
         for name in catalog._R9_STAGED:
             assert callable(catalog.QUERIES[name])
