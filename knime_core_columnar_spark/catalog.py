@@ -9088,7 +9088,84 @@ def _r9_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _norm_oracle() -> str:
+    """normalize_text oracle, built from the SAME class constants the
+    operator uses (kept in \\u escapes in operators/text.py)."""
+    from knime_core_columnar_spark.operators.text import (
+        DASH_PATTERN,
+        DOUBLE_QUOTE_PATTERN,
+        NBSP_PATTERN,
+        SINGLE_QUOTE_PATTERN,
+        ZERO_WIDTH_PATTERN,
+    )
+
+    return f"""
+    WITH damaged AS (
+      SELECT doc_id,
+             text
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN ' ' || chr(8216) || 'q' || chr(8217) || ' '
+                           || chr(8220) || 'qq' || chr(8221) ELSE '' END)
+             || (CASE WHEN doc_id % 4 = 0
+                      THEN chr(8203) || chr(8212) || 'dash' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0
+                      THEN chr(160) || ' padded' ELSE '' END) AS t
+      FROM documents
+    ), n AS (
+      SELECT doc_id, t,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t, '{ZERO_WIDTH_PATTERN}', '', 'g'),
+                       '{SINGLE_QUOTE_PATTERN}', '''', 'g'),
+                     '{DOUBLE_QUOTE_PATTERN}', '"', 'g'),
+                   '{DASH_PATTERN}', '-', 'g'),
+                 '{NBSP_PATTERN}', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS norm_text
+      FROM damaged
+    )
+    SELECT doc_id, norm_text, (norm_text != t) AS changed FROM n
+"""
+
+
+NORMALIZE_TEXT_ORACLE = _norm_oracle()
+
+
+def _r9_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typographic normalization (operators.text.normalize_text — the
+    repair counterpart of mojibake_audit's detection): deterministic
+    damage is injected (curly quotes every 3rd doc, zero-width +
+    em-dash every 4th, NBSP every 5th), then the fixed normalization
+    chain strips invisibles, unifies glyphs to ASCII, and collapses
+    whitespace. Zero-exchange scan-speed plan; the oracle replays the
+    identical regexp chain from the shared class constants."""
+    from knime_core_columnar_spark.operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    damaged = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.lit(" \u2018q\u2019 \u201cqq\u201d"),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0, F.lit("\u200b\u2014dash")
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0, F.lit("\u00a0 padded")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return normalize_text(damaged, "doc_id", "text")
+
+
 _R9_STAGED: dict[str, tuple] = {
+    "normalize_text": (_r9_normalize_text, NORMALIZE_TEXT_ORACLE),
     "curriculum_order": (_r9_curriculum_order, CURRICULUM_ORDER_ORACLE),
     "resample_interp": (_r9_resample_interp, RESAMPLE_INTERP_ORACLE),
     "resample_ffill": (_r9_resample_ffill, RESAMPLE_FFILL_ORACLE),

@@ -760,3 +760,45 @@ def mojibake_audit(
         ctrl.cast("long").alias("n_control"),
         ((moji == 0) & (repl == 0) & (ctrl == 0)).alias("clean"),
     )
+
+
+# Normalization classes (shared with the SQL oracle, like
+# MOJIBAKE_PATTERN): zero-width/BOM characters vanish, typographic
+# quotes/dashes unify to ASCII, NBSP becomes a space, whitespace runs
+# collapse. Kept in \u escapes; RE2-safe plain classes.
+ZERO_WIDTH_PATTERN = "[​‌‍﻿]"
+SINGLE_QUOTE_PATTERN = "[‘’‚]"
+DOUBLE_QUOTE_PATTERN = "[“”„]"
+DASH_PATTERN = "[–—―]"
+NBSP_PATTERN = " "
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Typographic normalization — the REPAIR counterpart of
+    ``mojibake_audit``'s detection: zero-width characters and BOMs are
+    stripped, curly single/double quotes unify to ASCII ' and ",
+    en/em/horizontal-bar dashes to '-', NBSP to a plain space, and
+    whitespace runs collapse to single spaces (trimmed). The order is
+    fixed (strip invisibles → unify glyphs → collapse whitespace) so
+    the SQL oracle replays the identical chain.
+
+    Pure ``regexp_replace`` pipeline — scan-speed, zero exchanges, no
+    Python. Returns (id_col, norm_text, changed); ``changed`` flags
+    documents the normalization touched (the audit trail for sampling
+    what the cleaner did)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.regexp_replace(t, ZERO_WIDTH_PATTERN, "")
+    n = F.regexp_replace(n, SINGLE_QUOTE_PATTERN, "'")
+    n = F.regexp_replace(n, DOUBLE_QUOTE_PATTERN, '"')
+    n = F.regexp_replace(n, DASH_PATTERN, "-")
+    n = F.regexp_replace(n, NBSP_PATTERN, " ")
+    n = F.trim(F.regexp_replace(n, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        n.alias("norm_text"),
+        (n != t).alias("changed"),
+    )

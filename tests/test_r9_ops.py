@@ -172,7 +172,7 @@ def test_r9_staged_registration_flips_cleanly():
     try:
         assert catalog.register_r9_queries(force=True)
         assert len(catalog.QUERIES) == n_before + len(catalog._R9_STAGED)
-        assert len(catalog._R9_STAGED) == 18
+        assert len(catalog._R9_STAGED) == 19
         assert set(catalog.ORACLES) <= set(catalog.QUERIES)
         for name in catalog._R9_STAGED:
             assert callable(catalog.QUERIES[name])
@@ -514,3 +514,25 @@ def test_dup_span_apply_idempotent(spark):
     assert {r["doc_id"]: r["n_removed"] for r in again.collect()} == {
         1: 0, 2: 0, 3: 0, 4: 0
     }
+
+
+def test_normalize_text_hand_cases(spark):
+    from knime_core_columnar_spark.operators.text import normalize_text
+
+    docs = [
+        (1, "plain ascii stays as is"),
+        (2, "‘curly’ “quotes”"),
+        (3, "en–dash em—dash bar―done"),
+        (4, "zero​width‌ and﻿ bom"),
+        (5, "nbsp here   and   runs"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: (r["norm_text"], r["changed"])
+           for r in normalize_text(df).collect()}
+    assert out[1] == ("plain ascii stays as is", False)
+    assert out[2] == ("'curly' \"quotes\"", True)
+    assert out[3] == ("en-dash em-dash bar-done", True)
+    assert out[4] == ("zerowidth and bom", True)
+    assert out[5] == ("nbsp here and runs", True)
+    assert out[6][0] == ""
