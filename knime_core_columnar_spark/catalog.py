@@ -9164,7 +9164,68 @@ def _r9_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(damaged, "doc_id", "text")
 
 
+def _fix_moji_oracle() -> str:
+    """fix_mojibake oracle: the identical ordered literal-replace chain,
+    generated from the SAME MOJIBAKE_FIXES constant."""
+    from knime_core_columnar_spark.operators.text import MOJIBAKE_FIXES
+
+    expr = "t"
+    for src, dst in sorted(MOJIBAKE_FIXES, key=lambda q: -len(q[0])):
+        src_sql = "||".join(f"chr({ord(c)})" for c in src)
+        dst_sql = "||".join(f"chr({ord(c)})" for c in dst) if dst != " " else "' '"
+        expr = f"replace({expr}, {src_sql}, {dst_sql})"
+    return f"""
+    WITH damaged AS (
+      SELECT doc_id,
+             text
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN ' caf' || chr(195) || chr(169) ELSE '' END)
+             || (CASE WHEN doc_id % 4 = 0
+                      THEN chr(226) || chr(8364) || chr(8482) || 's quote'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0
+                      THEN chr(194) || chr(160) || 'pad' ELSE '' END) AS t
+      FROM documents
+    )
+    SELECT doc_id, {expr} AS fixed_text,
+           CAST(length(t) - length({expr}) AS BIGINT) AS chars_removed
+    FROM damaged
+"""
+
+
+FIX_MOJIBAKE_ORACLE = _fix_moji_oracle()
+
+
+def _r9_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-decode repair (operators.text.fix_mojibake): deterministic
+    damage injection (double-decoded e-acute every 3rd doc, curly-quote
+    triple every 4th, NBSP pair every 5th), then the ordered
+    literal-replace chain restores the intended characters. The oracle
+    generates the identical chain from the shared MOJIBAKE_FIXES
+    constant."""
+    from knime_core_columnar_spark.operators.text import fix_mojibake
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    damaged = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.lit(" caf\u00c3\u00a9")).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.lit("\u00e2\u20ac\u2122s quote"),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0, F.lit("\u00c2\u00a0pad")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return fix_mojibake(damaged, "doc_id", "text")
+
+
 _R9_STAGED: dict[str, tuple] = {
+    "fix_mojibake": (_r9_fix_mojibake, FIX_MOJIBAKE_ORACLE),
     "normalize_text": (_r9_normalize_text, NORMALIZE_TEXT_ORACLE),
     "curriculum_order": (_r9_curriculum_order, CURRICULUM_ORDER_ORACLE),
     "resample_interp": (_r9_resample_interp, RESAMPLE_INTERP_ORACLE),

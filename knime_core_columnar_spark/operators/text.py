@@ -802,3 +802,52 @@ def normalize_text(
         n.alias("norm_text"),
         (n != t).alias("changed"),
     )
+
+
+#: Double-decode reversal map (shared with the SQL oracle): each entry
+#: is (mojibake sequence, intended character) in \u escapes — the
+#: inverse of the sequences MOJIBAKE_PATTERN detects.
+MOJIBAKE_FIXES: list[tuple[str, str]] = [
+    ("\u00c3\u00a9", "\u00e9"),  # e-acute
+    ("\u00c3\u00a8", "\u00e8"),  # e-grave
+    ("\u00c3\u00bc", "\u00fc"),  # u-umlaut
+    ("\u00c3\u00b1", "\u00f1"),  # n-tilde
+    ("\u00c3\u00a4", "\u00e4"),  # a-umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # o-umlaut
+    ("\u00e2\u20ac\u2122", "\u2019"),  # right single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # right double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # em dash
+    ("\u00c2\u00a0", " "),  # double-decoded NBSP -> plain space
+]
+
+
+def fix_mojibake(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Double-decode REPAIR — the third member of the encoding trio
+    (``mojibake_audit`` detects, ``normalize_text`` unifies typography,
+    this reverses the damage): each UTF-8-read-as-Latin-1 artifact in
+    :data:`MOJIBAKE_FIXES` is replaced by the character the author
+    typed. Longer (3-char) sequences apply before 2-char ones so a
+    2-char fix can never consume a 3-char artifact's lead bytes — the
+    sorted order IS the application order, and the oracle replays the
+    same ordered chain.
+
+    Literal ``replace`` chain (no regex engine at all) — scan-speed,
+    zero exchanges. Returns (id_col, fixed_text, chars_removed): every
+    fix shrinks the text (2→1 or 3→1 chars), so the exact character
+    shrinkage is the repair-volume audit number."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    fixed = t
+    ordered = sorted(MOJIBAKE_FIXES, key=lambda p: -len(p[0]))
+    for src, dst in ordered:
+        fixed = F.replace(fixed, F.lit(src), F.lit(dst))
+    return df.select(
+        F.col(id_col),
+        fixed.alias("fixed_text"),
+        (F.length(t) - F.length(fixed)).cast("long").alias("chars_removed"),
+    )

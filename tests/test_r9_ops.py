@@ -172,7 +172,7 @@ def test_r9_staged_registration_flips_cleanly():
     try:
         assert catalog.register_r9_queries(force=True)
         assert len(catalog.QUERIES) == n_before + len(catalog._R9_STAGED)
-        assert len(catalog._R9_STAGED) == 19
+        assert len(catalog._R9_STAGED) == 20
         assert set(catalog.ORACLES) <= set(catalog.QUERIES)
         for name in catalog._R9_STAGED:
             assert callable(catalog.QUERIES[name])
@@ -536,3 +536,21 @@ def test_normalize_text_hand_cases(spark):
     assert out[4] == ("zerowidth and bom", True)
     assert out[5] == ("nbsp here and runs", True)
     assert out[6][0] == ""
+
+
+def test_fix_mojibake_repairs_hand_cases(spark):
+    from knime_core_columnar_spark.operators.text import fix_mojibake
+
+    docs = [
+        (1, "caf\u00c3\u00a9 con leche"),            # cafÃ© -> café
+        (2, "it\u00e2\u20ac\u2122s \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d"),
+        (3, "already clean caf\u00e9"),
+        (4, "pad\u00c2\u00a0here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: (r["fixed_text"], r["chars_removed"])
+           for r in fix_mojibake(df).collect()}
+    assert out[1] == ("caf\u00e9 con leche", 1)
+    assert out[2] == ("it\u2019s \u201cquoted\u201d", 6)
+    assert out[3] == ("already clean caf\u00e9", 0)
+    assert out[4] == ("pad here", 1)
