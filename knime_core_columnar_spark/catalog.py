@@ -8939,22 +8939,13 @@ def _r9_drift_monitor_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-time shape. Stream/batch parity is pinned by
     test_drift_monitor_stream_matches_batch. Zero-count bins are
     emitted per window (a disappearing mode IS drift)."""
-    from knime_core_columnar_spark.operators.validate import drift_bin
+    from knime_core_columnar_spark.operators.validate import bin_shares
     from knime_core_columnar_spark.streaming.ops import (
         streaming_drift_monitor,
     )
 
     e = _t(spark, sf_dir, "events").select("ts", "value")
-    v = F.col("value").cast("double")
-    rb = (
-        e.filter(v.isNotNull())
-        .groupBy(drift_bin(v, 0.0, 500.0, 10).alias("bin"))
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
-    rt = rb.agg(F.sum("__n").alias("__t"))
-    ref = rb.crossJoin(F.broadcast(rt)).select(
-        "bin", F.round(F.col("__n") / F.col("__t"), 6).alias("ref_pct")
-    )
+    ref = bin_shares(e, "value", 0.0, 500.0, 10)
     return streaming_drift_monitor(
         e, ref, "value", "ts", lo=0.0, hi=500.0, n_bins=10,
         window="1 hour", watermark=None,

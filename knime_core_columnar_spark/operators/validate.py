@@ -341,6 +341,26 @@ def drift_bin(v: Column, lo: float, hi: float, n_bins: int) -> Column:
     ).cast("long")
 
 
+def bin_shares(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """(bin, ref_pct): the fixed-edge share distribution of a numeric
+    column — the reference frame every ``streaming_drift_monitor``
+    caller needs. One definition (next to ``drift_bin``) so the
+    reference and the monitored stream can never bin or round
+    differently."""
+    v = F.col(col).cast("double")
+    rb = (
+        df.filter(v.isNotNull())
+        .groupBy(drift_bin(v, lo, hi, n_bins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    rt = rb.agg(F.sum("__n").alias("__t"))
+    return rb.crossJoin(F.broadcast(rt)).select(
+        "bin", F.round(F.col("__n") / F.col("__t"), 6).alias("ref_pct")
+    )
+
+
 def numeric_drift_report(
     old: DataFrame,
     new: DataFrame,

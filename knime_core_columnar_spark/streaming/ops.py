@@ -646,7 +646,11 @@ def streaming_drift_monitor(
         "win_start",
         F.col("__p.bin").alias("bin"),
         F.col("__p.n").alias("n"),
-        F.round(F.col("__p.n") / F.col("__t"), 6).alias("pct"),
+        # the UNROUNDED quotient rides along: pct_diff must subtract
+        # from the raw share, not the display-rounded one — double
+        # rounding diverges from any round(raw - ref) replay on exact
+        # ties (e.g. a 1/128 share whose 7th decimal is a 5)
+        (F.col("__p.n") / F.col("__t")).alias("__raw"),
     )
     r = ref.select(F.col("bin").cast("long").alias("bin"), "ref_pct")
     return (
@@ -655,10 +659,10 @@ def streaming_drift_monitor(
             "win_start",
             "bin",
             "n",
-            "pct",
+            F.round(F.col("__raw"), 6).alias("pct"),
             F.coalesce(F.col("ref_pct"), F.lit(0.0)).alias("ref_pct"),
             F.round(
-                F.col("pct") - F.coalesce(F.col("ref_pct"), F.lit(0.0)), 6
+                F.col("__raw") - F.coalesce(F.col("ref_pct"), F.lit(0.0)), 6
             ).alias("pct_diff"),
         )
     )

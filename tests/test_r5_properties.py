@@ -13,16 +13,6 @@ from pyspark.sql import functions as F
 # word_ngrams (let_col rewrite) vs a direct Python reference
 # ---------------------------------------------------------------------------
 
-def _py_ngrams(text: str, n: int) -> list[str]:
-    toks = text.strip().split() if text.strip() else [""]
-    # Spark split on \s+ of "" yields [""]; of "a b" yields ["a","b"]
-    if text == "":
-        toks = [""]
-    if len(toks) < n:
-        return []
-    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
-
-
 def test_word_ngrams_matches_python_reference(spark):
     from knime_core_columnar_spark.operators.text import word_ngrams
 

@@ -535,7 +535,7 @@ def test_drift_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
     """The windowed drift monitor over a file stream equals the batch
     replay exactly: one stateful agg (the bin vector), in-row
     normalization, stream-static reference join."""
-    from knime_core_columnar_spark.operators.validate import drift_bin
+    from knime_core_columnar_spark.operators.validate import bin_shares
     from knime_core_columnar_spark.streaming.ops import (
         streaming_drift_monitor,
     )
@@ -545,16 +545,7 @@ def test_drift_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
     ev.write.parquet(src_dir)
     schema = spark.read.parquet(src_dir).schema
 
-    v = F.col("value").cast("double")
-    rb = (
-        ev.filter(v.isNotNull())
-        .groupBy(drift_bin(v, 0.0, 500.0, 10).alias("bin"))
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
-    rt = rb.agg(F.sum("__n").alias("__t"))
-    ref = rb.crossJoin(F.broadcast(rt)).select(
-        "bin", F.round(F.col("__n") / F.col("__t"), 6).alias("ref_pct")
-    )
+    ref = bin_shares(ev, "value", 0.0, 500.0, 10)
 
     stream = ST.stream_from_directory(spark, src_dir, schema)
     mon = streaming_drift_monitor(

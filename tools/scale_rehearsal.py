@@ -246,8 +246,12 @@ def main():
                  if os.environ.get("SPARK_GRAFT_REHEARSAL_QUERIES") else HEAVY)
         for name in names:
             if name not in catalog.QUERIES:
-                # staged name without its SPARK_GRAFT_REGISTER_R* env —
-                # skip rather than fail the whole rehearsal
+                # staged name without its SPARK_GRAFT_REGISTER_R* env,
+                # or a typo in SPARK_GRAFT_REHEARSAL_QUERIES — say so
+                # loudly instead of silently truncating the report
+                print(f"# SKIPPED {name}: not registered (set "
+                      f"SPARK_GRAFT_REGISTER_R* or check the name)",
+                      file=sys.stderr)
                 continue
             best = None
             for _ in range(2):
