@@ -9258,6 +9258,61 @@ def register_r9_queries(force: bool = False) -> bool:
 register_r9_queries()
 
 
+
+# ---------------------------------------------------------------------------
+# ROUND-7 PRE-STAGING — dormant until the round-7 flip (after
+# CORRECTNESS_r06 lands green): replace the `apply_round6_layout()`
+# call at the bottom of this module with `apply_round7_layout()`. That
+# registers the R9 batch (all earlier batches re-applied first) and
+# rotates the window onto the 20 R9 names (their FIRST driver check)
+# + 30 rotation greens drawn from rows NOT in the r5/r6 windows —
+# after this flip, zero `_R*_STAGED` dicts remain and every
+# implemented operator is driver-registered.
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW_R7 = [
+    # the staged r9 batch, registered by apply_round7_layout()
+    'benford_audit', 'calibration_report', 'cdc_apply_changelog',
+    'concentration_profile', 'containment_quotes', 'curriculum_order',
+    'diverse_sample', 'drift_monitor_batch', 'dup_span_apply',
+    'dup_span_extract', 'fix_mojibake', 'k_anonymity_audit',
+    'leakage_safe_split', 'mojibake_audit', 'normalize_text',
+    'numeric_drift_report', 'resample_ffill', 'resample_interp',
+    'token_budget_plan', 'token_fertility',
+    # 30 rotation greens: driver-green rows absent from the r5 AND r6
+    # windows (longest-unchecked first by catalog order)
+    'kmeans_clusters', 'impute_timeseries', 'segment_dedup',
+    'unigram_lm_quality', 'q21_waiting_suppliers', 'knn_classify',
+    'entity_resolution', 'token_shards', 'correlation_matrix',
+    'ann_topk_ivf', 'window_rank_stats', 'string_agg_sorted',
+    'window_first_last', 'window_ntile', 'topk_ties', 'conditional_agg',
+    'unpivot_metrics', 'date_spine', 'json_typed_extract', 'table_diff',
+    'scd2_intervals', 'gaps_islands', 'regexp_extract_numbers',
+    'contamination_check', 'boilerplate_ngrams', 'pii_redact',
+    'corpus_shuffle', 'sequence_packing', 'referential_audit',
+    'percentile_grid',
+]
+
+
+def apply_round7_layout() -> None:
+    """Round-7 flip: register every staged batch and rotate the driver
+    window onto _DRIVER_WINDOW_R7 (50 slots: 20 R9 first-time checks +
+    30 rotation greens). Greens = everything driver-checked through
+    round 6."""
+    register_r5_queries(force=True)
+    register_r6_queries(force=True)
+    register_r7_queries(force=True)
+    register_r8_queries(force=True)
+    register_r9_queries(force=True)
+    assert len(_DRIVER_WINDOW_R7) == 50, len(_DRIVER_WINDOW_R7)
+    _reorder_for_window(
+        _DRIVER_WINDOW_R7,
+        set(_DRIVER_GREEN_R123)
+        | set(_DRIVER_WINDOW_R4)
+        | set(_DRIVER_WINDOW_R5)
+        | set(_DRIVER_WINDOW_R6),
+    )
+
 # Round-5 flip (see ROUND-5 PLAYBOOK above): register the staged r5+r6
 # batches and rotate the driver window onto _DRIVER_WINDOW_R5. Runs at
 # import time so the driver's `queries()` sees the rotated 50-name head.

@@ -554,3 +554,23 @@ def test_fix_mojibake_repairs_hand_cases(spark):
     assert out[2] == ("it\u2019s \u201cquoted\u201d", 6)
     assert out[3] == ("already clean caf\u00e9", 0)
     assert out[4] == ("pad here", 1)
+
+
+def test_round7_layout_prestaged():
+    """Playbook insurance for the round-7 flip: apply_round7_layout
+    registers every staged batch and puts the 50-name R7 window at the
+    head of QUERIES — after it, zero staged dicts remain unregistered."""
+    import importlib
+
+    from knime_core_columnar_spark import catalog
+
+    try:
+        catalog.apply_round7_layout()
+        head = list(catalog.QUERIES)[:50]
+        assert head == catalog._DRIVER_WINDOW_R7
+        for batch in ("_R7_STAGED", "_R8_STAGED", "_R9_STAGED"):
+            for name in getattr(catalog, batch):
+                assert name in catalog.QUERIES
+        assert set(catalog.ORACLES) <= set(catalog.QUERIES)
+    finally:
+        importlib.reload(catalog)
