@@ -78,15 +78,13 @@ HEADLINE = [
     "pq_topk_adc",
     # round-5: the heavy connected-components family goes under the
     # stopwatch (they were the untracked 35-40 s tail at sf0.1 —
-    # VERDICT r4 "What's wrong #1"); golden_record resolves from the
-    # staged r7 dict until its round-6 registration
+    # VERDICT r4 "What's wrong #1")
     "entity_resolution",
     "golden_record",
     "neardup_clusters",
     # round-5 additions: the rule-based curation filters (scan-speed
     # zero-exchange plans — benched so a regression into a shuffle or
-    # a Python fallback is visible); staged r7 until their round-6
-    # registration
+    # a Python fallback is visible); registered since the round-6 flip
     "gopher_rules",
     "c4_line_filter",
 ]
@@ -129,17 +127,27 @@ def main():
     # scheduler blips (e.g. round-2's asof_join_events 1.16x) out of the
     # round-over-round comparison.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+    # SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts the run to a subset (used
+    # to re-record the 27-query baseline at the checksum action without
+    # timing the full headline set)
+    subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+    subset = [s for s in subset_env.split(",") if s] if subset_env else None
     timings: dict[str, float] = {}
     # per-query [min, median, max] across the n runs: sub-1.1x round-over-
     # round deltas are adjudicated against the spread, not a lone number
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in (subset if subset is not None else HEADLINE):
         fn = catalog.QUERIES.get(name)
-        if fn is None and name in getattr(catalog, "_R7_STAGED", {}):
-            fn = catalog._R7_STAGED[name][0]
+        if fn is None and name in getattr(catalog, "_R9_STAGED", {}):
+            fn = catalog._R9_STAGED[name][0]
         if fn is None:
             continue
         n_this = max(n_runs, 5) if name in NOISY_N5 else n_runs
+        # warm-up discard (round-6 noise protocol): one untimed run per
+        # query absorbs python-worker startup, parquet-footer reads, and
+        # first-use JIT so ALL n timed runs are warm — the recorded
+        # spread then reflects steady-state variance, not cold-start.
+        _force(fn(spark, sf_dir))
         runs = []
         for _ in range(n_this):
             t0 = time.perf_counter()
@@ -164,8 +172,11 @@ def main():
         "action": "checksum",  # rounds 1-4: "count" (see module docstring)
         "n": n_runs,
         "n_noisy": {name: max(n_runs, 5) for name in NOISY_N5 if name in timings},
+        "warmup_discard": 1,  # untimed warm run per query (round-6 protocol)
         "git_sha": _git_sha(),
     }
+    if os.environ.get("SPARK_GRAFT_BENCH_BASELINE"):
+        record["baseline"] = True
     # round-over-round bookkeeping: append to a local history file so
     # per-query regressions are attributable to a commit, not a round
     try:

@@ -9313,10 +9313,11 @@ def apply_round7_layout() -> None:
         | set(_DRIVER_WINDOW_R6),
     )
 
-# Round-5 flip (see ROUND-5 PLAYBOOK above): register the staged r5+r6
-# batches and rotate the driver window onto _DRIVER_WINDOW_R5. Runs at
-# import time so the driver's `queries()` sees the rotated 50-name head.
-apply_round5_layout()
+# Round-6 flip (executed per the ROUND-6 PLAYBOOK below): register the
+# staged R7+R8 batches and rotate the driver window onto
+# _DRIVER_WINDOW_R6. Runs at import time so the driver's `queries()`
+# sees the rotated 50-name head. NOTE: apply_round6_layout() is defined
+# below; the call is deferred to the bottom of the module.
 
 
 # ---------------------------------------------------------------------------
@@ -9376,3 +9377,10 @@ def apply_round6_layout() -> None:
         | set(_DRIVER_WINDOW_R4)
         | set(_DRIVER_WINDOW_R5),
     )
+
+
+# Round-6 flip (see ROUND-6 PLAYBOOK above): register the staged R7+R8
+# batches and rotate the driver window onto _DRIVER_WINDOW_R6. Runs at
+# import time so the driver's `queries()` sees the rotated 50-name head.
+# Round-7 playbook: replace this call with `apply_round7_layout()`.
+apply_round6_layout()

@@ -238,22 +238,19 @@ def test_quota_sample_no_global_window(spark):
 # ---------------------------------------------------------------------------
 
 def test_r7_staged_registration_flips_cleanly():
+    """Round-6 flip happened at import time: the r7 batch is registered
+    and re-forcing its registration is idempotent (no duplicate names,
+    same catalog size, oracles still a subset of queries)."""
     from knime_core_columnar_spark import catalog
 
     n_before = len(catalog.QUERIES)
-    assert not set(catalog._R7_STAGED) & set(catalog.QUERIES)
-    try:
-        assert catalog.register_r7_queries(force=True)
-        assert len(catalog.QUERIES) == n_before + len(catalog._R7_STAGED)
-        assert len(catalog._R7_STAGED) == 7
-        assert set(catalog.ORACLES) <= set(catalog.QUERIES)
-        for name in catalog._R7_STAGED:
-            assert callable(catalog.QUERIES[name])
-    finally:
-        for name in catalog._R7_STAGED:
-            catalog.QUERIES.pop(name, None)
-            catalog.ORACLES.pop(name, None)
-        assert len(catalog.QUERIES) == n_before
+    assert set(catalog._R7_STAGED) <= set(catalog.QUERIES)
+    assert catalog.register_r7_queries(force=True)
+    assert len(catalog.QUERIES) == n_before
+    assert len(catalog._R7_STAGED) == 7
+    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
+    for name in catalog._R7_STAGED:
+        assert callable(catalog.QUERIES[name])
 
 
 def test_prefix_filter_randomized_matches_brute_force(spark):

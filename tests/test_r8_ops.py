@@ -359,72 +359,47 @@ def test_band_table_is_the_factored_candidates_index(spark):
 # ---------------------------------------------------------------------------
 
 def test_r8_staged_registration_flips_cleanly():
+    """Round-6 flip happened at import time: the r8 batch is registered
+    and re-forcing its registration is idempotent (no duplicate names,
+    same catalog size, oracles still a subset of queries)."""
     from knime_core_columnar_spark import catalog
 
     n_before = len(catalog.QUERIES)
-    assert not set(catalog._R8_STAGED) & set(catalog.QUERIES)
-    try:
-        assert catalog.register_r8_queries(force=True)
-        assert len(catalog.QUERIES) == n_before + len(catalog._R8_STAGED)
-        assert len(catalog._R8_STAGED) == 8
-        assert set(catalog.ORACLES) <= set(catalog.QUERIES)
-        for name in catalog._R8_STAGED:
-            assert callable(catalog.QUERIES[name])
-    finally:
-        for name in catalog._R8_STAGED:
-            catalog.QUERIES.pop(name, None)
-            catalog.ORACLES.pop(name, None)
-        assert len(catalog.QUERIES) == n_before
+    assert set(catalog._R8_STAGED) <= set(catalog.QUERIES)
+    assert catalog.register_r8_queries(force=True)
+    assert len(catalog.QUERIES) == n_before
+    assert len(catalog._R8_STAGED) == 8
+    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
+    for name in catalog._R8_STAGED:
+        assert callable(catalog.QUERIES[name])
 
 
-def test_round6_layout_prestaged():
-    """Playbook insurance for the round-6 flip: apply_round6_layout
-    registers r7+r8 (185 total minus r9's 5) and puts the 50-name
-    round-6 window at the head of QUERIES; every window name resolves
-    to a callable."""
-    from knime_core_columnar_spark import catalog
-
-    snap_q = dict(catalog.QUERIES)
-    snap_o = dict(catalog.ORACLES)
-    try:
-        catalog.apply_round6_layout()
-        names = list(catalog.QUERIES)
-        staged = set(catalog._R7_STAGED) | set(catalog._R8_STAGED)
-        assert len(names) == len(snap_q) + len(staged)
-        assert names[:50] == catalog._DRIVER_WINDOW_R6
-        assert set(catalog.ORACLES) <= set(catalog.QUERIES)
-        for n in catalog._DRIVER_WINDOW_R6:
-            assert callable(catalog.QUERIES[n])
-        # the staged names head the window (first driver check)
-        assert set(names[:len(staged)]) == staged
-    finally:
-        catalog.QUERIES.clear()
-        catalog.QUERIES.update(snap_q)
-        catalog.ORACLES.clear()
-        catalog.ORACLES.update(snap_o)
-
-
-def test_round5_layout_is_applied_and_idempotent():
-    """The round-5 flip ran at import time: the staged r5+r6 batches are
-    registered (168 total) and the 50-name round-5 window heads QUERIES.
-    Re-applying must be a no-op (the driver imports the module once, but
-    the layout must not depend on call count)."""
+def test_round6_layout_is_applied_and_idempotent():
+    """The round-6 flip ran at import time: the staged r5–r8 batches are
+    registered (183 total) and the 50-name round-6 window heads QUERIES
+    (15 R7+R8 first-time checks, then 35 rotation greens). Re-applying
+    must be a no-op (the driver imports the module once, but the layout
+    must not depend on call count)."""
     from knime_core_columnar_spark import catalog
 
     names = list(catalog.QUERIES)
-    assert names[:50] == catalog._DRIVER_WINDOW_R5
+    assert names[:50] == catalog._DRIVER_WINDOW_R6
+    staged = set(catalog._R7_STAGED) | set(catalog._R8_STAGED)
+    assert staged <= set(catalog.QUERIES)
     assert set(catalog._R5_STAGED) <= set(catalog.QUERIES)
     assert set(catalog._R6_STAGED) <= set(catalog.QUERIES)
     assert set(catalog.ORACLES) <= set(catalog.QUERIES)
-    for n in catalog._DRIVER_WINDOW_R5:
+    for n in catalog._DRIVER_WINDOW_R6:
         assert callable(catalog.QUERIES[n])
+    # the freshly staged names head the window (first driver check)
+    assert set(names[:len(staged)]) == staged
     snap_q = dict(catalog.QUERIES)
     snap_o = dict(catalog.ORACLES)
-    catalog.apply_round5_layout()
+    catalog.apply_round6_layout()
     # same catalog contents and the same 50-name window head. Full-list
     # order equality is deliberately NOT asserted: other tests may have
     # force-registered extra queries (e.g. partsupp) whose slot between
     # "never-checked" and "greens" legitimately moves on re-layout.
     assert catalog.QUERIES == snap_q
     assert catalog.ORACLES == snap_o
-    assert list(catalog.QUERIES)[:50] == catalog._DRIVER_WINDOW_R5
+    assert list(catalog.QUERIES)[:50] == catalog._DRIVER_WINDOW_R6
