@@ -7491,7 +7491,8 @@ GOPHER_RULES_ORACLE = """
              CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
                   AS DOUBLE) / greatest(len(toks), 1) AS mean_wl,
              CAST(len(list_filter(toks, x -> contains(x, '#')
-                                        OR contains(x, '...'))) AS DOUBLE)
+                                        OR contains(x, '...')
+                                        OR contains(x, '…'))) AS DOUBLE)
                / greatest(len(toks), 1) AS symbol_ratio,
              CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
                   AS DOUBLE) / greatest(len(toks), 1) AS alpha_ratio,
@@ -7847,10 +7848,20 @@ DSIR_SELECT_ORACLE = """
                6) * 1000000) AS BIGINT) AS lp6
       FROM c, tot
     )
-    SELECT doc_id, COUNT(*) AS n_bigrams,
-           round(CAST(SUM(lp6) AS DOUBLE) / 1000000.0, 6) AS dsir_logratio,
-           SUM(lp6) > 0 AS selected
-    FROM r JOIN lam USING (b) GROUP BY doc_id
+    , scored AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             round(CAST(SUM(lp6) AS DOUBLE) / 1000000.0, 6) AS dsir_logratio,
+             SUM(lp6) > 0 AS selected
+      FROM r JOIN lam USING (b) GROUP BY doc_id
+    )
+    -- bigram-less docs (< 2 tokens) score 0.0 / selected=false instead
+    -- of vanishing (sampling.dsir_logratio parity)
+    SELECT d.doc_id,
+           CAST(COALESCE(scored.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           COALESCE(scored.dsir_logratio, 0.0) AS dsir_logratio,
+           COALESCE(scored.selected, FALSE) AS selected
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN scored ON d.doc_id = scored.doc_id
 """
 
 
@@ -7899,9 +7910,11 @@ URL_HOST_STATS_ORACLE = """
                             '/+$', '') AS path
       FROM s
     ), h AS (
+      -- userinfo strip, then port, then www (web.canonical_url_parts)
       SELECT doc_id, path,
-             regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
-                            '^www\\.', '') AS host
+             regexp_replace(regexp_replace(
+                 regexp_replace(hostport, '^[^/@]*@', ''),
+                 ':[0-9]+$', ''), '^www\\.', '') AS host
       FROM p
     )
     SELECT host AS url_host,
@@ -7979,11 +7992,17 @@ INCREMENTAL_ADMIT_ORACLE = """
       SELECT DISTINCT b, key FROM bands WHERE doc_id % 10 <> 0
     ), bat AS (
       SELECT doc_id, b, key FROM bands WHERE doc_id % 10 = 0
+    ), hits AS (
+      SELECT bat.doc_id, CAST(COUNT(cor.key) AS BIGINT) AS n
+      FROM bat LEFT JOIN cor ON bat.b = cor.b AND bat.key = cor.key
+      GROUP BY bat.doc_id
     )
-    SELECT bat.doc_id, CAST(COUNT(cor.key) AS BIGINT) AS n_hit_bands,
-           COUNT(cor.key) = 0 AS admitted
-    FROM bat LEFT JOIN cor ON bat.b = cor.b AND bat.key = cor.key
-    GROUP BY bat.doc_id
+    -- shingle-less batch docs (< shingle_n words) are admitted, not
+    -- dropped: join back to the full batch id set (dedup.py parity)
+    SELECT d.doc_id, CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hit_bands,
+           COALESCE(hits.n, 0) = 0 AS admitted
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN hits ON d.doc_id = hits.doc_id
 """
 
 

@@ -287,6 +287,12 @@ def incremental_dedup_admit(
     Output: (id_col, n_hit_bands, admitted) — admitted = zero shared
     band keys. Same banding estimate as ``minhash_lsh_candidates``:
     P(flagged | Jaccard j) = 1-(1-j^r)^b.
+
+    Documents shorter than ``shingle_n`` words produce no shingles and
+    hence no band rows; they cannot collide with anything, so they are
+    ADMITTED (n_hit_bands=0) via the final left join back to the batch
+    ids rather than silently dropped. That join is batch-sized on both
+    sides (ids only), so it adds no corpus-scale work.
     """
     batch_bands = minhash_band_table(
         batch, id_col, text_col, num_perm, bands, shingle_n
@@ -294,12 +300,21 @@ def incremental_dedup_admit(
     corpus_keys = (
         corpus_bands.select("__b", "__key").distinct().withColumn("__hit", F.lit(1))
     )
-    return (
+    hits = (
         batch_bands.join(corpus_keys, ["__b", "__key"], "left")
         .groupBy(id_col)
-        .agg(
-            F.count("__hit").alias("n_hit_bands"),
-            (F.count("__hit") == 0).alias("admitted"),
+        .agg(F.count("__hit").alias("n_hit_bands"))
+    )
+    return (
+        batch.select(id_col)
+        .distinct()
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hit_bands"), F.lit(0).cast("long")).alias(
+                "n_hit_bands"
+            ),
+            (F.coalesce(F.col("n_hit_bands"), F.lit(0)) == 0).alias("admitted"),
         )
     )
 

@@ -500,6 +500,7 @@ def token_budget_plan(
     weight_expr: Column,
     budget: int,
     token_expr: Column | None = None,
+    text_col: str = "text",
 ) -> DataFrame:
     """Token-budget mixture planning with EXACT water-filling: given a
     target share ``weight_expr`` (integer, e.g. per-mille) per source
@@ -533,11 +534,18 @@ def token_budget_plan(
     Output: source, n_docs, n_tokens, weight, saturated,
     alloc_tokens, sample_rate (= round(alloc/tokens, 6); 0 when the
     source has no tokens or no weight).
+
+    Column-reference contract: ``weight_expr`` is evaluated AFTER the
+    per-source aggregation, where the grouping key has been renamed to
+    ``source`` — so it must reference ``F.col("source")`` (not the
+    original ``source_col`` name). ``token_expr`` is evaluated BEFORE
+    the aggregation against the input rows; its default is a
+    whitespace token count over ``text_col``.
     """
     from pyspark.sql import Window
 
     if token_expr is None:
-        token_expr = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        token_expr = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     src = (
         df.groupBy(F.col(source_col).alias("source"))
         .agg(
@@ -655,7 +663,12 @@ def dsir_logratio(
     collect, no UDF.
 
     Output: ``id_col``, n_bigrams, dsir_logratio (sum of λ, 6-dec),
-    selected (integer-exact ``Σλ6 > 0``).
+    selected (integer-exact ``Σλ6 > 0``). Documents with fewer than two
+    tokens have no bigrams and hence no evidence either way; they come
+    back with n_bigrams=0, score 0.0, selected=false (an empty sum is
+    not > 0) instead of vanishing — ``explode_outer`` keeps a
+    null-placeholder row per empty doc, so no extra join enters the
+    plan (the λ join back is LEFT so the placeholder survives it).
 
     Sizing ``n_buckets``: the smoothing adds B/2 pseudo-counts to each
     side, so B must be well below the corpus bigram-occurrence count or
@@ -678,18 +691,25 @@ def dsir_logratio(
     # let-bound: the three references (size + two slices) would each
     # re-split the document per row under interpreted HOF evaluation
     bigrams = let_col(F.split(F.trim(F.col(text_col)), r"\s+"), _bigrams)
+    # explode_outer: a bigram-less doc keeps ONE null-placeholder row
+    # (null __b — it joins nothing and counts nothing downstream) so
+    # every input id reaches the per-doc aggregation
     rows = df.select(
         F.col(id_col),
         target.cast("int").alias("__tgt"),
-        F.explode(bigrams).alias("__s"),
+        F.explode_outer(bigrams).alias("__s"),
     ).select(
         id_col,
         "__tgt",
         (base_hash60(F.col("__s")) % n_buckets).alias("__b"),
     )
-    counts = rows.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__rb"),
-        F.sum("__tgt").alias("__tb"),
+    counts = (
+        rows.filter(F.col("__b").isNotNull())
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("__rb"),
+            F.sum("__tgt").alias("__tb"),
+        )
     )
     totals = counts.agg(
         F.sum("__rb").alias("__R"), F.sum("__tb").alias("__T")
@@ -714,14 +734,19 @@ def dsir_logratio(
         .cast("long")
         .alias("__lp6"),
     )
+    # LEFT join so the null-placeholder rows of bigram-less docs
+    # survive to the aggregation with a null __lp6
     return (
-        rows.join(F.broadcast(lam), "__b")
+        rows.join(F.broadcast(lam), "__b", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.sum("__lp6").cast("double") / F.lit(1_000_000.0), 6
+            F.count("__b").alias("n_bigrams"),
+            F.coalesce(
+                F.round(
+                    F.sum("__lp6").cast("double") / F.lit(1_000_000.0), 6
+                ),
+                F.lit(0.0),
             ).alias("dsir_logratio"),
-            (F.sum("__lp6") > 0).alias("selected"),
+            F.coalesce(F.sum("__lp6") > 0, F.lit(False)).alias("selected"),
         )
     )

@@ -606,8 +606,13 @@ def gopher_rules(
     n_words = F.size(toks)
     n_wordsd = F.greatest(n_words, F.lit(1)).cast("double")
     mean_wl = F.col("__charsum").cast("double") / n_wordsd
+    # "ellipsis" covers both the ASCII three-dot sequence and the
+    # typographic U+2026 character (Gopher counts either form)
     n_symbol = F.size(
-        F.filter(toks, lambda x: x.contains("#") | x.contains("..."))
+        F.filter(
+            toks,
+            lambda x: x.contains("#") | x.contains("...") | x.contains("…"),
+        )
     )
     symbol_ratio = n_symbol.cast("double") / n_wordsd
     n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))

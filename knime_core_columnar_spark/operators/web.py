@@ -19,6 +19,13 @@ Canonical form (documented simplifications):
   the Public Suffix List (which is external data this container does
   not ship); ``co.uk``-style suffixes therefore collapse to the suffix.
   Swap in a broadcast PSL lookup table where exactness matters.
+- ``user:pass@`` userinfo is stripped from the authority before the
+  port strip (so a password containing ``:`` cannot defeat it);
+- bracketed IPv6 authorities (``http://[::1]:8080/``) are NOT handled:
+  the bracket survives into ``host`` and the last-two-labels domain
+  heuristic is meaningless for IP literals. Web-crawl curation keys on
+  registered domains; pipelines with IP-literal URLs should filter
+  them out first (``host LIKE '[%'`` or an IP regex).
 
 Reference parity: the reference engine has no URL type; this family is
 part of the training-data-pipeline surface (SURVEY.md §6), with
@@ -51,8 +58,14 @@ def canonical_url_parts(url: Column | str) -> Column:
     path = F.regexp_replace(
         F.substr(u, F.length(hostport) + 1), r"/+$", ""
     )
+    # userinfo first (user:pass@host — a ':' inside the password would
+    # otherwise defeat the :port strip), then port, then www
     host = F.regexp_replace(
-        F.regexp_replace(hostport, r":[0-9]+$", ""), r"^www\.", ""
+        F.regexp_replace(
+            F.regexp_replace(hostport, r"^[^/@]*@", ""), r":[0-9]+$", ""
+        ),
+        r"^www\.",
+        "",
     )
     domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     return F.struct(

@@ -626,6 +626,22 @@ def test_gopher_rules_each_rule_fires(spark):
     assert "too_many_words" in row["fail_reasons"] and not row["keep"]
 
 
+def test_gopher_rules_counts_typographic_ellipsis(spark):
+    """The symbol rule counts BOTH '...' and the typographic U+2026
+    form (round-5 ADVICE: '…' words were undercounted)."""
+    docs = spark.createDataFrame(
+        [(1, "well… maybe… the cat sat on it"),
+         (2, "well... maybe... the cat sat on it")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r
+           for r in X.gopher_rules(docs, min_words=5, max_words=50,
+                                   min_stopwords=1).collect()}
+    # both forms count 2 symbol words out of 7
+    assert out[1]["symbol_ratio"] == out[2]["symbol_ratio"] == 0.285714
+    assert "symbol_ratio_high" in out[1]["fail_reasons"]
+
+
 def test_gopher_rules_no_exchange_plan(spark):
     docs = spark.createDataFrame([(1, "the of a b c")], ["doc_id", "text"])
     plan = X.gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
