@@ -6822,6 +6822,91 @@ register_r5_queries()
 
 
 # ---------------------------------------------------------------------------
+# bpe_encode — hash-checkable companion to the oracle-less bpe_merges
+# (VERDICT r5 "Next round #4"): the ENCODE half of the tokenizer applied
+# with a FIXED literal merge table, so DuckDB can replay the same greedy
+# merges as a rank-ordered replace chain and the driver gets a
+# hash-matched CORRECTNESS row for the distributed encode path.
+# ---------------------------------------------------------------------------
+
+# Literal merge table (rank, left, right), fitted to the corpus's
+# highest-frequency words (scan/hash/join/row). CHAIN-SAFETY INVARIANT —
+# what makes a rank-ordered SQL replace chain equal to the library's
+# lowest-rank-first one-at-a-time segmenter (_segment_ranked): every
+# multi-char component is produced by a strictly EARLIER merge, and no
+# merge's output equals a component of an EARLIER pair, so a later merge
+# can never create a new occurrence of an earlier pair. Pinned by
+# tests/test_llm_ops.py::test_bpe_encode_matches_replace_chain_oracle.
+BPE_ENCODE_MERGES: list = [
+    (0, "a", "t"), (1, "e", "r"), (2, "i", "n"), (3, "s", "c"),
+    (4, "sc", "a"), (5, "sca", "n"), (6, "h", "a"), (7, "ha", "s"),
+    (8, "has", "h"), (9, "j", "o"), (10, "jo", "in"), (11, "r", "o"),
+    (12, "ro", "w"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    """Unroll BPE_ENCODE_MERGES into a DuckDB replace chain. Each word
+    becomes '|c||h||a||r||</w>|' (every symbol wrapped in its own '|'
+    pair — adjacent matches share NO characters, so replace()'s
+    leftmost-non-overlapping scan equals repeated leftmost merging);
+    each merge (a,b) is one replace('|a||b|' -> '|ab|') applied in rank
+    order. Safe because the corpus alphabet is [a-z ] (checked: no '|'
+    or '</w>' occurs in any documents.parquet at any SF)."""
+    chain = "s0"
+    for _, a, b in BPE_ENCODE_MERGES:
+        chain = f"replace({chain}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS words
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             array_to_string(list_transform(words,
+                 x -> regexp_replace(x, '(.)', '|\\1|', 'g') || '|</w>|'),
+                 '') AS s0
+      FROM w
+    ), enc AS (
+      SELECT doc_id, replace(trim({chain}, '|'), '||', ' ') AS pieces_str
+      FROM s
+    )
+    SELECT doc_id, pieces_str,
+           CAST(CASE WHEN pieces_str = '' THEN 0
+                     ELSE len(string_split(pieces_str, ' ')) END AS BIGINT)
+             AS n_pieces
+    FROM enc
+"""
+
+
+BPE_ENCODE_ORACLE = _bpe_encode_oracle()
+
+
+@query("bpe_encode", BPE_ENCODE_ORACLE)
+def _bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenization (operators.bpe.bpe_encode) with the
+    literal BPE_ENCODE_MERGES table: merge ranks ship in the task
+    closure (KB-sized), the corpus streams through ONE Arrow-batched
+    mapInPandas scan with per-partition word-type memoization and no
+    shuffle at all. Pieces are emitted space-joined (the corpus alphabet
+    is [a-z], piece strings never contain a space) so the driver hashes
+    scalar columns; the array form stays available from the operator.
+    Covers the encode half of the tokenizer with a hash oracle —
+    bpe_merges (the training loop) remains rows-only by design."""
+    from knime_core_columnar_spark.operators.bpe import bpe_encode
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [(r, a, b, 0) for r, a, b in BPE_ENCODE_MERGES]
+    enc = bpe_encode(d, merges, "doc_id", "text")
+    return enc.select(
+        "doc_id",
+        F.array_join("pieces", " ").alias("pieces_str"),
+        "n_pieces",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round-6 STAGED registrations — same freeze discipline as _R5_STAGED:
 # implemented, pytest-gated, and oracle-checked by tools/check.py THIS
 # round (set SPARK_GRAFT_REGISTER_R6=1), registered with the driver in a
@@ -9309,7 +9394,9 @@ _DRIVER_WINDOW_R7 = [
     'scd2_intervals', 'gaps_islands', 'regexp_extract_numbers',
     'contamination_check', 'boilerplate_ngrams', 'pii_redact',
     'corpus_shuffle', 'sequence_packing', 'referential_audit',
-    'percentile_grid',
+    # doc_repetition's rotation slot moved here from the r6 window
+    # (displaced by bpe_encode); percentile_grid keeps its r0x green row
+    'doc_repetition',
 ]
 
 
@@ -9363,8 +9450,12 @@ _DRIVER_WINDOW_R6 = [
     'source_similarity', 'length_bucketed_batches', 'novelty_scores',
     'stream_quota_admission', 'dsir_select', 'url_host_stats',
     'incremental_dedup_admit',
-    # 35 rotation greens, oldest driver evidence first (r02-era rows
-    # that were not part of the round-5 rotation)
+    # 16th first-time check, added in-round per VERDICT r5 #4: the
+    # hash-checkable encode companion to the oracle-less bpe_merges
+    'bpe_encode',
+    # 34 rotation greens, oldest driver evidence first (r02-era rows
+    # that were not part of the round-5 rotation). doc_repetition's
+    # re-check moved to the round-7 window to make room for bpe_encode.
     'json_extract', 'q12_priority_class',
     'concat_uniquify', 'q4_order_priority', 'q6_forecast_revenue',
     'q7_nation_volume', 'q8_market_share', 'q10_returned_items',
@@ -9376,7 +9467,7 @@ _DRIVER_WINDOW_R6 = [
     'stratified_sample_stats', 'zscore_normalize', 'iqr_outliers',
     'salted_join_skew', 'bucketed_join', 'upsert_orders',
     'events_dedup_latest', 'argmax_per_group', 'fuzzy_match_names',
-    'tfidf_top_terms', 'chunk_documents', 'doc_repetition',
+    'tfidf_top_terms', 'chunk_documents',
 ]
 
 

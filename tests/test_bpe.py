@@ -127,3 +127,61 @@ def test_bpe_encode_partition_invariant_on_corpus(spark, sf_dir):
     )
     assert a == b and len(a) == 100
     assert all(p for _, p in a)  # non-empty docs encode to pieces
+
+
+def _replay_chain(word: str, merges) -> list[str]:
+    """Pure-Python replay of the DuckDB replace-chain oracle semantics:
+    rank-ordered full passes, each pass replacing leftmost
+    non-overlapping occurrences (what SQL replace() does on the
+    '|sym|'-wrapped representation)."""
+    s = "".join(f"|{c}|" for c in word) + "|</w>|"
+    for _, a, b in merges:
+        s = s.replace(f"|{a}||{b}|", f"|{a}{b}|")
+    return [p for p in s.strip("|").split("||")]
+
+
+def test_bpe_encode_matches_replace_chain_oracle(spark, sf_dir):
+    """Chain-safety differential for the catalog's literal merge table
+    (catalog.BPE_ENCODE_MERGES): the rank-ordered replace chain the
+    DuckDB oracle unrolls must equal the library's lowest-rank-first
+    one-at-a-time segmenter on EVERY distinct word of the corpus plus
+    adversarial overlap/interaction words. Any future edit to the merge
+    table that breaks the chain-safety invariant fails here before it
+    can flake the driver gate."""
+    from knime_core_columnar_spark import catalog
+    from knime_core_columnar_spark.operators.bpe import _segment_ranked
+
+    merges = catalog.BPE_ENCODE_MERGES
+    ranks = {(a, b): r for r, a, b in merges}
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = {
+        w
+        for row in d.select("text").collect()
+        for w in (row["text"] or "").split()
+    }
+    # adversarial shapes: self-overlap, merged-symbol adjacency, pairs
+    # competing for the same character, empty-ish words
+    words |= {
+        "atat", "aat", "ata", "scat", "scscan", "hashash", "joinjoin",
+        "rowrow", "hasha", "scana", "erer", "inin", "a", "t", "x",
+    }
+    for w in sorted(words):
+        assert _replay_chain(w, merges) == _segment_ranked(
+            w, ranks, "</w>"
+        ), w
+
+
+def test_bpe_encode_catalog_query_shape(spark, sf_dir):
+    """The registered bpe_encode query: scalar output columns, empty
+    docs yield ('', 0), n_pieces consistent with the joined string."""
+    from knime_core_columnar_spark import catalog
+
+    out = catalog.QUERIES["bpe_encode"](spark, sf_dir)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "pieces_str", "n_pieces"
+    ]
+    rows = out.collect()
+    assert len(rows) == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for r in rows:
+        n = len(r["pieces_str"].split()) if r["pieces_str"] else 0
+        assert n == r["n_pieces"]

@@ -445,8 +445,9 @@ def test_r8_staged_registration_flips_cleanly():
 
 def test_round6_layout_is_applied_and_idempotent():
     """The round-6 flip ran at import time: the staged r5–r8 batches are
-    registered (183 total) and the 50-name round-6 window heads QUERIES
-    (15 R7+R8 first-time checks, then 35 rotation greens). Re-applying
+    registered (184 total incl. the in-round bpe_encode) and the 50-name
+    round-6 window heads QUERIES (15 R7+R8 first-time checks, then
+    bpe_encode's first check, then 34 rotation greens). Re-applying
     must be a no-op (the driver imports the module once, but the layout
     must not depend on call count)."""
     from knime_core_columnar_spark import catalog
