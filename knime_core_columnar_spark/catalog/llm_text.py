@@ -1,0 +1,908 @@
+"""LLM-data-pipeline operators: text analysis, dedup, similarity, multimodal.
+
+Split from the monolithic catalog.py (round 6); registration
+order is preserved by the package __init__ import sequence.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from knime_core_columnar_spark.schema import ROW_KEY
+from knime_core_columnar_spark.table import ColumnarTable, RowIdPolicy
+
+from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
+    _dec,
+    _parquet_rows,
+    _t,
+    query,
+)
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: text analysis, dedup, similarity, multimodal
+# (north-star extensions; SURVEY.md Phase 6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_c,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + punctuation ratio + content fingerprint — all
+    JVM-side expressions (operators.text), zero Python in the scan."""
+    from knime_core_columnar_spark.operators import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_c"),
+        X.token_count("text").cast("long").alias("n_tokens"),
+        X.punct_ratio("text").alias("punct_ratio"),
+        X.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@query(
+    "text_quality_lang",
+    """
+    WITH t0 AS (
+      SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS n,
+             string_split_regex(trim(text), '\\s+') AS t,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+               / length(text) AS pr
+      FROM documents
+    ), v AS (
+      SELECT doc_id, lang, n, pr, len(t) AS ntok,
+             len(list_filter(t, x -> list_contains(['the','and','of','to','is'], lower(x)))) AS v_en,
+             len(list_filter(t, x -> list_contains(['der','die','und','nicht','ist'], lower(x)))) AS v_de,
+             len(list_filter(t, x -> list_contains(['le','la','et','les','est'], lower(x)))) AS v_fr,
+             len(list_filter(t, x -> list_contains(['el','los','que','y','es'], lower(x)))) AS v_es
+      FROM t0
+    )
+    SELECT doc_id, lang,
+           CAST(v_en AS DOUBLE) / ntok AS stopword_ratio,
+           (CASE WHEN n < 20 THEN n / 20.0 WHEN n > 4000 THEN 0.5 ELSE 1.0 END) * 0.4
+             + (1.0 - least(pr * 5.0, 1.0)) * 0.3
+             + (CASE WHEN n / ntok >= 3.0 AND n / ntok <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3 AS quality,
+           CASE WHEN greatest(v_en, v_de, v_fr, v_es) = 0 THEN 'und'
+                WHEN v_en = greatest(v_en, v_de, v_fr, v_es) THEN 'en'
+                WHEN v_de = greatest(v_en, v_de, v_fr, v_es) THEN 'de'
+                WHEN v_fr = greatest(v_en, v_de, v_fr, v_es) THEN 'fr'
+                WHEN v_es = greatest(v_en, v_de, v_fr, v_es) THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM v
+    """,
+)
+def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + stopword ratio + stopword-voting language ID."""
+    from knime_core_columnar_spark.operators import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang",
+        X.stopword_ratio("text").alias("stopword_ratio"),
+        X.quality_score("text").alias("quality"),
+        X.lang_id("text").alias("lang_pred"),
+    )
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT doc_id, fp FROM (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             ROW_NUMBER() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                                ORDER BY CAST(doc_id AS VARCHAR)) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: min-RowID survivor per normalized-text md5.
+    Shuffles 16-byte hashes, not documents."""
+    from knime_core_columnar_spark.operators.dedup import exact_dedup
+    from knime_core_columnar_spark.operators.text import fingerprint
+
+    d = ColumnarTable.from_dataframe(_t(spark, sf_dir, "documents"), key_columns=["doc_id"])
+    survivors = exact_dedup(d, "text")
+    return survivors.df.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), mh AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(s, x ->
+                 ((2*i + 1) * (('0x' || substring(md5(x), 1, 15))::BIGINT % 2147483647)
+                  + 104729 * i) % 2147483647))) AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], ',')) AS key
+      FROM mh, (SELECT unnest(range(0, 4)) AS b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+    FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands × 4 rows) candidate pairs.
+    Signature pass is narrow (array exprs, no explode of shingles); only
+    4 band keys per doc are exploded and shuffled."""
+    from knime_core_columnar_spark.operators.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, "doc_id", "text", num_perm=16, bands=4)
+
+
+@query(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(t, tok -> ('0x' || substring(md5(tok), 1, 15))::BIGINT) AS h
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 32), j ->
+             CASE WHEN list_sum(list_transform(h, x ->
+                    CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash32
+    FROM hs
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (near-dup docs differ in few bits;
+    simhash_near_pairs banding joins on pigeonholed chunks)."""
+    from knime_core_columnar_spark.operators.dedup import simhash_table
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_table(d, "doc_id", "text", 32).withColumnRenamed("simhash", "simhash32")
+
+
+@query(
+    "ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa + sb - i) AS jaccard
+    FROM inter WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= 0.5
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted-index join (only
+    docs sharing a shingle ever meet; at 100 TB feed LSH candidates in
+    instead — ngram_jaccard_pairs(candidates=...))."""
+    from knime_core_columnar_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+@query(
+    "neardup_pipeline",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), mh AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(s, x ->
+                 ((2*i + 1) * (('0x' || substring(md5(x), 1, 15))::BIGINT % 2147483647)
+                  + 104729 * i) % 2147483647))) AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], ',')) AS key
+      FROM mh, (SELECT unnest(range(0, 4)) AS b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+    FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+              JOIN sh sb ON sb.doc_id = cand.id_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    """,
+)
+def neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline: MinHash-LSH candidate generation
+    → exact Jaccard verification on candidates only. Cost scales with
+    collision count, not n² — the 100 TB path (the exact-tier
+    ngram_jaccard query is the ground-truth baseline; on low-diversity
+    corpora its inverted-index join blows up quadratically)."""
+    from knime_core_columnar_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, "doc_id", "text", num_perm=16, bands=4)
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5,
+                               candidates=cand)
+
+
+@query(
+    "neardup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), mh AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(s, x ->
+                 ((2*i + 1) * (('0x' || substring(md5(x), 1, 15))::BIGINT % 2147483647)
+                  + 104729 * i) % 2147483647))) AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], ',')) AS key
+      FROM mh, (SELECT unnest(range(0, 4)) AS b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    ), verified AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+                JOIN sh sb ON sb.doc_id = cand.id_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION ALL
+      SELECT id_b, id_a FROM verified
+    ), reach AS (
+      SELECT a AS node, a AS label FROM e
+      UNION
+      SELECT e.a, reach.label FROM e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: verified near-dup pairs grouped into
+    clusters by connected components (iterative min-label propagation,
+    operators.dedup.connected_components), every document mapped to its
+    canonical representative (min doc_id of its component; singletons map
+    to themselves). The oracle computes the same closure with a DuckDB
+    recursive CTE — a genuinely different evaluation strategy validating
+    the iterative Spark loop."""
+    from knime_core_columnar_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, "doc_id", "text", num_perm=16, bands=4)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cand
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    return d.select("doc_id").join(
+        comp, d["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("label"), F.col("doc_id")).alias("component")
+    )
+
+
+@query(
+    "embedding_neardup",
+    """
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+    ) WHERE cos >= 0.4
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact tier pinned as the
+    ground-truth baseline (use_lsh=False opt-in; the operator default
+    auto-switches to the bucketed LSH tier past 100k corpus rows —
+    see embedding_neardup_lsh for the oracle-checked scale path)."""
+    from knime_core_columnar_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        e, threshold=0.4, use_lsh=False,
+        corpus_count=_parquet_rows(sf_dir, "embeddings"),
+    )
+
+
+@query(
+    "ann_topk",
+    """
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+      )
+    ) WHERE rank <= 5
+    """,
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — the exact baseline
+    the LSH/IVF tiers are recall-tested against."""
+    from knime_core_columnar_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter("vec_id < 10"), k=5)
+
+
+def _duck_rp_bucket(vec_expr: str, dim: int, planes: int) -> str:
+    """DuckDB SQL for the random-hyperplane LSH bucket id, with the
+    md5-seeded hyperplane weights embedded as literals — list_dot_product
+    accumulates element-sequentially, the same floating-point order as
+    the Spark kernel, so the sign bits (and hence buckets) are
+    bit-identical."""
+    from knime_core_columnar_spark.operators.similarity import _hyperplane
+
+    parts = []
+    for p in range(planes):
+        arr = "[" + ", ".join(repr(x) for x in _hyperplane(p, dim)) + "]::DOUBLE[]"
+        parts.append(
+            f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {arr}) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+@query(
+    "ann_topk_lsh",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_duck_rp_bucket('embedding', 64, 4)} AS bucket,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                   / (q.nrm * c.nrm), 6) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                              / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k. Approximate vs brute force, but
+    fully deterministic (md5-seeded hyperplanes), so the oracle embeds
+    the same hyperplane constants as SQL literals and the driver checks
+    it value-exactly like any other query."""
+    from knime_core_columnar_spark.operators.similarity import rp_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return rp_lsh_topk(e, e.filter("vec_id < 10"), dim=64, k=5, planes=4)
+
+
+@query(
+    "ann_topk_ivf",
+    """
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    s AS (
+      SELECT vec_id, embedding,
+             ('0x' || substring(md5(CAST(vec_id AS VARCHAR) || '|ivf-centroids'), 1, 15))::BIGINT
+               % 10000 AS h
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cent
+      FROM s, nn
+      WHERE h <= least(10000, CAST(floor(640000.0 / n + 0.5) AS BIGINT))
+      ORDER BY h, vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, cv, cell_id FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], c.cent)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cent, c.cent))) DESC, c.cell_id) AS rk
+        FROM embeddings e, cents c
+      ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, qv, cell_id FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS qv, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], c.cent)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cent, c.cent))) DESC, c.cell_id) AS rk
+        FROM embeddings e, cents c
+        WHERE e.vec_id < 10
+      ) WHERE rk <= 4
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT p.query_id, a.neighbor_id,
+             round(list_dot_product(p.qv, a.cv)
+                   / (sqrt(list_dot_product(p.qv, p.qv))
+                      * sqrt(list_dot_product(a.cv, a.cv))), 6) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+               round(list_dot_product(p.qv, a.cv)
+                     / (sqrt(list_dot_product(p.qv, p.qv))
+                        * sqrt(list_dot_product(a.cv, a.cv))), 6) DESC,
+               a.neighbor_id) AS rank
+      FROM probes p JOIN assigned a USING (cell_id)
+      WHERE a.neighbor_id <> p.query_id
+    ) WHERE rank <= 5
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-tier approximate top-k (operators.similarity.ivf_topk):
+    deterministic hash-sampled centroids, nearest-cell assignment, and
+    4-cell probing are all exact integer/sequential-double arithmetic,
+    so the entire inverted-file pipeline — centroid pick, cell
+    membership, probe set, final ranking — is value-checked against the
+    SQL replay (previously this tier was pytest-only)."""
+    from knime_core_columnar_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter("vec_id < 10"), k=5, ncells=16, nprobe=4)
+
+
+@query(
+    "embedding_neardup_lsh",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_duck_rp_bucket('embedding', 64, 6)} AS bucket,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cos FROM (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                   / (a.nrm * c.nrm), 6) AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    ) WHERE cos >= 0.4
+    """,
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-LSH near-dup tier — the 100 TB default path of
+    embedding_near_dup_pairs, oracle-checked via embedded hyperplane
+    constants (only same-bucket candidate pairs are scored; no corpus
+    broadcast, no driver collect)."""
+    from knime_core_columnar_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.4, dim=64, use_lsh=True, planes=6)
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) // 64) % 64 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing end-to-end: attach a binary column, take
+    JVM-side payload stats, run the (stubbed) image decode through
+    mapInPandas over Arrow batches, and join stats with decode output.
+    The decode kernel is the single marked swap-in point for a real
+    imaging library."""
+    from knime_core_columnar_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_image_features,
+        payload_stats,
+    )
+
+    d = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    stats = d.select("doc_id", *[c.alias(n) for n, c in payload_stats(F.col("payload")).items()])
+    feats = decode_image_features(d, "doc_id", "payload").select("doc_id", "width", "height")
+    return stats.join(feats, "doc_id").select(
+        "doc_id", "n_bytes", "content_sha256", "width", "height"
+    )
+
+
+@query(
+    "video_frame_sample",
+    """
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(off // 256 AS INTEGER) AS frame_idx,
+           CAST(off AS BIGINT) AS byte_offset,
+           md5(substring(hx, off * 2 + 1, 512)) AS frame_md5
+    FROM (SELECT doc_id, hx, unnest(range(0, greatest(n, 1), 256)) AS off FROM p)
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stub: 1→N row expansion through mapInPandas (kernel
+    raises under strict=True until ffmpeg-like decode is plugged in). The
+    frame-offset math and hex-chunk md5 are deterministic, so the whole
+    expansion is oracle-checked value-exactly."""
+    from knime_core_columnar_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    d = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    return sample_frames(d, "doc_id", "payload", every_n_bytes=256)
+
+
+@query(
+    "session_windows_batch",
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), y AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM x
+    )
+    SELECT user_id, MIN(ts) AS sess_start, MAX(ts) + INTERVAL 5 MINUTE AS sess_end,
+           COUNT(*) AS n_events
+    FROM y GROUP BY user_id, sess_id
+    """,
+)
+def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) in batch mode — the same
+    streaming.session_windows code path runs on readStream with a
+    watermark; the oracle is the gaps-and-islands SQL formulation."""
+    from knime_core_columnar_spark.streaming import session_windows
+
+    ev = _t(spark, sf_dir, "events")
+    return session_windows(ev, gap="5 minutes", watermark=None).select(
+        "user_id",
+        F.col("sess_start").cast("timestamp_ntz").alias("sess_start"),
+        F.col("sess_end").cast("timestamp_ntz").alias("sess_end"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H-adapted queries + approximate aggregates + registry
+# ---------------------------------------------------------------------------
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan+filter+agg — every predicate reaches the
+    Parquet scan; the aggregate is a single partial/final pair."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c, orders o, lineitem l, nation n
+    WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+      AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (adapted to available columns): returned-item revenue by
+    customer, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'")
+    n = _t(spark, sf_dir, "nation")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                 ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem l, part p
+    WHERE l.l_partkey = p.p_partkey
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share — conditional aggregation over a
+    broadcast join; the ratio is a single IEEE division of two
+    decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    net = price * (F.lit(1) - disc)
+    promo = F.when(F.col("p_type") == "PROMO", net).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            ((F.lit(100.00) * F.sum(promo).cast("double"))
+             / F.sum(net).cast("double")).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c, orders o, lineitem l
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+      )
+      AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders via a semi-join against a HAVING
+    aggregate (the aggregate output is tiny → broadcast semi-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q19_disjunctive",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem l, part p
+    WHERE l.l_partkey = p.p_partkey AND (
+        (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+     OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+     OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    )
+    """,
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted): disjunctive multi-branch predicate over a
+    broadcast join — exercises OR-predicate planning."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(10, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(20, 50) & q.between(20, 40))
+    )
+    price, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "approx_aggregates",
+    """
+    SELECT l_returnflag,
+           TRUE AS parts_ok, TRUE AS supps_ok, TRUE AS median_ok,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL count-distinct, quantile sketch) —
+    one-pass, fixed-memory, the 100 TB substitutes for exact distinct
+    counting / percentiles. The sketches are approximate, so the checked
+    result is the ERROR BOUND, not the estimate: each flag is the Spark
+    side's own |approx − exact| / exact ≤ ε test (HLL default rsd 5% →
+    ε=0.15 ≈ 3σ; quantile sketch accuracy 10000 → ε=0.01), which the
+    oracle asserts TRUE — a wrong sketch implementation goes red."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.approx_count_distinct("l_suppkey").alias("as_"),
+        F.countDistinct("l_suppkey").alias("es"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("em"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def within(approx, exact, eps):
+        return (F.abs(approx.cast("double") - exact.cast("double"))
+                / exact.cast("double") <= eps)
+
+    return agg.select(
+        "l_returnflag",
+        within(F.col("ap"), F.col("ep"), 0.15).alias("parts_ok"),
+        within(F.col("as_"), F.col("es"), 0.15).alias("supps_ok"),
+        within(F.col("am"), F.col("em"), 0.01).alias("median_ok"),
+        "n",
+    )
+
+
+@query(
+    "registry_functions",
+    """
+    SELECT CAST(p_partkey AS VARCHAR) AS _row_key,
+           upper(p_name) AS up,
+           CAST(strpos(p_type, 'O') AS INTEGER) AS pos_o,
+           least(greatest(p_size, 5), 40) AS clamped,
+           COALESCE(NULLIF(p_brand, 'Brand#11'), 'OTHER') AS brand_or_other,
+           levenshtein(p_type, 'STANDARD') AS lev_std
+    FROM part
+    """,
+)
+def registry_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function registry in action (functions.library): named
+    expression builders compose into a normal projection — zero overhead
+    vs hand-written Catalyst expressions."""
+    from knime_core_columnar_spark.functions import apply_function as fn
+
+    t = ColumnarTable.from_dataframe(_t(spark, sf_dir, "part"), key_columns=["p_partkey"])
+    return t.map({
+        "up": fn("upper", "p_name"),
+        "pos_o": fn("index_of", "p_type", "O"),
+        "clamped": fn("clamp", "p_size", 5, 40),
+        "brand_or_other": fn("if_missing", fn("null_if", "p_brand", "Brand#11"), "OTHER"),
+        "lev_std": fn("levenshtein", "p_type", F.lit("STANDARD")),
+    }).df
+
+
+@query(
+    "rearrange_cellfactory",
+    """
+    SELECT CAST(p_partkey AS VARCHAR) AS _row_key,
+           p_brand,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           upper(p_type) AS type_upper,
+           CAST(p_size * 2 AS INTEGER) AS size2
+    FROM part
+    """,
+)
+def rearrange_cellfactory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rearrange with a CellFactory-style multi-output pandas factory
+    (ColumnarRearranger semantics): keep a subset, append three
+    factory-produced columns computed per Arrow batch, convert one in
+    place. The factory kernel here is SQL-expressible on purpose so the
+    oracle can check the mapInPandas plumbing end-to-end."""
+    import pandas as pd
+
+    t = ColumnarTable.from_dataframe(_t(spark, sf_dir, "part"), key_columns=["p_partkey"])
+
+    def factory(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "name_len": pdf["p_name"].str.len().astype("int32"),
+            "type_upper": pdf["p_type"].str.upper(),
+        })
+
+    out = t.rearrange(
+        keep=["p_brand", "name_len", "type_upper", "size2"],
+        append_factory=factory,
+        factory_output="name_len int, type_upper string",
+        convert={"size2": (F.col("p_size") * 2).cast("int")},
+    )
+    return out.df
+
+
+# ---------------------------------------------------------------------------
