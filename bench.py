@@ -87,6 +87,11 @@ HEADLINE = [
     # a Python fallback is visible); registered since the round-6 flip
     "gopher_rules",
     "c4_line_filter",
+    # round-6 addition: the full-corpus mapInPandas tokenizer scan —
+    # the heaviest Python-side operator in the registered catalog goes
+    # under the stopwatch so an Arrow-batching or memoization regression
+    # is visible
+    "bpe_encode",
 ]
 
 # sub-0.3 s queries whose r3→r4 deltas exceeded 15% with overlapping

@@ -42,7 +42,10 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          "entity_resolution", "golden_record", "neardup_clusters",
          # round-5 staged heavies (need SPARK_GRAFT_REGISTER_R9=1):
          # token-linear substring dedup + the CC-riding split
-         "dup_span_extract", "dup_span_apply", "leakage_safe_split"]
+         "dup_span_extract", "dup_span_apply", "leakage_safe_split",
+         # round-6: the full-corpus mapInPandas tokenizer scan (the
+         # heaviest Python-side operator in the registered catalog)
+         "bpe_encode"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
