@@ -32,6 +32,9 @@ _SECTIONS = [
     "layout_r5",
     "staged_r9",
     "layout_final",
+    # in-round additions AFTER the window flip: register at the catalog
+    # tail (the reorder above has already run), first driver check in r7
+    "round6_ext",
 ]
 
 _pkg = sys.modules[__name__]

@@ -740,3 +740,263 @@ def embedding_drift(
         "n_vecs",
         F.round(num / (nc * nr), 6).alias("cos_to_reference"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Spärck Jones; the Lucene
+    ``k1``/``b`` variant with the +1-shifted IDF, so scores are always
+    positive) — the standard keyword arm of a RAG retrieval stack and
+    the exact scorer ``rrf_hybrid_topk``'s term-overlap arm
+    approximates.
+
+    Model: per (doc, term) score
+    ``idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with
+    ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``; a query's score for
+    a doc is the sum over its DISTINCT terms (short-query convention —
+    query-side tf is ignored, as Lucene does by default).
+
+    Determinism (the ``unigram_logprob`` discipline): each per-term
+    score is rounded to 6 decimals and scaled to int64 BEFORE the
+    per-(query, doc) sum, so the aggregation is exact integer math —
+    immune to float summation order across partitions and engines; ties
+    in the final ranking break by doc id. The same 1-ulp ``ln``
+    rounding-boundary risk is accepted and documented there.
+
+    Scale shape: ONE corpus tokenization pass feeds the (doc, term)
+    tf table; doc length and the corpus N/avgdl row derive from that
+    table (no second scan); df is a term-keyed re-aggregation of it.
+    The query term batch joins FIRST (AQE broadcasts a small query
+    batch), so only postings matching some query term ever get scored
+    — the idf/length math runs on the candidate subset, not the
+    corpus. Final top-k is a per-query WindowGroupLimit heap; no
+    global sort, no driver collect, no Python in the path.
+
+    Returns (query_id, doc_id, n_terms_hit, bm25_scaled, rank) with
+    ``rank`` 1..k per query and ``bm25_scaled`` = round(score,6)·1e6
+    summed as int64.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\W+")
+        ).alias("__t"),
+    ).filter(F.col("__t") != "")
+    tf = terms.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    dl = tf.groupBy("__id").agg(F.sum("__tf").alias("__dl"))
+    # corpus stats from the dl table (doc-count-sized, never corpus-sized)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(query_text_col))), r"\W+"),
+                    lambda w: w != "",
+                )
+            )
+        ).alias("__t"),
+    )
+    # restrict postings to query terms FIRST (broadcast-sized right side),
+    # then attach df / dl / corpus stats to the surviving candidates only
+    cand = (
+        tf.join(q, "__t")
+        .join(dfreq, "__t")
+        .join(dl, "__id")
+        .join(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs").cast("double") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    tfn = (F.col("__tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("__tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("__dl").cast("double") / F.col("__avgdl")
+        )
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("__id").alias("doc_id"),
+        F.round(F.round(idf * tfn, 6) * scale, 0).cast("long").alias("__s6"),
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum("__s6").alias("bm25_scaled"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_scaled").desc(), F.col("doc_id")
+    )
+    return agg.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact population covariance matrix of an embedding column, in
+    long form — the d·(d+1)/2 upper triangle as (i, j, n_vecs, cov).
+    This is the aggregation step behind PCA whitening, decorrelation
+    audits, and embedding-space health checks (a collapsed dimension
+    shows up as a near-zero diagonal entry).
+
+    Determinism: each component is scaled to int64 micro-units per row
+    (the ``embedding_drift`` discipline); per-row products stay in int64
+    (|xi| ≤ scale ⇒ product ≤ 1e12) and accumulate as decimal(38,0) —
+    exact integer math at any parallelism on any engine. The covariance
+    itself is IEEE double arithmetic on those exact sums, identical
+    op order both engines, so values are bit-stable.
+
+    Scale shape: per row the pair products are built with array
+    expressions (one codegen projection — no join, no self-shuffle),
+    then ONE partially-aggregated explode→groupBy(i, j): map-side
+    combine collapses each partition to ≤ d(d+1)/2 rows before the
+    shuffle, so shuffle volume is executors × d² — independent of row
+    count. Means come from a d-row aggregate of the same scaled values.
+    Nothing driver-side. d is the embedding width (64 in the testdata);
+    the d² blow-up per row is the price of EXACT cross-engine sums —
+    for an inexact fast path at very large d, accumulate float64 Gram
+    partials per partition with mapInPandas instead (not offered here
+    because partition-dependent rounding breaks the oracle contract).
+
+    Returns (i, j, n_vecs, cov) for 0 ≤ i ≤ j < d, cov rounded to 9
+    decimals (population covariance, ÷n).
+    """
+    xi_arr = F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT))"
+    )
+    pairs = df.select(xi_arr.alias("__xi")).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(__xi) - 1), i -> "
+                "transform(sequence(i, size(__xi) - 1), j -> "
+                "struct(i AS i, j AS j, __xi[i] * __xi[j] AS pxy))))"
+            )
+        ).alias("__p")
+    ).select("__p.i", "__p.j", F.col("__p.pxy").cast("decimal(38,0)").alias("__pxy"))
+    sxy = pairs.groupBy("i", "j").agg(F.sum("__pxy").alias("__sxy"))
+    dims = df.select(
+        F.posexplode(xi_arr).alias("__d", "__xi")
+    ).groupBy("__d").agg(
+        F.sum(F.col("__xi").cast("decimal(38,0)")).alias("__sx"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    si = dims.select(
+        F.col("__d").alias("i"), F.col("__sx").alias("__sxi"),
+        F.col("__n").alias("__ni"),
+    )
+    sj = dims.select(F.col("__d").alias("j"), F.col("__sx").alias("__sxj"))
+    nd = F.col("__ni").cast("double")
+    return (
+        sxy.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            F.col("__ni").alias("n_vecs"),
+            F.round(
+                (
+                    F.col("__sxy").cast("double")
+                    - F.col("__sxi").cast("double")
+                    * F.col("__sxj").cast("double") / nd
+                )
+                / nd
+                / F.lit(float(scale) * float(scale)),
+                9,
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_components: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """PCA projection of an embedding column onto its top principal
+    components — the dimensionality-reduction step in front of
+    visualization, cheap clustering, or coarse ANN. Distributed the way
+    PCA actually distributes: the d×d covariance is an exact aggregate
+    (``embedding_covariance``), the eigendecomposition runs on the
+    driver over that DIMENSION-SIZED matrix (d², never corpus-sized),
+    and the projection broadcasts the component vectors back as
+    literals into one codegen scan.
+
+    Determinism: the covariance is engine/partitioning-exact (see
+    ``embedding_covariance``), so the eigenvectors are a pure driver
+    function of it; each component's sign is fixed by making its
+    largest-|entry| coordinate positive (first index on ties). The
+    projection is a sequential zip_with/aggregate dot product per row.
+
+    Returns ``df`` columns ``id_col`` plus pc0..pc{k-1} (doubles,
+    centered: components apply to x − mean).
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(df, vec_col, scale=scale).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    c = np.zeros((d, d))
+    for r in cov_rows:
+        c[r["i"], r["j"]] = r["cov"]
+        c[r["j"], r["i"]] = r["cov"]
+    mean_rows = (
+        df.select(F.posexplode(vec_col).alias("__d", "__x"))
+        .groupBy("__d")
+        .agg(
+            F.sum(
+                F.round(F.col("__x").cast("double") * scale, 0).cast("long")
+                .cast("decimal(38,0)")
+            ).alias("__sx"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .orderBy("__d")
+        .collect()  # d rows — dimension-sized, never corpus-sized
+    )
+    mean = np.array(
+        [float(r["__sx"]) / float(r["__n"]) / scale for r in mean_rows]
+    )
+    vals, vecs = np.linalg.eigh(c)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        piv = int(np.argmax(np.abs(v)))
+        comps.append(v if v[piv] >= 0 else -v)
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(
+        F.col(vec_col), mean_lit, lambda x, m: x.cast("double") - m
+    )
+    out = [F.col(id_col)]
+    for ci, comp in enumerate(comps):
+        comp_lit = F.array(*[F.lit(float(x)) for x in comp])
+        out.append(
+            F.aggregate(
+                F.zip_with(centered, comp_lit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"pc{ci}")
+        )
+    return df.select(*out)

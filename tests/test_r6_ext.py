@@ -1,0 +1,97 @@
+"""Round-6 in-round extension operators: BM25 retrieval, embedding
+covariance / PCA projection, PMI collocations, cross-source duplication."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from knime_core_columnar_spark.operators.similarity import bm25_topk
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def _bm25_ref(docs, query_terms, k1=1.2, b=0.75):
+    """Plain-python BM25 replica (same tokenization, rounding, scaling)."""
+    toks = {i: [t for t in __import__("re").split(r"\W+", txt.lower().strip()) if t]
+            for i, txt in docs}
+    n = len(toks)
+    dl = {i: len(ts) for i, ts in toks.items()}
+    avgdl = sum(dl.values()) / n
+    tf = {}
+    for i, ts in toks.items():
+        for t in ts:
+            tf[(i, t)] = tf.get((i, t), 0) + 1
+    df = {}
+    for (i, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    out = {}
+    for i in toks:
+        s = 0
+        hit = 0
+        for t in query_terms:
+            if (i, t) not in tf:
+                continue
+            hit += 1
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            tfn = tf[(i, t)] * (k1 + 1.0) / (
+                tf[(i, t)] + k1 * (1.0 - b + b * dl[i] / avgdl))
+            s += int(round(round(idf * tfn, 6) * 1_000_000, 0))
+        if hit:
+            out[i] = (hit, s)
+    return out
+
+
+def test_bm25_hand_case(spark):
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "cats and dogs and cats"),
+        (4, "quantum flux capacitor"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(100, "cat mat")], "query_id long, query_text string")
+    got = {r["doc_id"]: (r["n_terms_hit"], r["bm25_scaled"], r["rank"])
+           for r in bm25_topk(d, q, k=10).collect()}
+    want = _bm25_ref(docs, ["cat", "mat"])
+    assert set(got) == set(want)
+    for i, (hit, s) in want.items():
+        assert got[i][0] == hit and got[i][1] == s
+    # doc 1 has both query terms -> rank 1
+    assert got[1][2] == 1
+
+
+def test_bm25_distinct_query_terms_and_rank_ties(spark):
+    # repeated query term must count once; tie on score breaks by doc_id
+    d = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta")], "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(9, "alpha alpha")], "query_id long, query_text string")
+    rows = sorted(bm25_topk(d, q, k=5).collect(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert rows[0]["bm25_scaled"] == rows[1]["bm25_scaled"]
+    assert all(r["n_terms_hit"] == 1 for r in rows)
+
+
+def test_bm25_partition_invariance(spark):
+    docs = [(i, f"tok{i % 7} tok{i % 3} shared word{i}") for i in range(60)]
+    q_rows = [(0, "tok1 shared word5")]
+    a = spark.createDataFrame(docs, "doc_id long, text string")
+    q = spark.createDataFrame(q_rows, "query_id long, query_text string")
+    r1 = {(r["query_id"], r["doc_id"]): (r["bm25_scaled"], r["rank"])
+          for r in bm25_topk(a, q, k=15).collect()}
+    r2 = {(r["query_id"], r["doc_id"]): (r["bm25_scaled"], r["rank"])
+          for r in bm25_topk(a.repartition(13), q, k=15).collect()}
+    assert r1 == r2
+
+
+def test_bm25_topk_plan_uses_window_group_limit(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string")
+    q = spark.createDataFrame([(0, "b")], "query_id long, query_text string")
+    plan = bm25_topk(d, q, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
