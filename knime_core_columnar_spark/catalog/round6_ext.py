@@ -75,3 +75,43 @@ def _r6x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("query_text"),
     )
     return bm25_topk(d, q, k=10)
+
+
+@query(
+    "embedding_covariance",
+    r"""
+    WITH x AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)))
+               AS xi,
+             unnest(range(len(embedding))) AS d
+      FROM embeddings
+    ), sxy AS (
+      SELECT a.d AS i, b.d AS j,
+             SUM(CAST(a.xi * b.xi AS DECIMAL(38,0))) AS sxy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d
+      GROUP BY 1, 2
+    ), sx AS (
+      SELECT d, SUM(CAST(xi AS DECIMAL(38,0))) AS sx, COUNT(*) AS n
+      FROM x GROUP BY 1
+    )
+    SELECT sxy.i, sxy.j, si.n AS n_vecs,
+           round((CAST(sxy AS DOUBLE)
+                  - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE)
+                    / CAST(si.n AS DOUBLE))
+                 / CAST(si.n AS DOUBLE) / 1000000000000.0, 9) AS cov
+    FROM sxy JOIN sx si ON sxy.i = si.d JOIN sx sj ON sxy.j = sj.d
+    """,
+)
+def _r6x_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding covariance matrix, long-form upper triangle
+    (operators.similarity.embedding_covariance): int64 micro-unit
+    products summed as decimal(38,0) — engine/partitioning-exact; the
+    d-row/d²-row aggregates are the distributed step of PCA
+    (pca_project runs numpy eigh on this dimension-sized result)."""
+    from knime_core_columnar_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"))

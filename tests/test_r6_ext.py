@@ -95,3 +95,91 @@ def test_bm25_topk_plan_uses_window_group_limit(spark):
     plan = bm25_topk(d, q, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# embedding covariance / PCA
+# ---------------------------------------------------------------------------
+
+def _aniso_rows(n=80, seed=7):
+    """Deterministic anisotropic 4-d blobs: pc0 dominated by dim0."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        h = hashlib.md5(f"{seed}|{i}".encode()).digest()
+        u = [(b - 127.5) / 127.5 for b in h[:4]]
+        rows.append((i, [u[0] * 4.0, u[1] * 1.0, u[2] * 0.25, u[3] * 0.05]))
+    return rows
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from knime_core_columnar_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rows = _aniso_rows()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in embedding_covariance(df).collect()}
+    X = np.array([np.array(v, dtype=np.float32) for _, v in rows],
+                 dtype=np.float64)
+    # replicate the micro-unit quantization, then exact covariance
+    Xq = np.round(X * 1e6)
+    n = len(Xq)
+    for (i, j), cov in got.items():
+        sxy = float(np.sum(Xq[:, i] * Xq[:, j]))
+        sxi, sxj = float(Xq[:, i].sum()), float(Xq[:, j].sum())
+        want = round((sxy - sxi * sxj / n) / n / 1e12, 9)
+        assert cov == pytest.approx(want, abs=1e-12)
+    assert len(got) == 4 * 5 // 2
+    assert all(r[0] <= r[1] for r in got)
+
+
+def test_embedding_covariance_partition_invariance(spark):
+    from knime_core_columnar_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rows = _aniso_rows(60)
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r1 = sorted(tuple(r) for r in embedding_covariance(a).collect())
+    r2 = sorted(
+        tuple(r)
+        for r in embedding_covariance(a.repartition(11)).collect()
+    )
+    assert r1 == r2
+
+
+def test_pca_project_recovers_dominant_axis(spark):
+    import numpy as np
+
+    from knime_core_columnar_spark.operators.similarity import pca_project
+
+    rows = _aniso_rows(120)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["pc0"], r["pc1"])
+           for r in pca_project(df, n_components=2).collect()}
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    x0 = X[:, 0] - X[:, 0].mean()
+    p0 = np.array([out[i][0] for i, _ in rows])
+    # pc0 must align with the dominant (dim-0) axis almost perfectly
+    corr = np.corrcoef(x0, p0)[0, 1]
+    assert abs(corr) > 0.99
+    # variance ordering: pc0 >= pc1
+    p1 = np.array([out[i][1] for i, _ in rows])
+    assert p0.var() >= p1.var()
+
+
+def test_pca_project_partition_invariant_and_sign_fixed(spark):
+    from knime_core_columnar_spark.operators.similarity import pca_project
+
+    rows = _aniso_rows(60)
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r1 = sorted(tuple(r) for r in pca_project(a, n_components=2).collect())
+    r2 = sorted(
+        tuple(r) for r in pca_project(a.repartition(7), n_components=2).collect()
+    )
+    assert r1 == r2
