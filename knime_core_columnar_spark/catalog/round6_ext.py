@@ -115,3 +115,75 @@ def _r6x_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return embedding_covariance(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "collocations_pmi",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                         w -> w <> '') AS ts
+      FROM documents
+    ), bi AS (
+      SELECT unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+      FROM toks WHERE len(ts) >= 2
+    ), c12 AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2
+    ), cl AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c_left FROM c12 GROUP BY 1
+    ), cr AS (
+      SELECT w2, CAST(SUM(c12) AS BIGINT) AS c_right FROM c12 GROUP BY 1
+    ), n2 AS (
+      SELECT CAST(SUM(c12) AS DOUBLE) AS n2 FROM c12
+    )
+    SELECT w1, w2, c12, c_left, c_right,
+           round(ln(CAST(c12 AS DOUBLE) * n2
+                    / (CAST(c_left AS DOUBLE) * CAST(c_right AS DOUBLE))),
+                 6) AS pmi
+    FROM c12 JOIN cl USING (w1) JOIN cr USING (w2), n2
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def _r6x_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-detection collocations (operators.text.collocations_pmi):
+    PMI over the bigram joint with its own marginals — everything from
+    ONE bigram count table; global top-20 via TakeOrderedAndProject."""
+    from knime_core_columnar_spark.operators.text import collocations_pmi
+
+    return collocations_pmi(
+        _t(spark, sf_dir, "documents"), min_count=5, k=20
+    )
+
+
+@query(
+    "cross_source_duplication",
+    r"""
+    WITH per AS (
+      SELECT DISTINCT
+        md5(array_to_string(
+          list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+                                         '\W+'),
+                      w -> w <> '')[1:6], ' ')) AS h,
+        source AS s
+      FROM documents
+    )
+    SELECT a.s AS source_a, b.s AS source_b, COUNT(*) AS n_shared_texts
+    FROM per a JOIN per b ON a.h = b.h AND a.s < b.s
+    GROUP BY 1, 2
+    """,
+)
+def _r6x_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix keyed on the 6-word lede
+    fingerprint (operators.dedup.cross_source_duplication) — the
+    syndication/re-crawl provenance audit. The oracle takes the
+    self-join evaluation strategy; the engine builds pairs per hash
+    group with array expressions (collect_set bounded by the source
+    universe)."""
+    from knime_core_columnar_spark.operators.dedup import (
+        cross_source_duplication,
+    )
+
+    return cross_source_duplication(
+        _t(spark, sf_dir, "documents"), fingerprint_words=6
+    )

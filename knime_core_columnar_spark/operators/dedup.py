@@ -1326,3 +1326,71 @@ def containment_pairs(
                 F.col("n_overlap").cast("long").alias("n_overlap"),
                 F.col("size_a").cast("long").alias("size_a"))
     )
+
+
+def cross_source_duplication(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    fingerprint_words: int | None = None,
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    DISTINCT texts appear in both — the provenance audit that finds
+    mirror sites, re-crawls, and syndication feeds before per-document
+    dedup hides them (and the contamination channel audit when one
+    "source" is an eval set).
+
+    ``fingerprint_words=None`` keys on the full text (exact duplicates
+    only); an integer keys on the first-N-words lede fingerprint — the
+    syndication heuristic that catches re-published articles whose
+    boilerplate tails differ (tokenized ``\\W+`` lowercase, like the
+    lexical family).
+
+    Scale shape: texts collapse to 16-byte md5 keys before anything
+    shuffles; one hash-distinct of (hash, source) — bounded by docs —
+    then one groupBy(hash) whose ``collect_set`` state is capped by the
+    source universe (sources ≪ corpus), pairs built per group with
+    array expressions. Output is |sources|² rows at most. No text
+    payloads move, nothing driver-side.
+
+    Returns (source_a, source_b, n_shared_texts) with source_a <
+    source_b lexicographically.
+    """
+    if fingerprint_words is None:
+        key = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    else:
+        # coalesce BEFORE tokenizing: a NULL text must key as md5('')
+        # like an empty one, not collapse into a NULL-keyed group
+        lede = F.slice(
+            F.filter(
+                F.split(
+                    F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\W+",
+                ),
+                lambda w: w != "",
+            ),
+            1,
+            fingerprint_words,
+        )
+        key = F.md5(F.array_join(lede, " "))
+    per = df.select(
+        key.alias("__h"),
+        F.col(source_col).alias("__s"),
+    ).distinct()
+    grp = (
+        per.groupBy("__h")
+        .agg(F.array_sort(F.collect_set("__s")).alias("__ss"))
+        .filter(F.size("__ss") >= 2)
+    )
+    pairs = grp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(__ss) - 2), a -> "
+                "transform(sequence(a + 1, size(__ss) - 1), b -> "
+                "struct(__ss[a] AS sa, __ss[b] AS sb))))"
+            )
+        ).alias("__p")
+    )
+    return pairs.groupBy(
+        F.col("__p.sa").alias("source_a"), F.col("__p.sb").alias("source_b")
+    ).agg(F.count(F.lit(1)).alias("n_shared_texts"))

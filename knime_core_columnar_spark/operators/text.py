@@ -856,3 +856,74 @@ def fix_mojibake(
         fixed.alias("fixed_text"),
         (F.length(t) - F.length(fixed)).cast("long").alias("chars_removed"),
     )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` collocations (adjacent word pairs) by pointwise mutual
+    information — the phrase-detection pass (word2phrase / Mikolov et
+    al. 2013) that decides which bigrams deserve a single token
+    ("new york", "machine learning") before tokenizer training.
+
+    Model: PMI of the bigram joint distribution with its OWN marginals,
+    ``ln(c12 · N₂ / (c_left(w1) · c_right(w2)))`` where N₂ = total
+    bigram count and the marginals are row/column sums of the bigram
+    count table — so training is ONE corpus pass (the bigram_logprob
+    discipline: everything derives from the single count table).
+    ``min_count`` suppresses unreliable rare pairs, exactly as
+    word2phrase does.
+
+    Determinism: counts are exact integers; PMI is one ln on identical
+    doubles rounded to 6 decimals, ties broken by (w1, w2); the global
+    top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+    heaps, no global sort).
+
+    Returns (w1, w2, c12, c_left, c_right, pmi), k rows.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\W+"), lambda w: w != ""
+    )
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    rows = df.select(F.explode(bi).alias("__p")).select(
+        F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
+    )
+    c12 = rows.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cl = c12.groupBy("w1").agg(F.sum("c12").alias("c_left"))
+    cr = c12.groupBy("w2").agg(F.sum("c12").alias("c_right"))
+    n2 = c12.agg(F.sum("c12").cast("double").alias("__n2"))
+    scored = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(cl, "w1")
+        .join(cr, "w2")
+        .join(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c_left",
+            "c_right",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("__n2")
+                    / (
+                        F.col("c_left").cast("double")
+                        * F.col("c_right").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)

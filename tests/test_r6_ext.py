@@ -183,3 +183,114 @@ def test_pca_project_partition_invariant_and_sign_fixed(spark):
         tuple(r) for r in pca_project(a.repartition(7), n_components=2).collect()
     )
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# collocations (PMI)
+# ---------------------------------------------------------------------------
+
+def test_collocations_pmi_hand_case(spark):
+    from knime_core_columnar_spark.operators.text import collocations_pmi
+
+    # "new york" always adjacent; "the cat" also frequent but "the" is
+    # promiscuous (high marginal) -> lower PMI
+    docs = [("new york is big. the cat sat. the dog ran. the cat slept.",)] * 3
+    docs += [("visit new york. the cat is here.",)] * 3
+    df = spark.createDataFrame(docs, "text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           collocations_pmi(df, min_count=3, k=50).collect()}
+    assert ("new", "york") in out
+    ny = out[("new", "york")]
+    assert ny["c12"] == 6 and ny["c_left"] == 6 and ny["c_right"] == 6
+    the_cat = out.get(("the", "cat"))
+    assert the_cat is not None
+    assert ny["pmi"] > the_cat["pmi"]
+
+
+def test_collocations_pmi_min_count_and_math(spark):
+    import math
+
+    from knime_core_columnar_spark.operators.text import collocations_pmi
+
+    df = spark.createDataFrame(
+        [("a b a b a b",), ("c d",)], "text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           collocations_pmi(df, min_count=2, k=10).collect()}
+    # bigrams: (a,b)x3, (b,a)x2, (c,d)x1 -> min_count=2 keeps 2
+    assert set(out) == {("a", "b"), ("b", "a")}
+    ab = out[("a", "b")]
+    n2 = 6.0
+    want = round(math.log(3 * n2 / (3.0 * 3.0)), 6)
+    assert ab["pmi"] == pytest.approx(want, abs=1e-9)
+
+
+def test_collocations_pmi_partition_invariance(spark):
+    from knime_core_columnar_spark.operators.text import collocations_pmi
+
+    rows = [(f"alpha beta gamma tok{i % 5} alpha beta",) for i in range(40)]
+    a = spark.createDataFrame(rows, "text string")
+    r1 = [tuple(r) for r in collocations_pmi(a, min_count=2, k=10).collect()]
+    r2 = [tuple(r) for r in
+          collocations_pmi(a.repartition(9), min_count=2, k=10).collect()]
+    assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+def test_cross_source_duplication_exact(spark):
+    from knime_core_columnar_spark.operators.dedup import (
+        cross_source_duplication,
+    )
+
+    rows = [
+        (1, "shared text one", "A"),
+        (2, "shared text one", "B"),
+        (3, "shared text one", "C"),
+        (4, "shared text two", "A"),
+        (5, "shared text two", "B"),
+        (6, "only in a", "A"),
+        (7, "dup inside a", "A"),
+        (8, "dup inside a", "A"),  # same-source dup: no cross pair
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r["n_shared_texts"]
+           for r in cross_source_duplication(df).collect()}
+    assert out == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_cross_source_duplication_lede_fingerprint(spark):
+    from knime_core_columnar_spark.operators.dedup import (
+        cross_source_duplication,
+    )
+
+    rows = [
+        (1, "one two three four five six SEVEN tail-a", "A"),
+        (2, "one two three four five six DIFFERENT tail-b", "B"),
+        (3, None, "A"),
+        (4, "", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # exact: only the NULL/'' pair shares (both key as md5(''))
+    exact = {(r["source_a"], r["source_b"]): r["n_shared_texts"]
+             for r in cross_source_duplication(df).collect()}
+    assert exact == {("A", "B"): 1}
+    # 6-word lede: docs 1+2 now ALSO share (identical first 6 words)
+    out = {(r["source_a"], r["source_b"]): r["n_shared_texts"]
+           for r in cross_source_duplication(df, fingerprint_words=6).collect()}
+    assert out == {("A", "B"): 2}
+
+
+def test_cross_source_duplication_partition_invariance(spark):
+    from knime_core_columnar_spark.operators.dedup import (
+        cross_source_duplication,
+    )
+
+    rows = [(i, f"text {i % 10}", f"src{i % 4}") for i in range(80)]
+    a = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r1 = sorted(tuple(r) for r in cross_source_duplication(a).collect())
+    r2 = sorted(
+        tuple(r) for r in cross_source_duplication(a.repartition(13)).collect()
+    )
+    assert r1 == r2 and r1
