@@ -31,10 +31,12 @@ _SECTIONS = [
     "staged_r8",
     "layout_r5",
     "staged_r9",
-    "layout_final",
-    # in-round additions AFTER the window flip: register at the catalog
-    # tail (the reorder above has already run), first driver check in r7
+    # round-6 in-round additions: registered BEFORE the layout flip so
+    # the (pre-staged) round-7 flip can place them in its window; the
+    # round-6 reorder classes them as never-checked, which keeps the
+    # active 50-name round-6 window head untouched
     "round6_ext",
+    "layout_final",
 ]
 
 _pkg = sys.modules[__name__]

@@ -59,7 +59,14 @@ _DRIVER_WINDOW_R7 = [
     'leakage_safe_split', 'mojibake_audit', 'normalize_text',
     'numeric_drift_report', 'resample_ffill', 'resample_interp',
     'token_budget_plan', 'token_fertility',
-    # 30 rotation greens: driver-green rows absent from the r5 AND r6
+    # 4 round-6 in-round additions (catalog/round6_ext.py): registered
+    # after the round-6 flip, so round 7 is their FIRST driver check —
+    # they take the four newest rotation-green slots (pii_redact,
+    # corpus_shuffle, sequence_packing, referential_audit move to the
+    # round-8 rotation pool)
+    'bm25_topk', 'embedding_covariance', 'collocations_pmi',
+    'cross_source_duplication',
+    # 26 rotation greens: driver-green rows absent from the r5 AND r6
     # windows (longest-unchecked first by catalog order)
     'kmeans_clusters', 'impute_timeseries', 'segment_dedup',
     'unigram_lm_quality', 'q21_waiting_suppliers', 'knn_classify',
@@ -68,8 +75,7 @@ _DRIVER_WINDOW_R7 = [
     'window_first_last', 'window_ntile', 'topk_ties', 'conditional_agg',
     'unpivot_metrics', 'date_spine', 'json_typed_extract', 'table_diff',
     'scd2_intervals', 'gaps_islands', 'regexp_extract_numbers',
-    'contamination_check', 'boilerplate_ngrams', 'pii_redact',
-    'corpus_shuffle', 'sequence_packing', 'referential_audit',
+    'contamination_check', 'boilerplate_ngrams',
     # doc_repetition's rotation slot moved here from the r6 window
     # (displaced by bpe_encode); percentile_grid keeps its r0x green row
     'doc_repetition',

@@ -1,8 +1,10 @@
-"""Round-6 in-round extensions — queries added AFTER the round-6 window
-flip, so they register at the TAIL of the catalog (the layout reorder in
-``layout_final`` has already run by the time this module imports; the
-driver's 50-name round-6 window head is untouched). Their first driver
-check is scheduled in the round-7 window (see ``_DRIVER_WINDOW_R7``).
+"""Round-6 in-round extensions — operators added AFTER the round-6 window
+flip executed. This module imports BEFORE ``layout_final`` (so the
+pre-staged round-7 flip can place these names in its window), and the
+round-6 reorder classes them as never-checked — they land immediately
+after the active 50-name window head, which stays untouched. Their
+first driver check is scheduled in the round-7 window
+(``_DRIVER_WINDOW_R7``).
 
 Every entry follows the registry determinism rules (_registry.py
 docstring): scaled-int64 sums, 6-decimal rounds before ordering, every
