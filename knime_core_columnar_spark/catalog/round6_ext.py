@@ -189,3 +189,70 @@ def _r6x_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame
     return cross_source_duplication(
         _t(spark, sf_dir, "documents"), fingerprint_words=6
     )
+
+
+@query(
+    "vocab_growth_stats",
+    r"""
+    WITH toks AS (
+      SELECT source AS g,
+             unnest(string_split_regex(lower(trim(text)), '\W+')) AS t
+      FROM documents
+    ), counts AS (
+      SELECT g, t, COUNT(*) AS c FROM toks WHERE t <> '' GROUP BY 1, 2
+    )
+    SELECT g AS source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+             AS type_token_ratio,
+           round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+    FROM counts GROUP BY 1
+    """,
+)
+def _r6x_vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-growth audit (operators.text.
+    vocab_growth_stats): Heaps'-law signals — type/token ratio and
+    hapax share — from ONE (source, token) count table."""
+    from knime_core_columnar_spark.operators.text import vocab_growth_stats
+
+    return vocab_growth_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "temporal_split_embargo",
+    """
+    WITH span AS (
+      SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events
+    ), fenced AS (
+      SELECT epoch_us(ts) AS us, user_id,
+             t0 + CAST(floor(0.7 * (CAST(t1 AS DOUBLE) - CAST(t0 AS DOUBLE)))
+                       AS BIGINT) AS f1,
+             t0 + CAST(floor(0.8 * (CAST(t1 AS DOUBLE) - CAST(t0 AS DOUBLE)))
+                       AS BIGINT) AS f2
+      FROM events, span
+    )
+    SELECT CASE WHEN us < f1 THEN 'train'
+                WHEN us < f2 THEN 'embargo'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(us) AS first_us,
+           MAX(us) AS last_us
+    FROM fenced GROUP BY 1
+    """,
+)
+def _r6x_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged time-ordered train/embargo/test split (operators.sampling.
+    temporal_split_embargo): time-range fences in exact epoch micros,
+    embargo band discarded from training — the leakage-safe temporal
+    counterpart of hash_split."""
+    from knime_core_columnar_spark.operators.sampling import (
+        temporal_split_embargo,
+    )
+
+    return temporal_split_embargo(
+        _t(spark, sf_dir, "events"), train_frac=0.7, embargo_end_frac=0.8
+    )

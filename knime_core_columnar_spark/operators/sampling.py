@@ -750,3 +750,68 @@ def dsir_logratio(
             F.coalesce(F.sum("__lp6") > 0, F.lit(False)).alias("selected"),
         )
     )
+
+
+def temporal_split_embargo(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str | None = "user_id",
+    train_frac: float = 0.7,
+    embargo_end_frac: float = 0.8,
+) -> DataFrame:
+    """Time-ordered train/embargo/test split over an event stream — the
+    leakage-safe complement to ``hash_split`` (random) and
+    ``leakage_safe_split`` (near-dup clusters): models trained on the
+    past are evaluated on the future, and an EMBARGO band between the
+    fences is discarded so windowed/lagged features computed near the
+    boundary cannot leak test-period information into training (the
+    purged split of de Prado 2018).
+
+    Fences are fractions of the observed TIME RANGE in epoch
+    microseconds: ``t1 = min + floor(train_frac·span)``,
+    ``t2 = min + floor(embargo_end_frac·span)`` — exact int64 + one
+    identical double multiply per fence, so assignment is
+    engine/partitioning-exact (unlike quantile fences, whose
+    interpolation arithmetic is engine-specific). Both fences are
+    direct parameters (never derived by float addition like
+    ``train + embargo``, whose rounding could differ from another
+    engine's literal — 0.7+0.1 is one ulp below 0.8 in IEEE).
+
+    Scale shape: ONE min/max aggregate broadcast back over the scan;
+    assignment is a codegen CASE; the report is one partial-aggregated
+    groupBy(split) with a two-phase exact user count. Nothing
+    driver-side.
+
+    Returns (split, n_events, n_users, first_us, last_us) — one row per
+    non-empty band; n_users omitted (constant -1) when ``user_col`` is
+    None.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    span = df.agg(
+        F.min(us).alias("__t0"), F.max(us).alias("__t1")
+    )
+    spand = F.col("__t1").cast("double") - F.col("__t0").cast("double")
+    fenced = df.select(
+        us.alias("__us"),
+        *([F.col(user_col).alias("__u")] if user_col else []),
+    ).join(F.broadcast(span)).select(
+        "__us",
+        *(["__u"] if user_col else []),
+        (F.col("__t0")
+         + F.floor(F.lit(train_frac) * spand).cast("long")).alias("__f1"),
+        (F.col("__t0")
+         + F.floor(F.lit(embargo_end_frac) * spand).cast("long")
+         ).alias("__f2"),
+    )
+    split = (
+        F.when(F.col("__us") < F.col("__f1"), F.lit("train"))
+        .when(F.col("__us") < F.col("__f2"), F.lit("embargo"))
+        .otherwise(F.lit("test"))
+    )
+    return fenced.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count_distinct(F.col("__u")) if user_col else F.lit(-1).cast("long")
+         ).alias("n_users"),
+        F.min("__us").alias("first_us"),
+        F.max("__us").alias("last_us"),
+    )

@@ -927,3 +927,51 @@ def collocations_pmi(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1"), F.col("w2")
     ).limit(k)
+
+
+def vocab_growth_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group vocabulary-growth audit: token volume, type (distinct
+    token) count, hapax legomena count, and their ratios — the Heaps'-
+    law health check that exposes templated/synthetic sources (types
+    flatline while tokens grow ⇒ low type/token ratio) and OCR/noise
+    sources (hapax share balloons: every error is a new "word").
+
+    Scale shape: one ``\\W+``-lowercase tokenization pass → ONE
+    partially-aggregated (group, token) count table (vocab-sized after
+    the map-side combine, like unigram_logprob's model) → one group-
+    level re-aggregation of that table. Token totals derive from the
+    count table, so there is no second corpus scan. Ratios are IEEE
+    divisions of exact int64 sums.
+
+    Returns (group_col, n_tokens, n_types, n_hapax, type_token_ratio,
+    hapax_share) — one row per group.
+    """
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\W+")
+        ).alias("__t"),
+    ).filter(F.col("__t") != "")
+    counts = toks.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    return counts.groupBy("__g").agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    ).select(
+        F.col("__g").alias(group_col),
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+        F.round(
+            F.col("n_hapax").cast("double") / F.col("n_types").cast("double"),
+            6,
+        ).alias("hapax_share"),
+    )

@@ -294,3 +294,83 @@ def test_cross_source_duplication_partition_invariance(spark):
         tuple(r) for r in cross_source_duplication(a.repartition(13)).collect()
     )
     assert r1 == r2 and r1
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth stats
+# ---------------------------------------------------------------------------
+
+def test_vocab_growth_stats_hand_case(spark):
+    from knime_core_columnar_spark.operators.text import vocab_growth_stats
+
+    rows = [
+        ("A", "cat cat cat dog"),     # tokens 4, types {cat,dog}, hapax {dog}
+        ("A", "cat bird"),            # A: tokens 6, types 3, hapax {dog,bird}
+        ("B", "x y z"),               # B: tokens 3, types 3, hapax all
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in vocab_growth_stats(df).collect()}
+    a = out["A"]
+    assert (a["n_tokens"], a["n_types"], a["n_hapax"]) == (6, 3, 2)
+    assert a["type_token_ratio"] == pytest.approx(round(3 / 6, 6))
+    assert a["hapax_share"] == pytest.approx(round(2 / 3, 6))
+    b = out["B"]
+    assert (b["n_tokens"], b["n_types"], b["n_hapax"]) == (3, 3, 3)
+
+
+def test_vocab_growth_templated_source_scores_low_ttr(spark):
+    from knime_core_columnar_spark.operators.text import vocab_growth_stats
+
+    rows = [("templated", "buy now best price deal")] * 30 + [
+        ("organic", f"unique words number {i} appear here once {i*7}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in vocab_growth_stats(df).collect()}
+    assert out["templated"]["type_token_ratio"] < out["organic"]["type_token_ratio"]
+
+
+# ---------------------------------------------------------------------------
+# temporal embargo split
+# ---------------------------------------------------------------------------
+
+def test_temporal_split_embargo_fences_and_counts(spark):
+    import datetime as dt
+
+    from knime_core_columnar_spark.operators.sampling import (
+        temporal_split_embargo,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    # 100 events, one per hour: span = 99h; f1 = 69.3h -> train < 69.3h
+    rows = [(i, base + dt.timedelta(hours=i), i % 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r["split"]: r for r in temporal_split_embargo(df).collect()}
+    span_us = 99 * 3600 * 1_000_000
+    f1 = int(0.7 * span_us // 1)  # hours < 69.3 -> 0..69 = 70 events
+    assert out["train"]["n_events"] == 70
+    assert out["embargo"]["n_events"] == 10   # hours 70..79 (< 79.2)
+    assert out["test"]["n_events"] == 20      # hours 80..99
+    # bands are disjoint and ordered
+    assert out["train"]["last_us"] < out["embargo"]["first_us"]
+    assert out["embargo"]["last_us"] < out["test"]["first_us"]
+    # user counts are exact distinct
+    assert out["test"]["n_users"] == len({i % 7 for i in range(80, 100)})
+
+
+def test_temporal_split_partition_invariance(spark):
+    import datetime as dt
+
+    from knime_core_columnar_spark.operators.sampling import (
+        temporal_split_embargo,
+    )
+
+    base = dt.datetime(2023, 6, 1)
+    rows = [(i, base + dt.timedelta(minutes=i * 13), i % 11)
+            for i in range(200)]
+    a = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    r1 = sorted(tuple(r) for r in temporal_split_embargo(a).collect())
+    r2 = sorted(
+        tuple(r) for r in temporal_split_embargo(a.repartition(17)).collect()
+    )
+    assert r1 == r2

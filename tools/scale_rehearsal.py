@@ -45,7 +45,12 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          "dup_span_extract", "dup_span_apply", "leakage_safe_split",
          # round-6: the full-corpus mapInPandas tokenizer scan (the
          # heaviest Python-side operator in the registered catalog)
-         "bpe_encode"]
+         "bpe_encode",
+         # round-6 in-round additions: BM25's tf/df/posting joins, the
+         # d²-per-row covariance explode, the bigram PMI table, and the
+         # lede-fingerprint provenance matrix
+         "bm25_topk", "embedding_covariance", "collocations_pmi",
+         "cross_source_duplication"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
