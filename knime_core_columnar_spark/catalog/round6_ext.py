@@ -256,3 +256,194 @@ def _r6x_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_split_embargo(
         _t(spark, sf_dir, "events"), train_frac=0.7, embargo_end_frac=0.8
     )
+
+
+@query(
+    "phash_near_dup",
+    """
+    WITH base AS (
+      SELECT doc_id, encode(text) AS p FROM documents
+      WHERE text IS NOT NULL AND octet_length(encode(text)) >= 64
+    ), byt AS (
+      SELECT doc_id, CAST(octet_length(p) AS BIGINT) AS L,
+             list_transform(range(octet_length(p)),
+               q -> CAST(('0x' || substring(hex(p), 2*q + 1, 2)) AS BIGINT))
+               AS bytes
+      FROM base
+    ), tot AS (
+      SELECT doc_id, L, bytes,
+             CAST(list_sum(bytes) AS BIGINT) AS total
+      FROM byt
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(range(64), j -> CASE WHEN
+               CAST(list_sum(bytes[(j * L) // 64 + 1 : ((j + 1) * L) // 64])
+                    AS BIGINT) * L
+               >= total * (((j + 1) * L) // 64 - (j * L) // 64)
+             THEN 1 ELSE 0 END) AS bits
+      FROM tot
+    ), banded AS (
+      SELECT doc_id,
+             list_transform(range(16), b ->
+               CAST(list_sum(list_transform(range(4),
+                 t -> bits[b * 4 + t + 1] * (1 << t))) AS INTEGER)) AS bands,
+             bits
+      FROM sig
+    ), cand AS (
+      SELECT doc_id, unnest(bands) AS v, unnest(range(16)) AS b
+      FROM banded
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM cand a JOIN cand c
+        ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id
+    ), ham AS (
+      SELECT p.id_a, p.id_b,
+             CAST(list_sum(list_transform(range(64),
+               t -> abs(x.bits[t + 1] - y.bits[t + 1]))) AS INTEGER)
+               AS hamming
+      FROM pairs p
+      JOIN banded x ON p.id_a = x.doc_id
+      JOIN banded y ON p.id_b = y.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 9
+    """,
+)
+def _r6x_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over binary payloads
+    (operators.multimodal.phash_near_dup_pairs): byte-slice aHash
+    fingerprints (integer cross-multiplied — float-free), banded LSH
+    candidates with the pigeonhole zero-false-negative guarantee,
+    integer Hamming verify. Payloads derive from the documents text
+    (attach_binary_payload), standing in for image bytes — the decoder
+    plug point is marked in ahash_signatures. band_bits=4 (16 bands)
+    covers max_hamming=9 at the catalog corpus size; the docstring
+    gives the wider-band guidance for billion-asset corpora."""
+    from knime_core_columnar_spark.operators.multimodal import (
+        attach_binary_payload,
+        phash_near_dup_pairs,
+    )
+
+    d = attach_binary_payload(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    return phash_near_dup_pairs(
+        d, id_col="doc_id", payload_col="payload",
+        max_hamming=9, band_bits=4,
+    )
+
+
+def _rbo_coeff_sql() -> str:
+    """The SAME scaled-integer RBO coefficients the Spark operator uses,
+    rendered as a SQL literal array — driver-computed constants, so no
+    runtime float summation on either engine."""
+    from knime_core_columnar_spark.operators.similarity import (
+        rbo_coefficients_scaled,
+    )
+
+    return "[" + ", ".join(str(c) for c in rbo_coefficients_scaled(20)) + "]"
+
+
+RETRIEVAL_RBO_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(lower(trim(text)), '\W+')) AS t
+      FROM documents
+    ), tf AS (
+      SELECT id, t, COUNT(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2
+    ), dl AS (
+      SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), dfq AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
+    ), q AS (
+      SELECT doc_id AS query_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\W+'),
+               w -> w <> ''))) AS t
+      FROM documents WHERE doc_id IN (3, 47, 205)
+    ), cand AS (
+      SELECT q.query_id, tf.id AS doc_id,
+             CAST(round(round(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+             6) * 1000000, 0) AS BIGINT) AS s6
+      FROM tf JOIN q USING (t) JOIN dfq USING (t) JOIN dl USING (id), stats
+    ), agg AS (
+      SELECT query_id, doc_id, CAST(SUM(s6) AS BIGINT) AS bm25_scaled
+      FROM cand GROUP BY 1, 2
+    ), lex AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY bm25_scaled DESC, doc_id)
+                    AS rank
+        FROM agg
+      ) WHERE rank <= 20
+    ), qv AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings WHERE vec_id IN (3, 47, 205)
+    ), vs AS (
+      SELECT qv.query_id, e.vec_id AS doc_id,
+             round(list_dot_product(qv.v, e.embedding::DOUBLE[])
+               / (qv.nrm * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                 e.embedding::DOUBLE[]))), 6)
+               AS cos
+      FROM embeddings e, qv WHERE e.vec_id <> qv.query_id
+    ), vec AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, doc_id) AS rank
+        FROM vs
+      ) WHERE rank <= 20
+    ), common AS (
+      SELECT lex.query_id,
+             __COEFF__[greatest(lex.rank, vec.rank) + 1] AS c
+      FROM lex JOIN vec USING (query_id, doc_id)
+    ), per_q AS (
+      SELECT query_id, COUNT(*) AS n_common,
+             CAST(SUM(c) AS BIGINT) AS rbo_scaled
+      FROM common GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(coalesce(per_q.n_common, 0) AS BIGINT) AS n_common,
+           CAST(coalesce(per_q.rbo_scaled, 0) AS BIGINT) AS rbo_scaled
+    FROM (SELECT DISTINCT query_id FROM lex) q
+    LEFT JOIN per_q USING (query_id)
+"""
+
+
+@query("retrieval_rbo", RETRIEVAL_RBO_ORACLE.replace("__COEFF__", _rbo_coeff_sql()))
+def _r6x_retrieval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the BM25 list and the dense-cosine
+    list per query (operators.similarity.ranking_rbo, truncated
+    RBO@20, p=0.9): the agreement metric for lexical-vs-dense
+    retrieval. Both lists and the metric are engine-exact (scaled-int64
+    BM25, 6-decimal cosine, integer-literal RBO coefficients)."""
+    from knime_core_columnar_spark.operators.similarity import (
+        bm25_topk,
+        brute_force_topk,
+        ranking_rbo,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    ids = [3, 47, 205]
+    lex = bm25_topk(
+        d,
+        d.filter(F.col("doc_id").isin(ids)).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+        ),
+        k=20,
+    )
+    vec = brute_force_topk(
+        e, e.filter(F.col("vec_id").isin(ids)), k=20, id_col="vec_id"
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return ranking_rbo(lex, vec, depth=20)

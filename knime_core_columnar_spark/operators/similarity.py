@@ -1000,3 +1000,85 @@ def pca_project(
             ).alias(f"pc{ci}")
         )
     return df.select(*out)
+
+
+def rbo_coefficients_scaled(depth: int, p: float = 0.9, scale: int = 1_000_000_000) -> list[int]:
+    """Truncated rank-biased-overlap coefficients (Webber et al. 2010),
+    pre-scaled to integer nano-units. A document appearing at ranks
+    (ra, rb) in two depth-``depth`` lists contributes
+    ``coeff[max(ra, rb)]`` to RBO@depth:
+    ``coeff[m] = (1-p) · Σ_{d=m..depth} p^(d-1) / d``.
+
+    Computed once on the driver and injected as LITERALS into both the
+    Spark plan and any SQL oracle, so no runtime float summation exists
+    anywhere — per-query RBO is an exact int64 sum of these constants.
+    """
+    out = [0]  # 1-indexed; slot 0 unused
+    for m in range(1, depth + 1):
+        c = (1.0 - p) * sum(p ** (d - 1) / d for d in range(m, depth + 1))
+        out.append(int(round(c * scale)))
+    return out
+
+
+def ranking_rbo(
+    list_a: DataFrame,
+    list_b: DataFrame,
+    depth: int,
+    p: float = 0.9,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_a_col: str = "rank",
+    rank_b_col: str = "rank",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Rank-biased overlap between two top-``depth`` result lists per
+    query — the standard agreement metric for comparing retrieval
+    systems (BM25 vs dense vs fused, a re-ranker vs its baseline, or a
+    compressed index vs the exact one) whose top-weighted geometric
+    decay matches how users read rankings. This is the TRUNCATED
+    RBO@depth (the Webber et al. lower bound; no extrapolation).
+
+    Exactness: every coefficient is a driver-computed integer literal
+    (``rbo_coefficients_scaled``); a doc at ranks (ra, rb) contributes
+    ``coeff[greatest(ra, rb)]`` and the per-query score is an exact
+    int64 sum — engine/partitioning-invariant, ties impossible.
+
+    Scale shape: ONE (query, doc) equi-join of two depth-bounded rank
+    lists, one partial-aggregated groupBy(query) — both inputs are
+    |queries|·depth rows, never corpus-sized. Queries with zero overlap
+    keep a row (left join from list_a's query set, RBO 0).
+
+    Returns (query_col, n_common, rbo_scaled) with ``rbo_scaled`` in
+    nano-units (divide by 1e9 for the [0, 1] score).
+    """
+    coeff = rbo_coefficients_scaled(depth, p, scale)
+    carr = F.array(*[F.lit(c) for c in coeff])
+    a = list_a.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rank_a_col).alias("__ra"),
+    ).filter(F.col("__ra") <= depth)
+    b = list_b.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rank_b_col).alias("__rb"),
+    ).filter(F.col("__rb") <= depth)
+    # carr is 1-INDEXED BY VALUE (slot 0 is an unused placeholder), and
+    # element_at is 1-indexed BY POSITION — so coeff[m] lives at
+    # position m+1. A bare element_at(carr, m) silently reads
+    # coeff[m-1]; both engines make the same mistake, so only the
+    # hand-computed pytest catches it, not the oracle.
+    common = a.join(b, ["__q", "__d"]).select(
+        "__q",
+        F.element_at(carr, F.greatest("__ra", "__rb") + 1).alias("__c"),
+    )
+    per_q = common.groupBy("__q").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum("__c").cast("long").alias("rbo_scaled"),
+    )
+    qs = a.select("__q").distinct()
+    return qs.join(per_q, "__q", "left").select(
+        F.col("__q").alias(query_col),
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.coalesce("rbo_scaled", F.lit(0)).cast("long").alias("rbo_scaled"),
+    )

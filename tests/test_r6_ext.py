@@ -374,3 +374,141 @@ def test_temporal_split_partition_invariance(spark):
         tuple(r) for r in temporal_split_embargo(a.repartition(17)).collect()
     )
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup (multimodal)
+# ---------------------------------------------------------------------------
+
+def _payload_df(spark, rows):
+    from knime_core_columnar_spark.operators.multimodal import (
+        attach_binary_payload,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return attach_binary_payload(df)
+
+
+def _ahash_ref(b, n=64):
+    L = len(b)
+    if L < n:
+        return None
+    total = sum(b)
+    bits = []
+    for j in range(n):
+        s, e = (j * L) // n, ((j + 1) * L) // n
+        bits.append(1 if sum(b[s:e]) * L >= total * (e - s) else 0)
+    return bits
+
+
+def test_ahash_signatures_match_python_replica(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        ahash_signatures,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "short"),  # < 64 bytes: dropped
+        (3, "Z" * 64),
+        (4, "abcdefgh" * 20),
+    ]
+    out = {r["doc_id"]: (list(r["bits"]), list(r["bands"]))
+           for r in ahash_signatures(_payload_df(spark, rows)).collect()}
+    assert 2 not in out
+    for i, txt in [(1, rows[0][1]), (3, rows[2][1]), (4, rows[3][1])]:
+        want = _ahash_ref(list(txt.encode("utf-8")))
+        assert out[i][0] == want
+        bands = [sum(want[b * 8 + t] << t for t in range(8)) for b in range(8)]
+        assert out[i][1] == bands
+
+
+def test_phash_near_dup_identical_and_edited(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, base),
+        (2, base),                       # identical -> hamming 0
+        (3, base[:-10] + "EDITED TAIL"),  # light edit -> small hamming
+        (4, "completely different content about databases " * 4),
+    ]
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in phash_near_dup_pairs(
+               _payload_df(spark, rows), max_hamming=6).collect()}
+    assert out[(1, 2)] == 0
+    assert out.get((1, 3), 99) <= 6 and out[(1, 3)] == out[(2, 3)]
+    assert not any(4 in p for p in out)
+
+
+def test_phash_pigeonhole_guard_and_partition_invariance(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    rows = [(i, f"document number {i} with repeated filler text " * 3)
+            for i in range(30)]
+    df = _payload_df(spark, rows)
+    with pytest.raises(ValueError):
+        phash_near_dup_pairs(df, max_hamming=8, band_bits=8)  # 8 bands
+    r1 = sorted(tuple(r) for r in
+                phash_near_dup_pairs(df, max_hamming=9, band_bits=4).collect())
+    df2 = _payload_df(spark, rows)
+    r2 = sorted(tuple(r) for r in
+                phash_near_dup_pairs(df2.repartition(7), max_hamming=9,
+                                     band_bits=4).collect())
+    assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# rank-biased overlap
+# ---------------------------------------------------------------------------
+
+def test_rbo_identical_and_disjoint_lists(spark):
+    from knime_core_columnar_spark.operators.similarity import (
+        ranking_rbo,
+        rbo_coefficients_scaled,
+    )
+
+    depth = 5
+    coeff = rbo_coefficients_scaled(depth)
+    a_rows = [(1, d, r) for r, d in enumerate([10, 11, 12, 13, 14], 1)]
+    b_same = a_rows
+    b_disj = [(1, d, r) for r, d in enumerate([20, 21, 22, 23, 24], 1)]
+    A = spark.createDataFrame(a_rows, "query_id long, doc_id long, rank int")
+    # identical lists: every doc contributes coeff[rank]; RBO@5 sum
+    out = ranking_rbo(
+        A, spark.createDataFrame(b_same, A.schema), depth=depth
+    ).collect()[0]
+    assert out["n_common"] == 5
+    assert out["rbo_scaled"] == sum(coeff[1:6])
+    # truncated RBO@D of identical lists is exactly 1 - p^D
+    assert out["rbo_scaled"] / 1e9 == pytest.approx(1 - 0.9 ** 5, abs=1e-6)
+    # disjoint lists: row kept, zero score
+    out2 = ranking_rbo(
+        A, spark.createDataFrame(b_disj, A.schema), depth=depth
+    ).collect()[0]
+    assert (out2["n_common"], out2["rbo_scaled"]) == (0, 0)
+
+
+def test_rbo_hand_case_and_top_weighting(spark):
+    from knime_core_columnar_spark.operators.similarity import (
+        ranking_rbo,
+        rbo_coefficients_scaled,
+    )
+
+    depth = 3
+    coeff = rbo_coefficients_scaled(depth)
+    A = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2), (1, 102, 3)],
+        "query_id long, doc_id long, rank int")
+    # agreement at the TOP (same #1) beats agreement at the bottom
+    b_top = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 2), (1, 201, 3)], A.schema)
+    b_bot = spark.createDataFrame(
+        [(1, 202, 1), (1, 203, 2), (1, 102, 3)], A.schema)
+    top = ranking_rbo(A, b_top, depth=depth).collect()[0]["rbo_scaled"]
+    bot = ranking_rbo(A, b_bot, depth=depth).collect()[0]["rbo_scaled"]
+    assert top == coeff[1] and bot == coeff[3]
+    assert top > bot

@@ -50,7 +50,14 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          # d²-per-row covariance explode, the bigram PMI table, and the
          # lede-fingerprint provenance matrix
          "bm25_topk", "embedding_covariance", "collocations_pmi",
-         "cross_source_duplication"]
+         "cross_source_duplication",
+         # round-6 continued: Heaps'-law audit (count-table shape), the
+         # purged temporal split (min/max broadcast + CASE scan), and
+         # the perceptual-hash near-dup (per-row byte-slice aHash +
+         # banded candidates — the heaviest per-row expression work in
+         # the catalog)
+         "vocab_growth_stats", "temporal_split_embargo",
+         "phash_near_dup"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
