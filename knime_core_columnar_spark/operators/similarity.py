@@ -1082,3 +1082,135 @@ def ranking_rbo(
         F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
         F.coalesce("rbo_scaled", F.lit(0)).cast("long").alias("rbo_scaled"),
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    ncells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index for ``ivf_probe_index``: the disk-backed
+    deployment shape of ``ivf_topk``, where the corpus is embedded once
+    and probed by many later query batches without re-assigning cells.
+
+    Layout: ``<path>/centroids`` (ncells rows: cell_id, centroid) and
+    ``<path>/postings`` (one row per corpus vector: vec_id, vector,
+    norm) written ``partitionBy(cell_id)`` — probing reads ONLY the
+    probed cells' files (static partition pruning; see
+    ``ivf_probe_index``), so each query batch touches ~nprobe/ncells
+    of the index bytes. Norms are precomputed at build time (probe-side
+    scoring reuses them instead of recomputing per candidate).
+
+    Centroid selection and cell assignment are the exact expressions of
+    ``ivf_topk`` (deterministic hash-sampled centroids, cosine argmin
+    with cell_id tie-break) — ``test_ivf_index_parity`` pins
+    probe-after-build == one-shot ivf_topk, so the two cannot drift.
+    """
+    import math
+
+    from knime_core_columnar_spark.operators.sampling import _BUCKETS, hash_bucket
+
+    n = corpus.count()
+    thr = min(
+        _BUCKETS, int(math.floor((4.0 * ncells * _BUCKETS) / max(n, 1) + 0.5))
+    )
+    h = hash_bucket([id_col], salt="ivf-centroids")
+    cents = (
+        corpus.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
+        .filter(F.col("__h") <= thr)
+        .orderBy("__h", id_col)
+        .limit(ncells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid"))
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # re-read the PERSISTED centroids for assignment so the postings are
+    # consistent with what probes will read, even if the sample plan
+    # would recompute differently after a corpus change
+    spark = corpus.sparkSession
+    cents_r = spark.read.parquet(f"{path}/centroids").withColumnRenamed(
+        "centroid", "__cent"
+    )
+    assign_w = Window.partitionBy(id_col).orderBy(
+        F.col("__d").desc(), F.col("cell_id")
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents_r))
+        .withColumn("__d", cosine(F.col(vec_col), F.col("__cent")))
+        .withColumn("__rk", F.row_number().over(assign_w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vector"),
+            l2_norm(F.col(vec_col)).alias("norm"),
+            "cell_id",
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/postings"
+    )
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted ``build_ivf_index`` index: per query, the
+    ``nprobe`` nearest centroids are chosen (centroids table is
+    ncells rows — broadcast), the probed cell ids are collected —
+    a BOUNDED driver collect, ≤ nprobe·|query batch| ints, the same
+    metadata class as codebooks/sketches — and pushed as a LITERAL
+    ``cell_id IN (...)`` predicate so the parquet scan statically
+    prunes to the probed partitions (PartitionFilters in the plan;
+    asserted by test_ivf_probe_partition_pruning). Scoring reuses the
+    build-time norms; top-k is a per-query WindowGroupLimit.
+
+    Returns (query_id, neighbor_id, cos, rank) — identical to
+    ``ivf_topk`` on the same corpus/parameters (parity-pinned).
+    """
+    cents = spark.read.parquet(f"{path}/centroids").withColumnRenamed(
+        "centroid", "__cent"
+    )
+    probe_w = Window.partitionBy(id_col).orderBy(
+        F.col("__d").desc(), F.col("cell_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("__d", cosine(F.col(vec_col), F.col("__cent")))
+        .withColumn("__rk", F.row_number().over(probe_w))
+        .filter(F.col("__rk") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "cell_id")
+    )
+    # bounded metadata collect: nprobe cells per query in the batch
+    cells = sorted({r["cell_id"] for r in probes.select("cell_id").distinct().collect()})
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("cell_id").isin(cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("vector").alias("__cv"),
+            F.col("norm").alias("__cn"),
+            "cell_id",
+        )
+    )
+    scored = (
+        postings.join(probes, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(pair_cosine(F.col("__qv"), F.col("__cv"),
+                                l2_norm(F.col("__qv")), F.col("__cn")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

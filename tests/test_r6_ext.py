@@ -512,3 +512,59 @@ def test_rbo_hand_case_and_top_weighting(spark):
     bot = ranking_rbo(A, b_bot, depth=depth).collect()[0]["rbo_scaled"]
     assert top == coeff[1] and bot == coeff[3]
     assert top > bot
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index
+# ---------------------------------------------------------------------------
+
+def test_ivf_index_parity(spark, tmp_path):
+    """Probe-after-build must equal the one-shot ivf_topk — the pin
+    that lets build/probe duplicate ivf_topk's expressions instead of
+    refactoring the driver-green plan."""
+    from knime_core_columnar_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_index,
+        ivf_topk,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id").isin([3, 47, 205]))
+    path = str(tmp_path / "ivf")
+    build_ivf_index(corpus, path, ncells=16)
+    got = sorted(
+        tuple(r)
+        for r in ivf_probe_index(spark, path, queries, k=5, nprobe=4).collect()
+    )
+    want = sorted(
+        tuple(r) for r in ivf_topk(corpus, queries, k=5, ncells=16, nprobe=4).collect()
+    )
+    assert got == want and got
+
+
+def test_ivf_probe_partition_pruning(spark, tmp_path):
+    """The probed-cells literal must reach the postings scan as a
+    partition filter: the scan reads nprobe/ncells of the index, which
+    is the whole point of the on-disk layout."""
+    from knime_core_columnar_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_index,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") == 3)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(corpus, path, ncells=16)
+    plan = (
+        ivf_probe_index(spark, path, queries, k=5, nprobe=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [cell_id" in plan.replace("#", " #").replace(
+        "cell_id #", "cell_id#"
+    ) or "PartitionFilters" in plan and "cell_id" in plan
+    # and the filter is selective (IN over <= nprobe literals), not a
+    # full-index read
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "IN" in m.group(1).upper() or (m and "in(" in m.group(1))
