@@ -320,6 +320,7 @@ def phash_near_dup_pairs(
     max_hamming: int = 6,
     n_slices: int = 64,
     band_bits: int = 8,
+    max_bucket: int | None = None,
     strict: bool = False,
 ) -> DataFrame:
     """Perceptual-hash near-duplicate pairs over binary payloads — the
@@ -331,16 +332,28 @@ def phash_near_dup_pairs(
     Zero false negatives by pigeonhole: two fingerprints within
     ``max_hamming < n_slices/band_bits`` bits MUST agree on at least
     one band, and candidates are exactly the band-key collisions —
-    never an all-pairs product. Choose ``band_bits`` for the corpus:
-    wider bands (16) cut random-collision density ~2^-16 per band for
-    billion-asset corpora but only guarantee ``max_hamming < n/16``;
-    narrower bands (4) guarantee up to ``n/4 - 1`` bits at higher
-    candidate density (fine below ~10⁷ assets).
+    never an all-pairs product.
+
+    TWO TIERS — choose ``band_bits`` for the corpus size (the
+    set_similarity_join precedent: exact-audit vs scale):
+    candidate density is ~ n² · n_bands / 2^band_bits, so
+    - AUDIT tier, ``band_bits=4`` (16 bands, guarantee ≤ 15 bits):
+      only 16·16 = 256 buckets exist — QUADRATIC past ~10⁵ assets
+      (measured: the x100 rehearsal replica, 500k docs → ~10¹¹
+      candidate pairs — killed, see SCALE.md). Small corpora and
+      recall-critical audits only.
+    - SCALE tier, ``band_bits=16`` (4 bands, guarantee ≤ 3 bits):
+      4·65536 buckets — at 10⁹ assets a uniform bucket holds ~6·10⁴
+      rows; combine with ``max_bucket`` to cap degenerate buckets
+      (constant-byte assets hash alike; a capped bucket skips
+      boilerplate-like hash regions, trading bounded recall for a
+      hard cost ceiling — exactly containment_pairs' max_df contract).
 
     Scale shape: signatures are one codegen scan; candidates come from
-    ONE (band_index, band_key) equi-join of the posexploded band table;
-    the Hamming verify joins the bounded candidate set back to the
-    bit vectors. All integer math — engine/partitioning-exact.
+    ONE (band_index, band_key) equi-join of the posexploded band table
+    (hot buckets optionally capped first — one count agg over that
+    table); the Hamming verify joins the bounded candidate set back to
+    the bit vectors. All integer math — engine/partitioning-exact.
 
     Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ max_hamming.
     """
@@ -357,6 +370,11 @@ def phash_near_dup_pairs(
         F.col(id_col).alias("__id"),
         F.posexplode("bands").alias("__b", "__v"),
     )
+    if max_bucket is not None:
+        sizes = cand.groupBy("__b", "__v").agg(
+            F.count(F.lit(1)).alias("__n")
+        ).filter(F.col("__n") <= max_bucket)
+        cand = cand.join(sizes.select("__b", "__v"), ["__b", "__v"])
     pairs = (
         cand.alias("a")
         .join(

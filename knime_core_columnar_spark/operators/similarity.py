@@ -1214,3 +1214,80 @@ def ivf_probe_index(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lambda_milli: int = 700,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rel_col: str = "rel_scaled",
+    vec_col: str = "embedding",
+    sim_scale: int = 1_000_000,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): greedily re-order each query's candidate list so every pick
+    balances relevance against redundancy with already-picked docs —
+    the diversity pass between retrieval (BM25/dense/RRF) and the
+    context window. ``mmr = λ·rel − (1−λ)·max_sim_to_selected`` with
+    λ = lambda_milli/1000.
+
+    Inputs are per-query candidate lists: (query, doc, relevance,
+    embedding). ``rel_col`` must already be comparable to cosine scale
+    — pass relevance in the SAME ``sim_scale`` integer units (e.g.
+    per-query max-normalized BM25, scaled 1e6).
+
+    Determinism: relevance is integer; cosines are rounded to 6
+    decimals and scaled to int64 before any comparison; the greedy
+    argmax breaks ties by doc id — so the re-ranking is exact at any
+    parallelism. MMR is inherently sequential PER QUERY (pick t
+    depends on picks 1..t-1), so the loop runs in an Arrow-batched
+    ``applyInPandas`` per query group — candidate lists are
+    retrieval-sized (10²-10³ rows), never corpus-sized, and queries
+    parallelize across executors. This is the same non-SQL-expressible
+    class as the ML learners (pytest-pinned, no DuckDB oracle).
+
+    Returns (query_col, doc_col, mmr_rank, mmr_scaled) — ``mmr_rank``
+    1..k per query; ``mmr_scaled`` in milli·sim_scale units.
+    """
+    import numpy as np
+    import pandas as pd
+
+    lam = int(lambda_milli)
+    out_schema = (
+        f"{query_col} long, {doc_col} long, mmr_rank int, mmr_scaled long"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic candidate order: by doc id
+        pdf = pdf.sort_values(doc_col).reset_index(drop=True)
+        q = pdf[query_col].iloc[0]
+        ids = pdf[doc_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype=np.int64)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        nrm = np.sqrt((V * V).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        n = len(ids)
+        picked: list[int] = []
+        max_sim = np.zeros(n, dtype=np.int64)  # scaled max sim to picked
+        remaining = np.ones(n, dtype=bool)
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            if picked:
+                last = picked[-1]
+                cos = (V @ V[last]) / (nrm * nrm[last])
+                sim = np.rint(np.round(cos, 6) * sim_scale).astype(np.int64)
+                max_sim = np.maximum(max_sim, sim)
+            score = lam * rel - (1000 - lam) * max_sim
+            score[~remaining] = np.iinfo(np.int64).min
+            # argmax with doc-id tie-break: ids ascend, argmax takes first
+            best = int(np.argmax(score))
+            picked.append(best)
+            remaining[best] = False
+            rows.append((q, int(ids[best]), rank, int(score[best])))
+        return pd.DataFrame(
+            rows, columns=[query_col, doc_col, "mmr_rank", "mmr_scaled"]
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(rerank, out_schema)

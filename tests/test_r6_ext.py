@@ -568,3 +568,67 @@ def test_ivf_probe_partition_pruning(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "IN" in m.group(1).upper() or (m and "in(" in m.group(1))
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking
+# ---------------------------------------------------------------------------
+
+def _mmr_candidates(spark):
+    # two near-identical high-relevance docs + one distinct mid-relevance
+    rows = [
+        (1, 10, 1_000_000, [1.0, 0.0, 0.0, 0.0]),
+        (1, 11,   990_000, [0.999, 0.04, 0.0, 0.0]),   # ~dup of 10
+        (1, 12,   700_000, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (1, 13,   100_000, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "query_id long, doc_id long, rel_scaled long, embedding array<double>",
+    )
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    from knime_core_columnar_spark.operators.similarity import mmr_rerank
+
+    out = {r["mmr_rank"]: r["doc_id"]
+           for r in mmr_rerank(_mmr_candidates(spark), k=3,
+                               lambda_milli=700).collect()}
+    # pick 1: highest relevance (10). pick 2: doc 11 is a near-dup of 10
+    # (sim ~1) so its mmr collapses; the orthogonal doc 12 wins.
+    assert out[1] == 10
+    assert out[2] == 12
+    # pick 3: now 11's redundancy with 10 still dominates vs 13?
+    # 11: 700*990000 - 300*999200(sim to 10) ~ 693M - 299.8M = 393.2M
+    # 13: 700*100000 - 300*0 = 70M -> 11 wins
+    assert out[3] == 11
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    from knime_core_columnar_spark.operators.similarity import mmr_rerank
+
+    out = [r["doc_id"] for r in
+           mmr_rerank(_mmr_candidates(spark), k=4, lambda_milli=1000)
+           .orderBy("mmr_rank").collect()]
+    assert out == [10, 11, 12, 13]  # relevance order, redundancy ignored
+
+
+def test_mmr_partition_invariance_and_multi_query(spark):
+    import hashlib
+
+    from knime_core_columnar_spark.operators.similarity import mmr_rerank
+
+    rows = []
+    for q in range(3):
+        for d in range(20):
+            h = hashlib.md5(f"{q}|{d}".encode()).digest()
+            vec = [(b - 127.5) / 127.5 for b in h[:8]]
+            rows.append((q, d, int(h[8]) * 10_000, vec))
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, doc_id long, rel_scaled long, embedding array<double>",
+    )
+    r1 = sorted(tuple(r) for r in mmr_rerank(df, k=5).collect())
+    r2 = sorted(tuple(r) for r in mmr_rerank(df.repartition(13), k=5).collect())
+    assert r1 == r2
+    assert len(r1) == 15  # 3 queries x k=5

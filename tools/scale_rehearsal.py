@@ -57,7 +57,13 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          # banded candidates — the heaviest per-row expression work in
          # the catalog)
          "vocab_growth_stats", "temporal_split_embargo",
-         "phash_near_dup"]
+         # perceptual near-dup: the rehearsal measures the SCALE tier
+         # (16-bit bands + hot-bucket cap; registered below). The
+         # catalog query's 4-bit AUDIT tier has only 256 buckets and is
+         # deliberately NOT rehearsed at 100x: it went quadratic there
+         # (~1e11 candidate pairs, killed) — which is WHY the operator
+         # documents two tiers; see multimodal.phash_near_dup_pairs.
+         "phash_near_dup_scale"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
@@ -232,6 +238,26 @@ def main():
     # disk-full shuffle spill at 10×). That is exactly why the operator
     # has the max_df tier; the rehearsal measures it.
     from knime_core_columnar_spark.operators.dedup import containment_pairs
+
+    # Rehearsal-only entry: the perceptual-hash SCALE tier (4 bands of
+    # 16 bits, pigeonhole guarantee <= 3 bits, degenerate buckets capped
+    # like containment's max_df). The registered catalog query keeps the
+    # 4-bit audit tier for the small gate corpus.
+    from knime_core_columnar_spark.operators.multimodal import (
+        attach_binary_payload,
+        phash_near_dup_pairs,
+    )
+    from pyspark.sql import functions as _F
+
+    catalog.QUERIES["phash_near_dup_scale"] = (
+        lambda spark, sf_dir: phash_near_dup_pairs(
+            attach_binary_payload(
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .filter(_F.col("text").isNotNull())
+            ),
+            max_hamming=3, band_bits=16, max_bucket=256,
+        )
+    )
 
     catalog.QUERIES["containment_quotes_capped"] = (
         lambda spark, sf_dir: containment_pairs(
