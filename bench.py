@@ -92,6 +92,12 @@ HEADLINE = [
     # under the stopwatch so an Arrow-batching or memoization regression
     # is visible
     "bpe_encode",
+    # round-6 in-round additions: the three heaviest new registered
+    # queries — BM25's tf/df/posting join chain, the d²-per-row exact
+    # covariance explode, and the bigram PMI table
+    "bm25_topk",
+    "embedding_covariance",
+    "collocations_pmi",
 ]
 
 # sub-0.3 s queries whose r3→r4 deltas exceeded 15% with overlapping

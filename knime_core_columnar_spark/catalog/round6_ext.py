@@ -447,3 +447,104 @@ def _r6x_retrieval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id").isin(ids)), k=20, id_col="vec_id"
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return ranking_rbo(lex, vec, depth=20)
+
+
+@query(
+    "rm3_expanded_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(lower(trim(text)), '\W+')) AS t
+      FROM documents
+    ), tf AS (
+      SELECT id, t, COUNT(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2
+    ), dl AS (
+      SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), dfq AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
+    ), qterms AS (
+      SELECT doc_id AS query_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\W+'),
+               w -> w <> ''))) AS t
+      FROM documents WHERE doc_id IN (3, 47, 205)
+    ), base_cand AS (
+      SELECT q.query_id, tf.id AS doc_id,
+             CAST(round(round(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+             6) * 1000000, 0) AS BIGINT) AS s6
+      FROM tf JOIN qterms q USING (t) JOIN dfq USING (t) JOIN dl USING (id),
+           stats
+    ), base AS (
+      SELECT query_id, doc_id, bm25_scaled FROM (
+        SELECT query_id, doc_id, CAST(SUM(s6) AS BIGINT) AS bm25_scaled,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY CAST(SUM(s6) AS BIGINT) DESC,
+                                           doc_id) AS rank
+        FROM base_cand GROUP BY 1, 2
+      ) WHERE rank <= 5
+    ), wts AS (
+      SELECT b.query_id, tf.t,
+             CAST(SUM(tf.tf * b.bm25_scaled) AS BIGINT) AS w
+      FROM tf JOIN base b ON tf.id = b.doc_id
+      GROUP BY 1, 2
+    ), wts_new AS (
+      SELECT wts.* FROM wts
+      LEFT JOIN qterms q ON wts.query_id = q.query_id AND wts.t = q.t
+      WHERE q.t IS NULL
+    ), expansion AS (
+      SELECT query_id, t FROM (
+        SELECT query_id, t,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY w DESC, t) AS rk
+        FROM wts_new
+      ) WHERE rk <= 10
+    ), expanded AS (
+      SELECT query_id, t FROM qterms
+      UNION
+      SELECT query_id, t FROM expansion
+    ), final_cand AS (
+      SELECT q.query_id, tf.id AS doc_id,
+             CAST(round(round(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+             6) * 1000000, 0) AS BIGINT) AS s6
+      FROM tf JOIN expanded q USING (t) JOIN dfq USING (t)
+              JOIN dl USING (id), stats
+    ), agg AS (
+      SELECT query_id, doc_id, COUNT(*) AS n_terms_hit,
+             CAST(SUM(s6) AS BIGINT) AS bm25_scaled
+      FROM final_cand GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, n_terms_hit, bm25_scaled, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY bm25_scaled DESC, doc_id) AS rank
+      FROM agg
+    ) WHERE rank <= 10
+    """,
+)
+def _r6x_rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (operators.similarity.
+    rm3_expand_topk, RM3 shape): BM25 top-5 feedback docs, top-10
+    expansion terms by exact int64 tf·score weight (original terms
+    excluded), second BM25 pass over the expanded term set — all on
+    the ONE shared tf table."""
+    from knime_core_columnar_spark.operators.similarity import (
+        rm3_expand_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.filter(F.col("doc_id").isin([3, 47, 205])).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    return rm3_expand_topk(d, q, k=10, n_feedback=5, n_expansion=10)

@@ -786,20 +786,6 @@ def bm25_topk(
     ``rank`` 1..k per query and ``bm25_scaled`` = round(score,6)·1e6
     summed as int64.
     """
-    terms = docs.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\W+")
-        ).alias("__t"),
-    ).filter(F.col("__t") != "")
-    tf = terms.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__tf"))
-    dl = tf.groupBy("__id").agg(F.sum("__tf").alias("__dl"))
-    # corpus stats from the dl table (doc-count-sized, never corpus-sized)
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("__n_docs"),
-        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
-    )
-    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(
@@ -811,10 +797,46 @@ def bm25_topk(
             )
         ).alias("__t"),
     )
+    return _bm25_score_terms(
+        _corpus_tf(docs, id_col, text_col), q, k=k, k1=k1, b=b, scale=scale
+    )
+
+
+def _corpus_tf(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The (doc, term, tf) table every lexical scorer derives from —
+    one tokenization pass, one partial-aggregated count."""
+    terms = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\W+")
+        ).alias("__t"),
+    ).filter(F.col("__t") != "")
+    return terms.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__tf"))
+
+
+def _bm25_score_terms(
+    tf: DataFrame,
+    q_terms: DataFrame,
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 scoring against a prebuilt tf table and a (query_id, __t)
+    term batch — the shared core of ``bm25_topk`` (terms from query
+    text) and ``rm3_expand_topk`` (terms from relevance feedback).
+    Exactness and plan shape documented on ``bm25_topk``."""
+    dl = tf.groupBy("__id").agg(F.sum("__tf").alias("__dl"))
+    # corpus stats from the dl table (doc-count-sized, never corpus-sized)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     # restrict postings to query terms FIRST (broadcast-sized right side),
     # then attach df / dl / corpus stats to the surviving candidates only
     cand = (
-        tf.join(q, "__t")
+        tf.join(q_terms, "__t")
         .join(dfreq, "__t")
         .join(dl, "__id")
         .join(F.broadcast(stats))
@@ -1291,3 +1313,74 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(query_col).applyInPandas(rerank, out_schema)
+
+
+def rm3_expand_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_feedback: int = 5,
+    n_expansion: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (the RM3 shape, Lavrenko &
+    Croft 2001): run BM25, assume the top ``n_feedback`` docs are
+    relevant, mine their most characteristic terms, and re-run BM25
+    with the expanded term set — the classic fix for vocabulary
+    mismatch (a query says "car", the relevant docs say "automobile").
+
+    Deterministic variant: expansion weight of term t for query q is
+    ``Σ_{d ∈ feedback(q)} tf(t, d) · bm25_scaled(d)`` — exact int64 —
+    and the top ``n_expansion`` terms per query (weight desc, term
+    tie-break) that are NOT original query terms join the term set.
+    The second pass scores original + expansion terms identically to
+    ``bm25_topk`` (distinct-term convention, same shared core).
+
+    Scale shape: both passes share ONE (doc, term, tf) table (same
+    lazy subtree — exchange reuse applies); feedback is
+    |queries|·n_feedback rows, term mining joins that tiny frame to
+    the tf table doc-keyed, and every per-query top-N is a
+    WindowGroupLimit. No driver collect, no Python.
+
+    Returns (query_id, doc_id, n_terms_hit, bm25_scaled, rank) from
+    the EXPANDED pass — rank 1..k per query.
+    """
+    tf = _corpus_tf(docs, id_col, text_col)
+    q_terms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(query_text_col))), r"\W+"),
+                    lambda w: w != "",
+                )
+            )
+        ).alias("__t"),
+    )
+    feedback = _bm25_score_terms(
+        tf, q_terms, k=n_feedback, k1=k1, b=b, scale=scale
+    ).select(
+        "query_id", F.col("doc_id").alias("__id"), "bm25_scaled"
+    )
+    weights = (
+        tf.join(feedback, "__id")
+        .groupBy("query_id", "__t")
+        .agg(F.sum(F.col("__tf") * F.col("bm25_scaled")).alias("__w"))
+        .join(q_terms, ["query_id", "__t"], "left_anti")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("__w").desc(), F.col("__t")
+    )
+    expansion = (
+        weights.withColumn("__rk", F.row_number().over(we))
+        .filter(F.col("__rk") <= n_expansion)
+        .select("query_id", "__t")
+    )
+    expanded = q_terms.unionByName(expansion).distinct()
+    return _bm25_score_terms(tf, expanded, k=k, k1=k1, b=b, scale=scale)

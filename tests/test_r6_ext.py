@@ -632,3 +632,69 @@ def test_mmr_partition_invariance_and_multi_query(spark):
     r2 = sorted(tuple(r) for r in mmr_rerank(df.repartition(13), k=5).collect())
     assert r1 == r2
     assert len(r1) == 15  # 3 queries x k=5
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback
+# ---------------------------------------------------------------------------
+
+def test_rm3_expansion_recovers_vocabulary_mismatch(spark):
+    from knime_core_columnar_spark.operators.similarity import (
+        bm25_topk,
+        rm3_expand_topk,
+    )
+
+    # query says "car"; docs 1-3 say car AND automobile; doc 4 says only
+    # automobile -> invisible to plain BM25, reachable after expansion
+    docs = [
+        (1, "car automobile engine road"),
+        (2, "car automobile wheels"),
+        (3, "car automobile driver"),
+        (4, "automobile factory assembly"),
+        (5, "kitchen recipes cooking"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    q = spark.createDataFrame([(0, "car")], "query_id long, query_text string")
+    base_ids = {r["doc_id"] for r in bm25_topk(d, q, k=10).collect()}
+    assert base_ids == {1, 2, 3}
+    rm3_ids = {r["doc_id"]
+               for r in rm3_expand_topk(d, q, k=10, n_feedback=3,
+                                        n_expansion=2).collect()}
+    assert 4 in rm3_ids            # reached via the "automobile" expansion
+    assert 5 not in rm3_ids        # unrelated doc still unreachable
+
+
+def test_rm3_excludes_original_terms_from_expansion_budget(spark):
+    from knime_core_columnar_spark.operators.similarity import rm3_expand_topk
+
+    # with n_expansion=1, the one expansion slot must go to a NEW term
+    # (shared), not be wasted re-adding the original query term
+    docs = [
+        (1, "alpha shared"),
+        (2, "alpha shared"),
+        (3, "shared bonus"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    q = spark.createDataFrame([(0, "alpha")], "query_id long, query_text string")
+    out = {r["doc_id"]: r["n_terms_hit"]
+           for r in rm3_expand_topk(d, q, k=10, n_feedback=2,
+                                    n_expansion=1).collect()}
+    assert 3 in out                # reachable only via expansion term
+    assert out[1] == 2             # alpha + shared both hit
+
+
+def test_rm3_partition_invariance(spark):
+    from knime_core_columnar_spark.operators.similarity import rm3_expand_topk
+
+    docs = [(i, f"tok{i % 7} tok{i % 3} shared word{i % 11}")
+            for i in range(80)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    q = spark.createDataFrame([(0, "tok1 shared")],
+                              "query_id long, query_text string")
+    r1 = sorted(tuple(r) for r in
+                rm3_expand_topk(d, q, k=15, n_feedback=4,
+                                n_expansion=3).collect())
+    r2 = sorted(tuple(r) for r in
+                rm3_expand_topk(d.repartition(13), q, k=15, n_feedback=4,
+                                n_expansion=3).collect())
+    assert r1 == r2
