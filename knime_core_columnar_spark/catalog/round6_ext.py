@@ -548,3 +548,46 @@ def _r6x_rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("query_text"),
     )
     return rm3_expand_topk(d, q, k=10, n_feedback=5, n_expansion=10)
+
+
+def _contrastive_oracle() -> str:
+    from knime_core_columnar_spark.catalog.llm_text import _duck_rp_bucket
+
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_duck_rp_bucket('embedding', 64, 4)} AS bucket,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_dot_product(a.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[])
+                   / (a.nrm * c.nrm), 6) AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, cos,
+           CASE WHEN cos >= 0.9 THEN 'positive'
+                WHEN cos >= 0.0 AND cos <= 0.5 THEN 'hard_negative'
+           END AS label
+    FROM pairs
+    WHERE cos >= 0.9 OR (cos >= 0.0 AND cos <= 0.5)
+    """
+
+
+@query("contrastive_pairs", _contrastive_oracle())
+def _r6x_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining (operators.similarity.
+    contrastive_pairs): positives = near-dup cosine ≥ 0.9, hard
+    negatives = same-LSH-bucket pairs at cosine ∈ [0, 0.5]; the oracle
+    replays the identical md5-seeded hyperplane constants in SQL (the
+    ann_topk_lsh discipline)."""
+    from knime_core_columnar_spark.operators.similarity import (
+        contrastive_pairs,
+    )
+
+    return contrastive_pairs(
+        _t(spark, sf_dir, "embeddings"), dim=64,
+        pos_threshold=0.9, neg_low=0.0, neg_high=0.5, planes=4,
+    )

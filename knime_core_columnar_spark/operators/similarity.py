@@ -1384,3 +1384,66 @@ def rm3_expand_topk(
     )
     expanded = q_terms.unionByName(expansion).distinct()
     return _bm25_score_terms(tf, expanded, k=k, k1=k1, b=b, scale=scale)
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    dim: int,
+    pos_threshold: float = 0.95,
+    neg_low: float = 0.0,
+    neg_high: float = 0.5,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive training-pair mining over an embedding corpus: the
+    data-prep step for contrastive fine-tuning (SimCSE/InfoNCE-style) —
+    POSITIVES are near-duplicate pairs (cos ≥ ``pos_threshold``), HARD
+    NEGATIVES are pairs that collide in the same LSH bucket (similar
+    enough to confuse a model) yet score low (``neg_low ≤ cos ≤
+    neg_high``). Random negatives are easy to sample anywhere; the
+    bucket-confined ones are the valuable hard cases.
+
+    Scale shape: the ``embedding_neardup_lsh`` pattern — md5-seeded
+    deterministic hyperplanes, pairs meet ONLY inside buckets (never
+    all-pairs; ``planes`` tunes bucket size), cosine rounded to 6
+    decimals with id-ordered pairs. Fully deterministic, so the
+    catalog oracle replays the same hyperplane constants in SQL.
+
+    Returns (id_a, id_b, cos, label) with id_a < id_b and label ∈
+    {'positive', 'hard_negative'}; bucket pairs between the bands are
+    dropped.
+    """
+    b = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+        rp_lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
+    )
+    pairs = (
+        b.alias("a")
+        .join(b.alias("c"), "__bucket")
+        .filter(F.col("a.__id") < F.col("c.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("c.__id").alias("id_b"),
+            F.round(
+                pair_cosine(
+                    F.col("a.__v"), F.col("c.__v"),
+                    F.col("a.__n"), F.col("c.__n"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .distinct()  # multi-bucket collisions (planes>63 impossible here,
+        # but two ids can only share ONE bucket value — distinct guards
+        # the id-pair grain if bucketing ever becomes multi-probe)
+    )
+    label = (
+        F.when(F.col("cos") >= pos_threshold, F.lit("positive"))
+        .when(
+            (F.col("cos") >= neg_low) & (F.col("cos") <= neg_high),
+            F.lit("hard_negative"),
+        )
+    )
+    return pairs.withColumn("label", label).filter(F.col("label").isNotNull())

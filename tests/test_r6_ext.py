@@ -698,3 +698,59 @@ def test_rm3_partition_invariance(spark):
                 rm3_expand_topk(d.repartition(13), q, k=15, n_feedback=4,
                                 n_expansion=3).collect())
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# contrastive pair mining
+# ---------------------------------------------------------------------------
+
+def test_contrastive_pairs_labels_and_bands(spark):
+    from knime_core_columnar_spark.operators.similarity import (
+        contrastive_pairs,
+    )
+
+    # dim 4, planes=1: hyperplane splits space into 2 buckets; construct
+    # same-bucket triples with known cosines
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.045, 0.0, 0.0]),   # cos(1,2) ~ 0.999 -> positive
+        (3, [0.3, 0.954, 0.0, 0.0]),     # cos(1,3) ~ 0.3 -> hard negative
+        (4, [0.8, 0.6, 0.0, 0.0]),       # cos(1,4) ~ 0.8 -> dropped band
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["id_a"], r["id_b"]): (r["label"], r["cos"])
+           for r in contrastive_pairs(df, dim=4, pos_threshold=0.95,
+                                      neg_low=0.0, neg_high=0.5,
+                                      planes=1).collect()}
+    same_bucket_pairs = set(out)
+    for (a, b), (lbl, cos) in out.items():
+        assert a < b
+        if lbl == "positive":
+            assert cos >= 0.95
+        else:
+            assert 0.0 <= cos <= 0.5
+    if (1, 2) in same_bucket_pairs:
+        assert out[(1, 2)][0] == "positive"
+    if (1, 3) in same_bucket_pairs:
+        assert out[(1, 3)][0] == "hard_negative"
+    assert (1, 4) not in same_bucket_pairs  # mid-band dropped
+
+
+def test_contrastive_pairs_partition_invariance(spark):
+    import hashlib
+
+    from knime_core_columnar_spark.operators.similarity import (
+        contrastive_pairs,
+    )
+
+    rows = []
+    for i in range(80):
+        h = hashlib.md5(f"cp|{i}".encode()).digest()
+        rows.append((i, [(b - 127.5) / 127.5 for b in h[:8]]))
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(dim=8, pos_threshold=0.8, neg_low=0.0, neg_high=0.3, planes=2)
+    r1 = sorted(tuple(r) for r in contrastive_pairs(a, **kw).collect())
+    r2 = sorted(
+        tuple(r) for r in contrastive_pairs(a.repartition(11), **kw).collect()
+    )
+    assert r1 == r2 and r1
