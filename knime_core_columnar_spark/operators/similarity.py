@@ -1406,9 +1406,14 @@ def contrastive_pairs(
 
     Scale shape: the ``embedding_neardup_lsh`` pattern — md5-seeded
     deterministic hyperplanes, pairs meet ONLY inside buckets (never
-    all-pairs; ``planes`` tunes bucket size), cosine rounded to 6
-    decimals with id-ordered pairs. Fully deterministic, so the
-    catalog oracle replays the same hyperplane constants in SQL.
+    all-pairs), cosine rounded to 6 decimals with id-ordered pairs.
+    SIZE ``planes`` TO THE CORPUS: expected bucket-pair work is
+    ~n²/2^(planes+1), so pick ``planes ≈ log2(n / target_bucket)``
+    (e.g. n=10⁸ with ~256-row buckets → planes≈19); a fixed small
+    ``planes`` on a large corpus is quadratic, the same failure mode
+    documented on phash_near_dup_pairs' audit tier. Fully
+    deterministic, so the catalog oracle replays the same hyperplane
+    constants in SQL.
 
     Returns (id_a, id_b, cos, label) with id_a < id_b and label ∈
     {'positive', 'hard_negative'}; bucket pairs between the bands are

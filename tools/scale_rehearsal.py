@@ -63,7 +63,14 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          # deliberately NOT rehearsed at 100x: it went quadratic there
          # (~1e11 candidate pairs, killed) — which is WHY the operator
          # documents two tiers; see multimodal.phash_near_dup_pairs.
-         "phash_near_dup_scale"]
+         "phash_near_dup_scale",
+         # round-6 continued (2): two-pass PRF retrieval and the RBO
+         # agreement metric ride the shared tf table (bm25's curve);
+         # contrastive mining rehearses with planes SIZED TO THE REPLICA
+         # (fixed small planes would be quadratic — the operator
+         # docstring's sizing rule, registered below)
+         "rm3_expanded_search", "retrieval_rbo",
+         "contrastive_pairs_scale"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
@@ -238,6 +245,33 @@ def main():
     # disk-full shuffle spill at 10×). That is exactly why the operator
     # has the max_df tier; the rehearsal measures it.
     from knime_core_columnar_spark.operators.dedup import containment_pairs
+
+    # Rehearsal-only entry: contrastive mining with corpus-sized planes
+    # (the docstring sizing rule: planes ~ log2(n / target_bucket); the
+    # x100 replica has 200k vectors -> planes=10 keeps ~200-row buckets)
+    from knime_core_columnar_spark.operators.similarity import (
+        contrastive_pairs,
+    )
+
+    def _contrastive_scale(spark, sf_dir):
+        import pyarrow.parquet as _pq
+        import math as _math
+
+        path = f"{sf_dir}/embeddings.parquet"
+        try:
+            import pyarrow.dataset as _ds
+
+            n = sum(f.metadata.num_rows
+                    for f in _ds.dataset(path, format="parquet").get_fragments())
+        except Exception:
+            n = _pq.read_metadata(path).num_rows
+        planes = max(4, int(_math.ceil(_math.log2(max(n, 1) / 256.0))))
+        return contrastive_pairs(
+            spark.read.parquet(path), dim=64,
+            pos_threshold=0.9, neg_low=0.0, neg_high=0.5, planes=planes,
+        )
+
+    catalog.QUERIES["contrastive_pairs_scale"] = _contrastive_scale
 
     # Rehearsal-only entry: the perceptual-hash SCALE tier (4 bands of
     # 16 bits, pigeonhole guarantee <= 3 bits, degenerate buckets capped
