@@ -754,3 +754,45 @@ def test_contrastive_pairs_partition_invariance(spark):
         tuple(r) for r in contrastive_pairs(a.repartition(11), **kw).collect()
     )
     assert r1 == r2 and r1
+
+
+# ---------------------------------------------------------------------------
+# plan-shape pins for the round-6 additions
+# ---------------------------------------------------------------------------
+
+def test_collocations_plan_uses_take_ordered(spark):
+    from knime_core_columnar_spark.operators.text import collocations_pmi
+
+    df = spark.createDataFrame([("a b c a b",)], "text string")
+    plan = (collocations_pmi(df, min_count=1, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    # global top-k must be per-partition heaps, never a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_covariance_plan_partial_aggregates(spark):
+    from knime_core_columnar_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])], "vec_id long, embedding array<float>")
+    plan = (embedding_covariance(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the pair-sum must map-side combine (partial_ before the exchange):
+    # shuffle volume is executors x d^2, not rows x d^2
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_source_duplication_plan_no_cartesian(spark):
+    from knime_core_columnar_spark.operators.dedup import (
+        cross_source_duplication,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "t", "A"), (2, "t", "B")], "doc_id long, text string, source string")
+    plan = (cross_source_duplication(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
