@@ -375,8 +375,12 @@ def phash_near_dup_pairs(
             F.count(F.lit(1)).alias("__n")
         ).filter(F.col("__n") <= max_bucket)
         cand = cand.join(sizes.select("__b", "__v"), ["__b", "__v"])
+    # corpus x corpus band self-join: force sort-merge (the posexploded
+    # band table is 3 narrow ints/row and can estimate under the
+    # broadcast threshold at corpus scale — see contrastive_pairs)
     pairs = (
         cand.alias("a")
+        .hint("merge")
         .join(
             cand.alias("b"),
             (F.col("a.__b") == F.col("b.__b"))

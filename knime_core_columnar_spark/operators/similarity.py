@@ -1425,8 +1425,13 @@ def contrastive_pairs(
         l2_norm(F.col(vec_col)).alias("__n"),
         rp_lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
     )
+    # corpus x corpus self-join: force sort-merge — BOTH sides scale
+    # with the corpus, and the narrow bucket table can estimate under
+    # the broadcast threshold while its deserialized rows (64-float
+    # vectors) blow the driver (observed at the 100x rehearsal replica)
     pairs = (
         b.alias("a")
+        .hint("merge")
         .join(b.alias("c"), "__bucket")
         .filter(F.col("a.__id") < F.col("c.__id"))
         .select(
