@@ -591,3 +591,81 @@ def _r6x_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), dim=64,
         pos_threshold=0.9, neg_low=0.0, neg_high=0.5, planes=4,
     )
+
+
+@query(
+    "image_header_meta",
+    """
+    WITH built AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 3 = 0 THEN
+                 unhex('89504E470D0A1A0A0000000D49484452')
+                 || unhex(lpad(hex(n_chars % 65536), 8, '0'))
+                 || unhex(lpad(hex((doc_id % 256) + 1), 8, '0'))
+               WHEN doc_id % 3 = 1 THEN
+                 unhex('474946383961')
+                 || unhex(lpad(hex((n_chars % 65536) % 256), 2, '0'))
+                 || unhex(lpad(hex((n_chars % 65536) // 256), 2, '0'))
+                 || unhex(lpad(hex(((doc_id % 256) + 1) % 256), 2, '0'))
+                 || unhex(lpad(hex(((doc_id % 256) + 1) // 256), 2, '0'))
+               ELSE encode(coalesce(text, ''))
+             END AS p
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id, hex(p) AS hx FROM built
+    )
+    SELECT doc_id,
+           CASE WHEN hx LIKE '89504E470D0A1A0A%' THEN 'png'
+                WHEN substring(hx, 1, 12) IN ('474946383761', '474946383961')
+                  THEN 'gif'
+                WHEN substring(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+           END AS format,
+           CASE WHEN hx LIKE '89504E470D0A1A0A%' THEN
+                  CAST(('0x' || substring(hx, 33, 8)) AS INT)
+                WHEN substring(hx, 1, 12) IN ('474946383761', '474946383961')
+                  THEN CAST(('0x' || substring(hx, 13, 2)) AS INT)
+                       + 256 * CAST(('0x' || substring(hx, 15, 2)) AS INT)
+           END AS width,
+           CASE WHEN hx LIKE '89504E470D0A1A0A%' THEN
+                  CAST(('0x' || substring(hx, 41, 8)) AS INT)
+                WHEN substring(hx, 1, 12) IN ('474946383761', '474946383961')
+                  THEN CAST(('0x' || substring(hx, 17, 2)) AS INT)
+                       + 256 * CAST(('0x' || substring(hx, 19, 2)) AS INT)
+           END AS height
+    FROM parsed
+    """,
+)
+def _r6x_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-header parsing (operators.multimodal.
+    extract_image_meta): PNG IHDR / GIF logical-screen dimensions from
+    header bytes — pure Catalyst hex arithmetic, no imaging library.
+    The query synthesizes valid PNG/GIF headers (dims from n_chars /
+    doc_id) plus raw-text negatives, parses them back, and the oracle
+    replays BOTH the construction and the parse."""
+    from knime_core_columnar_spark.operators.multimodal import (
+        extract_image_meta,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.col("n_chars") % 65536
+    h = (F.col("doc_id") % 256) + 1
+    b2 = lambda c: F.unhex(F.lpad(F.hex(c), 2, "0"))  # noqa: E731
+    b4 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")), b4(w), b4(h)
+    )
+    gif = F.concat(
+        F.unhex(F.lit("474946383961")),
+        b2(w % 256), b2(F.expr("CAST((n_chars % 65536) div 256 AS INT)")),
+        b2(h % 256), b2(F.expr("CAST(((doc_id % 256) + 1) div 256 AS INT)")),
+    )
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, gif)
+        .otherwise(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"))
+    )
+    return extract_image_meta(
+        d.select("doc_id", payload.alias("payload")),
+        id_col="doc_id", payload_col="payload",
+    )

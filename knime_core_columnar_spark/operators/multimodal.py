@@ -407,3 +407,104 @@ def phash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def extract_image_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    parse_jpeg: bool = False,
+) -> DataFrame:
+    """REAL image-header metadata from binary payloads — no imaging
+    library required, because container dimensions live in the header
+    bytes: PNG (IHDR big-endian uint32 pair at offset 16), GIF
+    (logical-screen little-endian uint16 pair at offset 6), JPEG
+    (SOFn segment found by a marker walk). This removes the
+    environment gate from the most-asked multimodal question ("what
+    size is this image?") — only pixel DECODING stays stubbed.
+
+    PNG/GIF parse as fixed-offset hex arithmetic in pure Catalyst
+    (let-bound hex string, integer conv) — zero Python, zero shuffle,
+    oracle-replayable. JPEG needs a variable-length segment walk:
+    ``parse_jpeg=True`` runs an Arrow-batched mapInPandas kernel for
+    rows detected as JPEG (bounded per-row work, no shuffle); with the
+    default False, JPEGs are detected (format='jpeg') with NULL dims.
+
+    Returns (``id_col``, format, width, height) — format NULL for
+    unrecognized payloads, dims NULL when not parseable.
+    """
+    hx_case = """
+      element_at(transform(array(hex(__p)), hx ->
+        CASE
+          WHEN hx LIKE '89504E470D0A1A0A%' THEN
+            struct('png' AS format,
+                   CAST(conv(substring(hx, 33, 8), 16, 10) AS INT) AS width,
+                   CAST(conv(substring(hx, 41, 8), 16, 10) AS INT) AS height)
+          WHEN substring(hx, 1, 12) IN ('474946383761', '474946383961') THEN
+            struct('gif' AS format,
+                   CAST(conv(substring(hx, 13, 2), 16, 10)
+                        + 256 * conv(substring(hx, 15, 2), 16, 10) AS INT)
+                     AS width,
+                   CAST(conv(substring(hx, 17, 2), 16, 10)
+                        + 256 * conv(substring(hx, 19, 2), 16, 10) AS INT)
+                     AS height)
+          WHEN substring(hx, 1, 6) = 'FFD8FF' THEN
+            struct('jpeg' AS format, CAST(NULL AS INT) AS width,
+                   CAST(NULL AS INT) AS height)
+          ELSE struct(CAST(NULL AS STRING) AS format, CAST(NULL AS INT)
+                        AS width, CAST(NULL AS INT) AS height)
+        END), 1)
+    """
+    out = (
+        df.select(F.col(id_col).alias(id_col), F.col(payload_col).alias("__p"))
+        .withColumn("__m", F.expr(hx_case))
+        .select(
+            id_col,
+            F.col("__m.format").alias("format"),
+            F.col("__m.width").alias("width"),
+            F.col("__m.height").alias("height"),
+            "__p",
+        )
+    )
+    if not parse_jpeg:
+        return out.drop("__p")
+
+    jpeg = out.filter(F.col("format") == "jpeg")
+    rest = out.filter(
+        F.col("format").isNull() | (F.col("format") != "jpeg")
+    ).drop("__p")
+
+    schema = f"{id_col} long, format string, width int, height int"
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs = [], [], []
+            for _, row in pdf.iterrows():
+                b = bytes(row["__p"])
+                w = h = None
+                i = 2
+                # SOF0-3, SOF5-7, SOF9-11, SOF13-15 all carry dims
+                sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+                while i + 9 < len(b):
+                    if b[i] != 0xFF:
+                        break
+                    m = b[i + 1]
+                    if m in sof:
+                        h = (b[i + 5] << 8) | b[i + 6]
+                        w = (b[i + 7] << 8) | b[i + 8]
+                        break
+                    if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
+                        i += 2
+                        continue
+                    seglen = (b[i + 2] << 8) | b[i + 3]
+                    i += 2 + seglen
+                ids.append(row[id_col]); ws.append(w); hs.append(h)
+            yield pd.DataFrame({
+                id_col: ids, "format": "jpeg", "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+            })
+
+    return rest.unionByName(
+        jpeg.select(id_col, "__p").mapInPandas(walk, schema)
+    )

@@ -796,3 +796,80 @@ def test_cross_source_duplication_plan_no_cartesian(spark):
     plan = (cross_source_duplication(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# image header metadata (real format parsing, no imaging lib)
+# ---------------------------------------------------------------------------
+
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00")
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 5
+
+
+def _jpeg(w, h):
+    # SOI + APP0 (16 bytes) + SOF0 + EOI
+    # length 16 counts itself: 2 (len) + 5 ('JFIF\0') + 9 padding
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+           + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9)
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def test_extract_image_meta_png_gif_and_unknown(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        extract_image_meta,
+    )
+
+    rows = [
+        (1, bytearray(_png(640, 480))),
+        (2, bytearray(_gif(320, 200))),
+        (3, bytearray(b"plain text bytes")),
+        (4, bytearray(_jpeg(800, 600))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: (r["format"], r["width"], r["height"])
+           for r in extract_image_meta(df).collect()}
+    assert out[1] == ("png", 640, 480)
+    assert out[2] == ("gif", 320, 200)
+    assert out[3] == (None, None, None)
+    assert out[4] == ("jpeg", None, None)  # detected; dims need the walk
+
+
+def test_extract_image_meta_jpeg_marker_walk(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        extract_image_meta,
+    )
+
+    rows = [
+        (1, bytearray(_jpeg(800, 600))),
+        (2, bytearray(_jpeg(31, 7))),
+        (3, bytearray(_png(1, 2))),
+        (4, bytearray(b"\xff\xd8\xff\xe0junk")),  # truncated jpeg
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: (r["format"], r["width"], r["height"])
+           for r in extract_image_meta(df, parse_jpeg=True).collect()}
+    assert out[1] == ("jpeg", 800, 600)
+    assert out[2] == ("jpeg", 31, 7)
+    assert out[3] == ("png", 1, 2)
+    assert out[4] == ("jpeg", None, None)
+
+
+def test_extract_image_meta_partition_invariance(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        extract_image_meta,
+    )
+
+    rows = [(i, bytearray(_png(i + 1, 2 * i + 1)) if i % 2 == 0
+             else bytearray(_gif(i + 1, i + 2))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    r1 = sorted(tuple(r) for r in extract_image_meta(df).collect())
+    r2 = sorted(
+        tuple(r) for r in extract_image_meta(df.repartition(9)).collect()
+    )
+    assert r1 == r2
