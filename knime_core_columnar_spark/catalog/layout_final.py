@@ -44,8 +44,8 @@ from knime_core_columnar_spark.catalog.staged_r9 import (  # noqa: F401
 # CORRECTNESS_r06 lands green): replace the `apply_round6_layout()`
 # call at the bottom of this module with `apply_round7_layout()`. That
 # registers the R9 batch (all earlier batches re-applied first) and
-# rotates the window onto the 20 R9 names + the 11 round-6 in-round
-# additions (all 31 getting their FIRST driver check) + 19 rotation
+# rotates the window onto the 20 R9 names + the 12 round-6 in-round
+# additions (all 32 getting their FIRST driver check) + 18 rotation
 # greens drawn from rows NOT in the r5/r6 windows — after this flip,
 # zero `_R*_STAGED` dicts remain and every implemented operator is
 # driver-registered.
@@ -60,25 +60,26 @@ _DRIVER_WINDOW_R7 = [
     'leakage_safe_split', 'mojibake_audit', 'normalize_text',
     'numeric_drift_report', 'resample_ffill', 'resample_interp',
     'token_budget_plan', 'token_fertility',
-    # 11 round-6 in-round additions (catalog/round6_ext.py): registered
+    # 12 round-6 in-round additions (catalog/round6_ext.py): registered
     # after the round-6 flip, so round 7 is their FIRST driver check —
-    # they take the eleven newest rotation-green slots (pii_redact,
+    # they take the twelve newest rotation-green slots (pii_redact,
     # corpus_shuffle, sequence_packing, referential_audit,
     # regexp_extract_numbers, contamination_check, boilerplate_ngrams,
-    # gaps_islands, scd2_intervals, table_diff, json_typed_extract
-    # move to the round-8 rotation pool)
+    # gaps_islands, scd2_intervals, table_diff, json_typed_extract,
+    # date_spine move to the round-8 rotation pool)
     'bm25_topk', 'embedding_covariance', 'collocations_pmi',
     'cross_source_duplication', 'vocab_growth_stats',
     'temporal_split_embargo', 'phash_near_dup', 'retrieval_rbo',
     'rm3_expanded_search', 'contrastive_pairs', 'image_header_meta',
-    # 19 rotation greens: driver-green rows absent from the r5 AND r6
+    'bitext_mining',
+    # 18 rotation greens: driver-green rows absent from the r5 AND r6
     # windows (longest-unchecked first by catalog order)
     'kmeans_clusters', 'impute_timeseries', 'segment_dedup',
     'unigram_lm_quality', 'q21_waiting_suppliers', 'knn_classify',
     'entity_resolution', 'token_shards', 'correlation_matrix',
     'ann_topk_ivf', 'window_rank_stats', 'string_agg_sorted',
     'window_first_last', 'window_ntile', 'topk_ties', 'conditional_agg',
-    'unpivot_metrics', 'date_spine',
+    'unpivot_metrics',
     # doc_repetition's rotation slot moved here from the r6 window
     # (displaced by bpe_encode); percentile_grid keeps its r0x green row
     'doc_repetition',
@@ -87,8 +88,8 @@ _DRIVER_WINDOW_R7 = [
 
 def apply_round7_layout() -> None:
     """Round-7 flip: register every staged batch and rotate the driver
-    window onto _DRIVER_WINDOW_R7 (50 slots: 20 R9 + 11 round-6
-    in-round first-time checks + 19 rotation greens). Greens =
+    window onto _DRIVER_WINDOW_R7 (50 slots: 20 R9 + 12 round-6
+    in-round first-time checks + 18 rotation greens). Greens =
     everything driver-checked through round 6."""
     register_r5_queries(force=True)
     register_r6_queries(force=True)

@@ -669,3 +669,50 @@ def _r6x_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", payload.alias("payload")),
         id_col="doc_id", payload_col="payload",
     )
+
+
+def _bitext_oracle() -> str:
+    from knime_core_columnar_spark.catalog.llm_text import _duck_rp_bucket
+
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_duck_rp_bucket('embedding', 64, 4)} AS bucket,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    ), p AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_dot_product(a.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[])
+                   / (a.nrm * c.nrm), 6) AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    ), d AS (
+      SELECT doc_id, lang FROM documents
+    )
+    SELECT id_a, id_b, da.lang AS lang_a, db.lang AS lang_b, cos
+    FROM p JOIN d da ON p.id_a = da.doc_id
+           JOIN d db ON p.id_b = db.doc_id
+    WHERE cos >= 0.4 AND da.lang <> db.lang
+    """
+
+
+@query("bitext_mining", _bitext_oracle())
+def _r6x_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate mining (operators.similarity.
+    cross_lingual_pairs, the LASER/CCMatrix shape): cross-language
+    document pairs with near-parallel embeddings, bucket-confined with
+    the md5-seeded hyperplanes the oracle replays as literals. The
+    0.4 threshold is calibrated to the SYNTHETIC fixture embeddings
+    (not language-agnostic, so cross-lang cosines top out ~0.51);
+    language-agnostic production embeddings use ~0.9 or a margin
+    score, as the operator docstring notes."""
+    from knime_core_columnar_spark.operators.similarity import (
+        cross_lingual_pairs,
+    )
+
+    return cross_lingual_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        _t(spark, sf_dir, "documents"),
+        dim=64, threshold=0.4, planes=4,
+    )

@@ -1457,3 +1457,70 @@ def contrastive_pairs(
         )
     )
     return pairs.withColumn("label", label).filter(F.col("label").isNotNull())
+
+
+def cross_lingual_pairs(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    planes: int = 4,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Bitext candidate mining (the LASER/CCMatrix shape): pairs of
+    documents in DIFFERENT languages whose embeddings are near-parallel
+    — the raw material for machine-translation training data mined from
+    a multilingual corpus with language-agnostic embeddings. ``docs``
+    supplies the language labels; doc and vector ids share an id space.
+
+    Scale shape: the ``contrastive_pairs`` machinery — deterministic
+    hyperplane buckets, merge-hinted corpus self-join (never broadcast,
+    never all-pairs; SIZE ``planes`` per its docstring), threshold
+    filter BEFORE the language attach, then two id-keyed joins to the
+    (id, lang) projection and a cross-language filter. Production
+    systems refine the threshold into a margin score (ratio to the
+    average of the k nearest); the threshold tier is the deterministic,
+    oracle-checkable core.
+
+    Returns (id_a, id_b, lang_a, lang_b, cos) with id_a < id_b and
+    lang_a ≠ lang_b.
+    """
+    b = embeddings.select(
+        F.col(vec_id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+        rp_lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
+    )
+    pairs = (
+        b.alias("a")
+        .hint("merge")
+        .join(b.alias("c"), "__bucket")
+        .filter(F.col("a.__id") < F.col("c.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("c.__id").alias("id_b"),
+            F.round(
+                pair_cosine(
+                    F.col("a.__v"), F.col("c.__v"),
+                    F.col("a.__n"), F.col("c.__n"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
+    langs = docs.select(
+        F.col(doc_id_col).alias("__did"), F.col(lang_col).alias("__lang")
+    )
+    return (
+        pairs.join(langs.select(F.col("__did").alias("id_a"),
+                                F.col("__lang").alias("lang_a")), "id_a")
+        .join(langs.select(F.col("__did").alias("id_b"),
+                           F.col("__lang").alias("lang_b")), "id_b")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select("id_a", "id_b", "lang_a", "lang_b", "cos")
+    )

@@ -873,3 +873,57 @@ def test_extract_image_meta_partition_invariance(spark):
         tuple(r) for r in extract_image_meta(df.repartition(9)).collect()
     )
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# bitext mining
+# ---------------------------------------------------------------------------
+
+def test_cross_lingual_pairs_filters_same_language(spark):
+    from knime_core_columnar_spark.operators.similarity import (
+        cross_lingual_pairs,
+    )
+
+    # two near-parallel vectors across languages + one same-language dup
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),   # ~1.0 cos with vec 1
+        (3, [0.998, 0.06, 0.0, 0.0]),   # ~1.0 cos with both
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    docs = [(1, "en"), (2, "de"), (3, "en"), (4, "fr")]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    d = spark.createDataFrame(docs, "doc_id long, lang string")
+    out = {(r["id_a"], r["id_b"]): (r["lang_a"], r["lang_b"], r["cos"])
+           for r in cross_lingual_pairs(e, d, dim=4, threshold=0.95,
+                                        planes=1).collect()}
+    # (1,2) en-de and (2,3) de-en survive; (1,3) en-en is filtered
+    assert (1, 3) not in out
+    if (1, 2) in out:
+        assert out[(1, 2)][:2] == ("en", "de")
+    if (2, 3) in out:
+        assert out[(2, 3)][:2] == ("de", "en")
+    assert any(p in out for p in [(1, 2), (2, 3)])
+    assert all(c >= 0.95 for *_, c in out.values())
+
+
+def test_cross_lingual_pairs_partition_invariance(spark):
+    import hashlib
+
+    from knime_core_columnar_spark.operators.similarity import (
+        cross_lingual_pairs,
+    )
+
+    vecs, docs = [], []
+    for i in range(60):
+        h = hashlib.md5(f"bt|{i}".encode()).digest()
+        vecs.append((i, [(b - 127.5) / 127.5 for b in h[:8]]))
+        docs.append((i, ["en", "de", "fr"][i % 3]))
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    d = spark.createDataFrame(docs, "doc_id long, lang string")
+    kw = dict(dim=8, threshold=0.3, planes=2)
+    r1 = sorted(tuple(r) for r in cross_lingual_pairs(e, d, **kw).collect())
+    r2 = sorted(tuple(r) for r in
+                cross_lingual_pairs(e.repartition(7), d.repartition(5),
+                                    **kw).collect())
+    assert r1 == r2 and r1
