@@ -149,8 +149,6 @@ def main():
     spread: dict[str, list[float]] = {}
     for name in (subset if subset is not None else HEADLINE):
         fn = catalog.QUERIES.get(name)
-        if fn is None and name in getattr(catalog, "_R9_STAGED", {}):
-            fn = catalog._R9_STAGED[name][0]
         if fn is None:
             continue
         n_this = max(n_runs, 5) if name in NOISY_N5 else n_runs
@@ -190,13 +188,35 @@ def main():
         record["baseline"] = True
     # round-over-round bookkeeping: append to a local history file so
     # per-query regressions are attributable to a commit, not a round
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_history.jsonl"), "a") as f:
+        with open(os.path.join(repo, "bench_history.jsonl"), "a") as f:
             f.write(json.dumps({**record, "ts": time.time()}) + "\n")
     except OSError:
         pass
-    print(json.dumps(record))
+    # full record (with per-query spread) to a known file; stdout gets a
+    # COMPACT one-liner — BENCH_r06 arrived `parsed: null` because the
+    # 47-query line with spreads outgrew the driver's stdout tail buffer
+    # (VERDICT r6 "What's wrong #4")
+    full_path = os.path.join(repo, "BENCH_full_latest.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError:
+        full_path = None
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": record["sf"],
+        "action": record["action"],
+        "n": n_runs,
+        "warmup_discard": 1,
+        "git_sha": record["git_sha"],
+        "full_record": full_path,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

@@ -175,8 +175,9 @@ def apply_round6_layout() -> None:
     )
 
 
-# Round-6 flip (see ROUND-6 PLAYBOOK above): register the staged R7+R8
-# batches and rotate the driver window onto _DRIVER_WINDOW_R6. Runs at
-# import time so the driver's `queries()` sees the rotated 50-name head.
-# Round-7 playbook: replace this call with `apply_round7_layout()`.
-apply_round6_layout()
+# Round-7 flip (executed round 7, per the pre-staged playbook above):
+# register ALL staged batches (R5..R9) and rotate the driver window onto
+# _DRIVER_WINDOW_R7. Runs at import time so the driver's `queries()`
+# sees the rotated 50-name head. After this flip every implemented
+# query is registered; the staging program is complete.
+apply_round7_layout()

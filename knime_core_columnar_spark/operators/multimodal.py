@@ -313,15 +313,46 @@ def ahash_signatures(
     )
 
 
+def _phash_auto_band_bits(
+    corpus_count: int,
+    n_slices: int = 64,
+    max_hamming: int = 6,
+    audit_max_rows: int = 100_000,
+) -> int:
+    """Tier selection for ``phash_near_dup_pairs`` (mirrors
+    ``embedding_near_dup_pairs``' auto-LSH): pick band_bits from the
+    corpus size, subject to the pigeonhole constraint
+    ``n_slices/band_bits > max_hamming``.
+
+    ≤ ``audit_max_rows`` rows → the NARROWEST valid bands (max recall
+    margin; bucket density is harmless at audit scale); beyond that →
+    the WIDEST valid bands (largest band-key space, so uniform buckets
+    stay small at billions of assets)."""
+    valid = [
+        bb for bb in (16, 8, 4)
+        if n_slices % bb == 0 and n_slices // bb > max_hamming
+    ]
+    if not valid:
+        raise ValueError(
+            f"no band width in (16, 8, 4) satisfies the pigeonhole "
+            f"guarantee n_slices/band_bits > max_hamming for "
+            f"n_slices={n_slices}, max_hamming={max_hamming} — lower "
+            "max_hamming or pass band_bits explicitly"
+        )
+    return valid[-1] if corpus_count <= audit_max_rows else valid[0]
+
+
 def phash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
     max_hamming: int = 6,
     n_slices: int = 64,
-    band_bits: int = 8,
-    max_bucket: int | None = None,
+    band_bits: int | None = None,
+    max_bucket: int | None = 10_000,
     strict: bool = False,
+    audit_max_rows: int = 100_000,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Perceptual-hash near-duplicate pairs over binary payloads — the
     image/asset dedup tier of the multimodal family (re-encoded,
@@ -334,29 +365,42 @@ def phash_near_dup_pairs(
     one band, and candidates are exactly the band-key collisions —
     never an all-pairs product.
 
-    TWO TIERS — choose ``band_bits`` for the corpus size (the
-    set_similarity_join precedent: exact-audit vs scale):
+    TWO TIERS — ``band_bits=None`` (the default) auto-selects from the
+    corpus size via ``_phash_auto_band_bits`` (the
+    embedding_near_dup_pairs auto-LSH precedent; pass ``corpus_count``
+    when the row count is already known so selection costs no scan):
     candidate density is ~ n² · n_bands / 2^band_bits, so
-    - AUDIT tier, ``band_bits=4`` (16 bands, guarantee ≤ 15 bits):
-      only 16·16 = 256 buckets exist — QUADRATIC past ~10⁵ assets
-      (measured: the x100 rehearsal replica, 500k docs → ~10¹¹
-      candidate pairs — killed, see SCALE.md). Small corpora and
-      recall-critical audits only.
-    - SCALE tier, ``band_bits=16`` (4 bands, guarantee ≤ 3 bits):
-      4·65536 buckets — at 10⁹ assets a uniform bucket holds ~6·10⁴
-      rows; combine with ``max_bucket`` to cap degenerate buckets
-      (constant-byte assets hash alike; a capped bucket skips
-      boilerplate-like hash regions, trading bounded recall for a
-      hard cost ceiling — exactly containment_pairs' max_df contract).
+    - AUDIT tier, narrow bands (e.g. ``band_bits=4``: 16 bands,
+      guarantee ≤ 15 bits): only 16·16 = 256 buckets exist —
+      QUADRATIC past ~10⁵ assets (measured: the x100 rehearsal
+      replica, 500k docs → ~10¹¹ candidate pairs — killed, see
+      SCALE.md). Auto-chosen only ≤ ``audit_max_rows``.
+    - SCALE tier, wide bands (e.g. ``band_bits=16``: 4 bands,
+      guarantee ≤ 3 bits): 4·65536 buckets — at 10⁹ assets a uniform
+      bucket holds ~6·10⁴ rows. Auto-chosen past ``audit_max_rows``,
+      subject to the pigeonhole constraint (max_hamming=6 needs > 6
+      bands, so the widest valid band is 8 bits there).
+    ``max_bucket`` defaults FINITE (10⁴): degenerate buckets
+    (constant-byte assets hash alike) are capped and skipped, trading
+    bounded recall on boilerplate-like hash regions for a hard cost
+    ceiling — exactly containment_pairs' max_df contract. Pass
+    ``max_bucket=None`` to opt into uncapped exactness on corpora you
+    know are degenerate-free.
 
     Scale shape: signatures are one codegen scan; candidates come from
     ONE (band_index, band_key) equi-join of the posexploded band table
-    (hot buckets optionally capped first — one count agg over that
-    table); the Hamming verify joins the bounded candidate set back to
-    the bit vectors. All integer math — engine/partitioning-exact.
+    (hot buckets capped first — one count agg over that table); the
+    Hamming verify joins the bounded candidate set back to the bit
+    vectors. All integer math — engine/partitioning-exact.
 
     Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ max_hamming.
     """
+    if band_bits is None:
+        if corpus_count is None:
+            corpus_count = df.count()
+        band_bits = _phash_auto_band_bits(
+            corpus_count, n_slices, max_hamming, audit_max_rows
+        )
     n_bands = n_slices // band_bits
     if max_hamming >= n_bands:
         raise ValueError(
@@ -489,6 +533,11 @@ def extract_image_meta(
                 while i + 9 < len(b):
                     if b[i] != 0xFF:
                         break
+                    # JPEG permits runs of 0xFF fill bytes before a
+                    # marker (ISO 10918-1 B.1.1.2); skip them so the
+                    # padding byte is never misread as a length field
+                    while i + 9 < len(b) and b[i + 1] == 0xFF:
+                        i += 1
                     m = b[i + 1]
                     if m in sof:
                         h = (b[i + 5] << 8) | b[i + 6]

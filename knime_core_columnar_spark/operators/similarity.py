@@ -875,6 +875,7 @@ def embedding_covariance(
     df: DataFrame,
     vec_col: str = "embedding",
     scale: int = 1_000_000,
+    include_means: bool = False,
 ) -> DataFrame:
     """Exact population covariance matrix of an embedding column, in
     long form — the d·(d+1)/2 upper triangle as (i, j, n_vecs, cov).
@@ -883,11 +884,15 @@ def embedding_covariance(
     shows up as a near-zero diagonal entry).
 
     Determinism: each component is scaled to int64 micro-units per row
-    (the ``embedding_drift`` discipline); per-row products stay in int64
-    (|xi| ≤ scale ⇒ product ≤ 1e12) and accumulate as decimal(38,0) —
-    exact integer math at any parallelism on any engine. The covariance
-    itself is IEEE double arithmetic on those exact sums, identical
-    op order both engines, so values are bit-stable.
+    (the ``embedding_drift`` discipline); per-row products are formed in
+    decimal(19,0)×decimal(19,0) — any pair of scaled int64 components
+    multiplies EXACTLY (max |product| ≈ 8.5e37 < decimal(38,0)), so
+    components of any magnitude are safe (round-6 advisory: the earlier
+    int64 product silently wrapped past |x| ≈ 3.03e3·scale⁻¹·2⁶³) — and
+    accumulate as decimal(38,0): exact integer math at any parallelism
+    on any engine. The covariance itself is IEEE double arithmetic on
+    those exact sums, identical op order both engines, so values are
+    bit-stable.
 
     Scale shape: per row the pair products are built with array
     expressions (one codegen projection — no join, no self-shuffle),
@@ -902,7 +907,9 @@ def embedding_covariance(
     because partition-dependent rounding breaks the oracle contract).
 
     Returns (i, j, n_vecs, cov) for 0 ≤ i ≤ j < d, cov rounded to 9
-    decimals (population covariance, ÷n).
+    decimals (population covariance, ÷n). With ``include_means=True``
+    appends ``mean_i`` (double, dimension-i mean in original units) so
+    downstream consumers (``pca_project``) need no second corpus scan.
     """
     xi_arr = F.expr(
         f"transform({vec_col}, x -> "
@@ -913,7 +920,8 @@ def embedding_covariance(
             F.expr(
                 "flatten(transform(sequence(0, size(__xi) - 1), i -> "
                 "transform(sequence(i, size(__xi) - 1), j -> "
-                "struct(i AS i, j AS j, __xi[i] * __xi[j] AS pxy))))"
+                "struct(i AS i, j AS j, CAST(__xi[i] AS DECIMAL(19,0)) "
+                "* CAST(__xi[j] AS DECIMAL(19,0)) AS pxy))))"
             )
         ).alias("__p")
     ).select("__p.i", "__p.j", F.col("__p.pxy").cast("decimal(38,0)").alias("__pxy"))
@@ -930,25 +938,27 @@ def embedding_covariance(
     )
     sj = dims.select(F.col("__d").alias("j"), F.col("__sx").alias("__sxj"))
     nd = F.col("__ni").cast("double")
-    return (
-        sxy.join(F.broadcast(si), "i")
-        .join(F.broadcast(sj), "j")
-        .select(
-            "i",
-            "j",
-            F.col("__ni").alias("n_vecs"),
-            F.round(
-                (
-                    F.col("__sxy").cast("double")
-                    - F.col("__sxi").cast("double")
-                    * F.col("__sxj").cast("double") / nd
-                )
-                / nd
-                / F.lit(float(scale) * float(scale)),
-                9,
-            ).alias("cov"),
+    cols = [
+        F.col("i"),
+        F.col("j"),
+        F.col("__ni").alias("n_vecs"),
+        F.round(
+            (
+                F.col("__sxy").cast("double")
+                - F.col("__sxi").cast("double")
+                * F.col("__sxj").cast("double") / nd
+            )
+            / nd
+            / F.lit(float(scale) * float(scale)),
+            9,
+        ).alias("cov"),
+    ]
+    if include_means:
+        cols.append(
+            (F.col("__sxi").cast("double") / nd / F.lit(float(scale)))
+            .alias("mean_i")
         )
-    )
+    return sxy.join(F.broadcast(si), "i").join(F.broadcast(sj), "j").select(*cols)
 
 
 def pca_project(
@@ -978,28 +988,25 @@ def pca_project(
     """
     import numpy as np
 
-    cov_rows = embedding_covariance(df, vec_col, scale=scale).collect()
+    # ONE corpus scan: the covariance aggregate carries the per-dimension
+    # means (round-6 advisory: a second posexplode scan re-derived sums
+    # the covariance job had already aggregated)
+    cov_rows = embedding_covariance(
+        df, vec_col, scale=scale, include_means=True
+    ).collect()
+    if not cov_rows:
+        raise ValueError(
+            "pca_project: input has no rows (or only empty/null "
+            f"'{vec_col}' arrays) — covariance is undefined"
+        )
     d = max(r["j"] for r in cov_rows) + 1
     c = np.zeros((d, d))
+    mean = np.zeros(d)
     for r in cov_rows:
         c[r["i"], r["j"]] = r["cov"]
         c[r["j"], r["i"]] = r["cov"]
-    mean_rows = (
-        df.select(F.posexplode(vec_col).alias("__d", "__x"))
-        .groupBy("__d")
-        .agg(
-            F.sum(
-                F.round(F.col("__x").cast("double") * scale, 0).cast("long")
-                .cast("decimal(38,0)")
-            ).alias("__sx"),
-            F.count(F.lit(1)).alias("__n"),
-        )
-        .orderBy("__d")
-        .collect()  # d rows — dimension-sized, never corpus-sized
-    )
-    mean = np.array(
-        [float(r["__sx"]) / float(r["__n"]) / scale for r in mean_rows]
-    )
+        if r["i"] == r["j"]:
+            mean[r["i"]] = r["mean_i"]
     vals, vecs = np.linalg.eigh(c)  # ascending
     order = np.argsort(vals)[::-1][:n_components]
     comps = []
@@ -1277,8 +1284,12 @@ def mmr_rerank(
     import pandas as pd
 
     lam = int(lambda_milli)
+    # id column types come from the input schema — string/int/long query
+    # and doc ids all work (round-6 advisory: these were hard-coded long)
+    in_types = {f.name: f.dataType.simpleString() for f in candidates.schema.fields}
     out_schema = (
-        f"{query_col} long, {doc_col} long, mmr_rank int, mmr_scaled long"
+        f"{query_col} {in_types[query_col]}, {doc_col} {in_types[doc_col]}, "
+        "mmr_rank int, mmr_scaled long"
     )
 
     def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1307,7 +1318,10 @@ def mmr_rerank(
             best = int(np.argmax(score))
             picked.append(best)
             remaining[best] = False
-            rows.append((q, int(ids[best]), rank, int(score[best])))
+            doc = ids[best]
+            if isinstance(doc, np.generic):
+                doc = doc.item()
+            rows.append((q, doc, rank, int(score[best])))
         return pd.DataFrame(
             rows, columns=[query_col, doc_col, "mmr_rank", "mmr_scaled"]
         )
