@@ -24,19 +24,16 @@ _SECTIONS = [
     "widening_b",
     "partsupp",
     "formats_graph",
-    "layout_r4",
     "staged_r5",
     "staged_r6",
     "staged_r7",
     "staged_r8",
-    "layout_r5",
     "staged_r9",
-    # round-6 in-round additions: registered BEFORE the layout flip so
-    # the (pre-staged) round-7 flip can place them in its window; the
-    # round-6 reorder classes them as never-checked, which keeps the
-    # active 50-name round-6 window head untouched
     "round6_ext",
-    "layout_final",
+    # LAST: orders the registry (never-checked first, then greens
+    # oldest-evidence-first) so the driver's 50-slot window is always
+    # the freshness frontier — see rotation.py
+    "rotation",
 ]
 
 _pkg = sys.modules[__name__]

@@ -1,10 +1,8 @@
-"""Round-6 in-round extensions — operators added AFTER the round-6 window
-flip executed. This module imports BEFORE ``layout_final`` (so the
-pre-staged round-7 flip can place these names in its window), and the
-round-6 reorder classes them as never-checked — they land immediately
-after the active 50-name window head, which stays untouched. Their
-first driver check is scheduled in the round-7 window
-(``_DRIVER_WINDOW_R7``).
+"""Round-6 in-round extensions — operators added after the round-6
+window flip executed (BM25/RM3/MMR/RBO retrieval, exact covariance,
+PMI collocations, cross-source duplication, pHash near-dup, image
+headers, contrastive/bitext mining). First driver-checked in round 7
+(they had no evidence row, so the rotation put them in that window).
 
 Every entry follows the registry determinism rules (_registry.py
 docstring): scaled-int64 sums, 6-decimal rounds before ordering, every

@@ -169,34 +169,18 @@ def _r5_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(spark, bpe_train(d, num_merges=30, max_types=5000))
 
 
-_R5_STAGED: dict[str, tuple] = {
-    "semantic_dedup": (_r5_semantic_dedup, SEMDEDUP_ORACLE),
-    "bigram_lm_quality": (_r5_bigram_lm_quality, BIGRAM_LM_ORACLE),
-    "decontaminate_bloom": (_r5_decontaminate_bloom, DECONTAMINATE_BLOOM_ORACLE),
-    "stream_stream_join_batch": (
-        _r5_stream_stream_join_batch,
-        STREAM_STREAM_JOIN_ORACLE,
-    ),
-    "bpe_merges": (_r5_bpe_merges, None),
-}
-
-
-def register_r5_queries(force: bool = False) -> bool:
-    """Fold the staged round-5 queries into QUERIES/ORACLES. No-op until
-    round 5 flips ``force`` (or sets SPARK_GRAFT_REGISTER_R5=1)."""
-    import os
-
-    if not (force or os.environ.get("SPARK_GRAFT_REGISTER_R5")):
-        return False
-    for name, (fn, oracle) in _R5_STAGED.items():
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-    return True
-
-
-register_r5_queries()
-
+# Direct registration (round-7 refactor: the staged-batch dicts and
+# register_rX_queries() gating are gone — every section registers at
+# import, and catalog/rotation.py orders the driver window).
+QUERIES["semantic_dedup"] = _r5_semantic_dedup
+ORACLES["semantic_dedup"] = SEMDEDUP_ORACLE
+QUERIES["bigram_lm_quality"] = _r5_bigram_lm_quality
+ORACLES["bigram_lm_quality"] = BIGRAM_LM_ORACLE
+QUERIES["decontaminate_bloom"] = _r5_decontaminate_bloom
+ORACLES["decontaminate_bloom"] = DECONTAMINATE_BLOOM_ORACLE
+QUERIES["stream_stream_join_batch"] = _r5_stream_stream_join_batch
+ORACLES["stream_stream_join_batch"] = STREAM_STREAM_JOIN_ORACLE
+QUERIES["bpe_merges"] = _r5_bpe_merges
 
 # ---------------------------------------------------------------------------
 # bpe_encode — hash-checkable companion to the oracle-less bpe_merges
@@ -281,5 +265,3 @@ def _bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("pieces", " ").alias("pieces_str"),
         "n_pieces",
     )
-
-

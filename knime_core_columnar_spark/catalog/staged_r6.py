@@ -23,10 +23,8 @@ from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
 )
 
 # ---------------------------------------------------------------------------
-# Round-6 STAGED registrations — same freeze discipline as _R5_STAGED:
-# implemented, pytest-gated, and oracle-checked by tools/check.py THIS
-# round (set SPARK_GRAFT_REGISTER_R6=1), registered with the driver in a
-# later window once cumulative coverage allows.
+# Round-6 query section (driver-registered since the round-5 flip; the
+# staging gates were removed in the round-7 flat-registry refactor).
 # ---------------------------------------------------------------------------
 
 HEAVY_HITTER_TOKENS_ORACLE = """
@@ -287,35 +285,16 @@ def _r6_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_hybrid_topk(d, e, [3, 47, 205], k=10, n_per_system=25)
 
 
-_R6_STAGED: dict[str, tuple] = {
-    "heavy_hitter_tokens": (_r6_heavy_hitter_tokens, HEAVY_HITTER_TOKENS_ORACLE),
-    "table_checksums": (_r6_table_checksums, TABLE_CHECKSUMS_ORACLE),
-    "copurchase_triangles": (
-        _r6_copurchase_triangles,
-        COPURCHASE_TRIANGLES_ORACLE,
-    ),
-    "duplicate_span_profile": (
-        _r6_duplicate_span_profile,
-        DUPLICATE_SPAN_PROFILE_ORACLE,
-    ),
-    "hybrid_search_rrf": (_r6_hybrid_search_rrf, HYBRID_SEARCH_RRF_ORACLE),
-}
-
-
-def register_r6_queries(force: bool = False) -> bool:
-    """Fold the staged round-6 queries into QUERIES/ORACLES. No-op until
-    a later round flips ``force`` (or sets SPARK_GRAFT_REGISTER_R6=1)."""
-    import os
-
-    if not (force or os.environ.get("SPARK_GRAFT_REGISTER_R6")):
-        return False
-    for name, (fn, oracle) in _R6_STAGED.items():
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-    return True
-
-
-register_r6_queries()
-
-
+# Direct registration (round-7 refactor: the staged-batch dicts and
+# register_rX_queries() gating are gone — every section registers at
+# import, and catalog/rotation.py orders the driver window).
+QUERIES["heavy_hitter_tokens"] = _r6_heavy_hitter_tokens
+ORACLES["heavy_hitter_tokens"] = HEAVY_HITTER_TOKENS_ORACLE
+QUERIES["table_checksums"] = _r6_table_checksums
+ORACLES["table_checksums"] = TABLE_CHECKSUMS_ORACLE
+QUERIES["copurchase_triangles"] = _r6_copurchase_triangles
+ORACLES["copurchase_triangles"] = COPURCHASE_TRIANGLES_ORACLE
+QUERIES["duplicate_span_profile"] = _r6_duplicate_span_profile
+ORACLES["duplicate_span_profile"] = DUPLICATE_SPAN_PROFILE_ORACLE
+QUERIES["hybrid_search_rrf"] = _r6_hybrid_search_rrf
+ORACLES["hybrid_search_rrf"] = HYBRID_SEARCH_RRF_ORACLE

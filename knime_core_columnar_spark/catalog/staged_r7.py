@@ -25,10 +25,8 @@ from knime_core_columnar_spark.catalog.formats_graph import (  # noqa: F401
 )
 
 # ---------------------------------------------------------------------------
-# Round-7 STAGED registrations — same freeze discipline as _R5_STAGED /
-# _R6_STAGED: implemented, pytest-gated, and replica-oracle-checked now;
-# folded into QUERIES by a later round once driver coverage has caught
-# up (register_r7_queries(force=True) or SPARK_GRAFT_REGISTER_R7=1).
+# Round-7 query section (driver-registered since the round-6 flip; the
+# staging gates were removed in the round-7 flat-registry refactor).
 # ---------------------------------------------------------------------------
 
 CMS_FREQUENCY_ORACLE = """
@@ -497,34 +495,20 @@ def _r7_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_R7_STAGED: dict[str, tuple] = {
-    "cms_frequency": (_r7_cms_frequency, CMS_FREQUENCY_ORACLE),
-    "gopher_rules": (_r7_gopher_rules, GOPHER_RULES_ORACLE),
-    "c4_line_filter": (_r7_c4_line_filter, C4_LINE_FILTER_ORACLE),
-    "set_similarity_join": (_r7_set_similarity_join, SET_SIMILARITY_JOIN_ORACLE),
-    "golden_record": (_r7_golden_record, GOLDEN_RECORD_ORACLE),
-    "source_quota_sample": (_r7_source_quota_sample, SOURCE_QUOTA_SAMPLE_ORACLE),
-    "cluster_consensus_lang": (
-        _r7_cluster_consensus_lang,
-        CLUSTER_CONSENSUS_LANG_ORACLE,
-    ),
-}
-
-
-def register_r7_queries(force: bool = False) -> bool:
-    """Fold the staged round-7 queries into QUERIES/ORACLES. No-op until
-    a later round flips ``force`` (or sets SPARK_GRAFT_REGISTER_R7=1)."""
-    import os
-
-    if not (force or os.environ.get("SPARK_GRAFT_REGISTER_R7")):
-        return False
-    for name, (fn, oracle) in _R7_STAGED.items():
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-    return True
-
-
-register_r7_queries()
-
-
+# Direct registration (round-7 refactor: the staged-batch dicts and
+# register_rX_queries() gating are gone — every section registers at
+# import, and catalog/rotation.py orders the driver window).
+QUERIES["cms_frequency"] = _r7_cms_frequency
+ORACLES["cms_frequency"] = CMS_FREQUENCY_ORACLE
+QUERIES["gopher_rules"] = _r7_gopher_rules
+ORACLES["gopher_rules"] = GOPHER_RULES_ORACLE
+QUERIES["c4_line_filter"] = _r7_c4_line_filter
+ORACLES["c4_line_filter"] = C4_LINE_FILTER_ORACLE
+QUERIES["set_similarity_join"] = _r7_set_similarity_join
+ORACLES["set_similarity_join"] = SET_SIMILARITY_JOIN_ORACLE
+QUERIES["golden_record"] = _r7_golden_record
+ORACLES["golden_record"] = GOLDEN_RECORD_ORACLE
+QUERIES["source_quota_sample"] = _r7_source_quota_sample
+ORACLES["source_quota_sample"] = SOURCE_QUOTA_SAMPLE_ORACLE
+QUERIES["cluster_consensus_lang"] = _r7_cluster_consensus_lang
+ORACLES["cluster_consensus_lang"] = CLUSTER_CONSENSUS_LANG_ORACLE

@@ -23,9 +23,8 @@ from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
 )
 
 # ---------------------------------------------------------------------------
-# Round-8 STAGED registrations — same freeze discipline as _R5/_R6/_R7:
-# implemented, pytest-gated, replica-oracle-checked now; registration
-# deferred (register_r8_queries(force=True) / SPARK_GRAFT_REGISTER_R8=1).
+# Round-8 query section (driver-registered since the round-6 flip; the
+# staging gates were removed in the round-7 flat-registry refactor).
 # ---------------------------------------------------------------------------
 
 JOIN_EXPLOSION_ORACLE = """
@@ -426,40 +425,22 @@ def _r8_incremental_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    num_perm=16, bands=4)
 
 
-_R8_STAGED: dict[str, tuple] = {
-    "dsir_select": (_r8_dsir_select, DSIR_SELECT_ORACLE),
-    "url_host_stats": (_r8_url_host_stats, URL_HOST_STATS_ORACLE),
-    "incremental_dedup_admit": (
-        _r8_incremental_dedup_admit, INCREMENTAL_ADMIT_ORACLE,
-    ),
-    "join_explosion_profile": (
-        _r8_join_explosion_profile, JOIN_EXPLOSION_ORACLE,
-    ),
-    "source_similarity": (_r8_source_similarity, SOURCE_SIMILARITY_ORACLE),
-    "length_bucketed_batches": (
-        _r8_length_bucketed_batches, LENGTH_BUCKETED_BATCHES_ORACLE,
-    ),
-    "novelty_scores": (_r8_novelty_scores, NOVELTY_SCORES_ORACLE),
-    "stream_quota_admission": (
-        _r8_stream_quota_admission, STREAM_QUOTA_ADMISSION_ORACLE,
-    ),
-}
-
-
-def register_r8_queries(force: bool = False) -> bool:
-    """Fold the staged round-8 queries into QUERIES/ORACLES. No-op until
-    a later round flips ``force`` (or sets SPARK_GRAFT_REGISTER_R8=1)."""
-    import os
-
-    if not (force or os.environ.get("SPARK_GRAFT_REGISTER_R8")):
-        return False
-    for name, (fn, oracle) in _R8_STAGED.items():
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-    return True
-
-
-register_r8_queries()
-
-
+# Direct registration (round-7 refactor: the staged-batch dicts and
+# register_rX_queries() gating are gone — every section registers at
+# import, and catalog/rotation.py orders the driver window).
+QUERIES["dsir_select"] = _r8_dsir_select
+ORACLES["dsir_select"] = DSIR_SELECT_ORACLE
+QUERIES["url_host_stats"] = _r8_url_host_stats
+ORACLES["url_host_stats"] = URL_HOST_STATS_ORACLE
+QUERIES["incremental_dedup_admit"] = _r8_incremental_dedup_admit
+ORACLES["incremental_dedup_admit"] = INCREMENTAL_ADMIT_ORACLE
+QUERIES["join_explosion_profile"] = _r8_join_explosion_profile
+ORACLES["join_explosion_profile"] = JOIN_EXPLOSION_ORACLE
+QUERIES["source_similarity"] = _r8_source_similarity
+ORACLES["source_similarity"] = SOURCE_SIMILARITY_ORACLE
+QUERIES["length_bucketed_batches"] = _r8_length_bucketed_batches
+ORACLES["length_bucketed_batches"] = LENGTH_BUCKETED_BATCHES_ORACLE
+QUERIES["novelty_scores"] = _r8_novelty_scores
+ORACLES["novelty_scores"] = NOVELTY_SCORES_ORACLE
+QUERIES["stream_quota_admission"] = _r8_stream_quota_admission
+ORACLES["stream_quota_admission"] = STREAM_QUOTA_ADMISSION_ORACLE

@@ -23,7 +23,9 @@ from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
 )
 
 # ---------------------------------------------------------------------------
-# Round-9 STAGED registrations — same freeze discipline as _R5.._R8.
+# Round-9 query section (first driver-registered at the round-7 flip,
+# which completed the staging program; the gates were then removed in
+# the flat-registry refactor).
 # ---------------------------------------------------------------------------
 
 _BENFORD_CASE = (
@@ -1129,47 +1131,46 @@ def _r9_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fix_mojibake(damaged, "doc_id", "text")
 
 
-_R9_STAGED: dict[str, tuple] = {
-    "fix_mojibake": (_r9_fix_mojibake, FIX_MOJIBAKE_ORACLE),
-    "normalize_text": (_r9_normalize_text, NORMALIZE_TEXT_ORACLE),
-    "curriculum_order": (_r9_curriculum_order, CURRICULUM_ORDER_ORACLE),
-    "resample_interp": (_r9_resample_interp, RESAMPLE_INTERP_ORACLE),
-    "resample_ffill": (_r9_resample_ffill, RESAMPLE_FFILL_ORACLE),
-    "drift_monitor_batch": (_r9_drift_monitor_batch, DRIFT_MONITOR_ORACLE),
-    "diverse_sample": (_r9_diverse_sample, DIVERSE_SAMPLE_ORACLE),
-    "dup_span_apply": (_r9_dup_span_apply, DUP_SPAN_APPLY_ORACLE),
-    "numeric_drift_report": (_r9_numeric_drift, NUMERIC_DRIFT_ORACLE),
-    "calibration_report": (_r9_calibration_report, CALIBRATION_REPORT_ORACLE),
-    "leakage_safe_split": (_r9_leakage_safe_split, LEAKAGE_SAFE_SPLIT_ORACLE),
-    "token_fertility": (_r9_token_fertility, TOKEN_FERTILITY_ORACLE),
-    "dup_span_extract": (_r9_dup_span_extract, DUP_SPAN_EXTRACT_ORACLE),
-    "mojibake_audit": (_r9_mojibake_audit, MOJIBAKE_AUDIT_ORACLE),
-    "token_budget_plan": (_r9_token_budget_plan, TOKEN_BUDGET_PLAN_ORACLE),
-    "benford_audit": (_r9_benford_audit, BENFORD_AUDIT_ORACLE),
-    "k_anonymity_audit": (_r9_k_anonymity_audit, K_ANONYMITY_ORACLE),
-    "cdc_apply_changelog": (_r9_cdc_apply, CDC_APPLY_ORACLE),
-    "containment_quotes": (_r9_containment_quotes, CONTAINMENT_ORACLE),
-    "concentration_profile": (
-        _r9_concentration_profile, CONCENTRATION_ORACLE,
-    ),
-}
-
-
-def register_r9_queries(force: bool = False) -> bool:
-    """Fold the staged round-9 queries into QUERIES/ORACLES. No-op until
-    a later round flips ``force`` (or sets SPARK_GRAFT_REGISTER_R9=1)."""
-    import os
-
-    if not (force or os.environ.get("SPARK_GRAFT_REGISTER_R9")):
-        return False
-    for name, (fn, oracle) in _R9_STAGED.items():
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-    return True
-
-
-register_r9_queries()
-
-
-
+# Direct registration (round-7 refactor: the staged-batch dicts and
+# register_rX_queries() gating are gone — every section registers at
+# import, and catalog/rotation.py orders the driver window).
+QUERIES["fix_mojibake"] = _r9_fix_mojibake
+ORACLES["fix_mojibake"] = FIX_MOJIBAKE_ORACLE
+QUERIES["normalize_text"] = _r9_normalize_text
+ORACLES["normalize_text"] = NORMALIZE_TEXT_ORACLE
+QUERIES["curriculum_order"] = _r9_curriculum_order
+ORACLES["curriculum_order"] = CURRICULUM_ORDER_ORACLE
+QUERIES["resample_interp"] = _r9_resample_interp
+ORACLES["resample_interp"] = RESAMPLE_INTERP_ORACLE
+QUERIES["resample_ffill"] = _r9_resample_ffill
+ORACLES["resample_ffill"] = RESAMPLE_FFILL_ORACLE
+QUERIES["drift_monitor_batch"] = _r9_drift_monitor_batch
+ORACLES["drift_monitor_batch"] = DRIFT_MONITOR_ORACLE
+QUERIES["diverse_sample"] = _r9_diverse_sample
+ORACLES["diverse_sample"] = DIVERSE_SAMPLE_ORACLE
+QUERIES["dup_span_apply"] = _r9_dup_span_apply
+ORACLES["dup_span_apply"] = DUP_SPAN_APPLY_ORACLE
+QUERIES["numeric_drift_report"] = _r9_numeric_drift
+ORACLES["numeric_drift_report"] = NUMERIC_DRIFT_ORACLE
+QUERIES["calibration_report"] = _r9_calibration_report
+ORACLES["calibration_report"] = CALIBRATION_REPORT_ORACLE
+QUERIES["leakage_safe_split"] = _r9_leakage_safe_split
+ORACLES["leakage_safe_split"] = LEAKAGE_SAFE_SPLIT_ORACLE
+QUERIES["token_fertility"] = _r9_token_fertility
+ORACLES["token_fertility"] = TOKEN_FERTILITY_ORACLE
+QUERIES["dup_span_extract"] = _r9_dup_span_extract
+ORACLES["dup_span_extract"] = DUP_SPAN_EXTRACT_ORACLE
+QUERIES["mojibake_audit"] = _r9_mojibake_audit
+ORACLES["mojibake_audit"] = MOJIBAKE_AUDIT_ORACLE
+QUERIES["token_budget_plan"] = _r9_token_budget_plan
+ORACLES["token_budget_plan"] = TOKEN_BUDGET_PLAN_ORACLE
+QUERIES["benford_audit"] = _r9_benford_audit
+ORACLES["benford_audit"] = BENFORD_AUDIT_ORACLE
+QUERIES["k_anonymity_audit"] = _r9_k_anonymity_audit
+ORACLES["k_anonymity_audit"] = K_ANONYMITY_ORACLE
+QUERIES["cdc_apply_changelog"] = _r9_cdc_apply
+ORACLES["cdc_apply_changelog"] = CDC_APPLY_ORACLE
+QUERIES["containment_quotes"] = _r9_containment_quotes
+ORACLES["containment_quotes"] = CONTAINMENT_ORACLE
+QUERIES["concentration_profile"] = _r9_concentration_profile
+ORACLES["concentration_profile"] = CONCENTRATION_ORACLE

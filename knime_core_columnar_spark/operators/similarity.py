@@ -1409,6 +1409,8 @@ def contrastive_pairs(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
+    merge_hint_min_rows: int = 100_000,
 ) -> DataFrame:
     """Contrastive training-pair mining over an embedding corpus: the
     data-prep step for contrastive fine-tuning (SimCSE/InfoNCE-style) —
@@ -1439,13 +1441,21 @@ def contrastive_pairs(
         l2_norm(F.col(vec_col)).alias("__n"),
         rp_lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
     )
-    # corpus x corpus self-join: force sort-merge — BOTH sides scale
-    # with the corpus, and the narrow bucket table can estimate under
-    # the broadcast threshold while its deserialized rows (64-float
-    # vectors) blow the driver (observed at the 100x rehearsal replica)
+    # corpus x corpus self-join: past merge_hint_min_rows, force
+    # sort-merge — BOTH sides scale with the corpus, and the narrow
+    # bucket table can estimate under the broadcast threshold while its
+    # deserialized rows (64-float vectors) blow the driver (observed at
+    # the 100x rehearsal replica). Below that, a broadcast is correct
+    # and the forced sort was a measured bench tax (VERDICT r6 #2), so
+    # the hint is conditioned on the actual row count (one count job,
+    # dwarfed by the self-join it protects).
+    if corpus_count is None:
+        corpus_count = df.count()
+    a_side = b.alias("a")
+    if corpus_count > merge_hint_min_rows:
+        a_side = a_side.hint("merge")
     pairs = (
-        b.alias("a")
-        .hint("merge")
+        a_side
         .join(b.alias("c"), "__bucket")
         .filter(F.col("a.__id") < F.col("c.__id"))
         .select(
@@ -1483,6 +1493,8 @@ def cross_lingual_pairs(
     vec_col: str = "embedding",
     doc_id_col: str = "doc_id",
     lang_col: str = "lang",
+    corpus_count: int | None = None,
+    merge_hint_min_rows: int = 100_000,
 ) -> DataFrame:
     """Bitext candidate mining (the LASER/CCMatrix shape): pairs of
     documents in DIFFERENT languages whose embeddings are near-parallel
@@ -1508,9 +1520,14 @@ def cross_lingual_pairs(
         l2_norm(F.col(vec_col)).alias("__n"),
         rp_lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
     )
+    # merge hint conditioned on corpus size — see contrastive_pairs
+    if corpus_count is None:
+        corpus_count = embeddings.count()
+    a_side = b.alias("a")
+    if corpus_count > merge_hint_min_rows:
+        a_side = a_side.hint("merge")
     pairs = (
-        b.alias("a")
-        .hint("merge")
+        a_side
         .join(b.alias("c"), "__bucket")
         .filter(F.col("a.__id") < F.col("c.__id"))
         .select(

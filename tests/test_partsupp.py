@@ -1,8 +1,15 @@
-"""partsupp TPC-H patterns (q2/q9/q11/q16/q20) against a synthetic
-partsupp fixture: /root/testdata ships no partsupp table, so these
-queries are gated behind register_partsupp_queries(); here we force
-registration and oracle-check each pattern against DuckDB on a tmp
-sf-dir assembled from sf0.001 symlinks + a deterministic partsupp."""
+"""partsupp TPC-H patterns (q2/q9/q11/q16/q20) with the IN-QUERY
+synthesized partsupp (round-7: /root/testdata ships no partsupp table,
+so both engine and oracle derive it deterministically from part keys +
+the supplier count — see catalog/partsupp.py).
+
+Two legs:
+1. HAND CASE independent of the SQL replay: the synthesized table must
+   match a plain-python fixture built with the same formula (the
+   pre-round-7 parquet fixture construction, kept verbatim).
+2. Engine-vs-oracle on the UNMODIFIED sf0.001 dir — exactly what the
+   driver runs (no partsupp.parquet anywhere).
+"""
 
 import importlib.util
 import os
@@ -14,6 +21,10 @@ from knime_core_columnar_spark import catalog
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+PARTSUPP_NAMES = [
+    "q2_min_cost_supplier", "q9_profit_by_nation_year",
+    "q11_important_stock", "q16_supplier_counts", "q20_excess_inventory",
+]
 
 _spec = importlib.util.spec_from_file_location(
     "kccs_check", os.path.join(os.path.dirname(__file__), "..", "tools", "check.py")
@@ -26,62 +37,74 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="module")
-def ps_dir(tmp_path_factory):
-    """sf0.001 clone (symlinks) plus a deterministic synthetic partsupp."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    d = tmp_path_factory.mktemp("sf_ps")
-    for t in TABLES:
-        os.symlink(f"{SF}/{t}.parquet", d / f"{t}.parquet")
-
-    n_part = pq.read_metadata(f"{SF}/part.parquet").num_rows
-    n_supp = pq.read_metadata(f"{SF}/supplier.parquet").num_rows
+def _fixture_partsupp(part_keys, n_supp: int):
+    """The plain-python replica: two suppliers per part, key-derived
+    attributes, (p, s) dedup keeping first — the parquet-fixture
+    formula this test file used before round 7, applied to the ACTUAL
+    part keys (testdata part keys are 0-based)."""
     rows = []
-    for p in range(1, n_part + 1):
-        for k in range(2):  # two suppliers per part, deterministic
+    for p in part_keys:
+        for k in range(2):
             s = (p * 3 + k * 7) % n_supp + 1
             rows.append(
                 (p, s, (p * 13 + s) % 1000, round(((p * 17 + s) % 5000) / 100.0, 2))
             )
-    # dedupe (p, s) collisions keeping the first
     seen, uniq = set(), []
     for r in rows:
         if r[:2] not in seen:
             seen.add(r[:2])
             uniq.append(r)
-    t = pa.table(
-        {
-            "ps_partkey": pa.array([r[0] for r in uniq], pa.int64()),
-            "ps_suppkey": pa.array([r[1] for r in uniq], pa.int64()),
-            "ps_availqty": pa.array([r[2] for r in uniq], pa.int32()),
-            "ps_supplycost": pa.array([r[3] for r in uniq], pa.float64()),
-        }
+    return uniq
+
+
+def test_synth_partsupp_matches_python_fixture(spark):
+    import pyarrow.parquet as pq
+
+    from knime_core_columnar_spark.catalog.partsupp import _synth_partsupp
+
+    part_keys = pq.read_table(
+        f"{SF}/part.parquet", columns=["p_partkey"]
+    )["p_partkey"].to_pylist()
+    n_supp = pq.read_metadata(f"{SF}/supplier.parquet").num_rows
+    want = sorted(_fixture_partsupp(part_keys, n_supp))
+    got = sorted(
+        (r["ps_partkey"], r["ps_suppkey"], r["ps_availqty"], r["ps_supplycost"])
+        for r in _synth_partsupp(spark, SF).collect()
     )
-    pq.write_table(t, d / "partsupp.parquet")
-    return str(d)
+    assert len(got) == 2 * len(part_keys)  # S=10: no (p, s) collisions
+    assert got == want
+
+
+def test_synth_partsupp_no_shuffle(spark):
+    """The derived dimension must be one codegen projection over part —
+    no Exchange, no join beyond the broadcast 2-row literal frame."""
+    from knime_core_columnar_spark.catalog.partsupp import _synth_partsupp
+
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        _synth_partsupp(spark, SF)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    assert "SortMergeJoin" not in plan
 
 
 @pytest.fixture(scope="module")
-def duck(ps_dir):
+def duck():
     import duckdb
 
     con = duckdb.connect()
-    for t in TABLES + ["partsupp"]:
+    for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{ps_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
     return con
 
 
-@pytest.mark.parametrize("name", list(catalog.PARTSUPP_QUERIES))
-def test_partsupp_pattern_matches_oracle(spark, ps_dir, duck, name):
-    catalog.register_partsupp_queries(force=True)
+@pytest.mark.parametrize("name", PARTSUPP_NAMES)
+def test_partsupp_pattern_matches_oracle(spark, duck, name):
     fn = catalog.QUERIES[name]
     sql = catalog.ORACLES[name]
     assert not _check.oracle_type_problems(duck, sql), "oracle emits HUGEINT"
-    spdf = fn(spark, ps_dir).toPandas()
+    spdf = fn(spark, SF).toPandas()
     opdf = duck.execute(sql).fetchdf()
     assert len(spdf) == len(opdf), f"{name}: rowcount {len(spdf)} vs {len(opdf)}"
     assert len(spdf) > 0, f"{name}: empty result proves nothing"

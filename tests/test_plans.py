@@ -370,7 +370,7 @@ def test_heavy_hitters_candidate_broadcast(spark):
 
     p = plan_of(spark, "heavy_hitter_tokens") if "heavy_hitter_tokens" in catalog.QUERIES else None
     if p is None:
-        df = catalog._R6_STAGED["heavy_hitter_tokens"][0](spark, SF)
+        df = catalog.QUERIES["heavy_hitter_tokens"](spark, SF)
         p = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
@@ -383,7 +383,7 @@ def test_triangle_counts_no_cartesian(spark):
     never a cartesian/nested-loop over the edge set."""
     from knime_core_columnar_spark import catalog
 
-    df = catalog._R6_STAGED["copurchase_triangles"][0](spark, SF)
+    df = catalog.QUERIES["copurchase_triangles"](spark, SF)
     p = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -397,7 +397,7 @@ def test_rrf_hybrid_query_broadcast_and_group_limit(spark):
     of the corpus."""
     from knime_core_columnar_spark import catalog
 
-    df = catalog._R6_STAGED["hybrid_search_rrf"][0](spark, SF)
+    df = catalog.QUERIES["hybrid_search_rrf"](spark, SF)
     p = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -411,7 +411,7 @@ def test_table_fingerprint_single_scan_partial_agg(spark):
     exactly one scan of the parquet file and a 1-row exchange."""
     from knime_core_columnar_spark import catalog
 
-    df = catalog._R6_STAGED["table_checksums"][0](spark, SF)
+    df = catalog.QUERIES["table_checksums"](spark, SF)
     p = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -525,7 +525,7 @@ def test_cms_frequency_broadcast_sketch_no_cartesian(spark):
     into the estimate join; the probe side never shuffles for it."""
     from knime_core_columnar_spark import catalog
 
-    df = catalog._R7_STAGED["cms_frequency"][0](spark, SF)
+    df = catalog.QUERIES["cms_frequency"](spark, SF)
     p = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -539,7 +539,7 @@ def test_set_similarity_join_equi_joins_only(spark):
     a cartesian/nested-loop over the corpus."""
     from knime_core_columnar_spark import catalog
 
-    df = catalog._R7_STAGED["set_similarity_join"][0](spark, SF)
+    df = catalog.QUERIES["set_similarity_join"](spark, SF)
     p = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -552,7 +552,7 @@ def test_source_quota_sample_windows_are_per_group(spark):
     single-reducer global window anywhere in the plan."""
     from knime_core_columnar_spark import catalog
 
-    df = catalog._R7_STAGED["source_quota_sample"][0](spark, SF)
+    df = catalog.QUERIES["source_quota_sample"](spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     for line in p.splitlines():
         if line.strip().startswith("Window") or "Window [" in line:
@@ -564,7 +564,7 @@ def test_golden_record_no_cartesian(spark):
     — no cartesian/nested-loop."""
     from knime_core_columnar_spark import catalog
 
-    df = catalog._R7_STAGED["golden_record"][0](spark, SF)
+    df = catalog.QUERIES["golden_record"](spark, SF)
     p = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -617,7 +617,7 @@ def test_join_explosion_profile_broadcast_no_full_groupby_shuffle(spark):
     between two tiny tables — no cartesian anywhere."""
     from knime_core_columnar_spark import catalog
 
-    df = catalog._R8_STAGED["join_explosion_profile"][0](spark, SF)
+    df = catalog.QUERIES["join_explosion_profile"](spark, SF)
     p = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -631,7 +631,7 @@ def test_source_similarity_signature_join_broadcast(spark):
     signature-table size), never shuffle the corpus for it."""
     from knime_core_columnar_spark import catalog
 
-    df = catalog._R8_STAGED["source_similarity"][0](spark, SF)
+    df = catalog.QUERIES["source_similarity"](spark, SF)
     p = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -644,7 +644,7 @@ def test_length_bucketed_batches_windows_per_bucket(spark):
     single-reducer global window."""
     from knime_core_columnar_spark import catalog
 
-    df = catalog._R8_STAGED["length_bucketed_batches"][0](spark, SF)
+    df = catalog.QUERIES["length_bucketed_batches"](spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     for line in p.splitlines():
         if line.strip().startswith("Window") or "Window [" in line:
@@ -656,7 +656,7 @@ def test_cdc_apply_changelog_window_on_changelog_only(spark):
     window); base rows join, never window; no cartesian."""
     from knime_core_columnar_spark import catalog
 
-    df = catalog._R9_STAGED["cdc_apply_changelog"][0](spark, SF)
+    df = catalog.QUERIES["cdc_apply_changelog"](spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     for line in p.splitlines():
         if line.strip().startswith("Window") or "Window [" in line:
@@ -669,7 +669,7 @@ def test_containment_quotes_equi_joins_only(spark):
     equi-joins — no cartesian/nested-loop over the corpus."""
     from knime_core_columnar_spark import catalog
 
-    df = catalog._R9_STAGED["containment_quotes"][0](spark, SF)
+    df = catalog.QUERIES["containment_quotes"](spark, SF)
     p = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -698,9 +698,11 @@ def test_minhash_signature_single_exchange(spark):
 
 
 def _staged_plan(spark, batch: str, name: str) -> str:
+    # `batch` is historical (pre-round-7 staged dicts); everything lives
+    # in the flat registry now
     from knime_core_columnar_spark import catalog
 
-    df = getattr(catalog, batch)[name][0](spark, SF)
+    df = catalog.QUERIES[name](spark, SF)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -783,7 +785,7 @@ def test_dup_span_extract_partitioned_windows_only(spark):
     # every Window operator must be doc-partitioned — an unpartitioned
     # window would funnel every flagged position through one task
     ep = (
-        catalog._R9_STAGED["dup_span_extract"][0](spark, SF)
+        catalog.QUERIES["dup_span_extract"](spark, SF)
         ._jdf.queryExecution().executedPlan().toString()
     )
     for line in ep.splitlines():
@@ -820,7 +822,7 @@ def test_dup_span_apply_no_corpus_explode_on_rebuild(spark):
     from knime_core_columnar_spark import catalog
 
     ep = (
-        catalog._R9_STAGED["dup_span_apply"][0](spark, SF)
+        catalog.QUERIES["dup_span_apply"](spark, SF)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in ep
@@ -840,7 +842,7 @@ def test_diverse_sample_group_limit_and_no_cartesian(spark):
     from knime_core_columnar_spark import catalog
 
     ep = (
-        catalog._R9_STAGED["diverse_sample"][0](spark, SF)
+        catalog.QUERIES["diverse_sample"](spark, SF)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in ep
@@ -857,7 +859,7 @@ def test_drift_monitor_single_stateful_agg_shape(spark):
     from knime_core_columnar_spark import catalog
 
     ep = (
-        catalog._R9_STAGED["drift_monitor_batch"][0](spark, SF)
+        catalog.QUERIES["drift_monitor_batch"](spark, SF)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in ep
@@ -871,7 +873,7 @@ def test_calibration_report_single_exchange(spark):
     from knime_core_columnar_spark import catalog
 
     ep = (
-        catalog._R9_STAGED["calibration_report"][0](spark, SF)
+        catalog.QUERIES["calibration_report"](spark, SF)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert ep.count("Exchange") == 1
@@ -886,7 +888,7 @@ def test_curriculum_order_no_global_window(spark):
     from knime_core_columnar_spark import catalog
 
     ep = (
-        catalog._R9_STAGED["curriculum_order"][0](spark, SF)
+        catalog.QUERIES["curriculum_order"](spark, SF)
         ._jdf.queryExecution().executedPlan().toString()
     )
     for line in ep.splitlines():

@@ -194,7 +194,71 @@ def test_phash_defaults_cap_degenerate_buckets(spark):
     ids = {r["id_a"] for r in capped.collect()} | {
         r["id_b"] for r in capped.collect()}
     assert not any(i < 30 for i in ids)  # degenerate block skipped
-    # defaults (max_bucket=10_000) keep them at this tiny scale
+    # defaults (max_bucket=1_000) keep them at this tiny scale
     full = phash_near_dup_pairs(df, max_hamming=6)
     pairs = {(r["id_a"], r["id_b"]) for r in full.collect()}
     assert (0, 1) in pairs
+
+
+# ---------------------------------------------------------------------------
+# 6. merge hints conditioned on corpus size (round-6 bench-tax finding)
+# ---------------------------------------------------------------------------
+
+def _merge_hinted(df):
+    """Whether the plan's join carries the merge strategy hint. Asserted
+    on the optimized LOGICAL plan: the static physical plan picks SMJ
+    for these aggregated subtrees either way (unknown sizes) and it is
+    AQE that converts to broadcast at runtime — the hint is precisely
+    what FORBIDS that conversion, so its presence is the contract."""
+    return "strategy=merge" in df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_contrastive_merge_hint_conditioned(spark):
+    """Small corpora must NOT pay the forced sort-merge (AQE may
+    broadcast); past merge_hint_min_rows the hint must appear."""
+    import hashlib
+
+    from knime_core_columnar_spark.operators.similarity import (
+        contrastive_pairs,
+    )
+
+    rows = []
+    for i in range(50):
+        h = hashlib.md5(f"c|{i}".encode()).digest()
+        rows.append((i, [(b - 127.5) / 127.5 for b in h[:8]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert not _merge_hinted(contrastive_pairs(df, dim=8, planes=2))
+    assert _merge_hinted(
+        contrastive_pairs(df, dim=8, planes=2, corpus_count=200_000))
+
+
+def test_cross_lingual_merge_hint_conditioned(spark):
+    import hashlib
+
+    from knime_core_columnar_spark.operators.similarity import (
+        cross_lingual_pairs,
+    )
+
+    rows, docs = [], []
+    for i in range(30):
+        h = hashlib.md5(f"x|{i}".encode()).digest()
+        rows.append((i, [(b - 127.5) / 127.5 for b in h[:8]]))
+        docs.append((i, "en" if i % 2 else "de"))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    d = spark.createDataFrame(docs, "doc_id long, lang string")
+    assert not _merge_hinted(cross_lingual_pairs(emb, d, dim=8, planes=2))
+    assert _merge_hinted(
+        cross_lingual_pairs(emb, d, dim=8, planes=2, corpus_count=200_000))
+
+
+def test_phash_merge_hint_conditioned(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    rows = [(i, bytearray(f"document number {i} filler ".encode() * 4))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    assert not _merge_hinted(phash_near_dup_pairs(df, max_hamming=6))
+    assert _merge_hinted(phash_near_dup_pairs(
+        df, max_hamming=6, corpus_count=200_000, band_bits=8))

@@ -237,20 +237,22 @@ def test_quota_sample_no_global_window(spark):
 # Staged registration wiring
 # ---------------------------------------------------------------------------
 
-def test_r7_staged_registration_flips_cleanly():
-    """Round-6 flip happened at import time: the r7 batch is registered
-    and re-forcing its registration is idempotent (no duplicate names,
-    same catalog size, oracles still a subset of queries)."""
+R7_NAMES = [
+    "cms_frequency", "set_similarity_join", "golden_record",
+    "source_quota_sample", "cluster_consensus_lang", "gopher_rules",
+    "c4_line_filter",
+]
+
+
+def test_r7_section_registered():
+    """The round-7 section registers at import (flat registry; the
+    staging gates were removed in the round-7 refactor)."""
     from knime_core_columnar_spark import catalog
 
-    n_before = len(catalog.QUERIES)
-    assert set(catalog._R7_STAGED) <= set(catalog.QUERIES)
-    assert catalog.register_r7_queries(force=True)
-    assert len(catalog.QUERIES) == n_before
-    assert len(catalog._R7_STAGED) == 7
-    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
-    for name in catalog._R7_STAGED:
+    for name in R7_NAMES:
         assert callable(catalog.QUERIES[name])
+        assert name in catalog.ORACLES
+    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
 
 
 def test_prefix_filter_randomized_matches_brute_force(spark):

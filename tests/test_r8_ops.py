@@ -427,49 +427,43 @@ def test_band_table_is_the_factored_candidates_index(spark):
 # Staged registration wiring
 # ---------------------------------------------------------------------------
 
-def test_r8_staged_registration_flips_cleanly():
-    """Round-6 flip happened at import time: the r8 batch is registered
-    and re-forcing its registration is idempotent (no duplicate names,
-    same catalog size, oracles still a subset of queries)."""
+R8_NAMES = [
+    "join_explosion_profile", "source_similarity",
+    "length_bucketed_batches", "novelty_scores", "stream_quota_admission",
+    "dsir_select", "url_host_stats", "incremental_dedup_admit",
+]
+
+
+def test_r8_section_registered():
+    """The round-8 section registers at import (flat registry)."""
     from knime_core_columnar_spark import catalog
 
-    n_before = len(catalog.QUERIES)
-    assert set(catalog._R8_STAGED) <= set(catalog.QUERIES)
-    assert catalog.register_r8_queries(force=True)
-    assert len(catalog.QUERIES) == n_before
-    assert len(catalog._R8_STAGED) == 8
-    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
-    for name in catalog._R8_STAGED:
+    for name in R8_NAMES:
         assert callable(catalog.QUERIES[name])
+        assert name in catalog.ORACLES
+    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
 
 
-def test_round6_layout_is_applied_and_idempotent():
-    """The round-6 flip ran at import time: the staged r5–r8 batches are
-    registered (184 total incl. the in-round bpe_encode) and the 50-name
-    round-6 window heads QUERIES (15 R7+R8 first-time checks, then
-    bpe_encode's first check, then 34 rotation greens). Re-applying
-    must be a no-op (the driver imports the module once, but the layout
-    must not depend on call count)."""
+def test_window_head_is_freshness_frontier():
+    """Round-7 flat registry: the driver window (first 50 names) is the
+    freshness frontier — every never-checked query first (registration
+    order), then the oldest-evidence greens. Deterministic under
+    re-rotation."""
     from knime_core_columnar_spark import catalog
 
     names = list(catalog.QUERIES)
-    assert names[:50] == catalog._DRIVER_WINDOW_R6
-    staged = set(catalog._R7_STAGED) | set(catalog._R8_STAGED)
-    assert staged <= set(catalog.QUERIES)
-    assert set(catalog._R5_STAGED) <= set(catalog.QUERIES)
-    assert set(catalog._R6_STAGED) <= set(catalog.QUERIES)
-    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
-    for n in catalog._DRIVER_WINDOW_R6:
+    head = names[:catalog.WINDOW_SIZE]
+    never = [n for n in names if n not in catalog.EVIDENCE]
+    # all never-checked names precede every green
+    assert names[:len(never)] == never
+    # greens inside and after the window are ordered by evidence round
+    rounds = [catalog.EVIDENCE[n] for n in names[len(never):]]
+    assert rounds == sorted(rounds)
+    assert len(head) == 50
+    for n in head:
         assert callable(catalog.QUERIES[n])
-    # the freshly staged names head the window (first driver check)
-    assert set(names[:len(staged)]) == staged
-    snap_q = dict(catalog.QUERIES)
-    snap_o = dict(catalog.ORACLES)
-    catalog.apply_round6_layout()
-    # same catalog contents and the same 50-name window head. Full-list
-    # order equality is deliberately NOT asserted: other tests may have
-    # force-registered extra queries (e.g. partsupp) whose slot between
-    # "never-checked" and "greens" legitimately moves on re-layout.
-    assert catalog.QUERIES == snap_q
-    assert catalog.ORACLES == snap_o
-    assert list(catalog.QUERIES)[:50] == catalog._DRIVER_WINDOW_R6
+    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
+    # idempotent: re-rotating yields the same order
+    snap = list(catalog.QUERIES)
+    catalog.rotate_window()
+    assert list(catalog.QUERIES) == snap

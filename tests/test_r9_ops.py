@@ -164,23 +164,28 @@ def test_concentration_profile_survives_int64_overflow(spark):
 # Staged registration wiring
 # ---------------------------------------------------------------------------
 
-def test_r9_staged_registration_flips_cleanly():
+R9_NAMES = [
+    "benford_audit", "calibration_report", "cdc_apply_changelog",
+    "concentration_profile", "containment_quotes", "curriculum_order",
+    "diverse_sample", "drift_monitor_batch", "dup_span_apply",
+    "dup_span_extract", "fix_mojibake", "k_anonymity_audit",
+    "leakage_safe_split", "mojibake_audit", "normalize_text",
+    "numeric_drift_report", "resample_ffill", "resample_interp",
+    "token_budget_plan", "token_fertility",
+]
+
+
+def test_r9_section_registered():
+    """The 20 round-9 queries register at import (the round-7 flip
+    completed the staging program; gates removed in the flat-registry
+    refactor) and, having no driver evidence yet, sit in the window."""
     from knime_core_columnar_spark import catalog
 
-    n_before = len(catalog.QUERIES)
-    assert not set(catalog._R9_STAGED) & set(catalog.QUERIES)
-    try:
-        assert catalog.register_r9_queries(force=True)
-        assert len(catalog.QUERIES) == n_before + len(catalog._R9_STAGED)
-        assert len(catalog._R9_STAGED) == 20
-        assert set(catalog.ORACLES) <= set(catalog.QUERIES)
-        for name in catalog._R9_STAGED:
-            assert callable(catalog.QUERIES[name])
-    finally:
-        for name in catalog._R9_STAGED:
-            catalog.QUERIES.pop(name, None)
-            catalog.ORACLES.pop(name, None)
-        assert len(catalog.QUERIES) == n_before
+    for name in R9_NAMES:
+        assert callable(catalog.QUERIES[name])
+        assert name not in catalog.EVIDENCE
+        assert list(catalog.QUERIES).index(name) < 50
+    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
 
 
 def test_containment_max_df_scale_tier(spark):
@@ -556,21 +561,70 @@ def test_fix_mojibake_repairs_hand_cases(spark):
     assert out[4] == ("pad here", 1)
 
 
-def test_round7_layout_prestaged():
-    """Playbook insurance for the round-7 flip: apply_round7_layout
-    registers every staged batch and puts the 50-name R7 window at the
-    head of QUERIES — after it, zero staged dicts remain unregistered."""
-    import importlib
-
+def test_rotation_window_contains_all_first_time_checks():
+    """Every query without driver evidence is in the window head — the
+    flat-registry replacement for the staged-flip playbook test."""
     from knime_core_columnar_spark import catalog
 
-    try:
-        catalog.apply_round7_layout()
-        head = list(catalog.QUERIES)[:50]
-        assert head == catalog._DRIVER_WINDOW_R7
-        for batch in ("_R7_STAGED", "_R8_STAGED", "_R9_STAGED"):
-            for name in getattr(catalog, batch):
-                assert name in catalog.QUERIES
-        assert set(catalog.ORACLES) <= set(catalog.QUERIES)
-    finally:
-        importlib.reload(catalog)
+    names = list(catalog.QUERIES)
+    never = [n for n in names if n not in catalog.EVIDENCE]
+    assert set(never) <= set(names[:max(50, len(never))])
+    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 hand-case audit additions: the two r7-window first-check names
+# whose only value evidence was the SQL replay / stream-batch parity.
+# ---------------------------------------------------------------------------
+
+def test_curriculum_order_hand_case(spark):
+    """Tiny corpus with hand-computed positions: global_index must equal
+    the naive (n_tokens, doc_id) total order, at any partitioning."""
+    from knime_core_columnar_spark.operators.sampling import global_index
+
+    rows = [(7, 3), (1, 5), (9, 3), (4, 1), (2, 5)]
+    want = {4: 0, 7: 1, 9: 2, 1: 3, 2: 4}  # by (n_tokens, doc_id)
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    for d in (df, df.repartition(7)):
+        got = {r["doc_id"]: r["pos"] for r in global_index(
+            d, [F.col("n_tokens"), F.col("doc_id")], "pos").collect()}
+        assert got == want
+
+
+def test_drift_monitor_batch_hand_case(spark):
+    """Two hand-built hour windows against a hand-computed reference
+    distribution: exact n/pct/ref_pct/pct_diff values, including the
+    zero-count bin emission (a disappearing mode IS drift)."""
+    import datetime as dt
+
+    from knime_core_columnar_spark.operators.validate import bin_shares
+    from knime_core_columnar_spark.streaming.ops import (
+        streaming_drift_monitor,
+    )
+
+    hA = dt.datetime(2024, 1, 1, 10, 0, 0)
+    hB = dt.datetime(2024, 1, 1, 11, 0, 0)
+    rows = [
+        (hA, 10.0), (hA, 60.0), (hA, 60.0), (hA, 510.0),  # bins 0,1,1,10
+        (hB, -5.0), (hB, 10.0),                           # bins -1,0
+    ]
+    e = spark.createDataFrame(rows, "ts timestamp_ntz, value double")
+    ref = bin_shares(e, "value", 0.0, 500.0, 10)
+    out = streaming_drift_monitor(
+        e, ref, "value", "ts", lo=0.0, hi=500.0, n_bins=10,
+        window="1 hour", watermark=None,
+    ).collect()
+    got = {(r["win_start"].hour, r["bin"]):
+           (r["n"], r["pct"], r["ref_pct"], r["pct_diff"]) for r in out}
+    # every window emits all 12 bins (-1, 0..9, 10)
+    assert len(got) == 24
+    # reference: 6 values -> bin0 2/6, bin1 2/6, bin -1 1/6, bin10 1/6
+    assert got[(10, 0)] == (1, 0.25, 0.333333, -0.083333)
+    assert got[(10, 1)] == (2, 0.5, 0.333333, 0.166667)
+    assert got[(10, 10)] == (1, 0.25, 0.166667, 0.083333)
+    assert got[(10, -1)] == (0, 0.0, 0.166667, -0.166667)
+    assert got[(10, 5)] == (0, 0.0, 0.0, 0.0)
+    assert got[(11, -1)] == (1, 0.5, 0.166667, 0.333333)
+    assert got[(11, 0)] == (1, 0.5, 0.333333, 0.166667)
+    assert got[(11, 1)] == (0, 0.0, 0.333333, -0.333333)
+    assert got[(11, 10)] == (0, 0.0, 0.166667, -0.166667)

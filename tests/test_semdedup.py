@@ -78,16 +78,16 @@ def test_semdedup_duckdb_oracle(spark, sf_dir):
     assert frame_to_multiset(got) == frame_to_multiset(want)
 
 
-def test_r5_staging_wiring():
-    """Round-5 batch is REGISTERED since the round-5 flip: every former
-    _R5_STAGED name is live in QUERIES with its oracle (or deliberately
-    oracle-less), and the staged dict still matches what was folded in."""
+def test_r5_section_registered():
+    """The round-5 section registers at import: every name is live in
+    QUERIES with its oracle (bpe_merges deliberately oracle-less)."""
     from knime_core_columnar_spark import catalog
 
-    assert set(catalog._R5_STAGED) <= set(catalog.QUERIES)
-    for name, (fn, oracle) in catalog._R5_STAGED.items():
-        assert catalog.QUERIES[name] is fn
-        assert callable(fn)
-        assert oracle is None or "SELECT" in oracle.upper()
-        if oracle is not None:
-            assert catalog.ORACLES[name] is oracle
+    r5 = ["semantic_dedup", "bigram_lm_quality", "decontaminate_bloom",
+          "stream_stream_join_batch", "bpe_merges"]
+    for name in r5:
+        assert callable(catalog.QUERIES[name])
+        if name == "bpe_merges":
+            assert name not in catalog.ORACLES
+        else:
+            assert "SELECT" in catalog.ORACLES[name].upper()

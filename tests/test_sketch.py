@@ -133,16 +133,14 @@ def test_skew_profile_flags_hub_key(spark):
     assert skew_profile(flat, ["k"], capacity=64).count() == 0
 
 
-def test_staged_registration_flips_cleanly():
-    """Round-5 flip happened at import time: re-forcing the r5/r6
-    registrations is idempotent (no duplicate names, same catalog size,
-    oracles still a subset of queries)."""
+def test_r5_r6_sections_registered():
+    """The r5/r6 sections register at import (flat registry)."""
     from knime_core_columnar_spark import catalog
 
-    n_before = len(catalog.QUERIES)
-    assert catalog.register_r5_queries(force=True)
-    assert catalog.register_r6_queries(force=True)
-    assert len(catalog.QUERIES) == n_before
-    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
-    for name in list(catalog._R5_STAGED) + list(catalog._R6_STAGED):
+    for name in ["semantic_dedup", "bigram_lm_quality",
+                 "decontaminate_bloom", "stream_stream_join_batch",
+                 "bpe_merges", "heavy_hitter_tokens", "table_checksums",
+                 "copurchase_triangles", "duplicate_span_profile",
+                 "hybrid_search_rrf"]:
         assert callable(catalog.QUERIES[name])
+    assert set(catalog.ORACLES) <= set(catalog.QUERIES)

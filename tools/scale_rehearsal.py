@@ -64,6 +64,9 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          # (~1e11 candidate pairs, killed) — which is WHY the operator
          # documents two tiers; see multimodal.phash_near_dup_pairs.
          "phash_near_dup_scale",
+         # round-7: the DEFAULT path (auto band_bits + finite cap) must
+         # also complete at 100x — registered below
+         "phash_near_dup_default",
          # round-6 continued (2): two-pass PRF retrieval and the RBO
          # agreement metric ride the shared tf table (bm25's curve);
          # contrastive mining rehearses with planes SIZED TO THE REPLICA
@@ -232,11 +235,8 @@ def main():
     from knime_core_columnar_spark import catalog
     from knime_core_columnar_spark.session import get_spark
 
-    catalog.register_r5_queries(force=True)
-    catalog.register_r6_queries(force=True)
-    catalog.register_r7_queries(force=True)
-    catalog.register_r8_queries(force=True)
-    catalog.register_r9_queries(force=True)
+    # (round 7: every implemented query registers at import — the
+    # register_r*_queries staging gates are gone)
 
     # Rehearsal-only entry: containment's SCALE tier (max_df cap). The
     # exact tier's inverted-index self-join is Σdf² — quadratic in any
@@ -290,6 +290,22 @@ def main():
                 .filter(_F.col("text").isNotNull())
             ),
             max_hamming=3, band_bits=16, max_bucket=256,
+        )
+    )
+
+    # Rehearsal-only entry (round 7): the DEFAULT path — band_bits
+    # auto-tiered from the corpus size, max_bucket at its finite default.
+    # At the x100 replica (500k docs) the auto-tier picks 8-bit bands
+    # and the cap bounds candidates to ~1.9e8 (uncapped: 6.9e9) — the
+    # point of the round-7 default change is that taking the defaults
+    # COMPLETES here instead of going quadratic like the old uncapped
+    # 4-bit audit default.
+    catalog.QUERIES["phash_near_dup_default"] = (
+        lambda spark, sf_dir: phash_near_dup_pairs(
+            attach_binary_payload(
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .filter(_F.col("text").isNotNull())
+            ),
         )
     )
 
