@@ -1,0 +1,173 @@
+"""Round-7 in-round extensions: HTML main-text extraction (the
+boilerplate-removal front door of a web-crawl pipeline) and
+interpolated Kneser-Ney bigram LM scoring (the CCNet/KenLM-style
+perplexity-filter smoothing).
+
+Every entry follows the registry determinism rules (_registry.py
+docstring): fixed-order double expressions, 6-decimal rounds scaled to
+int64 before any sum, every computed column aliased identically on
+both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    _t,
+    query,
+)
+
+# ---------------------------------------------------------------------------
+# html_extract_main — deterministic in-query HTML synthesis + extraction.
+#
+# The testdata ships no HTML column, but the synthetic documents corpus
+# is pure [a-z ] text (the bpe_encode oracle's checked precondition), so
+# wrapping it in a fixed page skeleton is collision-free: both engines
+# build the SAME html string (nav + one <p> + footer + script/style
+# noise), run the SAME extraction, and the kept main text must round-
+# trip the original. This exercises every extraction stage — script
+# containing a fake closing tag inside a string literal, entity decode,
+# block segmentation, link-density boilerplate drop.
+# ---------------------------------------------------------------------------
+
+_PAGE_HEAD = (
+    '<html><head><title>doc</title><style>p{margin:0}</style>'
+    '<script>var x = 1 < 2; var s = "</p>";</script></head><body>'
+    '<nav><a href="/">Home</a> | <a href="/about">About</a> | '
+    '<a href="/contact">Contact</a></nav><p>'
+)
+_PAGE_TAIL = (
+    '</p><div><a href="/more">Read more</a> &amp; '
+    '<a href="/share">share this</a> now</div>'
+    '<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a>'
+    '</footer></body></html>'
+)
+
+# The SAME regex chain the operator uses, rendered for DuckDB (RE2
+# accepts the inline (?is) flags; DuckDB regexp_replace needs the
+# explicit 'g' flag where Spark replaces globally by default).
+_HTML_ORACLE = f"""
+    WITH page AS (
+      SELECT doc_id,
+             '{_PAGE_HEAD.replace("'", "''")}' || text ||
+             '{_PAGE_TAIL.replace("'", "''")}' AS html
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(html,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS x
+      FROM page
+    ), blocks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(x,
+               '(?is)(?:</?(?:p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|section|article|aside|header|footer|nav|main|blockquote|pre|form|figure|figcaption|hr)[^>]*>|<br[^>]*>)',
+               chr(1), 'g'), chr(1)) AS bs
+      FROM cleaned
+    ), infos AS (
+      SELECT doc_id,
+             list_filter(list_transform(bs, b -> struct_pack(
+               txt := trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(b, '(?s)<[^>]*>', ' ', 'g'),
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                 '\\s+', ' ', 'g')),
+               link_len := CAST(coalesce(list_sum(list_transform(
+                 regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+                 a -> length(trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(a, '(?s)<[^>]*>', ' ', 'g'),
+                     '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                     '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                   '\\s+', ' ', 'g'))))), 0) AS BIGINT)
+             )), s -> s.txt <> '') AS inf
+      FROM blocks
+    ), scored AS (
+      SELECT doc_id,
+             CAST(len(inf) AS INT) AS n_blocks,
+             list_filter(inf, s ->
+               len(list_filter(string_split(s.txt, ' '), w -> w <> '')) >= 3
+               AND s.link_len * 1000 <= 400 * length(s.txt)) AS kept
+      FROM infos
+    )
+    SELECT doc_id,
+           n_blocks,
+           CAST(len(kept) AS INT) AS n_kept,
+           array_to_string(list_transform(kept, s -> s.txt), chr(10))
+             AS main_text
+    FROM scored
+"""
+
+
+@query("html_extract_main", _HTML_ORACLE)
+def _r7x_html_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal (operators.web.html_main_text): wrap
+    each document in a deterministic page skeleton, then extract —
+    the kept main text must survive nav/footer/script/style noise.
+    Pure Catalyst regex + higher-order functions, scan-side."""
+    from knime_core_columnar_spark.operators.web import html_main_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit(_PAGE_HEAD), F.col("text"), F.lit(_PAGE_TAIL)).alias(
+            "html"
+        ),
+    )
+    m = html_main_text("html", min_words=3, max_link_milli=400)
+    return d.select(
+        "doc_id",
+        m["n_blocks"].alias("n_blocks"),
+        m["n_kept"].alias("n_kept"),
+        m["text"].alias("main_text"),
+    )
+
+
+KN_BIGRAM_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ), r AS (
+      SELECT doc_id, l[CAST(i AS INT)] AS w1, l[CAST(i + 1 AS INT)] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(l))) AS i) t
+    ), c12 AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM r GROUP BY w1, w2
+    ), lft AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1p
+      FROM c12 GROUP BY w1
+    ), rgt AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1l FROM c12 GROUP BY w2
+    ), nb AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS NB FROM c12
+    ), model AS (
+      SELECT w1, w2,
+             CAST(round(round(ln(
+               greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+               + (0.75 * CAST(n1p AS DOUBLE) / CAST(c1 AS DOUBLE))
+                 * (CAST(n1l AS DOUBLE) / NB)
+             ), 6) * 1000000) AS BIGINT) AS lp6
+      FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2), nb
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(lp6) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
+             AS avg_kn_logprob
+    FROM r JOIN model USING (w1, w2)
+    GROUP BY doc_id
+"""
+
+
+@query("kn_bigram_quality", KN_BIGRAM_ORACLE)
+def _r7x_kn_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score per document
+    (operators.text.kn_bigram_logprob) — the perplexity-filter
+    smoothing (CCNet/KenLM shape): absolute discounting D=0.75 with
+    continuation-probability backoff, all counts from one bigram
+    table."""
+    from knime_core_columnar_spark.operators.text import kn_bigram_logprob
+
+    return kn_bigram_logprob(_t(spark, sf_dir, "documents"))

@@ -975,3 +975,103 @@ def vocab_growth_stats(
             6,
         ).alias("hapax_share"),
     )
+
+
+def kn_bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount_milli: int = 750,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language-model score per document
+    — the smoothing the CCNet/KenLM-style perplexity filters actually
+    use, one step past ``bigram_logprob``'s add-α: instead of giving
+    unseen transitions a uniform floor, mass freed by absolute
+    discounting is spread by CONTINUATION probability (how many
+    distinct contexts a word follows), so "francisco" (frequent but
+    only ever after "san") stops looking like a plausible continuation
+    everywhere — the classic KN motivation.
+
+    Model (Kneser & Ney 1995, interpolated form; D = discount_milli/1000):
+      P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+               + (D·N1+(w1·)/c(w1·)) · N1+(·w2)/N1+(··)
+    where N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    left contexts of w2, N1+(··) = distinct bigram types. EVERY count
+    derives from the one bigram count table — training is a single
+    explode + aggregate plus two vocabulary-sized re-aggregations.
+    D = 0.75 default is exactly representable in binary.
+
+    Determinism: the probability is assembled in one fixed-order double
+    expression (identical text in the SQL oracle), then ln → round 6 →
+    scale to int64 BEFORE the per-doc sum — the ``unigram_logprob``
+    discipline (its documented 1-ulp ln boundary risk applies here
+    too). P > 0 always: the continuation term is strictly positive for
+    every observed w2, and only observed bigrams are scored (the join
+    is the corpus's own transitions).
+
+    Scale shape: bigram explode (codegen) → one count aggregation,
+    MATERIALIZED once (lazy localCheckpoint — the four derived
+    aggregates below would otherwise each replay the corpus explode:
+    measured 15 parquet scans in the un-materialized plan, because
+    exchange reuse does not fire across the AQE-replanned branches) →
+    N1+ re-aggregations FROM that bigram-vocab-sized table → token⋈
+    model join (AQE broadcasts small models) → per-doc integer sum. No
+    windows, no driver collect. Corpus scans: exactly 2 (count-table
+    build + the scoring join's token side).
+
+    Output: ``id_col``, ``n_bigrams``, ``avg_kn_logprob``. Docs with
+    fewer than 2 tokens have no bigrams and are absent.
+    """
+    d = discount_milli / 1000.0
+    toks = tokens(text_col)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    rows = df.select(
+        id_col, F.explode(bi).alias("__p")
+    ).select(id_col, F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2"))
+    c12 = (
+        rows.groupBy("__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__c12"))
+        .localCheckpoint(eager=False)
+    )
+    # context totals + distinct-continuation counts, from the count table
+    left = c12.groupBy("__w1").agg(
+        F.sum("__c12").alias("__c1"),
+        F.count(F.lit(1)).alias("__n1p_w1"),
+    )
+    right = c12.groupBy("__w2").agg(F.count(F.lit(1)).alias("__n1l_w2"))
+    nb = c12.agg(F.count(F.lit(1)).cast("double").alias("__NB"))
+    prob = (
+        F.greatest(F.col("__c12").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("__c1").cast("double")
+        + (F.lit(d) * F.col("__n1p_w1").cast("double") / F.col("__c1").cast("double"))
+        * (F.col("__n1l_w2").cast("double") / F.col("__NB"))
+    )
+    model = (
+        c12.join(left, "__w1")
+        .join(right, "__w2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "__w1",
+            "__w2",
+            F.round(F.round(F.log(prob), 6) * 1_000_000, 0)
+            .cast("long")
+            .alias("__lp6"),
+        )
+    )
+    return (
+        rows.join(model, ["__w1", "__w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("__lp6").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+                6,
+            ).alias("avg_kn_logprob"),
+        )
+    )

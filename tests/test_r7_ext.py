@@ -1,0 +1,255 @@
+"""Round-7 in-round extensions: HTML main-text extraction and
+interpolated Kneser-Ney bigram LM scoring. Both catalog oracles are
+SQL replays, so each operator carries independent hand-computed cases
+here (the replay-oracle discipline from the round-6 verdict)."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# HTML main-text extraction
+# ---------------------------------------------------------------------------
+
+def _extract(spark, html, **kw):
+    from knime_core_columnar_spark.operators.web import extract_main_text
+
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return extract_main_text(df, **kw).collect()[0]
+
+
+def test_html_extract_drops_nav_footer_keeps_body(spark):
+    r = _extract(
+        spark,
+        '<html><head><style>p{x:1}</style>'
+        '<script>var s = "</p>"; if (1<2) {}</script></head><body>'
+        '<nav><a href="/">Home</a> | <a href="/a">About</a></nav>'
+        "<p>The quick brown fox jumps over the lazy dog.</p>"
+        "<div>Another real paragraph with plenty of words.</div>"
+        '<footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer>'
+        "</body></html>",
+    )
+    assert r["main_text"] == (
+        "The quick brown fox jumps over the lazy dog.\n"
+        "Another real paragraph with plenty of words."
+    )
+    assert r["main_n_kept"] == 2
+    # nav + 2 paragraphs + footer are the non-empty blocks
+    assert r["main_n_blocks"] == 4
+
+
+def test_html_extract_entities_and_comments(spark):
+    r = _extract(
+        spark,
+        "<body><!-- hidden <p>comment</p> -->"
+        "<p>Tom &amp; Jerry say &quot;5 &lt; 7&gt;3&quot; &#39;ok&#39;&nbsp;now</p>"
+        "<p>entity &amp;lt; decodes one level only here</p></body>",
+    )
+    lines = r["main_text"].split("\n")
+    assert lines[0] == "Tom & Jerry say \"5 < 7>3\" 'ok' now"
+    # &amp;lt; -> &lt; (one decode level), never <
+    assert lines[1] == "entity &lt; decodes one level only here"
+    assert r["main_n_kept"] == 2
+
+
+def test_html_extract_link_density_integer_boundary(spark):
+    # block text "aaaa bbbb cc" (12 chars) with 4 anchor chars: density
+    # 4000/12000 < 400/1000? 4*1000 = 4000 <= 400*12 = 4800 -> KEPT;
+    # 6 anchor chars: 6000 > 4800 -> dropped. Exact integer arithmetic.
+    kept = _extract(
+        spark, "<p><a href='/x'>aaaa</a> bbbb cc</p>", min_words=3
+    )
+    assert kept["main_n_kept"] == 1
+    dropped = _extract(
+        spark, "<p><a href='/x'>aaaa bb</a>bb cc</p>", min_words=3
+    )
+    # text "aaaa bbbb cc" 12 chars, link chars "aaaa bb" -> 7 -> 7000 > 4800
+    assert dropped["main_n_kept"] == 0
+
+
+def test_html_extract_min_words(spark):
+    r = _extract(spark, "<p>just two</p><p>now three words</p>", min_words=3)
+    assert r["main_text"] == "now three words"
+    assert r["main_n_blocks"] == 2 and r["main_n_kept"] == 1
+
+
+def test_html_extract_nested_anchor_markup(spark):
+    # anchor content with nested tags: link length counts the PLAIN text
+    r = _extract(
+        spark,
+        "<p><a href='/'><b>Big</b> link</a> plus much more plain filler text"
+        " here</p>",
+    )
+    assert r["main_n_kept"] == 1
+    assert r["main_text"].startswith("Big link plus")
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="testdata not present")
+def test_html_extract_roundtrips_documents(spark):
+    """The catalog query's synthesized page must round-trip the corpus
+    text exactly (the corpus is single-spaced [a-z ] text)."""
+    from knime_core_columnar_spark import catalog
+
+    out = catalog.QUERIES["html_extract_main"](spark, SF)
+    src = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.trim(F.regexp_replace("text", r"\s+", " ")).alias("want")
+    )
+    j = out.join(src, "doc_id").select(
+        (F.col("main_text") == F.col("want")).alias("ok"), "n_kept"
+    )
+    rows = j.collect()
+    assert all(r["ok"] for r in rows)
+    assert all(r["n_kept"] == 1 for r in rows)  # nav, footer, teaser dropped
+
+
+def test_html_extract_partition_invariance(spark):
+    from knime_core_columnar_spark.operators.web import extract_main_text
+
+    rows = [(i, f"<p>block number {i} with several words</p>"
+                f"<nav><a href='/'>L{i}</a></nav>") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    r1 = sorted(tuple(r) for r in extract_main_text(df).collect())
+    r2 = sorted(
+        tuple(r) for r in extract_main_text(df.repartition(9)).collect()
+    )
+    assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM
+# ---------------------------------------------------------------------------
+
+def _kn_ref(docs, d=0.75):
+    """Independent plain-python KN replica (dict arithmetic, same
+    rounding discipline)."""
+    bigrams = {}
+    doc_bis = {}
+    for i, txt in docs:
+        ws = txt.split()
+        bs = list(zip(ws, ws[1:]))
+        doc_bis[i] = bs
+        for b in bs:
+            bigrams[b] = bigrams.get(b, 0) + 1
+    c1, n1p, n1l = {}, {}, {}
+    for (w1, w2), c in bigrams.items():
+        c1[w1] = c1.get(w1, 0) + c
+        n1p[w1] = n1p.get(w1, 0) + 1
+        n1l[w2] = n1l.get(w2, 0) + 1
+    nb = float(len(bigrams))
+    lp6 = {}
+    for (w1, w2), c in bigrams.items():
+        p = max(c - d, 0.0) / c1[w1] + (d * n1p[w1] / c1[w1]) * (n1l[w2] / nb)
+        lp6[(w1, w2)] = int(round(round(math.log(p), 6) * 1_000_000))
+    out = {}
+    for i, bs in doc_bis.items():
+        if bs:
+            s = sum(lp6[b] for b in bs)
+            out[i] = (len(bs), round(s / (len(bs) * 1_000_000.0), 6))
+    return out
+
+
+def test_kn_bigram_hand_case(spark):
+    from knime_core_columnar_spark.operators.text import kn_bigram_logprob
+
+    docs = [
+        (1, "san francisco is great"),
+        (2, "san francisco is foggy"),
+        (3, "the bay is great"),
+        (4, "francisco"),          # 1 token: no bigrams, absent
+        (5, "is is is"),           # repeated-token transitions
+    ]
+    want = _kn_ref(docs)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_kn_logprob"])
+           for r in kn_bigram_logprob(df).collect()}
+    assert 4 not in got
+    assert got == want
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """The KN signature: 'francisco' is frequent but follows ONLY 'san',
+    so its continuation probability is lower than an equally frequent
+    word seen after many contexts."""
+    from knime_core_columnar_spark.operators.text import kn_bigram_logprob
+
+    docs = [
+        (1, "san francisco san francisco san francisco"),
+        (2, "a good b good c good"),
+        # probe docs: unseen-context transitions backed off via Pcont
+        (3, "good francisco"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = kn_bigram_logprob(df).collect()
+    assert {r["doc_id"] for r in out} == {1, 2, 3}
+    ref = _kn_ref(docs)
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_kn_logprob"]) for r in out}
+    assert got == ref
+    # 'good' follows 3 distinct contexts, 'francisco' only 1 — with
+    # equal raw frequency (3), N1L(good)=3 > N1L(francisco)=1
+    # (asserted through the replica's internals)
+    bigr = {}
+    for _, t in docs:
+        ws = t.split()
+        for b in zip(ws, ws[1:]):
+            bigr[b] = bigr.get(b, 0) + 1
+    n1l = {}
+    for (_, w2) in bigr:
+        n1l[w2] = n1l.get(w2, 0) + 1
+    assert n1l["good"] > n1l["francisco"]
+
+
+def test_kn_bigram_partition_invariance(spark):
+    import hashlib
+
+    from knime_core_columnar_spark.operators.text import kn_bigram_logprob
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = []
+    for i in range(60):
+        h = hashlib.md5(f"kn|{i}".encode()).digest()
+        rows.append((i, " ".join(vocab[b % 5] for b in h[:8])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r1 = sorted(tuple(r) for r in kn_bigram_logprob(df).collect())
+    r2 = sorted(
+        tuple(r) for r in kn_bigram_logprob(df.repartition(11)).collect()
+    )
+    assert r1 == r2
+    assert len(r1) == 60
+
+
+# ---------------------------------------------------------------------------
+# plan shapes
+# ---------------------------------------------------------------------------
+
+def _plan(spark, df):
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_html_extract_plan_zero_exchange(spark):
+    """Extraction is scan-side codegen: no exchange, no join, no Python."""
+    from knime_core_columnar_spark import catalog
+
+    p = _plan(spark, catalog.QUERIES["html_extract_main"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "Python" not in p
+
+
+def test_kn_bigram_plan_materializes_count_table_once(spark):
+    """The bigram count table is checkpointed: the executed plan must
+    not replay the corpus explode per derived aggregate (was 15 parquet
+    scans without the materialization)."""
+    from knime_core_columnar_spark import catalog
+
+    df = catalog.QUERIES["kn_bigram_quality"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    p = _plan(spark, df)
+    assert p.count("Scan parquet") <= 3
+    assert "Cartesian" not in p
