@@ -98,6 +98,14 @@ HEADLINE = [
     "bm25_topk",
     "embedding_covariance",
     "collocations_pmi",
+    # round-7 in-round additions: the scan-side HTML extraction (regex
+    # cost per byte is its only scaling axis — benched so a regex
+    # regression is visible) and the KN bigram model (count-table
+    # materialization + scoring join)
+    "html_extract_main",
+    "kn_bigram_quality",
+    # round-7: partsupp fact-fact join over the synthesized dimension
+    "q9_profit_by_nation_year",
 ]
 
 # sub-0.3 s queries whose r3→r4 deltas exceeded 15% with overlapping
