@@ -591,22 +591,73 @@ def _r6x_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "image_header_meta",
-    """
+def _duck_le3(c: str) -> str:
+    """3-byte little-endian hex rendering of an int expression."""
+    return (
+        f"unhex(lpad(hex(({c}) % 256), 2, '0')) || "
+        f"unhex(lpad(hex((({c}) // 256) % 256), 2, '0')) || "
+        f"unhex(lpad(hex((({c}) // 65536) % 256), 2, '0'))"
+    )
+
+
+def _duck_le4(c: str) -> str:
+    return (
+        _duck_le3(c) + f" || unhex(lpad(hex((({c}) // 16777216) % 256), 2, '0'))"
+    )
+
+
+def _duck_le_read(byte_off: int, n_bytes: int) -> str:
+    """Little-endian unsigned read from the hex string hx (byte N at
+    hex position 2N+1) — the DuckDB twin of the engine's parse."""
+    return " + ".join(
+        f"{256 ** k} * CAST(('0x' || substring(hx, {2 * (byte_off + k) + 1}, 2)) AS BIGINT)"
+        for k in range(n_bytes)
+    )
+
+
+# Fixed container prefixes for the synthesized corpus (sizes are
+# plausible literals; the parser reads offsets, not sizes):
+# RIFF + size + WEBP + VP8X + chunklen(10) + flags/reserved — 24 bytes
+_WEBP_VP8X_PREFIX = "524946461E00000057454250565038580A00000000000000"
+# BM + filesize + reserved + dataoffset(54) + dibsize(40) — 18 bytes
+_BMP_PREFIX = "424D36000000000000003600000028000000"
+
+
+def _image_header_oracle() -> str:
+    w_png = "CAST(('0x' || substring(hx, 33, 8)) AS INT)"
+    h_png = "CAST(('0x' || substring(hx, 41, 8)) AS INT)"
+    w_gif = ("CAST(('0x' || substring(hx, 13, 2)) AS INT)"
+             " + 256 * CAST(('0x' || substring(hx, 15, 2)) AS INT)")
+    h_gif = ("CAST(('0x' || substring(hx, 17, 2)) AS INT)"
+             " + 256 * CAST(('0x' || substring(hx, 19, 2)) AS INT)")
+    w_bmp = f"CAST({_duck_le_read(18, 4)} AS INT)"
+    hv = _duck_le_read(22, 4)
+    h_bmp = (f"CAST(CASE WHEN ({hv}) >= 2147483648 "
+             f"THEN 4294967296 - ({hv}) ELSE ({hv}) END AS INT)")
+    w_vp8x = f"CAST(1 + {_duck_le_read(24, 3)} AS INT)"
+    h_vp8x = f"CAST(1 + {_duck_le_read(27, 3)} AS INT)"
+    return f"""
     WITH built AS (
       SELECT doc_id,
              CASE
-               WHEN doc_id % 3 = 0 THEN
+               WHEN doc_id % 5 = 0 THEN
                  unhex('89504E470D0A1A0A0000000D49484452')
                  || unhex(lpad(hex(n_chars % 65536), 8, '0'))
                  || unhex(lpad(hex((doc_id % 256) + 1), 8, '0'))
-               WHEN doc_id % 3 = 1 THEN
+               WHEN doc_id % 5 = 1 THEN
                  unhex('474946383961')
                  || unhex(lpad(hex((n_chars % 65536) % 256), 2, '0'))
                  || unhex(lpad(hex((n_chars % 65536) // 256), 2, '0'))
                  || unhex(lpad(hex(((doc_id % 256) + 1) % 256), 2, '0'))
                  || unhex(lpad(hex(((doc_id % 256) + 1) // 256), 2, '0'))
+               WHEN doc_id % 5 = 2 THEN
+                 unhex('{_WEBP_VP8X_PREFIX}')
+                 || {_duck_le3("n_chars % 65536")}
+                 || {_duck_le3("doc_id % 256")}
+               WHEN doc_id % 5 = 3 THEN
+                 unhex('{_BMP_PREFIX}')
+                 || {_duck_le4("n_chars % 65536")}
+                 || {_duck_le4("(doc_id % 256) + 1")}
                ELSE encode(coalesce(text, ''))
              END AS p
       FROM documents
@@ -617,30 +668,45 @@ def _r6x_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN hx LIKE '89504E470D0A1A0A%' THEN 'png'
                 WHEN substring(hx, 1, 12) IN ('474946383761', '474946383961')
                   THEN 'gif'
+                WHEN substring(hx, 1, 4) = '424D' AND length(hx) >= 52
+                  THEN 'bmp'
+                WHEN substring(hx, 1, 8) = '52494646'
+                     AND substring(hx, 17, 8) = '57454250' THEN 'webp'
                 WHEN substring(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
            END AS format,
-           CASE WHEN hx LIKE '89504E470D0A1A0A%' THEN
-                  CAST(('0x' || substring(hx, 33, 8)) AS INT)
+           CASE WHEN hx LIKE '89504E470D0A1A0A%' THEN {w_png}
                 WHEN substring(hx, 1, 12) IN ('474946383761', '474946383961')
-                  THEN CAST(('0x' || substring(hx, 13, 2)) AS INT)
-                       + 256 * CAST(('0x' || substring(hx, 15, 2)) AS INT)
+                  THEN {w_gif}
+                WHEN substring(hx, 1, 4) = '424D' AND length(hx) >= 52
+                  THEN {w_bmp}
+                WHEN substring(hx, 1, 8) = '52494646'
+                     AND substring(hx, 17, 8) = '57454250'
+                     AND substring(hx, 25, 8) = '56503858' THEN {w_vp8x}
            END AS width,
-           CASE WHEN hx LIKE '89504E470D0A1A0A%' THEN
-                  CAST(('0x' || substring(hx, 41, 8)) AS INT)
+           CASE WHEN hx LIKE '89504E470D0A1A0A%' THEN {h_png}
                 WHEN substring(hx, 1, 12) IN ('474946383761', '474946383961')
-                  THEN CAST(('0x' || substring(hx, 17, 2)) AS INT)
-                       + 256 * CAST(('0x' || substring(hx, 19, 2)) AS INT)
+                  THEN {h_gif}
+                WHEN substring(hx, 1, 4) = '424D' AND length(hx) >= 52
+                  THEN {h_bmp}
+                WHEN substring(hx, 1, 8) = '52494646'
+                     AND substring(hx, 17, 8) = '57454250'
+                     AND substring(hx, 25, 8) = '56503858' THEN {h_vp8x}
            END AS height
     FROM parsed
-    """,
-)
+    """
+
+
+@query("image_header_meta", _image_header_oracle())
 def _r6x_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-header parsing (operators.multimodal.
-    extract_image_meta): PNG IHDR / GIF logical-screen dimensions from
-    header bytes — pure Catalyst hex arithmetic, no imaging library.
-    The query synthesizes valid PNG/GIF headers (dims from n_chars /
-    doc_id) plus raw-text negatives, parses them back, and the oracle
-    replays BOTH the construction and the parse."""
+    extract_image_meta): PNG IHDR / GIF logical-screen / BMP int32-LE /
+    WebP VP8X canvas dimensions from header bytes — pure Catalyst hex
+    arithmetic, no imaging library. The query synthesizes valid
+    headers of all four container formats (dims from n_chars / doc_id)
+    plus raw-text negatives, parses them back, and the oracle replays
+    BOTH the construction and the parse. (The WebP VP8L/VP8 variants
+    and BMP top-down negative heights are pytest-pinned with hand-built
+    byte fixtures — test_r7_ext.py.)"""
     from knime_core_columnar_spark.operators.multimodal import (
         extract_image_meta,
     )
@@ -650,6 +716,14 @@ def _r6x_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (F.col("doc_id") % 256) + 1
     b2 = lambda c: F.unhex(F.lpad(F.hex(c), 2, "0"))  # noqa: E731
     b4 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+
+    # little-endian byte renderings via explicit div/mod (int-exact)
+    def le_bytes(c, n):
+        parts = []
+        for k in range(n):
+            parts.append(b2((c / (256 ** k)).cast("long") % 256))
+        return F.concat(*parts)
+
     png = F.concat(
         F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")), b4(w), b4(h)
     )
@@ -658,9 +732,21 @@ def _r6x_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         b2(w % 256), b2(F.expr("CAST((n_chars % 65536) div 256 AS INT)")),
         b2(h % 256), b2(F.expr("CAST(((doc_id % 256) + 1) div 256 AS INT)")),
     )
+    webp = F.concat(
+        F.unhex(F.lit(_WEBP_VP8X_PREFIX)),
+        le_bytes(w, 3),
+        le_bytes(F.col("doc_id") % 256, 3),
+    )
+    bmp = F.concat(
+        F.unhex(F.lit(_BMP_PREFIX)),
+        le_bytes(w, 4),
+        le_bytes(h, 4),
+    )
     payload = (
-        F.when(F.col("doc_id") % 3 == 0, png)
-        .when(F.col("doc_id") % 3 == 1, gif)
+        F.when(F.col("doc_id") % 5 == 0, png)
+        .when(F.col("doc_id") % 5 == 1, gif)
+        .when(F.col("doc_id") % 5 == 2, webp)
+        .when(F.col("doc_id") % 5 == 3, bmp)
         .otherwise(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"))
     )
     return extract_image_meta(

@@ -479,22 +479,37 @@ def extract_image_meta(
     """REAL image-header metadata from binary payloads — no imaging
     library required, because container dimensions live in the header
     bytes: PNG (IHDR big-endian uint32 pair at offset 16), GIF
-    (logical-screen little-endian uint16 pair at offset 6), JPEG
+    (logical-screen little-endian uint16 pair at offset 6), BMP
+    (int32-LE pair at offset 18; top-down bitmaps store a negative
+    height, reported as its magnitude), WebP (RIFF container — VP8X
+    extended header 24-bit-LE canvas dims, VP8L lossless 14-bit-packed
+    dims, VP8 lossy 14-bit dims behind the 9D012A sync code), and JPEG
     (SOFn segment found by a marker walk). This removes the
     environment gate from the most-asked multimodal question ("what
     size is this image?") — only pixel DECODING stays stubbed.
 
-    PNG/GIF parse as fixed-offset hex arithmetic in pure Catalyst
-    (let-bound hex string, integer conv) — zero Python, zero shuffle,
-    oracle-replayable. JPEG needs a variable-length segment walk:
-    ``parse_jpeg=True`` runs an Arrow-batched mapInPandas kernel for
-    rows detected as JPEG (bounded per-row work, no shuffle); with the
-    default False, JPEGs are detected (format='jpeg') with NULL dims.
+    PNG/GIF/BMP/WebP parse as fixed-offset hex arithmetic in pure
+    Catalyst (let-bound hex string, integer conv) — zero Python, zero
+    shuffle, oracle-replayable. JPEG needs a variable-length segment
+    walk: ``parse_jpeg=True`` runs an Arrow-batched mapInPandas kernel
+    for rows detected as JPEG (bounded per-row work, no shuffle); with
+    the default False, JPEGs are detected (format='jpeg') with NULL
+    dims.
 
     Returns (``id_col``, format, width, height) — format NULL for
     unrecognized payloads, dims NULL when not parseable.
     """
-    hx_case = """
+
+    def _le(byte_off: int, n_bytes: int) -> str:
+        """Little-endian unsigned int read as a hex-substring sum
+        (byte N lives at hex position 2N+1)."""
+        return " + ".join(
+            f"{256 ** k} * CAST(conv(substring(hx, {2 * (byte_off + k) + 1}, 2), 16, 10) AS BIGINT)"
+            for k in range(n_bytes)
+        )
+
+    bmp_h = f"element_at(transform(array({_le(22, 4)}), v -> IF(v >= 2147483648, 4294967296 - v, v)), 1)"
+    hx_case = f"""
       element_at(transform(array(hex(__p)), hx ->
         CASE
           WHEN hx LIKE '89504E470D0A1A0A%' THEN
@@ -509,6 +524,36 @@ def extract_image_meta(
                    CAST(conv(substring(hx, 17, 2), 16, 10)
                         + 256 * conv(substring(hx, 19, 2), 16, 10) AS INT)
                      AS height)
+          WHEN substring(hx, 1, 4) = '424D' AND length(hx) >= 52 THEN
+            struct('bmp' AS format,
+                   CAST({_le(18, 4)} AS INT) AS width,
+                   CAST({bmp_h} AS INT) AS height)
+          WHEN substring(hx, 1, 8) = '52494646'
+               AND substring(hx, 17, 8) = '57454250' THEN
+            CASE substring(hx, 25, 8)
+              WHEN '56503858' THEN
+                struct('webp' AS format,
+                       CAST(1 + {_le(24, 3)} AS INT) AS width,
+                       CAST(1 + {_le(27, 3)} AS INT) AS height)
+              WHEN '5650384C' THEN
+                IF(substring(hx, 41, 2) = '2F',
+                   element_at(transform(array({_le(21, 4)}), v ->
+                     struct('webp' AS format,
+                            CAST(v % 16384 + 1 AS INT) AS width,
+                            CAST((v div 16384) % 16384 + 1 AS INT)
+                              AS height)), 1),
+                   struct('webp' AS format, CAST(NULL AS INT) AS width,
+                          CAST(NULL AS INT) AS height))
+              WHEN '56503820' THEN
+                IF(substring(hx, 47, 6) = '9D012A',
+                   struct('webp' AS format,
+                          CAST(({_le(26, 2)}) % 16384 AS INT) AS width,
+                          CAST(({_le(28, 2)}) % 16384 AS INT) AS height),
+                   struct('webp' AS format, CAST(NULL AS INT) AS width,
+                          CAST(NULL AS INT) AS height))
+              ELSE struct('webp' AS format, CAST(NULL AS INT) AS width,
+                          CAST(NULL AS INT) AS height)
+            END
           WHEN substring(hx, 1, 6) = 'FFD8FF' THEN
             struct('jpeg' AS format, CAST(NULL AS INT) AS width,
                    CAST(NULL AS INT) AS height)

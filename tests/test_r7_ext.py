@@ -253,3 +253,81 @@ def test_kn_bigram_plan_materializes_count_table_once(spark):
     p = _plan(spark, df)
     assert p.count("Scan parquet") <= 3
     assert "Cartesian" not in p
+
+
+# ---------------------------------------------------------------------------
+# image headers: BMP + WebP (round-7 format additions)
+# ---------------------------------------------------------------------------
+
+def _bmp(w, h):
+    return (b"BM" + (54).to_bytes(4, "little") + b"\x00" * 4
+            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little")
+            + h.to_bytes(4, "little", signed=True))
+
+
+def _webp_vp8x(w, h):
+    chunk = (b"VP8X" + (10).to_bytes(4, "little") + b"\x00" + b"\x00" * 3
+             + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _webp_vp8l(w, h):
+    v = (w - 1) | ((h - 1) << 14)
+    data = b"\x2f" + v.to_bytes(4, "little")
+    chunk = b"VP8L" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _webp_vp8(w, h):
+    frame = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+             + w.to_bytes(2, "little") + h.to_bytes(2, "little"))
+    chunk = b"VP8 " + len(frame).to_bytes(4, "little") + frame
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def test_image_meta_bmp_and_webp_hand_fixtures(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        extract_image_meta,
+    )
+
+    rows = [
+        (1, bytearray(_bmp(640, 480))),
+        (2, bytearray(_bmp(31, -600))),          # top-down: |height|
+        (3, bytearray(_webp_vp8x(1920, 1080))),
+        (4, bytearray(_webp_vp8l(800, 600))),
+        (5, bytearray(_webp_vp8(320, 240))),
+        (6, bytearray(b"RIFF\x04\x00\x00\x00WAVE")),  # riff, not webp
+        (7, bytearray(b"BM")),                   # too short for dims
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: (r["format"], r["width"], r["height"])
+           for r in extract_image_meta(df).collect()}
+    assert out[1] == ("bmp", 640, 480)
+    assert out[2] == ("bmp", 31, 600)
+    assert out[3] == ("webp", 1920, 1080)
+    assert out[4] == ("webp", 800, 600)
+    assert out[5] == ("webp", 320, 240)
+    assert out[6] == (None, None, None)
+    assert out[7] == (None, None, None)
+
+
+def test_image_meta_webp_desync_yields_null_dims(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        extract_image_meta,
+    )
+
+    # VP8 chunk without the 9D012A sync code, VP8L without the 2F
+    # signature: detected as webp, dims NULL (never garbage)
+    bad_vp8 = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+               + b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8)
+    bad_vp8l = (b"RIFF" + (17).to_bytes(4, "little") + b"WEBP"
+                + b"VP8L" + (5).to_bytes(4, "little") + b"\x00" * 5)
+    df = spark.createDataFrame(
+        [(1, bytearray(bad_vp8)), (2, bytearray(bad_vp8l))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: (r["format"], r["width"], r["height"])
+           for r in extract_image_meta(df).collect()}
+    assert out[1] == ("webp", None, None)
+    assert out[2] == ("webp", None, None)
