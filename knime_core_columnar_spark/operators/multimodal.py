@@ -475,6 +475,7 @@ def extract_image_meta(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     parse_jpeg: bool = False,
+    parse_tiff: bool = False,
 ) -> DataFrame:
     """REAL image-header metadata from binary payloads — no imaging
     library required, because container dimensions live in the header
@@ -483,18 +484,19 @@ def extract_image_meta(
     (int32-LE pair at offset 18; top-down bitmaps store a negative
     height, reported as its magnitude), WebP (RIFF container — VP8X
     extended header 24-bit-LE canvas dims, VP8L lossless 14-bit-packed
-    dims, VP8 lossy 14-bit dims behind the 9D012A sync code), and JPEG
-    (SOFn segment found by a marker walk). This removes the
-    environment gate from the most-asked multimodal question ("what
-    size is this image?") — only pixel DECODING stays stubbed.
+    dims, VP8 lossy 14-bit dims behind the 9D012A sync code), JPEG
+    (SOFn segment found by a marker walk), and TIFF (first-IFD tag
+    walk, II and MM byte orders). This removes the environment gate
+    from the most-asked multimodal question ("what size is this
+    image?") — only pixel DECODING stays stubbed.
 
     PNG/GIF/BMP/WebP parse as fixed-offset hex arithmetic in pure
     Catalyst (let-bound hex string, integer conv) — zero Python, zero
-    shuffle, oracle-replayable. JPEG needs a variable-length segment
-    walk: ``parse_jpeg=True`` runs an Arrow-batched mapInPandas kernel
-    for rows detected as JPEG (bounded per-row work, no shuffle); with
-    the default False, JPEGs are detected (format='jpeg') with NULL
-    dims.
+    shuffle, oracle-replayable. JPEG and TIFF need variable-length
+    walks: ``parse_jpeg=True`` / ``parse_tiff=True`` run an
+    Arrow-batched mapInPandas kernel for rows detected as those
+    formats (bounded per-row work, no shuffle); with the defaults
+    False they are detected (format='jpeg'/'tiff') with NULL dims.
 
     Returns (``id_col``, format, width, height) — format NULL for
     unrecognized payloads, dims NULL when not parseable.
@@ -557,6 +559,9 @@ def extract_image_meta(
           WHEN substring(hx, 1, 6) = 'FFD8FF' THEN
             struct('jpeg' AS format, CAST(NULL AS INT) AS width,
                    CAST(NULL AS INT) AS height)
+          WHEN substring(hx, 1, 8) IN ('49492A00', '4D4D002A') THEN
+            struct('tiff' AS format, CAST(NULL AS INT) AS width,
+                   CAST(NULL AS INT) AS height)
           ELSE struct(CAST(NULL AS STRING) AS format, CAST(NULL AS INT)
                         AS width, CAST(NULL AS INT) AS height)
         END), 1)
@@ -572,50 +577,94 @@ def extract_image_meta(
             "__p",
         )
     )
-    if not parse_jpeg:
+    deep = []
+    if parse_jpeg:
+        deep.append("jpeg")
+    if parse_tiff:
+        deep.append("tiff")
+    if not deep:
         return out.drop("__p")
 
-    jpeg = out.filter(F.col("format") == "jpeg")
+    sel = out.filter(F.col("format").isin(deep))
     rest = out.filter(
-        F.col("format").isNull() | (F.col("format") != "jpeg")
+        F.col("format").isNull() | ~F.col("format").isin(deep)
     ).drop("__p")
 
     schema = f"{id_col} long, format string, width int, height int"
 
+    def _jpeg_dims(b: bytes):
+        w = h = None
+        i = 2
+        # SOF0-3, SOF5-7, SOF9-11, SOF13-15 all carry dims
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            # JPEG permits runs of 0xFF fill bytes before a
+            # marker (ISO 10918-1 B.1.1.2); skip them so the
+            # padding byte is never misread as a length field
+            while i + 9 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            m = b[i + 1]
+            if m in sof:
+                h = (b[i + 5] << 8) | b[i + 6]
+                w = (b[i + 7] << 8) | b[i + 8]
+                break
+            if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            seglen = (b[i + 2] << 8) | b[i + 3]
+            i += 2 + seglen
+        return w, h
+
+    def _tiff_dims(b: bytes):
+        """Baseline TIFF 6.0 IFD walk: first IFD only, ImageWidth (256)
+        / ImageLength (257), SHORT or LONG inline values."""
+        if len(b) < 8:
+            return None, None
+        bo = "little" if b[:2] == b"II" else "big"
+        off = int.from_bytes(b[4:8], bo)
+        if off + 2 > len(b):
+            return None, None
+        n = int.from_bytes(b[off:off + 2], bo)
+        w = h = None
+        for k in range(n):
+            e = off + 2 + 12 * k
+            if e + 12 > len(b):
+                break
+            tag = int.from_bytes(b[e:e + 2], bo)
+            typ = int.from_bytes(b[e + 2:e + 4], bo)
+            if tag in (256, 257):
+                if typ == 3:      # SHORT: value in the first 2 bytes
+                    v = int.from_bytes(b[e + 8:e + 10], bo)
+                elif typ == 4:    # LONG
+                    v = int.from_bytes(b[e + 8:e + 12], bo)
+                else:
+                    continue
+                if tag == 256:
+                    w = v
+                else:
+                    h = v
+            if w is not None and h is not None:
+                break
+        return w, h
+
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, ws, hs = [], [], []
+            ids, fmts, ws, hs = [], [], [], []
             for _, row in pdf.iterrows():
                 b = bytes(row["__p"])
-                w = h = None
-                i = 2
-                # SOF0-3, SOF5-7, SOF9-11, SOF13-15 all carry dims
-                sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
-                while i + 9 < len(b):
-                    if b[i] != 0xFF:
-                        break
-                    # JPEG permits runs of 0xFF fill bytes before a
-                    # marker (ISO 10918-1 B.1.1.2); skip them so the
-                    # padding byte is never misread as a length field
-                    while i + 9 < len(b) and b[i + 1] == 0xFF:
-                        i += 1
-                    m = b[i + 1]
-                    if m in sof:
-                        h = (b[i + 5] << 8) | b[i + 6]
-                        w = (b[i + 7] << 8) | b[i + 8]
-                        break
-                    if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
-                        i += 2
-                        continue
-                    seglen = (b[i + 2] << 8) | b[i + 3]
-                    i += 2 + seglen
-                ids.append(row[id_col]); ws.append(w); hs.append(h)
+                fmt = row["format"]
+                w, h = (_tiff_dims(b) if fmt == "tiff" else _jpeg_dims(b))
+                ids.append(row[id_col]); fmts.append(fmt)
+                ws.append(w); hs.append(h)
             yield pd.DataFrame({
-                id_col: ids, "format": "jpeg", "width": pd.array(ws, dtype="Int32"),
+                id_col: ids, "format": fmts,
+                "width": pd.array(ws, dtype="Int32"),
                 "height": pd.array(hs, dtype="Int32"),
             })
 
     return rest.unionByName(
-        jpeg.select(id_col, "__p").mapInPandas(walk, schema)
+        sel.select(id_col, "format", "__p").mapInPandas(walk, schema)
     )

@@ -331,3 +331,59 @@ def test_image_meta_webp_desync_yields_null_dims(spark):
            for r in extract_image_meta(df).collect()}
     assert out[1] == ("webp", None, None)
     assert out[2] == ("webp", None, None)
+
+
+def _tiff(w, h, bo="little"):
+    import struct as _s
+
+    e = "<" if bo == "little" else ">"
+    magic = b"II*\x00" if bo == "little" else b"MM\x00*"
+    hdr = magic + _s.pack(e + "I", 8)
+    # 2 entries: ImageWidth (SHORT inline), ImageLength (LONG inline)
+    n = _s.pack(e + "H", 2)
+    e1 = _s.pack(e + "HHI", 256, 3, 1) + _s.pack(e + "H", w) + b"\x00\x00"
+    e2 = _s.pack(e + "HHI", 257, 4, 1) + _s.pack(e + "I", h)
+    nxt = _s.pack(e + "I", 0)
+    return hdr + n + e1 + e2 + nxt
+
+
+def test_image_meta_tiff_ifd_walk(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        extract_image_meta,
+    )
+
+    rows = [
+        (1, bytearray(_tiff(640, 480, "little"))),
+        (2, bytearray(_tiff(31, 7, "big"))),
+        (3, bytearray(b"II*\x00\xff\xff\xff\xff")),  # IFD offset past EOF
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    # detection only (default): format tagged, dims NULL
+    det = {r["doc_id"]: (r["format"], r["width"], r["height"])
+           for r in extract_image_meta(df).collect()}
+    assert det[1] == ("tiff", None, None)
+    # full walk
+    out = {r["doc_id"]: (r["format"], r["width"], r["height"])
+           for r in extract_image_meta(df, parse_tiff=True).collect()}
+    assert out[1] == ("tiff", 640, 480)
+    assert out[2] == ("tiff", 31, 7)
+    assert out[3] == ("tiff", None, None)
+
+
+def test_image_meta_jpeg_and_tiff_mixed_walk(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        extract_image_meta,
+    )
+
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+           + (600).to_bytes(2, "big") + (800).to_bytes(2, "big")
+           + b"\x03" + b"\x00" * 9)
+    jpeg = b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+    rows = [(1, bytearray(jpeg)), (2, bytearray(_tiff(12, 34)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: (r["format"], r["width"], r["height"])
+           for r in extract_image_meta(
+               df, parse_jpeg=True, parse_tiff=True).collect()}
+    assert out[1] == ("jpeg", 800, 600)
+    assert out[2] == ("tiff", 12, 34)

@@ -73,7 +73,12 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          # (fixed small planes would be quadratic — the operator
          # docstring's sizing rule, registered below)
          "rm3_expanded_search", "retrieval_rbo",
-         "contrastive_pairs_scale"]
+         "contrastive_pairs_scale",
+         # round-7 in-round additions: the scan-side HTML extraction
+         # (regex cost per byte) and the KN bigram model (count-table
+         # materialization + scoring join; bigram vocab grows with the
+         # decorrelated replicas)
+         "html_extract_main", "kn_bigram_quality"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
