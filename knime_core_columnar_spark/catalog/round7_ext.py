@@ -171,3 +171,71 @@ def _r7x_kn_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knime_core_columnar_spark.operators.text import kn_bigram_logprob
 
     return kn_bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "hll_sketch_rollup",
+    """
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+           TRUE AS sketch_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents
+    GROUP BY source
+    """,
+)
+def _r7x_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count sketch table
+    (operators.sketch.hll_sketch_table / hll_rollup): the corpus is
+    aggregated ONCE into a per-(source, lang) DataSketches HLL table,
+    persisted as parquet (binary sketch column), then the per-source
+    distinct-doc count is answered from the STORED sketches alone —
+    the pre-aggregation pattern that makes distinct-count dashboards
+    affordable at 100 TB. Like ``approx_aggregates``, the checked
+    result is the ERROR BOUND, not the estimate: ``sketch_ok`` is the
+    Spark side's own |approx − exact|/exact ≤ 0.05 test (HLL lg_k=12
+    rsd ≈ 1.6%, 0.05 ≈ 3σ), asserted TRUE by the oracle alongside the
+    exact counts."""
+    import os
+
+    from knime_core_columnar_spark.catalog._registry import (
+        _artifact_tag,
+        _ensure_pkg_on_executors,
+        _publish_dir,
+    )
+    from knime_core_columnar_spark.operators.sketch import (
+        hll_rollup,
+        hll_sketch_table,
+    )
+
+    _ensure_pkg_on_executors(spark)
+    d = _t(spark, sf_dir, "documents")
+    tag = _artifact_tag(sf_dir, "documents")
+    skt_dir = f"/tmp/kccs_hll_sketches_{tag}"
+    if not os.path.isdir(skt_dir):
+        staging = f"{skt_dir}.part{os.getpid()}"
+        hll_sketch_table(d, ["source", "lang"], "doc_id").write.mode(
+            "overwrite"
+        ).parquet(staging)
+        _publish_dir(staging, skt_dir)
+    stored = spark.read.parquet(skt_dir)
+    roll = hll_rollup(stored, ["source"])
+    exact = d.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("exact_distinct")
+    )
+    return (
+        roll.join(exact, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            (
+                F.abs(
+                    F.col("approx_distinct").cast("double")
+                    - F.col("exact_distinct").cast("double")
+                )
+                / F.col("exact_distinct").cast("double")
+                <= F.lit(0.05)
+            ).alias("sketch_ok"),
+            "n_rows",
+        )
+    )

@@ -377,3 +377,55 @@ def cms_estimate(
         joined.groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count"))
     )
+
+
+def hll_sketch_table(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Pre-aggregated distinct-count SKETCH TABLE: one Apache
+    DataSketches HLL binary per group (Spark's built-in
+    ``hll_sketch_agg`` — JVM-side, mergeable). This is the pattern that
+    makes distinct-count dashboards affordable at 100 TB: aggregate the
+    corpus ONCE into a group-grained sketch table (persist it as
+    parquet — the sketch column is plain binary), then answer distinct
+    counts over ANY coarser slice by unioning sketches
+    (``hll_rollup``) without ever rescanning the corpus.
+
+    Registers are max-merged, so rollups are associative and
+    order/partitioning-independent, and a union of sub-sketches
+    estimates within the HLL bound of the direct sketch (DataSketches'
+    sparse→dense mode promotion can shift a few registers at small
+    cardinalities, so the two are near- but not bit-identical). Error
+    is the HLL bound (rsd ≈ 1.04/√2^lg_k ≈ 1.6% at the default
+    lg_k=12).
+
+    Returns ``group_cols`` + ``hll_sketch`` (binary) + ``n_rows``.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("hll_sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    rollup_cols: list[str],
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Distinct-count estimates over a coarser slice of a
+    ``hll_sketch_table``: union the group sketches per rollup key and
+    estimate. Input is the (tiny) sketch table, never the corpus — a
+    group-cardinality-sized aggregation whatever the original data
+    volume.
+
+    Returns ``rollup_cols`` + ``approx_distinct`` (long) + ``n_rows``.
+    """
+    return sketches.groupBy(*rollup_cols).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(sketch_col), F.lit(True))
+        ).alias("approx_distinct"),
+        F.sum("n_rows").alias("n_rows"),
+    )

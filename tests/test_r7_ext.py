@@ -387,3 +387,74 @@ def test_image_meta_jpeg_and_tiff_mixed_walk(spark):
                df, parse_jpeg=True, parse_tiff=True).collect()}
     assert out[1] == ("jpeg", 800, 600)
     assert out[2] == ("tiff", 12, 34)
+
+
+# ---------------------------------------------------------------------------
+# re-aggregatable HLL sketch table
+# ---------------------------------------------------------------------------
+
+def test_hll_rollup_equals_direct_sketch(spark):
+    """Union of per-(source, lang) sketches estimates within the HLL
+    error bound of sketching per source directly (not bit-identical:
+    DataSketches' sparse→dense promotion shifts a few registers at
+    small cardinalities) — and both stay within the bound of exact."""
+    import hashlib
+
+    from knime_core_columnar_spark.operators.sketch import (
+        hll_rollup,
+        hll_sketch_table,
+    )
+
+    rows = []
+    for i in range(3000):
+        h = hashlib.md5(f"h|{i}".encode()).digest()
+        rows.append((f"s{h[0] % 3}", f"l{h[1] % 4}", i % 2200))
+    df = spark.createDataFrame(rows, "source string, lang string, doc_id long")
+    fine = hll_sketch_table(df, ["source", "lang"], "doc_id")
+    rolled = {r["source"]: r["approx_distinct"]
+              for r in hll_rollup(fine, ["source"]).collect()}
+    direct = {r["source"]: r["approx_distinct"]
+              for r in hll_rollup(
+                  hll_sketch_table(df, ["source"], "doc_id"), ["source"]
+              ).collect()}
+    exact = {r["source"]: r["n"] for r in df.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n")).collect()}
+    for s in exact:
+        assert abs(rolled[s] - direct[s]) / exact[s] <= 0.03
+        assert abs(rolled[s] - exact[s]) / exact[s] <= 0.05
+        assert abs(direct[s] - exact[s]) / exact[s] <= 0.05
+
+
+def test_hll_sketch_survives_parquet_roundtrip(spark, tmp_path):
+    from knime_core_columnar_spark.operators.sketch import (
+        hll_rollup,
+        hll_sketch_table,
+    )
+
+    rows = [(f"s{i % 2}", f"l{i % 3}", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "source string, lang string, doc_id long")
+    skt = hll_sketch_table(df, ["source", "lang"], "doc_id")
+    p = str(tmp_path / "sketches.parquet")
+    skt.write.parquet(p)
+    before = sorted(tuple(r) for r in hll_rollup(skt, ["source"]).collect())
+    after = sorted(tuple(r) for r in hll_rollup(
+        spark.read.parquet(p), ["source"]).collect())
+    assert before == after
+
+
+def test_hll_rollup_partition_invariance(spark):
+    from knime_core_columnar_spark.operators.sketch import (
+        hll_rollup,
+        hll_sketch_table,
+    )
+
+    rows = [(f"s{i % 4}", f"l{i % 5}", i * 7 % 900) for i in range(2000)]
+    df = spark.createDataFrame(rows, "source string, lang string, doc_id long")
+    r1 = sorted(tuple(r) for r in hll_rollup(
+        hll_sketch_table(df, ["source", "lang"], "doc_id"), ["source"]
+    ).collect())
+    r2 = sorted(tuple(r) for r in hll_rollup(
+        hll_sketch_table(df.repartition(13), ["source", "lang"], "doc_id"),
+        ["source"],
+    ).collect())
+    assert r1 == r2
