@@ -697,9 +697,7 @@ def test_minhash_signature_single_exchange(spark):
     assert nodes.count("HashAggregate") == 2, nodes
 
 
-def _staged_plan(spark, batch: str, name: str) -> str:
-    # `batch` is historical (pre-round-7 staged dicts); everything lives
-    # in the flat registry now
+def _staged_plan(spark, name: str) -> str:
     from knime_core_columnar_spark import catalog
 
     df = catalog.QUERIES[name](spark, SF)
@@ -713,7 +711,7 @@ def test_dsir_select_broadcast_lambda_no_window(spark):
     per-doc score is a hash aggregation, never a window; no cartesian.
     A regression into a shuffled λ join would shuffle the full bigram
     stream twice at 100 TB."""
-    p = _staged_plan(spark, "_R8_STAGED", "dsir_select")
+    p = _staged_plan(spark, "dsir_select")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "CartesianProduct" not in p
@@ -724,7 +722,7 @@ def test_url_host_stats_no_join_no_window(spark):
     """URL canonicalization is scan-side row-local; the host rollup is
     the plan's ONLY wide operation (hash agg). No join (the blocklist
     is a literal IN), no window, no UDF."""
-    p = _staged_plan(spark, "_R8_STAGED", "url_host_stats")
+    p = _staged_plan(spark, "url_host_stats")
     assert "Join" not in p
     assert "Window" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
@@ -736,7 +734,7 @@ def test_incremental_admit_no_cartesian_equi_join_only(spark):
     index's distinct key set — no cartesian/nested-loop, no window. The
     corpus index side must never be re-shingled (its subtree contains
     the explode; the batch side's explode is its own signature pass)."""
-    p = _staged_plan(spark, "_R8_STAGED", "incremental_dedup_admit")
+    p = _staged_plan(spark, "incremental_dedup_admit")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Window" not in p
@@ -748,7 +746,7 @@ def test_mojibake_audit_zero_exchange_scan(spark):
     out of codegen."""
     import re
 
-    p = _staged_plan(spark, "_R9_STAGED", "mojibake_audit")
+    p = _staged_plan(spark, "mojibake_audit")
     nodes = re.findall(r"^\s*\(\d+\) (\w+)", p, re.M)
     assert "Exchange" not in nodes, nodes
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
@@ -759,7 +757,7 @@ def test_token_budget_plan_windows_on_source_table_only(spark):
     groupBy(source); every window/join after that operates on the
     ≤#sources-row aggregate (no shuffled join, no window before the
     aggregation)."""
-    p = _staged_plan(spark, "_R9_STAGED", "token_budget_plan")
+    p = _staged_plan(spark, "token_budget_plan")
     # joins are all broadcasts of one-row/source-level tables — a
     # shuffled join would mean a full-width table reached the planner
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
@@ -778,7 +776,7 @@ def test_dup_span_extract_partitioned_windows_only(spark):
     cartesian, no Python."""
     from knime_core_columnar_spark import catalog
 
-    p = _staged_plan(spark, "_R9_STAGED", "dup_span_extract")
+    p = _staged_plan(spark, "dup_span_extract")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
