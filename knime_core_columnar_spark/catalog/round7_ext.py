@@ -239,3 +239,62 @@ def _r7x_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@query(
+    "webdataset_roundtrip",
+    """
+    SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 8 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           TRUE AS all_match
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def _r7x_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset sharded-tar export/import
+    (sources.webdataset.write_webdataset / read_webdataset): the corpus
+    is exported once to deterministic shard-NNNNN.tar archives
+    (md5-keyed shard assignment, reproducible tar bytes), read back
+    with a parallel binaryFile+untar scan, and every sample's text must
+    round-trip byte-exactly — ``all_match`` is the engine's own parity
+    check, asserted TRUE by the oracle alongside the exactly-replayable
+    per-shard sample counts."""
+    import os
+
+    from knime_core_columnar_spark.catalog._registry import (
+        _artifact_tag,
+        _ensure_pkg_on_executors,
+        _publish_dir,
+    )
+    from knime_core_columnar_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    _ensure_pkg_on_executors(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = _artifact_tag(sf_dir, "documents")
+    wds_dir = f"/tmp/kccs_webdataset_{tag}"
+    if not os.path.isdir(wds_dir):
+        staging = f"{wds_dir}.part{os.getpid()}"
+        write_webdataset(d, staging, key_col="doc_id", n_shards=8)
+        _publish_dir(staging, wds_dir)
+    back = (
+        read_webdataset(spark, wds_dir)
+        .filter(F.col("field") == "text")
+        .select(
+            "shard",
+            F.col("key").cast("long").alias("doc_id"),
+            F.decode("content", "utf-8").alias("rt_text"),
+        )
+    )
+    j = back.join(d, "doc_id")
+    return j.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min(
+            F.coalesce(F.col("rt_text") == F.col("text"),
+                       F.col("text").isNull())
+        ).alias("all_match"),
+    )

@@ -458,3 +458,73 @@ def test_hll_rollup_partition_invariance(spark):
         ["source"],
     ).collect())
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# webdataset sharded tar export/import
+# ---------------------------------------------------------------------------
+
+def test_webdataset_roundtrip_and_reproducible_shards(spark, tmp_path):
+    import os
+    import tarfile
+
+    from knime_core_columnar_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    rows = [(i, f"document body number {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_webdataset(df, d1, key_col="doc_id", n_shards=4)
+    write_webdataset(df.repartition(7), d2, key_col="doc_id", n_shards=4)
+    shards1 = sorted(os.listdir(d1))
+    assert shards1 == [f"shard-{i:05d}.tar" for i in range(4)]
+    # reproducible bytes: same corpus -> byte-identical shards, at any
+    # input partitioning
+    for s in shards1:
+        b1 = open(os.path.join(d1, s), "rb").read()
+        b2 = open(os.path.join(d2, s), "rb").read()
+        assert b1 == b2, s
+    # members are readable with plain stdlib tarfile
+    with tarfile.open(os.path.join(d1, shards1[0])) as tf:
+        names = tf.getnames()
+        assert all(n.endswith(".text") for n in names)
+    # distributed read-back round-trips every sample
+    back = {int(r["key"]): bytes(r["content"]).decode()
+            for r in read_webdataset(spark, d1).filter(
+                F.col("field") == "text").collect()}
+    assert back == {i: t for i, t in rows}
+
+
+def test_webdataset_binary_columns_and_empty_text(spark, tmp_path):
+    from knime_core_columnar_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    rows = [(1, None, bytearray(b"\x00\xffpayload")),
+            (2, "some text", bytearray(b""))]
+    df = spark.createDataFrame(rows, "doc_id long, text string, blob binary")
+    d = str(tmp_path / "wds")
+    write_webdataset(df, d, key_col="doc_id", n_shards=2,
+                     text_cols=["text"], binary_cols=["blob"])
+    out = {(int(r["key"]), r["field"]): bytes(r["content"])
+           for r in read_webdataset(spark, d).collect()}
+    assert out[(1, "text")] == b""          # NULL text -> empty member
+    assert out[(1, "blob")] == b"\x00\xffpayload"
+    assert out[(2, "text")] == b"some text"
+    assert out[(2, "blob")] == b""
+
+
+def test_webdataset_shard_assignment_is_md5_convention(spark):
+    import hashlib
+
+    from knime_core_columnar_spark.sources.webdataset import shard_of
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    got = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", shard_of("doc_id", 8).alias("s")).collect()}
+    for i in range(50):
+        want = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 8
+        assert got[i] == want
