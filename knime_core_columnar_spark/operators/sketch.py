@@ -429,3 +429,21 @@ def hll_rollup(
         ).alias("approx_distinct"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def hll_sketch_merge_tables(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Incremental maintenance of a ``hll_sketch_table`` STORE: merge
+    yesterday's persisted sketch table with a new delta's sketch table
+    into an updated store — sketch-table-sized work (group cardinality,
+    never corpus), so a daily ingest updates global distinct counts
+    without rescanning history. Same schema in, same schema out: the
+    store stays append-merge-able forever."""
+    return a.unionByName(b).groupBy(*group_cols).agg(
+        F.hll_union_agg(F.col(sketch_col), F.lit(True)).alias(sketch_col),
+        F.sum("n_rows").alias("n_rows"),
+    )

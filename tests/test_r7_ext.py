@@ -528,3 +528,35 @@ def test_webdataset_shard_assignment_is_md5_convention(spark):
     for i in range(50):
         want = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 8
         assert got[i] == want
+
+
+def test_hll_incremental_merge_matches_full_build(spark):
+    """Daily-ingest pattern: sketch(day1) merged with sketch(day2)
+    estimates within the HLL bound of sketching day1+day2 directly —
+    the store updates without rescanning history."""
+    from knime_core_columnar_spark.operators.sketch import (
+        hll_rollup,
+        hll_sketch_merge_tables,
+        hll_sketch_table,
+    )
+
+    day1 = [(f"s{i % 3}", f"l{i % 2}", i) for i in range(0, 1200)]
+    day2 = [(f"s{i % 3}", f"l{i % 2}", i) for i in range(800, 2000)]
+    schema = "source string, lang string, doc_id long"
+    d1 = spark.createDataFrame(day1, schema)
+    d2 = spark.createDataFrame(day2, schema)
+    merged = hll_sketch_merge_tables(
+        hll_sketch_table(d1, ["source", "lang"], "doc_id"),
+        hll_sketch_table(d2, ["source", "lang"], "doc_id"),
+        ["source", "lang"],
+    )
+    got = {r["source"]: r["approx_distinct"]
+           for r in hll_rollup(merged, ["source"]).collect()}
+    full = d1.unionByName(d2)
+    exact = {r["source"]: r["n"] for r in full.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n")).collect()}
+    for s, e in exact.items():
+        assert abs(got[s] - e) / e <= 0.05
+    # row accounting: n_rows sums both days
+    n = {(r["source"], r["lang"]): r["n_rows"] for r in merged.collect()}
+    assert sum(n.values()) == len(day1) + len(day2)
