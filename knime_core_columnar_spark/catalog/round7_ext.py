@@ -1,7 +1,8 @@
 """Round-7 in-round extensions: HTML main-text extraction (the
-boilerplate-removal front door of a web-crawl pipeline) and
-interpolated Kneser-Ney bigram LM scoring (the CCNet/KenLM-style
-perplexity-filter smoothing).
+boilerplate-removal front door of a web-crawl pipeline), interpolated
+Kneser-Ney bigram LM scoring (the CCNet/KenLM-style perplexity-filter
+smoothing), the persisted re-aggregatable HLL sketch table, and the
+WebDataset sharded-tar export round-trip.
 
 Every entry follows the registry determinism rules (_registry.py
 docstring): fixed-order double expressions, 6-decimal rounds scaled to
