@@ -299,3 +299,64 @@ def _r7x_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("text").isNull())
         ).alias("all_match"),
     )
+
+
+@query(
+    "warc_roundtrip",
+    """
+    SELECT CAST(('0x' || substring(md5('https://example.test/doc/'
+                                       || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 8 AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           TRUE AS all_match
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def _r7x_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC export/import (sources.warc.write_warc / read_warc — the
+    Common Crawl container): the corpus is exported once as
+    member-per-record .warc.gz files (md5-keyed file assignment,
+    byte-reproducible), read back with a parallel binaryFile + stdlib
+    gzip/Content-Length decode, and every record's payload must
+    round-trip byte-exactly against the source text — ``all_match`` is
+    the engine's own parity check, asserted TRUE by the oracle
+    alongside exactly-replayed per-file record counts."""
+    import os
+
+    from knime_core_columnar_spark.catalog._registry import (
+        _artifact_tag,
+        _ensure_pkg_on_executors,
+        _publish_dir,
+    )
+    from knime_core_columnar_spark.sources.warc import read_warc, write_warc
+
+    _ensure_pkg_on_executors(spark)
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://example.test/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text",
+        "doc_id",
+    )
+    tag = _artifact_tag(sf_dir, "documents")
+    warc_dir = f"/tmp/kccs_warc_{tag}"
+    if not os.path.isdir(warc_dir):
+        staging = f"{warc_dir}.part{os.getpid()}"
+        write_warc(d, staging, url_col="url", content_col="text",
+                   key_col="url", n_files=8)
+        _publish_dir(staging, warc_dir)
+    back = read_warc(spark, warc_dir).select(
+        F.regexp_extract("file", r"part-(\d+)", 1).cast("bigint")
+        .alias("file_id"),
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        F.decode("content", "utf-8").alias("rt_text"),
+    )
+    j = back.join(d.select("doc_id", "text"), "doc_id")
+    return j.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min(
+            F.coalesce(F.col("rt_text") == F.col("text"),
+                       F.col("text").isNull())
+        ).alias("all_match"),
+    )
