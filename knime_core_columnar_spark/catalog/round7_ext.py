@@ -360,3 +360,62 @@ def _r7x_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("text").isNull())
         ).alias("all_match"),
     )
+
+
+@query(
+    "url_disallow_filter",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'https://host' || CAST(doc_id % 7 AS VARCHAR)
+               || '.test/sec' || CAST(doc_id % 5 AS VARCHAR)
+               || '/page/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             'host' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host,
+             '/sec' || CAST(doc_id % 5 AS VARCHAR)
+               || '/page/' || CAST(doc_id AS VARCHAR) AS path
+      FROM d
+    ), rules(rhost, rprefix) AS (
+      VALUES ('host1.test', '/sec2'), ('host3.test', ''),
+             ('host4.test', '/sec0/page/1')
+    )
+    SELECT c.doc_id, c.host, c.path
+    FROM canon c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM rules r
+      WHERE c.host = r.rhost AND starts_with(c.path, r.rprefix)
+    )
+    """,
+)
+def _r7x_url_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-style disallow filtering
+    (operators.web.apply_disallow_rules): synthesized URLs over the
+    documents corpus, a literal (host, path-prefix) rule table — a
+    whole-host ban, a section ban, a single-page-prefix ban — and the
+    survivors must equal the oracle's NOT EXISTS prefix semantics.
+    Rule table broadcasts; the corpus never shuffles."""
+    from knime_core_columnar_spark.operators.web import (
+        apply_disallow_rules,
+        canonical_url_parts,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://host"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".test/sec"), (F.col("doc_id") % 5).cast("string"),
+            F.lit("/page/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    rules = spark.createDataFrame(
+        [("host1.test", "/sec2"), ("host3.test", ""),
+         ("host4.test", "/sec0/page/1")],
+        "host string, path_prefix string",
+    )
+    kept = apply_disallow_rules(d, rules)
+    parts = canonical_url_parts("url")
+    return kept.select(
+        "doc_id", parts["host"].alias("host"), parts["path"].alias("path")
+    )

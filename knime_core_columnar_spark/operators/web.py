@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "canonical_url_parts", "canonicalize_url", "host_stats",
-    "html_main_text", "extract_main_text",
+    "html_main_text", "extract_main_text", "apply_disallow_rules",
 ]
 
 
@@ -254,3 +254,44 @@ def extract_main_text(
             f"{prefix}n_kept": m["n_kept"],
         }
     )
+
+
+def apply_disallow_rules(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    rule_host_col: str = "host",
+    rule_prefix_col: str = "path_prefix",
+) -> DataFrame:
+    """Robots-style disallow filtering: drop documents whose canonical
+    URL matches a (host, path-prefix) rule table — the crawl-compliance
+    / publisher-opt-out pass of a web corpus (rules distilled offline
+    from robots.txt 'Disallow:' lines or takedown lists into a plain
+    table; robots SEMANTICS beyond prefix match — wildcards,
+    Allow-overrides — belong in that distillation, not here).
+
+    Scale shape: rules are a HOST-KEYED dimension (thousands to
+    millions of rows — dimension-sized, never corpus-sized), so the
+    match is one equi-join on canonical host with a ``startswith``
+    prefix test in the join condition: AQE broadcasts the rule table
+    and the corpus never shuffles. An empty-prefix rule bans the whole
+    host. Left-anti join semantics: a document survives only if NO
+    rule matches.
+
+    Returns ``df`` minus the disallowed rows (original columns).
+    """
+    parts = canonical_url_parts(url_col)
+    tagged = df.withColumns(
+        {"__host": parts["host"], "__path": parts["path"]}
+    )
+    r = rules.select(
+        F.col(rule_host_col).alias("__rhost"),
+        F.coalesce(F.col(rule_prefix_col), F.lit("")).alias("__rprefix"),
+    )
+    out = tagged.join(
+        F.broadcast(r),
+        (F.col("__host") == F.col("__rhost"))
+        & F.col("__path").startswith(F.col("__rprefix")),
+        "left_anti",
+    )
+    return out.drop("__host", "__path")

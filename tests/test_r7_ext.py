@@ -631,3 +631,44 @@ def test_warc_record_ids_deterministic(spark, tmp_path):
         h = hashlib.md5(u.encode()).hexdigest()
         assert ids1[u] == (f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-"
                            f"{h[16:20]}-{h[20:32]}>")
+
+
+# ---------------------------------------------------------------------------
+# robots-style disallow filtering
+# ---------------------------------------------------------------------------
+
+def test_url_disallow_hand_case(spark):
+    from knime_core_columnar_spark.operators.web import apply_disallow_rules
+
+    docs = [
+        (1, "https://a.test/keep/this"),
+        (2, "https://a.test/private/x"),       # prefix-banned
+        (3, "https://A.TEST/Private/x"),       # canonicalized: lowercase
+        (4, "https://banned.test/anything"),   # whole-host ban ('')
+        (5, "http://www.a.test/private"),      # www + scheme stripped
+        (6, "https://other.test/private/x"),   # different host survives
+    ]
+    rules = spark.createDataFrame(
+        [("a.test", "/private"), ("banned.test", "")],
+        "host string, path_prefix string",
+    )
+    df = spark.createDataFrame(docs, "doc_id long, url string")
+    kept = {r["doc_id"] for r in apply_disallow_rules(df, rules).collect()}
+    assert kept == {1, 6}
+    # original columns preserved, no helper columns leak
+    assert apply_disallow_rules(df, rules).columns == ["doc_id", "url"]
+
+
+def test_url_disallow_plan_broadcasts_rules(spark):
+    from knime_core_columnar_spark.operators.web import apply_disallow_rules
+
+    df = spark.createDataFrame(
+        [(i, f"https://h{i % 3}.test/p/{i}") for i in range(100)],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [("h0.test", "/p")], "host string, path_prefix string")
+    p = spark._jvm.PythonSQLUtils.explainString(
+        apply_disallow_rules(df, rules)._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
