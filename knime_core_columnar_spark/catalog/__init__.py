@@ -31,6 +31,7 @@ _SECTIONS = [
     "staged_r9",
     "round6_ext",
     "round7_ext",
+    "round8_ext",
     # LAST: orders the registry (never-checked first, then greens
     # oldest-evidence-first) so the driver's 50-slot window is always
     # the freshness frontier — see rotation.py

@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from knime_core_columnar_spark.catalog._registry import _t, query
+from knime_core_columnar_spark.catalog._registry import (
+    _parquet_rows,
+    _t,
+    query,
+)
 
 
 @query(
@@ -324,9 +328,16 @@ def _r6x_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_binary_payload(
         _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     )
+    # max_bucket=None: this query's contract (and its oracle) is the
+    # UNCAPPED pigeonhole-exact pipeline — the finite default would
+    # silently drop pairs the oracle keeps on a skewed bucket (round-7
+    # advisory). corpus_count from the parquet footer (upper bound over
+    # the notNull filter — only tier/hint decisions read it) skips the
+    # per-call count job.
     return phash_near_dup_pairs(
         d, id_col="doc_id", payload_col="payload",
-        max_hamming=9, band_bits=4,
+        max_hamming=9, band_bits=4, max_bucket=None,
+        corpus_count=_parquet_rows(sf_dir, "documents"),
     )
 
 
@@ -588,6 +599,7 @@ def _r6x_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_pairs(
         _t(spark, sf_dir, "embeddings"), dim=64,
         pos_threshold=0.9, neg_low=0.0, neg_high=0.5, planes=4,
+        corpus_count=_parquet_rows(sf_dir, "embeddings"),
     )
 
 
@@ -799,4 +811,5 @@ def _r6x_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"),
         _t(spark, sf_dir, "documents"),
         dim=64, threshold=0.4, planes=4,
+        corpus_count=_parquet_rows(sf_dir, "embeddings"),
     )

@@ -194,9 +194,12 @@ def _r7x_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pre-aggregation pattern that makes distinct-count dashboards
     affordable at 100 TB. Like ``approx_aggregates``, the checked
     result is the ERROR BOUND, not the estimate: ``sketch_ok`` is the
-    Spark side's own |approx − exact|/exact ≤ 0.05 test (HLL lg_k=12
-    rsd ≈ 1.6%, 0.05 ≈ 3σ), asserted TRUE by the oracle alongside the
-    exact counts."""
+    Spark side's own |approx − exact|/exact ≤ 0.08 test (HLL lg_k=12
+    rsd ≈ 1.6%, 0.08 ≈ 5σ — widened from 3σ per the round-7 advisory:
+    a tail-probability miss on a future corpus shape must not surface
+    as a hard gate red; the tight 3σ bound is asserted where it can be
+    tolerance-tagged, tests/test_r8_round8.py), asserted TRUE by the
+    oracle alongside the exact counts."""
     import os
 
     from knime_core_columnar_spark.catalog._registry import (
@@ -235,7 +238,7 @@ def _r7x_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.col("exact_distinct").cast("double")
                 )
                 / F.col("exact_distinct").cast("double")
-                <= F.lit(0.05)
+                <= F.lit(0.08)
             ).alias("sketch_ok"),
             "n_rows",
         )

@@ -15,10 +15,11 @@ Canonical form (documented simplifications):
   params carry no page identity (the aggressive variant of the
   standard param-allowlist approach);
 - trailing slashes on the path stripped;
-- ``registered_domain`` is the LAST TWO host labels — a heuristic, not
-  the Public Suffix List (which is external data this container does
-  not ship); ``co.uk``-style suffixes therefore collapse to the suffix.
-  Swap in a broadcast PSL lookup table where exactness matters.
+- ``domain`` is the PSL-backed registrable domain (operators/psl.py:
+  publicsuffix.org algorithm over an embedded ICANN-section subset —
+  ``co.uk``/``com.au``/US-state suffixes resolve exactly; unknown TLDs
+  fall back to the last-two-labels heuristic). Pass ``psl=False`` for
+  the bare heuristic.
 - ``user:pass@`` userinfo is stripped from the authority before the
   port strip (so a password containing ``:`` cannot defeat it);
 - bracketed IPv6 authorities (``http://[::1]:8080/``) are NOT handled:
@@ -43,13 +44,16 @@ __all__ = [
 ]
 
 
-def canonical_url_parts(url: Column | str) -> Column:
+def canonical_url_parts(url: Column | str, psl: bool = True) -> Column:
     """Struct(host, domain, path, canonical) from a raw URL string.
 
     All steps are engine-portable: ``substring_index``/``split_part``
     for fragment+query strip, RE2-safe regexes for scheme/port/www
     strips (no lookaround, no backrefs), so the DuckDB oracle computes
-    the identical canonical form.
+    the identical canonical form. ``domain`` is the PSL-backed
+    registrable domain (psl.registered_domain — oracle twin
+    psl.registered_domain_sql); ``psl=False`` keeps the plain
+    last-two-labels heuristic.
     """
     u = F.col(url) if isinstance(url, str) else url
     u = F.lower(F.trim(u))
@@ -70,7 +74,12 @@ def canonical_url_parts(url: Column | str) -> Column:
         r"^www\.",
         "",
     )
-    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    if psl:
+        from knime_core_columnar_spark.operators.psl import registered_domain
+
+        domain = registered_domain(host)
+    else:
+        domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     return F.struct(
         host.alias("host"),
         domain.alias("domain"),

@@ -16,11 +16,24 @@ Spark-first design (the webdataset.py companion):
   convention (partitioning-independent, SQL-replayable) and emits
   deterministic bytes: fixed WARC-Date, md5-derived record ids, records
   sorted by key, gzip mtime=0 — re-exports are byte-identical;
-- only the honest subset is implemented: ``warcinfo``-free files of
-  ``response``-type records with a plain payload (no nested HTTP
-  block); Content-Length framing and multi-member gzip ARE the real
-  format, so real .warc.gz files whose records use these mechanics
-  parse with the same reader.
+- real Common Crawl ``response`` records carry a nested HTTP message
+  (``Content-Type: application/http``; status line + headers + body
+  inside the WARC body). ``read_warc`` splits that block and exposes
+  ``http_status`` / ``http_content_type`` / ``payload`` columns, so
+  genuine CC ``.warc.gz`` segments parse to usable text; the writer
+  can emit the same shape with ``http_wrap=True``. Plain-payload
+  records (this repo's default export) pass through with the body as
+  the payload and null HTTP columns.
+
+Write-side filesystem contract: the writer's tasks emit shards with
+local ``open()``/``os.replace`` into ``out_dir`` — correct in local
+mode or when ``out_dir`` is a SHARED filesystem mounted on every
+executor (NFS/Lustre/FUSE-mounted object store). On a cluster without
+a shared mount, write to a shared staging path or route the bytes
+through a distributed-FS client instead; this module intentionally
+avoids a Hadoop-API dependency. Each shard is built in memory by one
+task — pick ``n_files`` so a file stays ~1 GiB (``max_file_bytes``
+makes the overflow a clear error instead of an executor OOM).
 """
 
 from __future__ import annotations
@@ -53,8 +66,20 @@ def warc_file_of(key_col, n_files: int):
     ).cast("int")
 
 
-def _record_bytes(url: str, content: bytes) -> bytes:
+def _record_bytes(url: str, content: bytes, http_wrap: bool = False) -> bytes:
     rid = hashlib.md5(url.encode("utf-8")).hexdigest()
+    if http_wrap:
+        # Common Crawl shape: the WARC body is a full HTTP response
+        # message (status line + headers + blank line + payload).
+        content = (
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/plain; charset=utf-8\r\n"
+            f"Content-Length: {len(content)}\r\n"
+            "\r\n"
+        ).encode("utf-8") + content
+        warc_ctype = "application/http; msgtype=response"
+    else:
+        warc_ctype = "text/plain"
     hdr = (
         "WARC/1.0\r\n"
         "WARC-Type: response\r\n"
@@ -62,7 +87,7 @@ def _record_bytes(url: str, content: bytes) -> bytes:
         f"{rid[16:20]}-{rid[20:32]}>\r\n"
         f"WARC-Date: {_WARC_DATE}\r\n"
         f"WARC-Target-URI: {url}\r\n"
-        "Content-Type: text/plain\r\n"
+        f"Content-Type: {warc_ctype}\r\n"
         f"Content-Length: {len(content)}\r\n"
         "\r\n"
     ).encode("utf-8")
@@ -76,30 +101,47 @@ def write_warc(
     content_col: str = "text",
     key_col: str | None = None,
     n_files: int = 8,
+    http_wrap: bool = False,
+    max_file_bytes: int = 2 << 30,
 ) -> None:
     """Export (url, content) rows as ``out_dir/part-NNNNN.warc.gz``:
     one gzip member per record (the Common Crawl convention), records
     sorted by url within a file, zeroed gzip mtime — byte-reproducible
     at any input partitioning. Each file is written by exactly one
-    task (groupBy(file) → applyInPandas)."""
+    task (groupBy(file) → applyInPandas); ``out_dir`` must be a shared
+    filesystem on a multi-node cluster (see module docstring).
+    ``http_wrap=True`` nests each payload in an HTTP response message
+    (the real Common Crawl record shape). A file group whose
+    uncompressed record bytes exceed ``max_file_bytes`` raises with
+    sizing guidance instead of OOM-ing the executor."""
     key_col = key_col or url_col
     os.makedirs(out_dir, exist_ok=True)
 
     def _write_file(pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(pdf["__file"].iloc[0])
         recs = []
+        total = 0
         for _, row in pdf.iterrows():
             content = row[content_col]
             content = (b"" if content is None
                        else content.encode("utf-8")
                        if isinstance(content, str) else bytes(content))
+            total += len(content)
+            if total > max_file_bytes:
+                raise ValueError(
+                    f"write_warc: file group {fid} exceeds max_file_bytes="
+                    f"{max_file_bytes} ({total} bytes so far, "
+                    f"{len(recs)} records). Each file is built in memory "
+                    f"by one task — raise n_files (aim ~1 GiB/file: "
+                    f"n_files ≈ total_bytes / 1 GiB) or max_file_bytes."
+                )
             recs.append((str(row[url_col]), content))
         recs.sort(key=lambda r: r[0])
         buf = io.BytesIO()
         for url, content in recs:
             member = io.BytesIO()
             with gzip.GzipFile(fileobj=member, mode="wb", mtime=0) as gz:
-                gz.write(_record_bytes(url, content))
+                gz.write(_record_bytes(url, content, http_wrap=http_wrap))
             buf.write(member.getvalue())
         path = os.path.join(out_dir, f"part-{fid:05d}.warc.gz")
         tmp = f"{path}.part{os.getpid()}"
@@ -119,11 +161,18 @@ def write_warc(
 
 
 def _split_gzip_members(raw: bytes):
-    """Yield decompressed gzip members from a multi-member stream."""
+    """Yield decompressed gzip members from a multi-member stream.
+    An unterminated final member (truncated download / partial write)
+    raises instead of silently yielding a short blob."""
     pos = 0
     while pos < len(raw):
         d = zlib.decompressobj(31)
         out = d.decompress(raw[pos:])
+        if not d.eof:
+            raise ValueError(
+                f"truncated gzip member at byte {pos}: stream ended "
+                "mid-member (incomplete .warc.gz file?)"
+            )
         yield out
         consumed = len(raw) - pos - len(d.unused_data)
         if consumed <= 0:
@@ -152,10 +201,45 @@ def _parse_records(data: bytes):
         pos = end + 4 + n + 4  # skip the record-terminating \r\n\r\n
 
 
+def _split_http_block(headers: dict, body: bytes):
+    """If a record's WARC Content-Type declares a nested HTTP message
+    (the real Common Crawl ``response`` shape), split it at the first
+    CRLFCRLF: returns (http_status, http_content_type, payload).
+    Non-HTTP records pass the body through with null HTTP fields."""
+    ctype = headers.get("content-type", "")
+    if not ctype.lower().startswith("application/http"):
+        return None, None, body
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0:
+        # headers-only HTTP message (e.g. 204/304) — no payload block
+        head, payload = body, b""
+    else:
+        head, payload = body[:sep], body[sep + 4:]
+    lines = head.decode("iso-8859-1", "replace").split("\r\n")
+    status = None
+    if lines and lines[0].startswith("HTTP/"):
+        parts = lines[0].split(None, 2)
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+    http_ctype = None
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            http_ctype = v.strip()
+            break
+    return status, http_ctype, payload
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Read a directory of .warc.gz (or plain .warc) files as
-    (file, url, warc_type, record_id, content) rows — binaryFile scan,
-    stdlib decode executor-side."""
+    (file, url, warc_type, record_id, content, http_status,
+    http_content_type, payload) rows — binaryFile scan, stdlib decode
+    executor-side. ``content`` is the raw WARC body; for records whose
+    WARC Content-Type is ``application/http`` (real Common Crawl
+    ``response`` records) the nested HTTP message is split so
+    ``payload`` is the usable document bytes and ``http_status`` /
+    ``http_content_type`` come from the HTTP header block; otherwise
+    ``payload`` == ``content`` and the HTTP fields are null."""
     files = spark.read.format("binaryFile").load(path).select(
         "path", "content"
     )
@@ -163,6 +247,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             fs, us, ts, ids, cs = [], [], [], [], []
+            sts, hcs, ps = [], [], []
             for _, row in pdf.iterrows():
                 raw = bytes(row["content"])
                 name = os.path.basename(row["path"])
@@ -172,18 +257,27 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     blobs = [raw]
                 for blob in blobs:
                     for headers, body in _parse_records(blob):
+                        status, http_ctype, payload = _split_http_block(
+                            headers, body
+                        )
                         fs.append(name)
                         us.append(headers.get("warc-target-uri"))
                         ts.append(headers.get("warc-type"))
                         ids.append(headers.get("warc-record-id"))
                         cs.append(body)
+                        sts.append(status)
+                        hcs.append(http_ctype)
+                        ps.append(payload)
             yield pd.DataFrame({
                 "file": fs, "url": us, "warc_type": ts,
                 "record_id": ids, "content": cs,
+                "http_status": pd.array(sts, dtype="Int32"),
+                "http_content_type": hcs, "payload": ps,
             })
 
     return files.mapInPandas(
         _decode,
         "file string, url string, warc_type string, record_id string, "
-        "content binary",
+        "content binary, http_status int, http_content_type string, "
+        "payload binary",
     )

@@ -21,6 +21,16 @@ Spark-first design:
 The pure-python ``tarfile`` module does the container work (stdlib —
 no environment gate), exactly like the Avro/LZ4 codecs elsewhere in
 sources/.
+
+Write-side filesystem contract: writer tasks emit shards with local
+``open()``/``os.replace`` into ``out_dir`` — correct in local mode or
+when ``out_dir`` is a SHARED filesystem mounted on every executor
+(NFS/Lustre/FUSE-mounted object store). On a cluster without a shared
+mount, point ``out_dir`` at one, or route bytes through a
+distributed-FS client; this module intentionally avoids a Hadoop-API
+dependency. Each shard is built in memory by one task — size
+``n_shards`` so a shard stays ~1 GiB (``max_shard_bytes`` turns the
+overflow into a clear error instead of an executor OOM).
 """
 
 from __future__ import annotations
@@ -58,12 +68,16 @@ def write_webdataset(
     n_shards: int = 8,
     text_cols: list[str] | None = None,
     binary_cols: list[str] | None = None,
+    max_shard_bytes: int = 2 << 30,
 ) -> None:
     """Export ``df`` as ``out_dir/shard-NNNNN.tar``: for each row, one
     tar member per exported column, named ``{key}.{col}`` (text columns
     utf-8 encoded, binary columns raw). Members are sorted by name and
     carry zeroed metadata, so shard bytes are a pure function of the
-    shard's content."""
+    shard's content. ``out_dir`` must be a shared filesystem on a
+    multi-node cluster (module docstring); a shard whose member bytes
+    exceed ``max_shard_bytes`` raises with sizing guidance instead of
+    OOM-ing the executor."""
     text_cols = text_cols if text_cols is not None else ["text"]
     binary_cols = binary_cols or []
     os.makedirs(out_dir, exist_ok=True)
@@ -72,6 +86,7 @@ def write_webdataset(
     def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["__shard"].iloc[0])
         members = []
+        total = 0
         for _, row in pdf.iterrows():
             key = str(row[key_col])
             for c in text_cols:
@@ -80,6 +95,16 @@ def write_webdataset(
             for c in binary_cols:
                 v = row[c]
                 members.append((f"{key}.{c}", bytes(v) if v is not None else b""))
+            total += sum(len(m[1]) for m in members[-len(text_cols) - len(binary_cols):])
+            if total > max_shard_bytes:
+                raise ValueError(
+                    f"write_webdataset: shard {shard} exceeds "
+                    f"max_shard_bytes={max_shard_bytes} ({total} bytes so "
+                    f"far, {len(members)} members). Each shard is built in "
+                    f"memory by one task — raise n_shards (aim ~1 GiB/"
+                    f"shard: n_shards ≈ total_bytes / 1 GiB) or "
+                    f"max_shard_bytes."
+                )
         members.sort(key=lambda m: m[0])
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tf:

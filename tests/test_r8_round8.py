@@ -1,0 +1,212 @@
+"""Round-8 hand-case tests: PSL registered domains, real-Common-Crawl
+WARC HTTP-block parsing, container-write shard-byte guards, gzip
+truncation detection, and the tight (3σ) HLL bound that the catalog
+gate intentionally asserts only at 5σ (round-7 advisory: tolerance-
+tagged bounds belong in pytest, not the hash gate)."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from knime_core_columnar_spark.operators.psl import (
+    registered_domain,
+    registered_domain_sql,
+)
+from knime_core_columnar_spark.sources.warc import (
+    _split_gzip_members,
+    read_warc,
+    write_warc,
+)
+from knime_core_columnar_spark.sources.webdataset import write_webdataset
+
+# (host, expected registrable domain) — every PSL rule tier; the
+# expectations are hand-derived from the publicsuffix.org algorithm.
+PSL_CASES = [
+    ("shop.co.uk", "shop.co.uk"),
+    ("deep.sub.shop.co.uk", "shop.co.uk"),
+    ("a.b.c.gov.uk", "c.gov.uk"),
+    ("news.com.au", "news.com.au"),
+    ("district.k12.ma.us", "district.k12.ma.us"),
+    ("x.pvt.k12.ca.us", "pvt.k12.ca.us"),
+    ("city.ma.us", "city.ma.us"),
+    ("site.example.np", "site.example.np"),  # *.np wildcard
+    ("example.np", "example.np"),            # bare wildcard suffix: fallback
+    ("www.ck", "www.ck"),                    # !www.ck exception
+    ("sub.www.ck", "www.ck"),                # exception under a subdomain
+    ("other.ck", "other.ck"),                # wildcard, 2 labels: fallback
+    ("blog.example.com", "example.com"),
+    ("example.com", "example.com"),
+    ("co.uk", "co.uk"),                      # bare suffix: fallback
+    ("localhost", "localhost"),              # single label: fallback
+]
+
+
+def test_psl_registered_domain_hand_cases(spark):
+    df = spark.createDataFrame([(h,) for h, _ in PSL_CASES], "host string")
+    got = {
+        r["host"]: r["rd"]
+        for r in df.select(
+            "host", registered_domain("host").alias("rd")
+        ).collect()
+    }
+    for host, want in PSL_CASES:
+        assert got[host] == want, f"{host}: {got[host]!r} != {want!r}"
+
+
+def test_psl_sql_twin_matches_engine(spark):
+    """registered_domain_sql is generated from the same rule data — the
+    DuckDB rendering must agree with the Catalyst expression on every
+    hand case (this is what keeps catalog oracles drift-free)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(host VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(h,) for h, _ in PSL_CASES])
+    sql = registered_domain_sql("host")
+    oracle = dict(con.execute(f"SELECT host, {sql} FROM t").fetchall())
+    for host, want in PSL_CASES:
+        assert oracle[host] == want, f"duck {host}: {oracle[host]!r}"
+
+
+def test_canonical_url_parts_uses_psl(spark):
+    from knime_core_columnar_spark.operators.web import canonicalize_url
+
+    df = spark.createDataFrame(
+        [("https://www.shop.example.co.uk:8080/a/b?q=1#f",)], "url string"
+    )
+    row = canonicalize_url(df).collect()[0]
+    assert row["url_host"] == "shop.example.co.uk"
+    assert row["url_domain"] == "example.co.uk"
+    assert row["url_path"] == "/a/b"
+
+
+def test_warc_http_wrap_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(f"https://ex.test/d/{i}", f"doc body {i}") for i in range(20)],
+        "url string, text string",
+    )
+    out = str(tmp_path / "warc")
+    write_warc(df, out, http_wrap=True, n_files=3)
+    rows = read_warc(spark, out).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["http_status"] == 200
+        assert r["http_content_type"] == "text/plain; charset=utf-8"
+        assert bytes(r["payload"]).decode("utf-8").startswith("doc body")
+        # content keeps the raw WARC body (HTTP headers + payload)
+        assert bytes(r["content"]).startswith(b"HTTP/1.1 200 OK\r\n")
+
+
+def test_warc_plain_records_pass_through(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("https://ex.test/p/1", "plain body")], "url string, text string"
+    )
+    out = str(tmp_path / "warc_plain")
+    write_warc(df, out, http_wrap=False, n_files=1)
+    r = read_warc(spark, out).collect()[0]
+    assert r["http_status"] is None
+    assert r["http_content_type"] is None
+    assert bytes(r["payload"]) == bytes(r["content"]) == b"plain body"
+
+
+def test_warc_hand_built_cc_record(spark, tmp_path):
+    """A CC-style response record built BYTE BY HAND (independent of
+    write_warc): nested HTTP 301 with an ISO-8859-1 content type — the
+    reader must split status, content-type, and payload exactly."""
+    body = (
+        b"HTTP/1.1 301 Moved Permanently\r\n"
+        b"Location: https://x.test/\r\n"
+        b"Content-Type: text/html; charset=ISO-8859-1\r\n"
+        b"\r\n"
+        b"<html>moved</html>"
+    )
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://cc.test/\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+    out = tmp_path / "cc"
+    out.mkdir()
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(rec)
+    (out / "seg.warc.gz").write_bytes(buf.getvalue())
+    r = read_warc(spark, str(out)).collect()[0]
+    assert r["http_status"] == 301
+    assert r["http_content_type"] == "text/html; charset=ISO-8859-1"
+    assert bytes(r["payload"]) == b"<html>moved</html>"
+    assert r["url"] == "http://cc.test/"
+    assert bytes(r["content"]) == body
+
+
+def test_warc_headers_only_http_message():
+    """204-style HTTP message with no CRLFCRLF payload separator:
+    status parses, payload is empty."""
+    from knime_core_columnar_spark.sources.warc import _split_http_block
+
+    status, ctype, payload = _split_http_block(
+        {"content-type": "application/http; msgtype=response"},
+        b"HTTP/1.1 204 No Content\r\nServer: x",
+    )
+    assert status == 204 and payload == b""
+    assert ctype is None
+
+
+def test_truncated_gzip_member_raises():
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+    blob = buf.getvalue()
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        list(_split_gzip_members(blob[: len(blob) // 2]))
+    # intact stream still parses
+    assert len(list(_split_gzip_members(blob))) == 1
+
+
+def test_warc_shard_byte_guard(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(f"https://ex.test/{i}", "x" * 1000) for i in range(4)],
+        "url string, text string",
+    )
+    with pytest.raises(Exception, match="max_file_bytes"):
+        write_warc(df, str(tmp_path / "w"), n_files=1, max_file_bytes=1500)
+
+
+def test_webdataset_shard_byte_guard(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "y" * 1000) for i in range(4)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="max_shard_bytes"):
+        write_webdataset(
+            df, str(tmp_path / "wds"), n_shards=1, max_shard_bytes=1500
+        )
+
+
+def test_hll_sketch_tight_bound(spark, sf_dir):
+    """The 3σ bound the catalog gate deliberately relaxes to 5σ
+    (round-7 advisory): asserted here where a tail miss is a visible,
+    tolerance-tagged test failure instead of a hash-gate red."""
+    from knime_core_columnar_spark.operators.sketch import (
+        hll_rollup,
+        hll_sketch_table,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stored = hll_sketch_table(d, ["source", "lang"], "doc_id")
+    roll = hll_rollup(stored, ["source"])
+    exact = d.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("exact")
+    )
+    rows = roll.join(exact, "source").collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["approx_distinct"] - r["exact"]) / r["exact"]
+        assert rel <= 0.05, f"{r['source']}: rel err {rel:.4f} > 3σ bound"
