@@ -140,12 +140,14 @@ def main():
     # warm the JVM + parquet footers once (not timed)
     _force(catalog.QUERIES["q1_pricing_summary"](spark, sf_dir))
 
-    # best-of-N per query (default 3, override SPARK_GRAFT_BENCH_N):
+    # best-of-N per query (default 5, override SPARK_GRAFT_BENCH_N):
     # single-shot local[32] timings are noisy (JIT, GC, python-worker
-    # startup); the min is the stable signal, and n=3 keeps one-off
-    # scheduler blips (e.g. round-2's asof_join_events 1.16x) out of the
-    # round-over-round comparison.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+    # startup); the min is the stable signal. Round-8 protocol fix
+    # (VERDICT r7 item 6): default n matches the baseline's n=5, so the
+    # driver's BENCH_rNN at final HEAD is directly comparable to the
+    # baseline record and round-over-round deltas under ~1.2x are
+    # adjudicable without a re-run.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
     # SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts the run to a subset (used
     # to re-record the 27-query baseline at the checksum action without
     # timing the full headline set)

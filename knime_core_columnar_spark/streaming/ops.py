@@ -666,3 +666,59 @@ def streaming_drift_monitor(
             ).alias("pct_diff"),
         )
     )
+
+
+def streaming_hll_store_ingest(
+    store_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+):
+    """foreachBatch maintainer for a persisted ``hll_sketch_table``
+    STORE — the streaming twin of the daily-ingest story in
+    ``sketch.hll_sketch_merge_tables``: every micro-batch is sketched
+    at group grain and merged into the parquet store, so global
+    distinct counts stay queryable (``hll_rollup`` over the store)
+    without ever rescanning history. Returns the callback for
+    ``df.writeStream.foreachBatch(...)``; it also accepts a batch
+    DataFrame directly (``callback(batch_df, batch_id)``) for
+    backfill/testing — the code path is literally shared.
+
+    Scale shape: the merge unions the STORE (group-cardinality-sized,
+    never corpus-sized) with the micro-batch's sketch table — per-batch
+    work is one partial-aggregated sketch pass over the batch plus a
+    store-sized merge. The swap is write-new-then-rename (the
+    container-writer shared-filesystem contract: local mode or a
+    shared mount). Registers max-merge, so replaying the same data in
+    different batch splits yields estimates within the HLL bound of
+    the full build — the invariant the parity test pins.
+    """
+    import os
+    import shutil
+
+    from knime_core_columnar_spark.operators.sketch import (
+        hll_sketch_merge_tables,
+        hll_sketch_table,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = hll_sketch_table(batch_df, group_cols, value_col, lg_k)
+        if os.path.isdir(store_dir):
+            store = spark.read.parquet(store_dir)
+            merged = hll_sketch_merge_tables(store, delta, group_cols)
+        else:
+            merged = delta
+        # write the new store BEFORE touching the old one (merged still
+        # reads it lazily), then swap directories
+        new = f"{store_dir}.new{batch_id}"
+        merged.write.mode("overwrite").parquet(new)
+        if os.path.isdir(store_dir):
+            old = f"{store_dir}.old{batch_id}"
+            os.rename(store_dir, old)
+            os.rename(new, store_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(new, store_dir)
+
+    return _ingest

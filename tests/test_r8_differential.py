@@ -1,0 +1,230 @@
+"""Property-based DIFFERENTIAL tests: random small nullable frames
+through the core table-algebra ops (concatenate / append / slice /
+cast) on Spark vs the same semantics replayed in DuckDB — the round-7
+verdict's stretch item. The reference has no randomized testing
+(SURVEY §5); this is the cheapest way to catch type-promotion and
+null-fill edge cases the fixed testdata never exercises.
+
+Deterministic: ``derandomize=True`` makes hypothesis derive every
+example from the test's source, so CI runs are stable. Column families
+are fixed per name (a/b numeric, c string, d boolean) so cross-family
+promotion — where Spark's merge_schemas and DuckDB's UNION BY NAME
+legitimately differ in string rendering — never decides an example;
+WITHIN-family promotion (bigint↔double) and missing-column null-fill
+are exactly what gets fuzzed.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from knime_core_columnar_spark.table import ColumnarTable
+
+# name -> family: the drawn dtype varies within the family only
+_FAMILY = {"a": "num", "b": "num", "c": "str", "d": "bool"}
+_DTYPES = {"num": ["bigint", "double"], "str": ["string"], "bool": ["boolean"]}
+
+_VALUES = {
+    # |int| ≤ 2^40: exact under bigint->double promotion
+    "bigint": st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+    "double": st.one_of(
+        st.none(),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+    ),
+    "string": st.one_of(
+        st.none(), st.text("abcXYZ 019_", min_size=0, max_size=8)
+    ),
+    "boolean": st.one_of(st.none(), st.booleans()),
+}
+
+_DUCK_T = {"bigint": "BIGINT", "double": "DOUBLE",
+           "string": "VARCHAR", "boolean": "BOOLEAN"}
+
+
+@st.composite
+def frame_spec(draw, min_rows=0):
+    names = draw(
+        st.lists(st.sampled_from(list(_FAMILY)), min_size=1, max_size=3,
+                 unique=True)
+    )
+    n = draw(st.integers(min_rows, 8))
+    cols = {}
+    for c in sorted(names):
+        dt = draw(st.sampled_from(_DTYPES[_FAMILY[c]]))
+        cols[c] = (dt, [draw(_VALUES[dt]) for _ in range(n)])
+    return n, cols
+
+
+def _spark_table(spark, n, cols, prefix):
+    rows = [
+        tuple([f"{prefix}{i:03d}"] + [cols[c][1][i] for c in cols])
+        for i in range(n)
+    ]
+    schema = ", ".join(
+        ["_row_key string"] + [f"{c} {dt}" for c, (dt, _) in cols.items()]
+    )
+    return ColumnarTable(spark.createDataFrame(rows, schema))
+
+
+def _duck_table(con, name, n, cols, prefix):
+    decl = ", ".join(
+        ["rk VARCHAR"] + [f"{c} {_DUCK_T[dt]}" for c, (dt, _) in cols.items()]
+    )
+    con.execute(f"CREATE OR REPLACE TABLE {name}({decl})")
+    rows = [
+        tuple([f"{prefix}{i:03d}"] + [cols[c][1][i] for c in cols])
+        for i in range(n)
+    ]
+    if rows:
+        ph = ", ".join(["?"] * (len(cols) + 1))
+        con.executemany(f"INSERT INTO {name} VALUES ({ph})", rows)
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        return ("f", v)
+    return ("s", str(v))
+
+
+def _multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda k: colnames[k])
+    return sorted(
+        (tuple(_norm(r[k]) for k in order) for r in rows),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def _spark_rows(ct):
+    df = ct.df.withColumnRenamed("_row_key", "rk")
+    return [tuple(r) for r in df.collect()], df.columns
+
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+
+
+@_SETTINGS
+@given(s1=frame_spec(), s2=frame_spec())
+def test_concatenate_matches_duckdb_union_by_name(spark_session, s1, s2):
+    """concatenate (KEEP, union-by-name, within-family promotion,
+    missing-column null-fill) ≡ DuckDB UNION ALL BY NAME."""
+    from knime_core_columnar_spark.table import RowIdPolicy
+
+    n1, c1 = s1
+    n2, c2 = s2
+    t1 = _spark_table(spark_session, n1, c1, "x")
+    t2 = _spark_table(spark_session, n2, c2, "y")
+    got = t1.concatenate([t2], row_id_policy=RowIdPolicy.KEEP)
+    rows, names = _spark_rows(got)
+
+    con = duckdb.connect()
+    _duck_table(con, "t1", n1, c1, "x")
+    _duck_table(con, "t2", n2, c2, "y")
+    want = con.execute(
+        "SELECT * FROM t1 UNION ALL BY NAME SELECT * FROM t2"
+    )
+    wnames = [d[0] for d in want.description]
+    wrows = want.fetchall()
+    assert sorted(names) == sorted(wnames)
+    assert _multiset(rows, names) == _multiset(wrows, wnames)
+
+
+@_SETTINGS
+@given(s=frame_spec(), bounds=st.tuples(st.integers(0, 9), st.integers(0, 9)))
+def test_slice_matches_duckdb_offset_limit(spark_session, s, bounds):
+    n, cols = s
+    start, stop = min(bounds), max(bounds)
+    t = _spark_table(spark_session, n, cols, "r")
+    rows, names = _spark_rows(t.slice(start, stop))
+
+    con = duckdb.connect()
+    _duck_table(con, "t", n, cols, "r")
+    want = con.execute(
+        f"SELECT * FROM t ORDER BY rk OFFSET {start} LIMIT {stop - start}"
+    )
+    wnames = [d[0] for d in want.description]
+    assert _multiset(rows, names) == _multiset(want.fetchall(), wnames)
+
+
+@_SETTINGS
+@given(s=frame_spec())
+def test_cast_upcasts_match_duckdb(spark_session, s):
+    """UPCASTs whose rendering is engine-portable: bigint→double,
+    bigint→string, boolean→string."""
+    n, cols = s
+    t = _spark_table(spark_session, n, cols, "r")
+    casts, exprs = {}, ["rk"]
+    for c, (dt, _) in cols.items():
+        if dt == "bigint":
+            casts[c] = "double"
+            exprs.append(f"CAST({c} AS DOUBLE) AS {c}")
+        elif dt == "boolean":
+            casts[c] = "string"
+            exprs.append(f"CAST({c} AS VARCHAR) AS {c}")
+        else:
+            exprs.append(c)
+    rows, names = _spark_rows(t.cast_columns(casts))
+
+    con = duckdb.connect()
+    _duck_table(con, "t", n, cols, "r")
+    want = con.execute(f"SELECT {', '.join(exprs)} FROM t")
+    wnames = [d[0] for d in want.description]
+    assert _multiset(rows, names) == _multiset(want.fetchall(), wnames)
+
+
+@_SETTINGS
+@given(s=frame_spec(min_rows=1))
+def test_append_hstack_matches_duckdb_key_join(spark_session, s):
+    """append (RowID-aligned hstack) of a projection back onto itself
+    ≡ DuckDB key join; a shuffled right side must not change the
+    result (alignment is BY KEY, never physical order)."""
+    n, cols = s
+    first = next(iter(cols))
+    t = _spark_table(spark_session, n, cols, "r")
+    right = ColumnarTable(
+        t.df.select("_row_key", first)
+        .withColumnRenamed(first, "extra")
+        .orderBy("extra")  # scrambled physical order
+    )
+    rows, names = _spark_rows(t.append([right]))
+
+    con = duckdb.connect()
+    _duck_table(con, "t", n, cols, "r")
+    want = con.execute(
+        f"SELECT t.*, u.{first} AS extra FROM t JOIN t u USING (rk)"
+    )
+    wnames = [d[0] for d in want.description]
+    assert _multiset(rows, names) == _multiset(want.fetchall(), wnames)
+
+
+def test_append_misaligned_keys_fail(spark_session):
+    """The embedded alignment assert fires on a key mismatch."""
+    from knime_core_columnar_spark.table import ColumnarTable
+
+    a = ColumnarTable(
+        spark_session.createDataFrame(
+            [("k1", 1), ("k2", 2)], "_row_key string, v long"
+        )
+    )
+    b = ColumnarTable(
+        spark_session.createDataFrame(
+            [("k1", 9), ("k3", 8)], "_row_key string, w long"
+        )
+    )
+    with pytest.raises(Exception, match="not present in every input"):
+        a.append([b]).df.collect()

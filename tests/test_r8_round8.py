@@ -190,6 +190,102 @@ def test_webdataset_shard_byte_guard(spark, tmp_path):
         )
 
 
+def test_covariance_arrow_expr_parity_mixed_magnitudes(spark):
+    """The Arrow Gram kernel and the pure-expression plan must agree
+    BIT-EXACTLY, including rows past the int64-product bound (the
+    kernel's python-int fallback) and a chunk boundary (tiny step from
+    a huge in-range component)."""
+    from knime_core_columnar_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rows = [
+        (0, [1.5, -2.25, 3.0]),
+        (1, [4.0e12, 1.0, -2.0]),      # past safe_bound: python-int path
+        (2, [2.9e3, -1.0, 0.5]),       # large in-range: step shrinks
+        (3, [0.001, 0.002, -0.003]),
+        (4, [-1.0, -1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = embedding_covariance(df, method="arrow").orderBy("i", "j").collect()
+    x = embedding_covariance(df, method="expr").orderBy("i", "j").collect()
+    assert len(a) == len(x) == 6
+    assert a == x
+    # partitioning independence of the kernel
+    b = (
+        embedding_covariance(df.repartition(7), method="arrow")
+        .orderBy("i", "j")
+        .collect()
+    )
+    assert b == a
+
+
+def test_streaming_hll_store_multibatch_parity(spark, sf_dir, tmp_path):
+    """Real micro-batch run of the HLL store maintainer: the documents
+    corpus streamed in 4-file micro-batches through
+    streaming_hll_store_ingest must leave a store whose rollup matches
+    the full-build rollup within the HLL bound, with exact row
+    accounting — the merge==full-build invariant under multi-batch
+    replay."""
+    from knime_core_columnar_spark.operators.sketch import (
+        hll_rollup,
+        hll_sketch_table,
+    )
+    from knime_core_columnar_spark.streaming import ops as ST
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "lang", "doc_id"
+    )
+    src_dir = str(tmp_path / "hll_in")
+    d.repartition(8).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    store_dir = str(tmp_path / "hll_store")
+    ingest = ST.streaming_hll_store_ingest(
+        store_dir, ["source", "lang"], "doc_id"
+    )
+    stream = ST.stream_from_directory(
+        spark, src_dir, schema, max_files_per_trigger=4
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    store = spark.read.parquet(store_dir)
+    got = {
+        r["source"]: (r["approx_distinct"], r["n_rows"])
+        for r in hll_rollup(store, ["source"]).collect()
+    }
+    full = hll_rollup(
+        hll_sketch_table(d, ["source", "lang"], "doc_id"), ["source"]
+    )
+    want = {
+        r["source"]: (r["approx_distinct"], r["n_rows"]) for r in full.collect()
+    }
+    assert set(got) == set(want) and got
+    for s, (est, n) in want.items():
+        assert got[s][1] == n  # row accounting is exact
+        assert abs(got[s][0] - est) / max(est, 1) <= 0.05
+
+    # batch-callback backfill path shares the code: a second store fed
+    # the whole corpus in ONE call must agree with the streamed store
+    store2_dir = str(tmp_path / "hll_store2")
+    ST.streaming_hll_store_ingest(
+        store2_dir, ["source", "lang"], "doc_id"
+    )(d, 0)
+    got2 = {
+        r["source"]: r["n_rows"]
+        for r in hll_rollup(
+            spark.read.parquet(store2_dir), ["source"]
+        ).collect()
+    }
+    assert got2 == {s: n for s, (_, n) in got.items()}
+
+
 def test_hll_sketch_tight_bound(spark, sf_dir):
     """The 3σ bound the catalog gate deliberately relaxes to 5σ
     (round-7 advisory): asserted here where a tail miss is a visible,
