@@ -368,7 +368,9 @@ def phash_near_dup_pairs(
     TWO TIERS — ``band_bits=None`` (the default) auto-selects from the
     corpus size via ``_phash_auto_band_bits`` (the
     embedding_near_dup_pairs auto-LSH precedent; pass ``corpus_count``
-    when the row count is already known so selection costs no scan):
+    when the row count is already known so selection costs no scan —
+    with ``band_bits`` explicit and no ``corpus_count``, NO count job
+    runs and the join hint defaults to the scale-safe merge):
     candidate density is ~ n² · n_bands / 2^band_bits, so
     - AUDIT tier, narrow bands (e.g. ``band_bits=4``: 16 bands,
       guarantee ≤ 15 bits): only 16·16 = 256 buckets exist —
@@ -403,15 +405,24 @@ def phash_near_dup_pairs(
 
     Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ max_hamming.
     """
-    if corpus_count is None:
-        # one count (metadata-only on a parquet-backed frame, and dwarfed
-        # by the band join regardless): feeds BOTH the band-width tier
-        # and the join-strategy decision below
-        corpus_count = df.count()
     if band_bits is None:
+        if corpus_count is None:
+            # one count: feeds BOTH the band-width tier and the
+            # join-strategy decision below. Callers with the row count
+            # at hand (parquet footers, a cached count) should pass
+            # corpus_count — on filtered/derived frames this is a full
+            # Spark job, not a metadata read (round-7 advisory).
+            corpus_count = df.count()
         band_bits = _phash_auto_band_bits(
             corpus_count, n_slices, max_hamming, audit_max_rows
         )
+    elif corpus_count is None:
+        # band_bits explicit: the count would ONLY pick the join
+        # strategy — not worth a full pass over a derived frame
+        # (round-7 advisory). Take the conservative (scale-safe) merge
+        # hint; callers who want the small-corpus broadcast back pass
+        # corpus_count (the catalog threads parquet footer counts).
+        corpus_count = audit_max_rows + 1
     n_bands = n_slices // band_bits
     if max_hamming >= n_bands:
         raise ValueError(

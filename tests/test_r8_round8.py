@@ -190,6 +190,33 @@ def test_webdataset_shard_byte_guard(spark, tmp_path):
         )
 
 
+def test_phash_explicit_bands_skip_count_take_merge_hint(spark):
+    """band_bits explicit + corpus_count unknown: NO count job runs
+    (round-7 advisory — on derived frames it was a full pass) and the
+    join hint defaults to the scale-safe merge."""
+    from knime_core_columnar_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    rows = [(i, bytearray(f"document number {i} filler ".encode() * 4))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    out = phash_near_dup_pairs(df, max_hamming=6, band_bits=8)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before  # plan construction launched no job
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=merge" in plan
+    # threading an explicit small corpus_count restores the broadcast
+    out2 = phash_near_dup_pairs(
+        df, max_hamming=6, band_bits=8, corpus_count=20
+    )
+    assert "strategy=merge" not in (
+        out2._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
 def test_covariance_arrow_expr_parity_mixed_magnitudes(spark):
     """The Arrow Gram kernel and the pure-expression plan must agree
     BIT-EXACTLY, including rows past the int64-product bound (the
