@@ -94,26 +94,84 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast the query batch, score every corpus
-    row, keep k per query via window top-k (WindowGroupLimit keeps a
-    k-row heap per partition — no global sort)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
-        l2_norm(F.col(vec_col)).alias("__qn"),
+    """Exact cosine top-k: ship the query batch to the executors as a
+    kernel constant, score every corpus row against ALL queries in ONE
+    Arrow pass, keep k per query via window top-k (WindowGroupLimit
+    keeps a k-row heap per partition — no global sort).
+
+    The query batch is small BY CONTRACT (it was always broadcast; now
+    the same bound is enforced — > ``max_query_rows`` raises instead of
+    materializing an unbounded batch on the driver: batch your queries
+    or use the LSH/IVF tiers). This r8 shape replaces the earlier
+    crossJoin + pairwise pandas UDF, whose Arrow transfer carried every
+    corpus VECTOR once per query (m× the corpus bytes); now the corpus
+    crosses Arrow exactly once and the m·d dot products run as m
+    dimension-sequential vectorized accumulations per batch — the SAME
+    floating-point order as the ``dot`` expression and DuckDB's
+    list_dot_product, so cosines stay bit-identical to the SQL oracle.
+    Rounding happens JVM-side (HALF_UP), never in numpy.
+    """
+    qrows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .limit(max_query_rows + 1)
+        .collect()
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
-        l2_norm(F.col(vec_col)).alias("__cn"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id",
-            F.round(pair_cosine(F.col("__qv"), F.col("__cv"),
-                                F.col("__qn"), F.col("__cn")), 6).alias("cos"),
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk: query batch exceeds max_query_rows="
+            f"{max_query_rows} — the exact tier scores corpus × batch; "
+            "batch the queries or use the LSH/IVF tiers"
         )
+    qids = [r[0] for r in qrows]
+    qvecs = [list(r[1]) for r in qrows]
+    id_t = corpus.schema[id_col].dataType.simpleString()
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(qvecs, dtype=np.float64)  # (m, d)
+        m, d = Q.shape if Q.size else (0, 0)
+        # query norms: dimension-sequential accumulation (oracle order)
+        qn = np.zeros(m)
+        for j in range(d):
+            qn += Q[:, j] * Q[:, j]
+        qn = np.sqrt(qn)
+        for pdf in batches:
+            keep = pdf[vec_col].notna()
+            ids = pdf.loc[keep, id_col]
+            if not len(ids) or m == 0:
+                continue
+            C = np.asarray(
+                [np.asarray(v, dtype=np.float64)
+                 for v in pdf.loc[keep, vec_col]],
+                dtype=np.float64,
+            )
+            cn = np.zeros(len(C))
+            for j in range(d):
+                cn += C[:, j] * C[:, j]
+            cn = np.sqrt(cn)
+            for qi in range(m):
+                acc = np.zeros(len(C))
+                for j in range(d):
+                    acc += C[:, j] * Q[qi, j]
+                yield pd.DataFrame({
+                    "query_id": [qids[qi]] * len(C),
+                    "neighbor_id": ids.to_numpy(),
+                    "cos": acc / (qn[qi] * cn),
+                })
+
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(
+            _score,
+            f"query_id {id_t}, neighbor_id {id_t}, cos double",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
