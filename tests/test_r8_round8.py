@@ -147,6 +147,39 @@ def test_warc_hand_built_cc_record(spark, tmp_path):
     assert bytes(r["content"]) == body
 
 
+def test_crawl_to_text_end_to_end(spark, tmp_path):
+    """The full web-curation front door composed: documents wrapped in
+    an HTML page skeleton, exported as CC-shaped .warc.gz (nested HTTP
+    messages), read back, HTTP block split, HTML main text extracted —
+    the kept text must round-trip the original document body."""
+    from knime_core_columnar_spark.operators.web import html_main_text
+
+    texts = [f"the quick document number {i} with enough words" for i in range(12)]
+    page = (
+        "<html><head><script>var x = 1 < 2;</script></head><body>"
+        '<nav><a href="/">Home</a> | <a href="/a">About</a></nav>'
+        "<p>{body}</p>"
+        '<footer><a href="/t">Terms</a></footer></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(f"https://site.test/{i}", page.format(body=t))
+         for i, t in enumerate(texts)],
+        "url string, text string",
+    )
+    out = str(tmp_path / "crawl")
+    write_warc(df, out, http_wrap=True, n_files=2)
+    back = (
+        read_warc(spark, out)
+        .filter(F.col("http_status") == 200)
+        .select("url", F.decode("payload", "utf-8").alias("html"))
+        .select("url", html_main_text("html")["text"].alias("main"))
+    )
+    got = {r["url"]: r["main"] for r in back.collect()}
+    assert len(got) == 12
+    for i, t in enumerate(texts):
+        assert got[f"https://site.test/{i}"] == t  # nav/footer dropped
+
+
 def test_warc_headers_only_http_message():
     """204-style HTTP message with no CRLFCRLF payload separator:
     status parses, payload is empty."""
