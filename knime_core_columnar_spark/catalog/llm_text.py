@@ -547,7 +547,9 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing end-to-end: attach a binary column, take
     JVM-side payload stats, run the (stubbed) image decode through
-    mapInPandas over Arrow batches, and join stats with decode output.
+    mapInPandas over Arrow batches with the stats riding through as
+    passthrough columns — ONE pass, zero exchanges (the earlier
+    stats⋈decode self-join shuffled the corpus twice for nothing; r8).
     The decode kernel is the single marked swap-in point for a real
     imaging library."""
     from knime_core_columnar_spark.operators.multimodal import (
@@ -557,11 +559,12 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
-    stats = d.select("doc_id", *[c.alias(n) for n, c in payload_stats(F.col("payload")).items()])
-    feats = decode_image_features(d, "doc_id", "payload").select("doc_id", "width", "height")
-    return stats.join(feats, "doc_id").select(
-        "doc_id", "n_bytes", "content_sha256", "width", "height"
+    d = d.withColumn(
+        "content_sha256", payload_stats(F.col("payload"))["content_sha256"]
     )
+    return decode_image_features(
+        d, "doc_id", "payload", passthrough_cols=["content_sha256"]
+    ).select("doc_id", "n_bytes", "content_sha256", "width", "height")
 
 
 @query(

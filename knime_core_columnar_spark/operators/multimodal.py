@@ -81,13 +81,21 @@ def decode_image_features(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     strict: bool = False,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """Image decode + feature extraction over Arrow batches.
 
     mapInPandas keeps batches columnar end-to-end (Arrow transfer, no
     per-row Python). Partition-parallel: N executors × batches, no
     driver involvement. ``strict=True`` raises where a real decoder
-    belongs."""
+    belongs. ``passthrough_cols`` ride through the kernel unchanged
+    (same row order), so precomputed JVM-side stats never need a
+    corpus self-join back onto the decode output."""
+    passthrough = list(passthrough_cols or [])
+    schema = T.StructType(
+        list(IMAGE_FEATURES_TYPE.fields)
+        + [df.schema[c] for c in passthrough]
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -106,9 +114,14 @@ def decode_image_features(
                 out["height"].append(h)
                 out["mean_byte"].append(m)
                 out["n_bytes"].append(len(raw))
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for c in passthrough:
+                res[c] = pdf[c].to_numpy()
+            yield res
 
-    return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_FEATURES_TYPE)
+    return df.select(id_col, payload_col, *passthrough).mapInPandas(
+        decode, schema
+    )
 
 
 def sample_frames(

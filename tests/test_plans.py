@@ -44,11 +44,14 @@ def test_window_topk_group_limit(spark):
 
 
 def test_ann_topk_broadcast_and_group_limit(spark):
-    """Brute-force ANN: query batch broadcast (no corpus shuffle) and
-    per-query top-k via WindowGroupLimit."""
+    """Brute-force ANN (r8 shape): the query batch ships as a kernel
+    constant — ONE corpus Arrow pass, NO join of any kind before the
+    per-query WindowGroupLimit top-k (the earlier crossJoin broadcast
+    shipped every corpus vector once per query)."""
     p = plan_of(spark, "ann_topk")
     assert "WindowGroupLimit" in p
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "MapInPandas" in p
+    assert "Join" not in p
 
 
 def test_q1_scan_pruned_and_pushed(spark):
