@@ -502,7 +502,8 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knime_core_columnar_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(e, e.filter("vec_id < 10"), k=5, ncells=16, nprobe=4)
+    return ivf_topk(e, e.filter("vec_id < 10"), k=5, ncells=16, nprobe=4,
+                    corpus_count=_parquet_rows(sf_dir, "embeddings"))
 
 
 @query(

@@ -278,6 +278,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: centroids are a deterministic hash sample of the
     corpus (a real deployment would train k-means); every corpus row is
@@ -298,7 +299,9 @@ def ivf_topk(
 
     from knime_core_columnar_spark.operators.sampling import _BUCKETS, hash_bucket
 
-    n = corpus.count()  # one scalar aggregate to size the sample fraction
+    # one scalar aggregate to size the sample fraction — skipped when
+    # the caller passes corpus_count (parquet footers, a cached count)
+    n = corpus_count if corpus_count is not None else corpus.count()
     thr = min(
         _BUCKETS, int(math.floor((4.0 * ncells * _BUCKETS) / max(n, 1) + 0.5))
     )
@@ -1343,6 +1346,7 @@ def build_ivf_index(
     ncells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
 ) -> None:
     """Persist an IVF index for ``ivf_probe_index``: the disk-backed
     deployment shape of ``ivf_topk``, where the corpus is embedded once
@@ -1365,7 +1369,9 @@ def build_ivf_index(
 
     from knime_core_columnar_spark.operators.sampling import _BUCKETS, hash_bucket
 
-    n = corpus.count()
+    # one count per BUILD (a one-time job, not per query); pass
+    # corpus_count (parquet footers, a cached count) to skip it
+    n = corpus_count if corpus_count is not None else corpus.count()
     thr = min(
         _BUCKETS, int(math.floor((4.0 * ncells * _BUCKETS) / max(n, 1) + 0.5))
     )
