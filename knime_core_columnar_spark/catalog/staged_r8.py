@@ -309,11 +309,12 @@ URL_HOST_STATS_ORACLE = """
                             '/+$', '') AS path
       FROM s
     ), h AS (
-      -- userinfo strip, then port, then www (web.canonical_url_parts)
+      -- userinfo strip, then port, then www, then FQDN trailing dot
+      -- (web.canonical_url_parts)
       SELECT doc_id, path,
-             regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(
                  regexp_replace(hostport, '^[^/@]*@', ''),
-                 ':[0-9]+$', ''), '^www\\.', '') AS host
+                 ':[0-9]+$', ''), '^www\\.', ''), '\\.+$', '') AS host
       FROM p
     )
     SELECT host AS url_host,

@@ -66,12 +66,18 @@ def canonical_url_parts(url: Column | str, psl: bool = True) -> Column:
         F.substr(u, F.length(hostport) + 1), r"/+$", ""
     )
     # userinfo first (user:pass@host — a ':' inside the password would
-    # otherwise defeat the :port strip), then port, then www
+    # otherwise defeat the :port strip), then port, then www, then any
+    # FQDN trailing dot (example.com. — common in crawl data; an empty
+    # final label would desync the PSL label-tail logic)
     host = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(hostport, r"^[^/@]*@", ""), r":[0-9]+$", ""
+            F.regexp_replace(
+                F.regexp_replace(hostport, r"^[^/@]*@", ""), r":[0-9]+$", ""
+            ),
+            r"^www\.",
+            "",
         ),
-        r"^www\.",
+        r"\.+$",
         "",
     )
     if psl:

@@ -85,6 +85,21 @@ def test_canonical_url_parts_uses_psl(spark):
     assert row["url_path"] == "/a/b"
 
 
+def test_canonical_url_strips_fqdn_trailing_dot(spark):
+    """`example.co.uk.` (absolute FQDN — common in crawl data) must
+    canonicalize to the same host/domain as `example.co.uk`: an empty
+    final label would desync the PSL label-tail logic."""
+    from knime_core_columnar_spark.operators.web import canonicalize_url
+
+    df = spark.createDataFrame(
+        [("https://shop.example.co.uk./x",), ("https://shop.example.co.uk/x",)],
+        "url string",
+    )
+    rows = canonicalize_url(df).collect()
+    assert {r["url_host"] for r in rows} == {"shop.example.co.uk"}
+    assert {r["url_domain"] for r in rows} == {"example.co.uk"}
+
+
 def test_warc_http_wrap_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [(f"https://ex.test/d/{i}", f"doc body {i}") for i in range(20)],
