@@ -304,6 +304,64 @@ def _r7x_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_roundtrip_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    dir_prefix: str,
+    http_wrap: bool,
+    payload_col: str,
+    extra_aggs: list | None = None,
+) -> DataFrame:
+    """Shared WARC roundtrip harness (used by ``warc_roundtrip`` and
+    round-8's ``warc_http_parse``): export the documents corpus once to
+    a cached md5-keyed .warc.gz artifact, read it back, and aggregate
+    per file — record count plus the byte-exact payload parity flag
+    (``all_match``). ``payload_col`` selects which read_warc column
+    must round-trip (``content`` for plain records, ``payload`` for
+    nested-HTTP ones); ``extra_aggs`` appends caller-specific checks."""
+    import os
+
+    from knime_core_columnar_spark.catalog._registry import (
+        _artifact_tag,
+        _ensure_pkg_on_executors,
+        _publish_dir,
+    )
+    from knime_core_columnar_spark.sources.warc import read_warc, write_warc
+
+    _ensure_pkg_on_executors(spark)
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://example.test/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text",
+        "doc_id",
+    )
+    tag = _artifact_tag(sf_dir, "documents")
+    warc_dir = f"/tmp/{dir_prefix}_{tag}"
+    if not os.path.isdir(warc_dir):
+        staging = f"{warc_dir}.part{os.getpid()}"
+        write_warc(d, staging, url_col="url", content_col="text",
+                   key_col="url", n_files=8, http_wrap=http_wrap)
+        _publish_dir(staging, warc_dir)
+    back = read_warc(spark, warc_dir).select(
+        F.regexp_extract("file", r"part-(\d+)", 1).cast("bigint")
+        .alias("file_id"),
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        F.decode(payload_col, "utf-8").alias("rt_text"),
+        "http_status",
+        "http_content_type",
+    )
+    j = back.join(d.select("doc_id", "text"), "doc_id")
+    return j.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min(
+            F.coalesce(F.col("rt_text") == F.col("text"),
+                       F.col("text").isNull())
+        ).alias("all_match"),
+        *(extra_aggs or []),
+    )
+
+
 @query(
     "warc_roundtrip",
     """
@@ -325,43 +383,8 @@ def _r7x_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip byte-exactly against the source text — ``all_match`` is
     the engine's own parity check, asserted TRUE by the oracle
     alongside exactly-replayed per-file record counts."""
-    import os
-
-    from knime_core_columnar_spark.catalog._registry import (
-        _artifact_tag,
-        _ensure_pkg_on_executors,
-        _publish_dir,
-    )
-    from knime_core_columnar_spark.sources.warc import read_warc, write_warc
-
-    _ensure_pkg_on_executors(spark)
-    d = _t(spark, sf_dir, "documents").select(
-        F.concat(F.lit("https://example.test/doc/"),
-                 F.col("doc_id").cast("string")).alias("url"),
-        "text",
-        "doc_id",
-    )
-    tag = _artifact_tag(sf_dir, "documents")
-    warc_dir = f"/tmp/kccs_warc_{tag}"
-    if not os.path.isdir(warc_dir):
-        staging = f"{warc_dir}.part{os.getpid()}"
-        write_warc(d, staging, url_col="url", content_col="text",
-                   key_col="url", n_files=8)
-        _publish_dir(staging, warc_dir)
-    back = read_warc(spark, warc_dir).select(
-        F.regexp_extract("file", r"part-(\d+)", 1).cast("bigint")
-        .alias("file_id"),
-        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
-        .alias("doc_id"),
-        F.decode("content", "utf-8").alias("rt_text"),
-    )
-    j = back.join(d.select("doc_id", "text"), "doc_id")
-    return j.groupBy("file_id").agg(
-        F.count(F.lit(1)).alias("n_records"),
-        F.min(
-            F.coalesce(F.col("rt_text") == F.col("text"),
-                       F.col("text").isNull())
-        ).alias("all_match"),
+    return _warc_roundtrip_frame(
+        spark, sf_dir, "kccs_warc", http_wrap=False, payload_col="content"
     )
 
 

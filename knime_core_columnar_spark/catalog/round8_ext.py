@@ -40,7 +40,7 @@ _HOST_CASE_SPARK = """
       WHEN 3 THEN concat('city', CAST(doc_id % 5 AS STRING), '.ma.us')
       WHEN 4 THEN concat('site', CAST(doc_id % 5 AS STRING),
                          '.example', CAST(doc_id % 3 AS STRING), '.np')
-      WHEN 5 THEN concat(CASE WHEN doc_id % 2 = 0 THEN 'sub.' ELSE '' END,
+      WHEN 5 THEN concat(CASE WHEN doc_id % 16 = 5 THEN 'sub.' ELSE '' END,
                          'www.ck')
       WHEN 6 THEN concat('blog', CAST(doc_id % 5 AS STRING),
                          '.example.com')
@@ -56,7 +56,7 @@ _HOST_CASE_DUCK = """
       WHEN 3 THEN 'city' || CAST(doc_id % 5 AS VARCHAR) || '.ma.us'
       WHEN 4 THEN 'site' || CAST(doc_id % 5 AS VARCHAR)
                   || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.np'
-      WHEN 5 THEN (CASE WHEN doc_id % 2 = 0 THEN 'sub.' ELSE '' END)
+      WHEN 5 THEN (CASE WHEN doc_id % 16 = 5 THEN 'sub.' ELSE '' END)
                   || 'www.ck'
       WHEN 6 THEN 'blog' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
       ELSE 'co.uk'
@@ -129,49 +129,20 @@ def _r8x_warc_http_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips the source text byte-exactly (``all_match``) and the
     HTTP status/content-type parse out (``all_http_ok``) — both
     engine-side invariants asserted TRUE by the oracle alongside the
-    exactly-replayed per-file record counts."""
-    import os
+    exactly-replayed per-file record counts. Shares the roundtrip
+    harness with ``warc_roundtrip`` (round7_ext._warc_roundtrip_frame)."""
+    from knime_core_columnar_spark.catalog.round7_ext import (
+        _warc_roundtrip_frame,
+    )
 
-    from knime_core_columnar_spark.catalog._registry import (
-        _artifact_tag,
-        _ensure_pkg_on_executors,
-        _publish_dir,
-    )
-    from knime_core_columnar_spark.sources.warc import read_warc, write_warc
-
-    _ensure_pkg_on_executors(spark)
-    d = _t(spark, sf_dir, "documents").select(
-        F.concat(F.lit("https://example.test/doc/"),
-                 F.col("doc_id").cast("string")).alias("url"),
-        "text",
-        "doc_id",
-    )
-    tag = _artifact_tag(sf_dir, "documents")
-    warc_dir = f"/tmp/kccs_warc_http_{tag}"
-    if not os.path.isdir(warc_dir):
-        staging = f"{warc_dir}.part{os.getpid()}"
-        write_warc(d, staging, url_col="url", content_col="text",
-                   key_col="url", n_files=8, http_wrap=True)
-        _publish_dir(staging, warc_dir)
-    back = read_warc(spark, warc_dir).select(
-        F.regexp_extract("file", r"part-(\d+)", 1).cast("bigint")
-        .alias("file_id"),
-        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
-        .alias("doc_id"),
-        F.decode("payload", "utf-8").alias("rt_text"),
-        "http_status",
-        "http_content_type",
-    )
-    j = back.join(d.select("doc_id", "text"), "doc_id")
-    return j.groupBy("file_id").agg(
-        F.count(F.lit(1)).alias("n_records"),
-        F.min(
-            F.coalesce(F.col("rt_text") == F.col("text"),
-                       F.col("text").isNull())
-        ).alias("all_match"),
-        F.min(
-            (F.col("http_status") == 200)
-            & (F.col("http_content_type")
-               == "text/plain; charset=utf-8")
-        ).alias("all_http_ok"),
+    return _warc_roundtrip_frame(
+        spark, sf_dir, "kccs_warc_http", http_wrap=True,
+        payload_col="payload",
+        extra_aggs=[
+            F.min(
+                (F.col("http_status") == 200)
+                & (F.col("http_content_type")
+                   == "text/plain; charset=utf-8")
+            ).alias("all_http_ok")
+        ],
     )

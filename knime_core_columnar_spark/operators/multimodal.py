@@ -92,6 +92,13 @@ def decode_image_features(
     (same row order), so precomputed JVM-side stats never need a
     corpus self-join back onto the decode output."""
     passthrough = list(passthrough_cols or [])
+    clash = set(passthrough) & set(IMAGE_FEATURES_TYPE.fieldNames())
+    if clash:
+        raise ValueError(
+            f"decode_image_features: passthrough_cols {sorted(clash)} "
+            "collide with computed feature columns "
+            f"{IMAGE_FEATURES_TYPE.fieldNames()} — rename them first"
+        )
     schema = T.StructType(
         list(IMAGE_FEATURES_TYPE.fields)
         + [df.schema[c] for c in passthrough]
@@ -107,14 +114,25 @@ def decode_image_features(
                 )
             out = {"doc_id": [], "width": [], "height": [], "mean_byte": [], "n_bytes": []}
             for i, data in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(data) if data is not None else b""
-                w, h, m = _fake_decode_image(raw)
+                if data is None:
+                    # NULL payload → NULL features, matching the
+                    # JVM-side stats (octet_length(NULL) IS NULL) a
+                    # real decoder could not invent dimensions either
+                    w = h = m = nb = None
+                else:
+                    raw = bytes(data)
+                    w, h, m = _fake_decode_image(raw)
+                    nb = len(raw)
                 out["doc_id"].append(i)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["mean_byte"].append(m)
-                out["n_bytes"].append(len(raw))
+                out["n_bytes"].append(nb)
             res = pd.DataFrame(out)
+            if res["width"].isna().any():
+                res["width"] = res["width"].astype("Int32")
+                res["height"] = res["height"].astype("Int32")
+                res["n_bytes"] = res["n_bytes"].astype("Int64")
             for c in passthrough:
                 res[c] = pdf[c].to_numpy()
             yield res

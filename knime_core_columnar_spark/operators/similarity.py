@@ -104,7 +104,12 @@ def brute_force_topk(
     The query batch is small BY CONTRACT (it was always broadcast; now
     the same bound is enforced — > ``max_query_rows`` raises instead of
     materializing an unbounded batch on the driver: batch your queries
-    or use the LSH/IVF tiers). This r8 shape replaces the earlier
+    or use the LSH/IVF tiers). EAGER contract: constructing the result
+    DataFrame runs ONE small job (the bounded query-batch collect) —
+    the deliberate exception to the repo's no-job-at-plan-construction
+    rule, because the batch must exist before the kernel closure can
+    capture it, and the alternative (per-pair transfer) costs m× the
+    corpus bytes at every execution. This r8 shape replaces the earlier
     crossJoin + pairwise pandas UDF, whose Arrow transfer carried every
     corpus VECTOR once per query (m× the corpus bytes); now the corpus
     crosses Arrow exactly once and the m·d dot products run as m
@@ -127,6 +132,9 @@ def brute_force_topk(
         )
     qids = [r[0] for r in qrows]
     qvecs = [list(r[1]) for r in qrows]
+    # each side keeps its OWN id type (a queries frame with a wider id
+    # type must not be coerced to the corpus's)
+    qid_t = queries.schema[id_col].dataType.simpleString()
     id_t = corpus.schema[id_col].dataType.simpleString()
 
     def _score(batches):
@@ -168,7 +176,7 @@ def brute_force_topk(
         corpus.select(F.col(id_col), F.col(vec_col))
         .mapInPandas(
             _score,
-            f"query_id {id_t}, neighbor_id {id_t}, cos double",
+            f"query_id {qid_t}, neighbor_id {id_t}, cos double",
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
@@ -1080,10 +1088,39 @@ def _gram_partials_arrow(
             vals = [v for v in pdf["__xi"] if v is not None]
             if not vals:
                 continue
-            X = np.asarray(
-                [np.asarray(v, dtype=np.int64) for v in vals],
-                dtype=np.int64,
-            )
+            try:
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.int64) for v in vals],
+                    dtype=np.int64,
+                )
+            except (TypeError, ValueError):
+                # some array carries a NULL element: split clean rows
+                # (fast path) from dirty rows, whose null-touching pairs
+                # contribute NOTHING — the exact semantics of the expr
+                # plan, where a null product is skipped by SUM
+                clean, dirty = [], []
+                for v in vals:
+                    row = list(v)
+                    if any(x is None or x != x for x in row):
+                        dirty.append(row)
+                    else:
+                        clean.append(row)
+                if total is None:
+                    d = len(dirty[0] if dirty else clean[0])
+                    total = [[0] * d for _ in range(d)]
+                for row in dirty:
+                    pr = [None if (x is None or x != x) else int(x)
+                          for x in row]
+                    for i in range(d):
+                        ri, ti = pr[i], total[i]
+                        if ri is None:
+                            continue
+                        for j in range(i, d):
+                            if pr[j] is not None:
+                                ti[j] += ri * pr[j]
+                if not clean:
+                    continue
+                X = np.asarray(clean, dtype=np.int64)
             if total is None:
                 d = X.shape[1]
                 total = [[0] * d for _ in range(d)]

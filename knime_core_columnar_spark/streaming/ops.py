@@ -693,6 +693,7 @@ def streaming_hll_store_ingest(
     different batch splits yields estimates within the HLL bound of
     the full build — the invariant the parity test pins.
     """
+    import glob
     import os
     import shutil
 
@@ -701,8 +702,25 @@ def streaming_hll_store_ingest(
         hll_sketch_table,
     )
 
+    def _recover() -> None:
+        # crash recovery: a crash between the two swap renames leaves
+        # the store absent but its content intact under `.old<batch>`;
+        # restore the newest one instead of silently restarting the
+        # store from a delta-only table. Leftover `.old` dirs from a
+        # crash AFTER the swap are stale copies — removed below before
+        # the rename so a foreachBatch retry never hits ENOTEMPTY.
+        if os.path.isdir(store_dir):
+            return
+        olds = sorted(
+            (p for p in glob.glob(f"{store_dir}.old*") if os.path.isdir(p)),
+            key=os.path.getmtime,
+        )
+        if olds:
+            os.rename(olds[-1], store_dir)
+
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover()
         delta = hll_sketch_table(batch_df, group_cols, value_col, lg_k)
         if os.path.isdir(store_dir):
             store = spark.read.parquet(store_dir)
@@ -715,6 +733,8 @@ def streaming_hll_store_ingest(
         merged.write.mode("overwrite").parquet(new)
         if os.path.isdir(store_dir):
             old = f"{store_dir}.old{batch_id}"
+            if os.path.isdir(old):  # crashed retry of this batch
+                shutil.rmtree(old)
             os.rename(store_dir, old)
             os.rename(new, store_dir)
             shutil.rmtree(old)

@@ -361,6 +361,95 @@ def test_streaming_hll_store_multibatch_parity(spark, sf_dir, tmp_path):
     assert got2 == {s: n for s, (_, n) in got.items()}
 
 
+def test_covariance_arrow_null_element_parity(spark):
+    """A NULL element inside an embedding must not crash the Arrow
+    kernel, and its pairs contribute nothing — the exact expr-plan
+    semantics (null products are skipped by SUM)."""
+    from knime_core_columnar_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (1, [4.0, None, 6.0]),  # pairs touching dim 1 skip this row
+        (2, [7.0, 8.0, 9.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = embedding_covariance(df, method="arrow").orderBy("i", "j").collect()
+    x = embedding_covariance(df, method="expr").orderBy("i", "j").collect()
+    assert a == x and len(a) == 6
+
+
+def test_decode_features_null_payload_yields_nulls(spark):
+    """NULL payloads decode to NULL features (octet_length(NULL) IS
+    NULL semantics) instead of fabricated zero-byte dimensions."""
+    from knime_core_columnar_spark.operators.multimodal import (
+        decode_image_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_image_features(df).collect()}
+    assert got[1]["n_bytes"] == 3 and got[1]["width"] is not None
+    assert got[2]["n_bytes"] is None
+    assert got[2]["width"] is None and got[2]["height"] is None
+
+
+def test_decode_features_passthrough_collision_raises(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        decode_image_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"), 9)], "doc_id long, payload binary, n_bytes long"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        decode_image_features(df, passthrough_cols=["n_bytes"])
+
+
+def test_hll_store_swap_crash_recovery(spark, tmp_path):
+    """The store swap is retry- and crash-safe: a leftover .old dir
+    (crash after the swap) does not wedge the retry, and a missing
+    store with an intact .old (crash between the renames) is restored
+    instead of silently restarting from a delta."""
+    import os
+    import shutil
+
+    from knime_core_columnar_spark.operators.sketch import hll_rollup
+    from knime_core_columnar_spark.streaming.ops import (
+        streaming_hll_store_ingest,
+    )
+
+    store = str(tmp_path / "store")
+    ingest = streaming_hll_store_ingest(store, ["source"], "doc_id")
+    d1 = spark.createDataFrame(
+        [(f"s{i % 2}", i) for i in range(100)], "source string, doc_id long"
+    )
+    ingest(d1, 0)
+    # crash AFTER swap of batch 1: .old1 left behind — retry must work
+    shutil.copytree(store, f"{store}.old1")
+    d2 = spark.createDataFrame(
+        [(f"s{i % 2}", i) for i in range(100, 200)],
+        "source string, doc_id long",
+    )
+    ingest(d2, 1)
+    assert not os.path.isdir(f"{store}.old1")
+    n = {r["source"]: r["n_rows"]
+         for r in hll_rollup(spark.read.parquet(store), ["source"]).collect()}
+    assert n == {"s0": 100, "s1": 100}
+    # crash BETWEEN renames of batch 2: store gone, .old2 holds history
+    os.rename(store, f"{store}.old2")
+    d3 = spark.createDataFrame(
+        [("s0", 999)], "source string, doc_id long"
+    )
+    ingest(d3, 2)
+    n = {r["source"]: r["n_rows"]
+         for r in hll_rollup(spark.read.parquet(store), ["source"]).collect()}
+    assert n == {"s0": 101, "s1": 100}  # history restored, not delta-only
+
+
 def test_hll_sketch_tight_bound(spark, sf_dir):
     """The 3σ bound the catalog gate deliberately relaxes to 5σ
     (round-7 advisory): asserted here where a tail miss is a visible,
