@@ -120,7 +120,25 @@ FUNCTION_REGISTRY: dict[str, FunctionSpec] = {
     "json_get": FunctionSpec("json", 2, lambda s, p: F.get_json_object(_c(s), p), "JSONPath extract → string"),
     "json_tuple_schema": FunctionSpec("json", 2, lambda s, schema: F.from_json(_c(s), schema), "parse to struct"),
     "to_json": FunctionSpec("json", 1, lambda st: F.to_json(_c(st)), "struct → JSON string"),
+    # -- url ------------------------------------------------------------------
+    "url_host": FunctionSpec("url", 1, lambda u: _url_part(u, "host"), "canonical host (scheme/www/port/userinfo stripped)"),
+    "url_path": FunctionSpec("url", 1, lambda u: _url_part(u, "path"), "canonical path (query/fragment/trailing slashes stripped)"),
+    "url_canonical": FunctionSpec("url", 1, lambda u: _url_part(u, "canonical"), "canonical page identity (host+path)"),
+    "registered_domain": FunctionSpec("url", 1, lambda u: _url_part(u, "domain"), "PSL-backed registrable domain of a URL (operators/psl.py)"),
+    "host_registered_domain": FunctionSpec("url", 1, lambda h: _host_domain(_c(h)), "PSL-backed registrable domain of a bare host"),
 }
+
+
+def _url_part(u, part: str) -> Column:
+    from knime_core_columnar_spark.operators.web import canonical_url_parts
+
+    return canonical_url_parts(_c(u))[part]
+
+
+def _host_domain(h: Column) -> Column:
+    from knime_core_columnar_spark.operators.psl import registered_domain
+
+    return registered_domain(h)
 
 
 def list_functions(category: str | None = None) -> list[str]:
