@@ -196,6 +196,12 @@ def _parse_records(data: bytes):
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
         n = int(headers.get("content-length", "0"))
+        if end + 4 + n > len(data):
+            raise ValueError(
+                f"truncated WARC record at byte {pos}: Content-Length "
+                f"{n} but only {len(data) - end - 4} body bytes remain "
+                "(incomplete .warc file?)"
+            )
         body = data[end + 4:end + 4 + n]
         yield headers, body
         pos = end + 4 + n + 4  # skip the record-terminating \r\n\r\n

@@ -212,6 +212,46 @@ def test_append_hstack_matches_duckdb_key_join(spark_session, s):
     assert _multiset(rows, names) == _multiset(want.fetchall(), wnames)
 
 
+@_SETTINGS
+@given(s1=frame_spec(), s2=frame_spec(),
+       bounds=st.tuples(st.integers(0, 12), st.integers(0, 12)))
+def test_chained_concat_cast_slice_matches_duckdb(spark_session, s1, s2,
+                                                  bounds):
+    """Three ops CHAINED — concatenate (union-by-name + promotion +
+    null-fill), then upcast bigints to double, then slice — against the
+    equivalent single DuckDB query: catches interactions (promotion
+    feeding a cast feeding an ordered offset) the per-op tests cannot."""
+    from knime_core_columnar_spark.table import RowIdPolicy
+
+    n1, c1 = s1
+    n2, c2 = s2
+    start, stop = min(bounds), max(bounds)
+    t1 = _spark_table(spark_session, n1, c1, "x")
+    t2 = _spark_table(spark_session, n2, c2, "y")
+    u = t1.concatenate([t2], row_id_policy=RowIdPolicy.KEEP)
+    casts = {
+        c: "double"
+        for c in u.columns
+        if c != "_row_key" and dict(u.df.dtypes)[c] == "bigint"
+    }
+    rows, names = _spark_rows(u.cast_columns(casts).slice(start, stop))
+
+    con = duckdb.connect()
+    _duck_table(con, "t1", n1, c1, "x")
+    _duck_table(con, "t2", n2, c2, "y")
+    sel = ", ".join(
+        f"CAST({c} AS DOUBLE) AS {c}" if c in casts else c
+        for c in sorted(n for n in names)
+    )
+    want = con.execute(
+        f"SELECT {sel} FROM "
+        "(SELECT * FROM t1 UNION ALL BY NAME SELECT * FROM t2) "
+        f"ORDER BY rk OFFSET {start} LIMIT {stop - start}"
+    )
+    wnames = [d[0] for d in want.description]
+    assert _multiset(rows, names) == _multiset(want.fetchall(), wnames)
+
+
 def test_append_misaligned_keys_fail(spark_session):
     """The embedded alignment assert fires on a key mismatch."""
     from knime_core_columnar_spark.table import ColumnarTable

@@ -208,6 +208,20 @@ def test_warc_headers_only_http_message():
     assert ctype is None
 
 
+def test_truncated_warc_record_raises():
+    """A record whose Content-Length exceeds the remaining bytes
+    (truncated uncompressed .warc) raises instead of silently yielding
+    a short body."""
+    from knime_core_columnar_spark.sources.warc import _parse_records
+
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: 100\r\n\r\nonly a few bytes"
+    )
+    with pytest.raises(ValueError, match="truncated WARC record"):
+        list(_parse_records(rec))
+
+
 def test_truncated_gzip_member_raises():
     buf = io.BytesIO()
     with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
