@@ -100,6 +100,90 @@ def test_canonical_url_strips_fqdn_trailing_dot(spark):
     assert {r["url_domain"] for r in rows} == {"example.co.uk"}
 
 
+def test_psl_matches_independent_python_reference(spark):
+    """Seeded random hosts through registered_domain vs an INDEPENDENT
+    pure-python implementation of the publicsuffix.org algorithm over
+    the same rule tuples (different code path: longest-match scan, not
+    a tiered CASE)."""
+    import random
+
+    from knime_core_columnar_spark.operators.psl import (
+        PSL_2LABEL,
+        PSL_3LABEL,
+        PSL_WILDCARD_EXCEPTIONS,
+        PSL_WILDCARD_TLDS,
+    )
+
+    def py_registered(host: str) -> str:
+        labels = host.split(".")
+
+        def tail(n):
+            return ".".join(labels[-n:]) if len(labels) >= n else host
+
+        if tail(2) in PSL_WILDCARD_EXCEPTIONS:
+            return tail(2)
+        if labels[-1] in PSL_WILDCARD_TLDS:
+            return tail(3) if len(labels) >= 3 else tail(2)
+        if tail(3) in PSL_3LABEL:
+            return tail(4) if len(labels) >= 4 else tail(3)
+        if tail(2) in PSL_2LABEL:
+            return tail(3) if len(labels) >= 3 else tail(2)
+        return tail(2)
+
+    rng = random.Random(20260815)
+    suffix_pool = (
+        list(PSL_2LABEL) + list(PSL_3LABEL)
+        + [f"x.{t}" for t in PSL_WILDCARD_TLDS]
+        + list(PSL_WILDCARD_EXCEPTIONS)
+        + ["com", "org", "example.com", "co.uk"]
+    )
+    hosts = []
+    for _ in range(300):
+        depth = rng.randint(0, 3)
+        labels = [rng.choice("abc") + str(rng.randint(0, 9))
+                  for _ in range(depth)]
+        hosts.append(".".join(labels + [rng.choice(suffix_pool)]))
+    from knime_core_columnar_spark.operators.psl import registered_domain
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["rd"]
+        for r in df.select(
+            "host", registered_domain("host").alias("rd")
+        ).collect()
+    }
+    for h in hosts:
+        assert got[h] == py_registered(h), (
+            f"{h}: engine {got[h]!r} != reference {py_registered(h)!r}"
+        )
+
+
+def test_warc_http_wrap_adversarial_payloads(spark, tmp_path):
+    """HTTP-wrapped records whose payloads CONTAIN the CRLFCRLF
+    separator, fake WARC headers, and fake HTTP status lines must
+    round-trip byte-exactly (Content-Length framing, not delimiter
+    scanning, is the contract)."""
+    payloads = [
+        "before\r\n\r\nafter the separator",
+        "WARC/1.0\r\nWARC-Type: response\r\n\r\nfake nested record",
+        "HTTP/1.1 500 Fake\r\n\r\nfake inner response",
+        "",
+        "\r\n\r\n\r\n\r\n",
+    ]
+    df = spark.createDataFrame(
+        [(f"https://adv.test/{i}", p) for i, p in enumerate(payloads)],
+        "url string, text string",
+    )
+    out = str(tmp_path / "adv")
+    write_warc(df, out, http_wrap=True, n_files=1)
+    rows = {r["url"]: r for r in read_warc(spark, out).collect()}
+    assert len(rows) == len(payloads)
+    for i, p in enumerate(payloads):
+        r = rows[f"https://adv.test/{i}"]
+        assert r["http_status"] == 200
+        assert bytes(r["payload"]) == p.encode("utf-8")
+
+
 def test_warc_http_wrap_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [(f"https://ex.test/d/{i}", f"doc body {i}") for i in range(20)],
