@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "canonical_url_parts", "canonicalize_url", "host_stats",
     "html_main_text", "extract_main_text", "apply_disallow_rules",
+    "rules_from_robots",
 ]
 
 
@@ -310,3 +311,74 @@ def apply_disallow_rules(
         "left_anti",
     )
     return out.drop("__host", "__path")
+
+
+def rules_from_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Distill fetched robots.txt bodies into the (host, path_prefix)
+    rule table :func:`apply_disallow_rules` consumes — closing the loop
+    from raw crawl-compliance data to the disallow join.
+
+    Implemented robots subset (RFC 9309 reduced to what a prefix-match
+    rule table can honor, documented like the extractor's limits):
+    ``Disallow:`` lines inside groups whose ``User-agent:`` matches
+    ``user_agent`` exactly (default ``*``); empty Disallow values
+    (meaning "allow all") are dropped; ``Allow:`` overrides and ``*``/
+    ``$`` wildcards are NOT modeled — a wildcard rule is kept up to its
+    first wildcard character, which disallows a SUPERSET (the
+    conservative direction for a training corpus). Comments (#) and
+    blank lines per the spec.
+
+    Scale shape: robots bodies are a HOST-KEYED dimension (one small
+    text per host — never corpus-sized), parsed with an Arrow-batched
+    kernel; the output is the broadcastable rule table.
+
+    Returns (host, path_prefix) — one row per disallow rule.
+    """
+    import pandas as pd
+
+    def _parse(batches):
+        for pdf in batches:
+            hosts, prefixes = [], []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                if body is None:
+                    continue
+                in_group = False
+                seen_rule_since_ua = True
+                for raw in str(body).splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    if not line:
+                        continue
+                    key, _, val = line.partition(":")
+                    key, val = key.strip().lower(), val.strip()
+                    if key == "user-agent":
+                        # consecutive UA lines form ONE group header
+                        if seen_rule_since_ua:
+                            in_group = val == user_agent
+                        else:
+                            in_group = in_group or val == user_agent
+                        seen_rule_since_ua = False
+                    elif key in ("disallow", "allow", "crawl-delay",
+                                 "sitemap"):
+                        seen_rule_since_ua = True
+                        if key == "disallow" and in_group and val:
+                            # conservative wildcard reduction: keep the
+                            # literal prefix before the first * or $
+                            cut = len(val)
+                            for ch in ("*", "$"):
+                                p = val.find(ch)
+                                if p >= 0:
+                                    cut = min(cut, p)
+                            prefix = val[:cut]
+                            if prefix:
+                                hosts.append(host)
+                                prefixes.append(prefix)
+            yield pd.DataFrame({"host": hosts, "path_prefix": prefixes})
+
+    return robots.select(host_col, body_col).mapInPandas(
+        _parse, "host string, path_prefix string"
+    )

@@ -246,6 +246,80 @@ def test_warc_hand_built_cc_record(spark, tmp_path):
     assert bytes(r["content"]) == body
 
 
+def test_rules_from_robots_hand_case(spark):
+    """Hand-built robots.txt bodies → the (host, path_prefix) rule
+    table: UA-group scoping (consecutive UA lines = one header), the
+    empty-Disallow allow-all, comments, wildcard prefix reduction, and
+    a non-matching UA group that must contribute nothing."""
+    from knime_core_columnar_spark.operators.web import (
+        apply_disallow_rules,
+        rules_from_robots,
+    )
+
+    body_a = (
+        "# crawl policy\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Disallow:\n"             # empty = allow all -> dropped
+        "Disallow: /tmp/*/draft\n"  # wildcard -> conservative /tmp/
+        "\n"
+        "User-agent: special-bot\n"
+        "Disallow: /\n"           # other UA group: ignored for *
+    )
+    body_b = (
+        "User-agent: other\n"
+        "User-agent: *\n"         # consecutive UA lines, one group
+        "Disallow: /all-of-it\n"
+    )
+    robots = spark.createDataFrame(
+        [("a.test", body_a), ("b.test", body_b), ("c.test", None)],
+        "host string, robots_txt string",
+    )
+    rules = {(r["host"], r["path_prefix"])
+             for r in rules_from_robots(robots).collect()}
+    assert rules == {
+        ("a.test", "/private/"),
+        ("a.test", "/tmp/"),
+        ("b.test", "/all-of-it"),
+    }
+    # end-to-end: the distilled table drives the disallow join
+    docs = spark.createDataFrame(
+        [(1, "https://a.test/private/x"), (2, "https://a.test/ok"),
+         (3, "https://b.test/all-of-it/page"), (4, "https://c.test/x")],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"] for r in apply_disallow_rules(
+        docs, rules_from_robots(robots)).collect()}
+    assert kept == {2, 4}
+
+
+def test_wet_conversion_records_read(spark, tmp_path):
+    """A hand-built Common-Crawl WET file (WARC-Type: conversion,
+    plain-text payload — the extracted-text sibling of the .warc.gz
+    crawl) parses with the same reader: generic WARC headers, payload
+    passthrough, no HTTP fields."""
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://wet.test/page\r\n"
+        b"WARC-Refers-To: <urn:uuid:00000000-0000-0000-0000-000000000000>\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Content-Length: 21\r\n\r\n"
+        b"extracted plain text." + b"\r\n\r\n"
+    )
+    out = tmp_path / "wet"
+    out.mkdir()
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(rec)
+    (out / "seg.warc.wet.gz").write_bytes(buf.getvalue())
+    r = read_warc(spark, str(out)).collect()[0]
+    assert r["warc_type"] == "conversion"
+    assert r["url"] == "http://wet.test/page"
+    assert bytes(r["payload"]) == b"extracted plain text."
+    assert r["http_status"] is None
+
+
 def test_crawl_to_text_end_to_end(spark, tmp_path):
     """The full web-curation front door composed: documents wrapped in
     an HTML page skeleton, exported as CC-shaped .warc.gz (nested HTTP
