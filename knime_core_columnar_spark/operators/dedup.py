@@ -506,6 +506,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    compress_from: int = 3,
 ) -> DataFrame:
     """Group near-duplicate pairs into clusters: returns (node, component)
     where component is the smallest node id reachable from ``node`` over
@@ -515,11 +516,22 @@ def connected_components(
 
     Iterative min-label propagation: each round every node takes the min
     of its own label and its neighbors' labels; a round is one shuffled
-    join + aggregation, and the loop stops when no label changes (or at
-    ``max_iter``). Rounds needed = component diameter — near-dup
-    clusters are a handful of documents, so this is 3-5 rounds in
-    practice, each a bulk-synchronous Spark job (the same schedule
-    GraphX/Pregel CC runs). ``localCheckpoint`` truncates the lineage
+    join + aggregation, and the loop stops when no label changes (or
+    raises at ``max_iter`` — an un-converged run must never silently
+    return partial labels, because downstream keep-min-id dedup would
+    quietly treat one cluster as several). Typical near-dup clusters
+    are a handful of documents, so this is 3-5 rounds in practice, each
+    a bulk-synchronous Spark job (the same schedule GraphX/Pregel CC
+    runs). Plain propagation needs diameter-many rounds, which is the
+    100 TB hazard: chain-shaped duplicate clusters (A~B~C~… template
+    drift) have large diameters. From round ``compress_from`` onward
+    each round therefore also POINTER-DOUBLES (label := min(label,
+    label[label]) — Shiloach-Vishkin path compression, one extra
+    node-sized join per round), which makes convergence logarithmic in
+    the diameter: a 64-chain converges in ~8 rounds instead of 63,
+    and ``max_iter=20`` covers any physically possible diameter.
+    Small-diameter graphs converge before ``compress_from`` and never
+    pay for the extra join. ``localCheckpoint`` truncates the lineage
     each round so the plan does not grow with the iteration count.
     """
     # materialize the symmetric edge list ONCE — the caller's edge
@@ -540,7 +552,8 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    changed = 0
+    for rnd in range(max_iter):
         nbr = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
@@ -565,6 +578,39 @@ def connected_components(
         labels = new_labels.select("node", F.col("__new").alias("label"))
         if changed == 0:
             break
+        if rnd + 1 >= compress_from:
+            # pointer doubling: label[v] := min(label[v], label[label[v]]).
+            # label values are always node ids present in the labels
+            # frame (they originate from the node column and only move
+            # to other reachable node ids), so the hop is a node-sized
+            # self-join; left+coalesce guards the root nodes whose
+            # label is themselves. Labels stay within the component
+            # (label[v] reachable from v, label[label[v]] reachable
+            # from label[v]) and only decrease, so the propagate
+            # fixpoint — all labels in a component equal to its min id
+            # — is unchanged; compression only shortens the path to it.
+            hop = labels.select(
+                F.col("node").alias("__ln"), F.col("label").alias("__ll")
+            )
+            labels = (
+                labels.join(hop, labels["label"] == hop["__ln"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("__ll"), F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+    if changed > 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing). With pointer doubling "
+            f"(compress_from={compress_from}) this needs a component "
+            f"diameter past 2^{max_iter - compress_from} — check the edge "
+            "list for corruption, or raise max_iter."
+        )
     return labels.select("node", "label")
 
 

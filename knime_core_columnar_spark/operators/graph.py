@@ -93,7 +93,13 @@ def pagerank_scaled(
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint()
+            # lazy: with FIXED iterations there is no per-round probe
+            # (unlike connected_components' convergence count), so the
+            # checkpoint only needs to cap plan growth — eager would
+            # schedule one job per superstep; lazy runs all supersteps
+            # inside the consumer's single job while still truncating
+            # the logical plan at each round
+            .localCheckpoint(eager=False)
         )
     return ranks
 

@@ -132,6 +132,36 @@ def test_connected_components_chain_and_triangle(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 64-node chain has diameter 63: plain min-label propagation needs
+    63 rounds and the default max_iter=20 would stop with WRONG labels.
+    Pointer doubling (compress_from=3) must converge it well inside the
+    default budget — this pins the silent-partial-labels hazard closed."""
+    from knime_core_columnar_spark.operators.dedup import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """max_iter exhaustion raises instead of returning partial labels."""
+    import pytest
+
+    from knime_core_columnar_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "id_a long, id_b long"
+    )
+    # compression disabled (compress_from past max_iter): 5 rounds
+    # cannot close a 31-diameter chain, and that must be an ERROR
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=5, compress_from=99)
+
+
 def test_salted_join_matches_plain_join(spark):
     from knime_core_columnar_spark.operators.relational import salted_join
 
