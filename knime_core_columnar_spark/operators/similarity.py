@@ -278,6 +278,68 @@ def rp_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _nearest_cells(
+    df: DataFrame,
+    cents: DataFrame,
+    n: int,
+    id_col: str,
+    vec_col: str,
+    cent_col: str = "__cent",
+    keep_norm: str | None = None,
+) -> DataFrame:
+    """Per-row ``n`` nearest centroid cells by cosine (desc, cell_id asc
+    tie-break) — ZERO-exchange: the whole centroid table (ncells rows)
+    rides along as ONE broadcast array of (cell_id, centroid, norm)
+    structs and every row picks its cells scan-side via array_min (n=1)
+    or array_sort+slice. The previous formulation crossJoined the
+    corpus against the centroid ROWS (ncells× row inflation) and ranked
+    with a row_number window — a full shuffle of the inflated corpus,
+    which at 100 TB is the dominant cost of index assignment. Centroid
+    norms are precomputed once in the array and the row norm once per
+    row, so per-row work also drops from ncells×(dot + 2 norms) to
+    ncells dots + 1 norm. Distances are bit-identical to the window
+    form — the same dot / (row_norm · cent_norm) doubles, same
+    tie-break — except NaN (zero-norm vectors): the window sorted NaN
+    cells first, array ordering sorts them last; a zero vector has no
+    meaningful nearest cell under either rule.
+
+    Returns df's (id_col, vec_col[, row norm as ``keep_norm``]) plus
+    ``cell_id`` — one row per (input row, picked cell)."""
+    cc = cents.select(
+        F.col("cell_id"),
+        F.col(cent_col).alias("__c"),
+        l2_norm(F.col(cent_col)).alias("__cn"),
+    )
+    carr = cc.agg(
+        F.collect_list(F.struct("cell_id", "__c", "__cn")).alias("__cells")
+    )
+    ranked = F.transform(
+        F.col("__cells"),
+        lambda s: F.struct(
+            (-(dot(F.col(vec_col), s["__c"])
+               / (F.col("__vn") * s["__cn"]))).alias("__negd"),
+            s["cell_id"].alias("cell_id"),
+        ),
+    )
+    base = df.crossJoin(F.broadcast(carr)).withColumn(
+        "__vn", l2_norm(F.col(vec_col))
+    )
+    keep = [F.col(id_col), F.col(vec_col)]
+    if keep_norm is not None:
+        keep.append(F.col("__vn").alias(keep_norm))
+    if n == 1:
+        return base.select(
+            *keep, F.array_min(ranked)["cell_id"].alias("cell_id")
+        )
+    picked = base.select(
+        *keep, F.explode(F.slice(F.array_sort(ranked), 1, n)).alias("__cell")
+    )
+    return picked.select(
+        *[c for c in picked.columns if c != "__cell"],
+        F.col("__cell.cell_id").alias("cell_id"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -301,8 +363,11 @@ def ivf_topk(
 
     Fully deterministic (and therefore oracle-checkable): the sample
     threshold is floor(x + 0.5) — mirrorable in SQL, unlike Python's
-    banker's round — and every row_number window carries a cell_id
-    tie-break so assignment/probing never depend on partition order."""
+    banker's round — and cell picks carry a cell_id tie-break so
+    assignment/probing never depend on partition order. Assignment and
+    probing are scan-side array argmins over the broadcast centroid
+    array (``_nearest_cells``) — zero exchanges until the probe⋈cell
+    join itself."""
     import math
 
     from knime_core_columnar_spark.operators.sampling import _BUCKETS, hash_bucket
@@ -321,32 +386,24 @@ def ivf_topk(
         .limit(ncells)
         .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("__cent"))
     )
-    assign_w = Window.partitionBy(id_col).orderBy(
-        F.col("__d").desc(), F.col("cell_id")
+    assigned = _nearest_cells(
+        corpus, cents, 1, id_col, vec_col, keep_norm="__cnm"
+    ).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        "__cnm", "cell_id",
     )
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("__d", cosine(F.col(vec_col), F.col("__cent")))
-        .withColumn("__rk", F.row_number().over(assign_w))
-        .filter(F.col("__rk") == 1)
-        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell_id")
-    )
-    probe_w = Window.partitionBy(id_col).orderBy(
-        F.col("__d").desc(), F.col("cell_id")
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("__d", cosine(F.col(vec_col), F.col("__cent")))
-        .withColumn("__rk", F.row_number().over(probe_w))
-        .filter(F.col("__rk") <= nprobe)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "cell_id")
+    probes = _nearest_cells(
+        queries, cents, nprobe, id_col, vec_col, keep_norm="__qnm"
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        "__qnm", "cell_id",
     )
     scored = (
         assigned.join(probes, "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
                 F.round(pair_cosine(F.col("__qv"), F.col("__cv"),
-                                    l2_norm(F.col("__qv")), l2_norm(F.col("__cv"))), 6).alias("cos"))
+                                    F.col("__qnm"), F.col("__cnm")), 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -1428,20 +1485,13 @@ def build_ivf_index(
     cents_r = spark.read.parquet(f"{path}/centroids").withColumnRenamed(
         "centroid", "__cent"
     )
-    assign_w = Window.partitionBy(id_col).orderBy(
-        F.col("__d").desc(), F.col("cell_id")
-    )
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents_r))
-        .withColumn("__d", cosine(F.col(vec_col), F.col("__cent")))
-        .withColumn("__rk", F.row_number().over(assign_w))
-        .filter(F.col("__rk") == 1)
-        .select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("vector"),
-            l2_norm(F.col(vec_col)).alias("norm"),
-            "cell_id",
-        )
+    assigned = _nearest_cells(
+        corpus, cents_r, 1, id_col, vec_col, keep_norm="norm"
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vector"),
+        "norm",
+        "cell_id",
     )
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
         f"{path}/postings"
@@ -1473,15 +1523,11 @@ def ivf_probe_index(
     cents = spark.read.parquet(f"{path}/centroids").withColumnRenamed(
         "centroid", "__cent"
     )
-    probe_w = Window.partitionBy(id_col).orderBy(
-        F.col("__d").desc(), F.col("cell_id")
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("__d", cosine(F.col(vec_col), F.col("__cent")))
-        .withColumn("__rk", F.row_number().over(probe_w))
-        .filter(F.col("__rk") <= nprobe)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "cell_id")
+    probes = _nearest_cells(
+        queries, cents, nprobe, id_col, vec_col, keep_norm="__qnm"
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        "__qnm", "cell_id",
     )
     # bounded metadata collect: nprobe cells per query in the batch
     cells = sorted({r["cell_id"] for r in probes.select("cell_id").distinct().collect()})
@@ -1501,7 +1547,7 @@ def ivf_probe_index(
         .select(
             "query_id", "neighbor_id",
             F.round(pair_cosine(F.col("__qv"), F.col("__cv"),
-                                l2_norm(F.col("__qv")), F.col("__cn")), 6).alias("cos"),
+                                F.col("__qnm"), F.col("__cn")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -152,6 +152,14 @@ def test_ivf_no_global_sort_or_cross(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p  # centroids + query side broadcast
     assert "TakeOrderedAndProject" in p or "GlobalLimit" in p  # tiny sorted pick
+    # assignment/probing are scan-side array argmins over the broadcast
+    # centroid array (_nearest_cells): at most ONE shuffle exchange may
+    # remain in the whole plan — the previous window-ranked assignment
+    # shuffled the corpus inflated ncells×
+    import re
+
+    shuffles = set(re.findall(r"\(\d+\) Exchange", p))
+    assert len(shuffles) <= 1, shuffles
 
 
 def test_mixture_report_single_scan(spark):
