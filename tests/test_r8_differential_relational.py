@@ -280,6 +280,47 @@ def test_window_row_number_matches_duckdb(spark_session, s):
     assert _multiset(rows, names) == _multiset(want.fetchall(), wnames)
 
 
+@_SETTINGS
+@given(s1=frame_with(required=("a", "c")), s2=frame_with(required=("a",)),
+       k=st.integers(1, 4))
+def test_chained_join_agg_topk_matches_duckdb(spark_session, s1, s2, k):
+    """Three relational ops CHAINED — inner join on a nullable numeric
+    key, group-by on a nullable string, top-k of the group counts —
+    against one DuckDB query: catches interactions (join duplicate
+    amplification feeding group cardinalities feeding an ordered limit)
+    the per-op tests cannot."""
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.operators.relational import (
+        aggregate,
+        join,
+        sort,
+    )
+
+    n1, c1 = s1
+    n2, c2 = s2
+    t1 = _spark_table(spark_session, n1, c1, "x")
+    t2 = _spark_table(spark_session, n2, c2, "y")
+    joined = join(t1, t2, on=["a"], how="inner")
+    agged = aggregate(joined, ["c"], {"n": F.count(F.lit(1))})
+    got = sort(agged, [F.col("n").desc(), F.col("c").asc_nulls_first()],
+               limit=k)
+    rows, names = _spark_rows(got)
+
+    con = duckdb.connect()
+    _duck_table(con, "l", n1, c1, "x")
+    _duck_table(con, "r", n2, c2, "y")
+    want = con.execute(
+        # qualified l.c: the right frame may draw its own c column
+        "SELECT COALESCE(l.c, '?') AS rk, l.c AS c,"
+        " CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM l JOIN r ON l.a = r.a GROUP BY l.c"
+        f" ORDER BY n DESC, l.c ASC NULLS FIRST LIMIT {k}"
+    )
+    wnames = [d[0] for d in want.description]
+    assert _ordered(rows, names) == _ordered(want.fetchall(), wnames)
+
+
 def test_join_null_keys_never_match(spark_session):
     """Hand case: a NULL join key matches nothing in any how-mode —
     the SQL three-valued-logic rule the fuzz relies on."""
