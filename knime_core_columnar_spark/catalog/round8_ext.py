@@ -146,3 +146,115 @@ def _r8x_warc_http_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("all_http_ok")
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# media_header_meta — audio/video container header parsing
+# (operators.multimodal.extract_media_meta). The query synthesizes
+# valid WAV and FLAC headers whose fields are pure integer functions of
+# (doc_id, n_chars), plus MP3/OGG detection negatives, and parses them
+# back; the ORACLE never touches bytes — it computes the same fields in
+# CLOSED FORM, so the check is "byte construction → header parse must
+# invert the synthesis" with two genuinely independent evaluation
+# strategies. (MP4 box-walk durations, non-canonical WAV chunk orders
+# and bit-boundary FLAC geometry are pytest-pinned with hand-built
+# fixtures — tests/test_media_meta.py.)
+# ---------------------------------------------------------------------------
+
+_RATE = ("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+         "WHEN 2 THEN 22050 ELSE 44100 END")
+_CH = "CAST((doc_id div 4) % 2 + 1 AS INT)"
+_BITS = "CAST(8 * ((doc_id div 8) % 2 + 1) AS INT)"
+_DSIZE = "CAST((n_chars % 4096) + 1 AS BIGINT)"       # WAV data bytes
+_TOTAL = "CAST((n_chars % 100000) + 1 AS BIGINT)"     # FLAC samples
+# DuckDB twins (div -> //)
+_CH_D = "CAST((doc_id // 4) % 2 + 1 AS INT)"
+_BITS_D = "CAST(8 * ((doc_id // 8) % 2 + 1) AS INT)"
+
+
+def _le_sql(expr: str, n: int) -> str:
+    """Spark-SQL little-endian byte rendering of an integer expression."""
+    return "concat(" + ", ".join(
+        f"unhex(lpad(hex(CAST(({expr}) div {256 ** k} AS BIGINT) % 256), 2, '0'))"
+        for k in range(n)
+    ) + ")"
+
+
+def _media_payload_sql() -> str:
+    # canonical PCM WAV: RIFF header, 16-byte fmt chunk, data chunk id +
+    # size (header-only payload: the parser reads offsets, not samples)
+    wav = (
+        "concat(unhex('52494646'), "
+        + _le_sql(f"36 + ({_DSIZE})", 4)
+        + ", unhex('57415645'), unhex('666D7420'), "
+        + _le_sql("16", 4) + ", " + _le_sql("1", 2) + ", "
+        + _le_sql(_CH, 2) + ", " + _le_sql(_RATE, 4) + ", "
+        + _le_sql(f"({_RATE}) * ({_CH}) * ({_BITS}) div 8", 4) + ", "
+        + _le_sql(f"({_CH}) * ({_BITS}) div 8", 2) + ", "
+        + _le_sql(_BITS, 2)
+        + ", unhex('64617461'), " + _le_sql(_DSIZE, 4) + ")"
+    )
+    # FLAC: magic + last-block STREAMINFO header (length 34) + block/frame
+    # size constants + the 64-bit field pack (rate 20 | ch-1 3 | bps-1 5 |
+    # total 36, big-endian) + zero md5
+    packed = (f"CAST({_RATE} AS BIGINT) * 17592186044416 "      # << 44
+              f"+ CAST(({_CH}) - 1 AS BIGINT) * 2199023255552 "  # << 41
+              f"+ CAST(({_BITS}) - 1 AS BIGINT) * 68719476736 "  # << 36
+              f"+ ({_TOTAL})")
+    flac = (
+        "concat(unhex('664C61438000002203E803E8000000000000'), "
+        f"unhex(lpad(hex({packed}), 16, '0')), "
+        "unhex(repeat('00', 16)))"
+    )
+    return f"""
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN {wav}
+        WHEN 1 THEN {flac}
+        ELSE IF(doc_id % 2 = 0,
+                unhex(concat('494433', repeat('00', 10))),
+                unhex(concat('4F676753', repeat('00', 10))))
+      END
+    """
+
+
+_MEDIA_ORACLE = f"""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+             ELSE CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'ogg' END
+           END AS media_format,
+           CASE WHEN doc_id % 3 IN (0, 1) THEN CAST({_RATE} AS INT)
+           END AS sample_rate,
+           CASE WHEN doc_id % 3 IN (0, 1) THEN {_CH_D} END AS channels,
+           CASE WHEN doc_id % 3 IN (0, 1) THEN {_BITS_D}
+           END AS bits_per_sample,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN CAST((8000 * ((n_chars % 4096) + 1))
+                              // (({_RATE}) * {_CH_D} * {_BITS_D})
+                              AS BIGINT)
+             WHEN 1 THEN CAST((((n_chars % 100000) + 1) * 1000)
+                              // ({_RATE}) AS BIGINT)
+           END AS duration_ms
+    FROM documents
+"""
+
+
+@query("media_header_meta", _MEDIA_ORACLE)
+def _r8x_media_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio/video container header parsing (operators.multimodal.
+    extract_media_meta): WAV PCM fmt fields + data-chunk duration and
+    FLAC STREAMINFO bit-unpack (20-bit rate / 3-bit channels / 5-bit
+    bps / 36-bit samples) from header bytes — pure Catalyst hex
+    arithmetic, no codec library — plus MP3/OGG magic detection. The
+    query synthesizes the containers from (doc_id, n_chars) and parses
+    them back; the oracle computes the same fields in closed form
+    without ever constructing bytes, so construction and parse must be
+    exact inverses for the hash to match."""
+    from knime_core_columnar_spark.operators.multimodal import (
+        extract_media_meta,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.expr(_media_payload_sql())
+    )
+    return extract_media_meta(d, "doc_id", "payload")
