@@ -907,3 +907,13 @@ def test_curriculum_order_no_global_window(spark):
                 f"global window: {line}"
             )
     assert "CartesianProduct" not in ep
+
+
+def test_media_header_meta_zero_exchange(spark):
+    """media_header_meta is scan-side synthesis + scan-side parse (hex
+    arithmetic in one projection): the whole plan must contain NO
+    exchange — the shape that is scan-bound by construction at 100 TB,
+    like html_extract_main."""
+    p = plan_of(spark, "media_header_meta")
+    assert "Exchange" not in p
+    assert "Scan parquet" in p
