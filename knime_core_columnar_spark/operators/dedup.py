@@ -25,6 +25,7 @@ from knime_core_columnar_spark.operators.text import (
     keyed_hash32,
     let_col,
     tokens,
+    word_ngrams,
     word_shingles,
 )
 from knime_core_columnar_spark.schema import ROW_KEY
@@ -1266,6 +1267,106 @@ def group_signature_matches(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(num_perm)
     )
     return pairs.select("grp_a", "grp_b", match.alias("n_match"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm) over word k-grams: slide a window of ``w``
+    consecutive k-gram hashes and keep each window's MINIMUM. The
+    selected set is a guaranteed-detection local fingerprint: any
+    shared run of at least w+k-1 tokens between two documents yields at
+    least one shared fingerprint (the guarantee threshold), while only
+    ~2/(w+1) of all k-gram hashes are stored. This is the third dedup
+    tier alongside MinHash-LSH (whole-document set similarity — no
+    locality) and dup_span (exact positions — full index cost):
+    position-robust partial-overlap detection at a fraction of the
+    posting volume.
+
+    Everything up to the posting explode is scan-side row-local array
+    arithmetic (tokens → k-gram hashes → windowed minima → distinct),
+    so at 100 TB fingerprinting parallelizes with the file splits and
+    the only exchange is the consumer's. Documents with fewer than k
+    tokens have no k-grams and produce no fingerprints (spec behavior);
+    with fewer than w hashes the single window is the whole hash list.
+
+    Returns (``id_col``, fp) — one row per distinct fingerprint per
+    document.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    # word_ngrams, NOT word_shingles: winnowing is positional — the
+    # window slides over the hash SEQUENCE, so duplicates must stay and
+    # order must be document order (array_distinct would break both)
+    hashes = F.transform(
+        word_ngrams(F.col(text_col), k), lambda s: base_hash60(s)
+    )
+    fps = let_col(
+        hashes,
+        lambda h: F.when(
+            # no k-grams -> no windows (array_min over an empty slice
+            # would otherwise fabricate a NULL fingerprint)
+            F.size(h) >= 1,
+            F.array_distinct(
+                F.transform(
+                    # size(h)-w < 0 would make sequence() DESCEND — clamp;
+                    # the lone clamped window spans the whole (short) list
+                    F.sequence(F.lit(0), F.greatest(F.size(h) - w, F.lit(0))),
+                    lambda i: F.array_min(F.slice(h, i + 1, w)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
+    return (
+        df.select(F.col(id_col), fps.alias("__fps"))
+        .filter(F.size("__fps") > 0)
+        .select(id_col, F.explode("__fps").alias("fp"))
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints — the MOSS-style
+    partial-overlap report (plagiarism / boilerplate / quote detection;
+    near-dup tiers miss a copied paragraph inside an otherwise
+    different document). Inverted-index join on the fingerprint (only
+    docs sharing a fingerprint ever meet — never all-pairs), map-side
+    combinable pair counts, containment = shared / min(|fps_a|,
+    |fps_b|) so a small document fully contained in a large one scores
+    1.0. Returns (id_a, id_b, shared, containment) with id_a < id_b,
+    shared >= ``min_shared``."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    totals = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        a.join(b, (a["fp"] == b["fp"]) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(totals.select(F.col(id_col).alias("id_a"),
+                                 F.col("__n").alias("__na")), "id_a")
+        .join(totals.select(F.col(id_col).alias("id_b"),
+                            F.col("__n").alias("__nb")), "id_b")
+        .select(
+            "id_a", "id_b", "shared",
+            (F.col("shared").cast("double")
+             / F.least("__na", "__nb")).alias("containment"),
+        )
+    )
 
 
 def shingle_novelty(
