@@ -16,6 +16,8 @@ are exactly what gets fuzzed.
 
 from __future__ import annotations
 
+import datetime
+
 import duckdb
 import pandas as pd
 import pytest
@@ -25,8 +27,9 @@ from hypothesis import strategies as st
 from knime_core_columnar_spark.table import ColumnarTable
 
 # name -> family: the drawn dtype varies within the family only
-_FAMILY = {"a": "num", "b": "num", "c": "str", "d": "bool"}
-_DTYPES = {"num": ["bigint", "double"], "str": ["string"], "bool": ["boolean"]}
+_FAMILY = {"a": "num", "b": "num", "c": "str", "d": "bool", "e": "date"}
+_DTYPES = {"num": ["bigint", "double"], "str": ["string"],
+           "bool": ["boolean"], "date": ["date"]}
 
 _VALUES = {
     # |int| ≤ 2^40: exact under bigint->double promotion
@@ -39,10 +42,15 @@ _VALUES = {
         st.none(), st.text("abcXYZ 019_", min_size=0, max_size=8)
     ),
     "boolean": st.one_of(st.none(), st.booleans()),
+    "date": st.one_of(
+        st.none(),
+        st.dates(min_value=datetime.date(1900, 1, 1),
+                 max_value=datetime.date(2100, 12, 31)),
+    ),
 }
 
 _DUCK_T = {"bigint": "BIGINT", "double": "DOUBLE",
-           "string": "VARCHAR", "boolean": "BOOLEAN"}
+           "string": "VARCHAR", "boolean": "BOOLEAN", "date": "DATE"}
 
 
 @st.composite
