@@ -736,7 +736,10 @@ def extract_media_meta(
       duration_ms = samples·1000 div rate.
     - MP4/ISO-BMFF ('ftyp'): detected in Catalyst; duration needs the
       mvhd box inside the variable-position moov box → ``parse_deep``
-      runs a bounded box walk (versions 0 and 1) in an Arrow kernel.
+      runs a bounded box walk (versions 0 and 1) in an Arrow kernel,
+      which also reads the first mp4a/alac AudioSampleEntry's
+      channelcount / samplesize / 16.16-fixed samplerate from the
+      moov→trak→mdia→minf→stbl→stsd chain.
     - MP3 (ID3v2 tag or MPEG frame sync), OGG ('OggS'), Matroska/WebM
       (EBML magic): detected, fields NULL (frame-level bitrate tables
       are codec work, out of scope for header metadata).
@@ -869,6 +872,12 @@ def extract_media_meta(
         return rate, ch, bits, dur
 
     def _mp4_walk(b: bytes):
+        """Bounded ISO-BMFF walk: mvhd movie duration plus the first
+        mp4a/alac AudioSampleEntry's channelcount/samplesize/samplerate
+        (16.16 fixed point) from moov→trak→mdia→minf→stbl→stsd. Video
+        sample entries stay out of scope (dims belong to
+        extract_image_meta's schema, not this one)."""
+
         def boxes(lo: int, hi: int):
             i = lo
             while i + 8 <= hi:
@@ -883,23 +892,54 @@ def extract_media_meta(
                 yield typ, body, i + size
                 i += size
 
+        def child(lo, hi, name):
+            for t, body, end in boxes(lo, hi):
+                if t == name:
+                    return body, end
+            return None
+
+        def audio_entry(stsd_body, stsd_end):
+            # stsd: fullbox(4) + entry_count(4), then sample entries
+            for t, body, end in boxes(stsd_body + 8, stsd_end):
+                if t in (b"mp4a", b"alac") and body + 28 <= end:
+                    ch = int.from_bytes(b[body + 16:body + 18], "big")
+                    bits = int.from_bytes(b[body + 18:body + 20], "big")
+                    rate = int.from_bytes(b[body + 24:body + 28],
+                                          "big") >> 16
+                    return (rate or None), (ch or None), (bits or None)
+            return None
+
+        rate = ch = bits = dur = None
         for typ, body, box_end in boxes(0, len(b)):
             if typ != b"moov":
                 continue
-            for t2, b2, _ in boxes(body, box_end):
-                if t2 != b"mvhd" or b2 + 4 > len(b):
-                    continue
-                version = b[b2]
-                if version == 0 and b2 + 24 <= len(b):
-                    ts = int.from_bytes(b[b2 + 12:b2 + 16], "big")
-                    dur = int.from_bytes(b[b2 + 16:b2 + 20], "big")
-                elif version == 1 and b2 + 32 <= len(b):
-                    ts = int.from_bytes(b[b2 + 20:b2 + 24], "big")
-                    dur = int.from_bytes(b[b2 + 24:b2 + 32], "big")
-                else:
-                    return None
-                return dur * 1000 // ts if ts else None
-        return None
+            for t2, b2, e2 in boxes(body, box_end):
+                if t2 == b"mvhd" and b2 + 4 <= len(b):
+                    version = b[b2]
+                    if version == 0 and b2 + 24 <= len(b):
+                        ts = int.from_bytes(b[b2 + 12:b2 + 16], "big")
+                        d = int.from_bytes(b[b2 + 16:b2 + 20], "big")
+                    elif version == 1 and b2 + 32 <= len(b):
+                        ts = int.from_bytes(b[b2 + 20:b2 + 24], "big")
+                        d = int.from_bytes(b[b2 + 24:b2 + 32], "big")
+                    else:
+                        continue
+                    if ts:
+                        dur = d * 1000 // ts
+                elif t2 == b"trak" and (rate, ch, bits) == (None,) * 3:
+                    path = (b2, e2)
+                    for name in (b"mdia", b"minf", b"stbl", b"stsd"):
+                        nxt = child(path[0], path[1], name)
+                        if nxt is None:
+                            path = None
+                            break
+                        path = nxt
+                    if path is not None:
+                        found = audio_entry(path[0], path[1])
+                        if found:
+                            rate, ch, bits = found
+            break
+        return rate, ch, bits, dur
 
     def walk(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import pandas as pd
@@ -912,8 +952,7 @@ def extract_media_meta(
                 if fmt == "wav":
                     rate, ch, bits, dur = _wav_walk(b)
                 else:
-                    rate = ch = bits = None
-                    dur = _mp4_walk(b)
+                    rate, ch, bits, dur = _mp4_walk(b)
                 ids.append(row[id_col]); fmts.append(fmt)
                 rates.append(rate); chs.append(ch)
                 bits_.append(bits); durs.append(dur)

@@ -37,15 +37,34 @@ def _flac(rate=44100, ch=2, bits=16, total=441000):
     return b"fLaC" + b"\x80" + len(info).to_bytes(3, "big") + info
 
 
-def _mp4(timescale=600, duration=1800, version=0):
+def _box(name: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + name + body
+
+
+def _mp4(timescale=600, duration=1800, version=0, audio=None):
+    """audio=(rate, ch, bits) adds a trak→mdia→minf→stbl→stsd→mp4a
+    chain with a spec-shaped AudioSampleEntry (16.16 fixed rate)."""
     if version == 0:
         mvhd_body = b"\x00\x00\x00\x00" + struct.pack(
             ">IIII", 0, 0, timescale, duration) + b"\x00" * 80
     else:
         mvhd_body = b"\x01\x00\x00\x00" + struct.pack(
             ">QQIQ", 0, 0, timescale, duration) + b"\x00" * 80
-    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
-    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    body = _box(b"mvhd", mvhd_body)
+    if audio is not None:
+        rate, ch, bits = audio
+        entry_body = (
+            b"\x00" * 6 + b"\x00\x01"          # reserved + data_ref_idx
+            + b"\x00" * 8                       # version/revision/vendor
+            + struct.pack(">HH", ch, bits)
+            + b"\x00" * 4                       # predefined + reserved
+            + struct.pack(">I", rate << 16)     # 16.16 fixed samplerate
+        )
+        stsd_body = b"\x00" * 4 + struct.pack(">I", 1) + _box(
+            b"mp4a", entry_body)
+        body += _box(b"trak", _box(b"mdia", _box(b"minf", _box(
+            b"stbl", _box(b"stsd", stsd_body)))))
+    moov = _box(b"moov", body)
     ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
     return ftyp + moov
 
@@ -98,12 +117,18 @@ def test_media_meta_deep_walk(spark):
         _mp4(timescale=600, duration=1800, version=0),   # 3.0 s
         _mp4(timescale=90000, duration=90000 * 7, version=1),  # 7.0 s
         _wav(),                          # canonical: Catalyst tier keeps it
+        _mp4(timescale=1000, duration=2500, version=0,
+             audio=(48000, 2, 16)),      # mp4a sample entry
     ], parse_deep=True)
     assert got[0]["duration_ms"] == 1000
     assert got[0]["sample_rate"] == 16000
     assert got[1]["duration_ms"] == 3000
+    assert got[1]["sample_rate"] is None  # no audio track in fixture
     assert got[2]["duration_ms"] == 7000
     assert got[3]["duration_ms"] == 1000
+    assert got[4] == {"doc_id": 4, "media_format": "mp4",
+                      "sample_rate": 48000, "channels": 2,
+                      "bits_per_sample": 16, "duration_ms": 2500}
 
 
 def test_media_meta_flac_odd_geometry(spark):
