@@ -239,6 +239,75 @@ _MEDIA_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# winnow_overlap — MOSS-style winnowing fingerprint overlap (the
+# position-robust third dedup tier; operators/dedup.py:winnow_*). The
+# oracle replays the EXACT algorithm in DuckDB list comprehensions:
+# word 5-grams -> md5-60 hashes -> window-of-4 minima -> distinct ->
+# inverted-index pair counts. Same md5 arithmetic as the green
+# ngram_jaccard / neardup_pipeline oracles, so engine and oracle share
+# only the hash definition, not code.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "winnow_overlap",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), kg AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_transform(range(1, len(t) - 4 + 1),
+                                      i -> array_to_string(t[i:i+4], ' '))
+                  ELSE [] END AS g
+      FROM toks
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(g, x ->
+               ('0x' || substring(md5(x), 1, 15))::BIGINT) AS h
+      FROM kg WHERE len(g) >= 1
+    ), fp AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(h) - 4, 0) + 1),
+               i -> list_min(h[i+1:i+4]))) AS fps
+      FROM hs
+    ), ex AS (
+      SELECT doc_id, len(fps) AS n, unnest(fps) AS fp FROM fp
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, shared,
+           CAST(shared AS DOUBLE) / least(na, nb) AS containment
+    FROM pairs WHERE shared >= 2
+    """,
+)
+def _r8x_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03) partial-overlap
+    pairs over the documents corpus: window-of-4 minima over word
+    5-gram md5-60 hashes, distinct per doc, inverted-index join,
+    containment = shared / min(|fps|). Guaranteed to surface any
+    shared run of >= 8 tokens while posting only ~2/(w+1) of the
+    k-gram hashes — the partial-overlap detector MinHash (whole-doc
+    similarity) and dup_span (exact positions, full index cost) are
+    not. The oracle replays the identical algorithm in DuckDB list
+    comprehensions. max_df=None here (exactness contract); at corpus
+    scale pass max_df to cull boilerplate postings (MOSS's own
+    common-fingerprint drop)."""
+    from knime_core_columnar_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        d, "doc_id", "text", k=5, w=4, min_shared=2
+    )
+
+
 @query("media_header_meta", _MEDIA_ORACLE)
 def _r8x_media_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio/video container header parsing (operators.multimodal.

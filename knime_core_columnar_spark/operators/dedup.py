@@ -1336,6 +1336,7 @@ def winnow_overlap_pairs(
     k: int = 5,
     w: int = 4,
     min_shared: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing winnowing fingerprints — the MOSS-style
     partial-overlap report (plagiarism / boilerplate / quote detection;
@@ -1345,9 +1346,26 @@ def winnow_overlap_pairs(
     combinable pair counts, containment = shared / min(|fps_a|,
     |fps_b|) so a small document fully contained in a large one scores
     1.0. Returns (id_a, id_b, shared, containment) with id_a < id_b,
-    shared >= ``min_shared``."""
+    shared >= ``min_shared``.
+
+    ``max_df`` drops fingerprints whose document frequency exceeds it
+    BEFORE the pair join — MOSS's own common-fingerprint cull: a
+    boilerplate sentence shared by f documents otherwise contributes
+    f·(f-1)/2 pair rows, the posting-list quadratic that kills the
+    inverted index at corpus scale. None (the default) keeps exactness
+    for bounded corpora; totals are counted before the cull so
+    containment denominators stay the true fingerprint counts."""
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
     totals = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        dfreq = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("__df", F.count(F.lit(1)).over(dfreq))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     pairs = (

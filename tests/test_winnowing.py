@@ -110,6 +110,43 @@ def test_winnow_overlap_pairs_counts_and_containment(spark):
     assert not any(2 in p for p in rows)
 
 
+def test_winnow_overlap_max_df_culls_common_fingerprints(spark):
+    # the same boilerplate sentence in every doc -> every fingerprint of
+    # that sentence has df = n_docs; max_df below that culls them all,
+    # so only the pair that ALSO shares a rarer run survives
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    rare = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        boiler,                      # 0
+        boiler + " one",             # 1
+        boiler + " two",             # 2
+        boiler + " " + rare,         # 3
+        rare + " " + boiler,         # 4
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in winnow_overlap_pairs(df, k=5, w=4,
+                                              min_shared=1).collect()}
+    # boilerplate alone links every pair when uncapped
+    assert (0, 1) in uncapped and (1, 2) in uncapped
+    capped = winnow_overlap_pairs(df, k=5, w=4, min_shared=1,
+                                  max_df=3).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    # fingerprints of `boiler` occur in all 5 docs (> max_df) and are
+    # culled; `rare`-run fingerprints occur in exactly 2 docs and stay
+    assert (3, 4) in pairs
+    assert (0, 1) not in pairs and (1, 2) not in pairs
+    # containment denominators stay the PRE-cull totals: shared (rare
+    # fps only) is a strict subset of doc 3's full fingerprint set
+    r34 = next(r for r in capped if (r["id_a"], r["id_b"]) == (3, 4))
+    fps = _spark_fps(spark, texts, k=5, w=4)
+    assert r34["containment"] == r34["shared"] / min(len(fps[3]),
+                                                     len(fps[4]))
+    assert r34["containment"] < 1.0
+
+
 def test_winnow_rejects_bad_params(spark):
     import pytest
 
