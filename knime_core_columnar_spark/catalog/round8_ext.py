@@ -240,6 +240,61 @@ _MEDIA_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# dedup_paragraphs — corpus-wide exact paragraph dedup with document
+# reassembly (C4 §2.2 / RefinedWeb §3.3 sub-document tier). Paragraph
+# structure is synthesized with the same engine-identical left-to-right
+# replace idiom as c4_line_filter (the corpus has no natural newlines);
+# the oracle replays split -> trim -> first-occurrence election ->
+# ordered reassembly relationally.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_paragraphs",
+    """
+    WITH t AS (
+      SELECT doc_id, replace(text, ' table ', chr(10)) AS text2
+      FROM documents
+    ), p AS (
+      SELECT doc_id,
+             unnest(range(1, len(paras) + 1)) AS pos,
+             trim(unnest(paras)) AS para
+      FROM (SELECT doc_id, string_split(text2, chr(10)) AS paras FROM t)
+    ), k AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, pos) AS rn
+      FROM p WHERE para <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                               ORDER BY pos), '') AS clean_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def _r8x_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup keeping the global first
+    occurrence, documents reassembled from survivors
+    (operators.dedup.dedup_paragraphs — the C4/RefinedWeb sub-document
+    dedup stage whole-document dedup cannot express: repeated
+    boilerplate paragraphs vanish everywhere but their first sighting).
+    Paragraph structure is synthesized deterministically (every literal
+    ' table ' becomes a newline, identical left-to-right non-overlapping
+    replace in both engines — the proven c4_line_filter idiom); the
+    operator then runs unmodified: posexplode, one hash-keyed
+    first-occurrence window, one id-keyed reassembly aggregation."""
+    from knime_core_columnar_spark.operators.dedup import dedup_paragraphs
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit("\n"))
+    )
+    return dedup_paragraphs(d, "doc_id", "text", sep="\n")
+
+
+# ---------------------------------------------------------------------------
 # winnow_overlap — MOSS-style winnowing fingerprint overlap (the
 # position-robust third dedup tier; operators/dedup.py:winnow_*). The
 # oracle replays the EXACT algorithm in DuckDB list comprehensions:

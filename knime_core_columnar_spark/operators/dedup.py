@@ -36,6 +36,83 @@ from knime_core_columnar_spark.table import ColumnarTable
 # Exact dedup
 # ---------------------------------------------------------------------------
 
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    normalize: bool = False,
+) -> DataFrame:
+    """Corpus-wide exact PARAGRAPH dedup with document reassembly — the
+    sub-document dedup stage of C4 (Raffel et al. 2020 §2.2 removes
+    repeated spans corpus-wide, keeping one occurrence) and RefinedWeb
+    (Penedo et al. 2023 §3.3 line-wise exact dedup): whole-document
+    dedup misses boilerplate paragraphs (navigation blocks, license
+    footers, syndicated intros) repeated across otherwise-distinct
+    pages.
+
+    Splits each document on ``sep``, trims, drops empty paragraphs,
+    keeps each distinct paragraph's FIRST occurrence in global
+    (``id_col``, position) order, deletes every other copy, and
+    reassembles the surviving paragraphs in original order. Returns
+    (id, n_paras, n_kept, clean_text). Documents whose text yields no
+    non-empty paragraph are absent from the result (nothing to keep —
+    same contract as the shingle family for sub-``n``-token docs).
+    ``normalize=True`` fingerprints the lowercased whitespace-collapsed
+    paragraph (near-exact tier) while reassembly keeps original bytes.
+
+    Scale shape: posexplode is row-local (parallelizes with the file
+    splits); first-occurrence election is ONE shuffle keyed on the
+    16-byte paragraph hash — never the paragraph text — with a
+    row_number window (same shape as exact_dedup; the hottest key's
+    group is every copy of one boilerplate paragraph, which is exactly
+    the data any engine must co-locate to dedup it); reassembly is one
+    ``id_col`` shuffle with map-side partial aggregation. Nothing is
+    corpus-sized on the driver."""
+    import re as _re
+
+    from pyspark.sql import Window
+
+    para = F.trim(F.col("__para_raw"))
+    fp = fingerprint(para) if normalize else F.md5(para)
+    rows = (
+        df.select(
+            F.col(id_col),
+            # Spark's split() takes a REGEX; the operator contract is a
+            # literal separator (DuckDB string_split semantics) — escape
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(sep))
+            ).alias("__pos", "__para_raw"),
+        )
+        .select(
+            id_col,
+            F.col("__pos").alias("pos"),
+            para.alias("para"),
+            fp.alias("__fp"),
+        )
+        .filter(F.col("para") != "")
+    )
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col), F.col("pos"))
+    flagged = rows.withColumn("__keep", F.row_number().over(w) == 1)
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"), F.struct("pos", "para")
+                        )
+                    )
+                ),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+
+
 def exact_dedup(table: ColumnarTable, text_col: str = "text") -> ColumnarTable:
     """Content-hash dedup: keep the minimum-RowID row per normalized
     content fingerprint. One shuffle on the 16-byte hash (not the full

@@ -642,3 +642,63 @@ def test_hll_sketch_tight_bound(spark, sf_dir):
     for r in rows:
         rel = abs(r["approx_distinct"] - r["exact"]) / r["exact"]
         assert rel <= 0.05, f"{r['source']}: rel err {rel:.4f} > 3σ bound"
+
+
+# ---------------------------------------------------------------------------
+# dedup_paragraphs — corpus-wide exact paragraph dedup + reassembly
+# ---------------------------------------------------------------------------
+
+
+def _dp(spark, texts, **kw):
+    from knime_core_columnar_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    return {r["doc_id"]: r for r in dedup_paragraphs(df, **kw).collect()}
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    rows = _dp(spark, [
+        "alpha one\nshared footer\nbeta two",   # 0: first sighting of footer
+        "gamma three\nshared footer",           # 1: copy dropped
+        "shared footer\ndelta four",            # 2: copy dropped
+    ])
+    assert rows[0]["n_paras"] == 3 and rows[0]["n_kept"] == 3
+    assert rows[0]["clean_text"] == "alpha one\nshared footer\nbeta two"
+    assert rows[1]["n_paras"] == 2 and rows[1]["n_kept"] == 1
+    assert rows[1]["clean_text"] == "gamma three"
+    assert rows[2]["clean_text"] == "delta four"
+
+
+def test_dedup_paragraphs_within_doc_and_empties(spark):
+    rows = _dp(spark, [
+        "same line\n\n  same line  \nother",    # dup INSIDE one doc + blank
+    ])
+    r = rows[0]
+    # blank paragraph dropped before counting; trimmed copies collide
+    assert r["n_paras"] == 3 and r["n_kept"] == 2
+    assert r["clean_text"] == "same line\nother"
+
+
+def test_dedup_paragraphs_empty_doc_absent(spark):
+    rows = _dp(spark, ["", "\n\n", "kept text"])
+    assert set(rows) == {2}
+    assert rows[2]["clean_text"] == "kept text"
+
+
+def test_dedup_paragraphs_normalize_tier(spark):
+    exact = _dp(spark, ["The  End\nmid", "the end\nmid2"])
+    assert exact[1]["n_kept"] == 2        # case/spacing differ -> kept
+    norm = _dp(spark, ["The  End\nmid", "the end\nmid2"],
+               normalize=True)
+    assert norm[1]["n_kept"] == 1         # normalized tier collides
+    # reassembly keeps ORIGINAL bytes, not the normalized form
+    assert norm[0]["clean_text"] == "The  End\nmid"
+
+
+def test_dedup_paragraphs_literal_separator(spark):
+    # '.' is a regex metachar — the separator contract is LITERAL
+    rows = _dp(spark, ["a b.c d.a b"], sep=".")
+    assert rows[0]["n_paras"] == 3 and rows[0]["n_kept"] == 2
+    assert rows[0]["clean_text"] == "a b.c d"
