@@ -295,6 +295,106 @@ def _r8x_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# gopher_repetition — the full within-document repetition battery
+# (Rae et al. §A.1.2). The engine computes it as ZERO-exchange
+# row-local sorted-run index algebra; the oracle replays every metric
+# RELATIONALLY (unnest + group-by) — two genuinely independent
+# evaluation strategies for the same integer-exact definitions.
+# ---------------------------------------------------------------------------
+
+_GR_TOP_NS = (2, 3, 4)
+_GR_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _gr_oracle() -> str:
+    gram_ctes, sels, joins = [], [], []
+    for n in sorted(set(_GR_TOP_NS) | set(_GR_DUP_NS)):
+        gram_ctes.append(f"""
+    g{n} AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= {n}
+                    THEN list_transform(range(1, len(w) - {n - 1} + 1),
+                                        i -> array_to_string(w[i:i+{n - 1}], ' '))
+                    ELSE [] END) AS g
+      FROM toks
+    ), g{n}c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM g{n} GROUP BY 1, 2
+    ), s{n} AS (
+      SELECT doc_id, MAX(c * len(g)) AS top_chars,
+             SUM((c - 1) * len(g)) AS dup_chars
+      FROM g{n}c GROUP BY 1
+    )""")
+        joins.append(f"LEFT JOIN s{n} ON s{n}.doc_id = d.doc_id")
+    sel_sep = ",\n           "
+    for n in _GR_TOP_NS:
+        sels.append(
+            f"CAST(COALESCE(s{n}.top_chars, 0) AS DOUBLE) / norm.L"
+            f" AS top_{n}gram_char_frac"
+        )
+    for n in _GR_DUP_NS:
+        sels.append(
+            f"CAST(COALESCE(s{n}.dup_chars, 0) AS DOUBLE) / norm.L"
+            f" AS dup_{n}gram_char_frac"
+        )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, replace(text, ' table ', chr(10)) AS text2
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split_regex(trim(text2), '\\s+') AS w FROM t
+    ), norm AS (
+      SELECT doc_id,
+             CAST(greatest(length(array_to_string(w, ' ')), 1) AS DOUBLE)
+               AS L
+      FROM toks
+    ), lines AS (
+      SELECT doc_id, trim(unnest(string_split(text2, chr(10)))) AS line
+      FROM t
+    ), lg AS (
+      SELECT doc_id, line, COUNT(*) AS c
+      FROM lines WHERE line <> '' GROUP BY 1, 2
+    ), lstat AS (
+      SELECT doc_id, SUM(c) AS n, SUM(c * len(line)) AS chars,
+             SUM(c - 1) AS dup_cnt,
+             SUM((c - 1) * len(line)) AS dup_chars
+      FROM lg GROUP BY 1
+    ),{",".join(gram_ctes)}
+    SELECT d.doc_id,
+           CAST(COALESCE(lstat.dup_cnt, 0) AS DOUBLE)
+             / CAST(greatest(COALESCE(lstat.n, 0), 1) AS DOUBLE)
+             AS dup_line_frac,
+           CAST(COALESCE(lstat.dup_chars, 0) AS DOUBLE)
+             / CAST(greatest(COALESCE(lstat.chars, 0), 1) AS DOUBLE)
+             AS dup_line_char_frac,
+           {sel_sep.join(sels)}
+    FROM documents d
+    LEFT JOIN lstat ON lstat.doc_id = d.doc_id
+    LEFT JOIN norm ON norm.doc_id = d.doc_id
+    {" ".join(joins)}
+    """
+
+
+@query("gopher_repetition", _gr_oracle())
+def _r8x_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition battery (operators.text.gopher_repetition
+    — Rae et al. 2021 §A.1.2): duplicate-line fraction and char
+    fraction, top-{2,3,4}-gram char coverage, duplicate-{5..10}-gram
+    char fraction, per document. Line structure synthesized with the
+    proven ' table ' → newline replace idiom. The engine side is
+    zero-exchange sorted-run index algebra fused into the scan; the
+    oracle recomputes every metric relationally — construction and
+    replay share only the metric definitions."""
+    from knime_core_columnar_spark.operators.text import gopher_repetition
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit("\n"))
+    )
+    return gopher_repetition(
+        d, "doc_id", "text", top_ns=_GR_TOP_NS, dup_ns=_GR_DUP_NS
+    )
+
+
+# ---------------------------------------------------------------------------
 # winnow_overlap — MOSS-style winnowing fingerprint overlap (the
 # position-robust third dedup tier; operators/dedup.py:winnow_*). The
 # oracle replays the EXACT algorithm in DuckDB list comprehensions:

@@ -248,6 +248,175 @@ def repetition_ratio(
     )
 
 
+def _sorted_run_stats(arr: Column) -> Column:
+    """Per-row duplicate-run statistics of a SORTED string array:
+    struct(n, dup_cnt, dup_chars, top_chars) where dup_cnt / dup_chars
+    count every occurrence beyond a value's first (the 'duplicated'
+    share) and top_chars = max over distinct values of
+    count·length(value) (characters covered by the heaviest repeated
+    value, all occurrences). All run arithmetic is index algebra over
+    the sorted array — row-local, no explode, no shuffle."""
+    return let_col(
+        arr,
+        lambda a: let_col(
+            # 1-based positions i (2..n) where a[i] == a[i-1]: each is
+            # one beyond-first occurrence
+            F.when(
+                F.size(a) >= 2,
+                F.filter(
+                    # sequence(2, 1) would DESCEND for n < 2 — guarded
+                    F.sequence(F.lit(2), F.size(a)),
+                    lambda i: F.element_at(a, i) == F.element_at(a, i - 1),
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+            lambda dup: F.struct(
+                F.size(a).alias("n"),
+                F.aggregate(
+                    a,
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x),
+                ).alias("chars"),
+                F.size(dup).alias("dup_cnt"),
+                F.aggregate(
+                    dup,
+                    F.lit(0).cast("long"),
+                    lambda acc, i: acc + F.length(F.element_at(a, i)),
+                ).alias("dup_chars"),
+                let_col(
+                    # run starts: position 1 plus every inequality edge
+                    F.when(
+                        F.size(a) >= 1,
+                        F.concat(
+                            F.array(F.lit(1)),
+                            F.when(
+                                F.size(a) >= 2,
+                                F.filter(
+                                    F.sequence(F.lit(2), F.size(a)),
+                                    lambda i: F.element_at(a, i)
+                                    != F.element_at(a, i - 1),
+                                ),
+                            ).otherwise(F.array().cast("array<int>")),
+                        ),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda starts: F.coalesce(
+                        F.array_max(
+                            F.zip_with(
+                                starts,
+                                # next run's start; the last run ends
+                                # at n+1
+                                F.concat(
+                                    F.slice(
+                                        starts, 2,
+                                        F.greatest(
+                                            F.size(starts) - 1, F.lit(0)
+                                        ),
+                                    ),
+                                    F.array(F.size(a) + 1),
+                                ),
+                                lambda s1, s2: (s2 - s1).cast("long")
+                                * F.length(F.element_at(a, s1)),
+                            )
+                        ),
+                        F.lit(0).cast("long"),
+                    ),
+                ).alias("top_chars"),
+            ),
+        ),
+    )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The full Gopher repetition battery (Rae et al. 2021 §A.1.2) —
+    the within-document repetition signals beyond ``repetition_ratio``:
+
+    - ``dup_line_frac``: fraction of (trimmed, non-empty) lines that
+      are a repeat of an earlier identical line;
+    - ``dup_line_char_frac``: fraction of line characters inside those
+      repeats (beyond-first occurrences);
+    - ``top_{n}gram_char_frac`` for each n in ``top_ns``: characters
+      covered by the heaviest word n-gram (count × gram length, all
+      occurrences) over the normalized text length — under count ties
+      this takes the maximum char coverage, which is deterministic
+      where "the most frequent n-gram" is not;
+    - ``dup_{n}gram_char_frac`` for each n in ``dup_ns``: characters
+      in beyond-first occurrences of repeated n-grams (overlapping
+      occurrences each count — the standard published approximation).
+
+    Fractions are single divisions of exact integers (bit-identical in
+    any engine); documents with no lines / no n-grams score 0.
+
+    Scale shape: the ENTIRE battery is row-local array algebra — split,
+    sort, run-length index arithmetic (:func:`_sorted_run_stats`) —
+    with zero exchanges: at 100 TB it fuses into the parquet scan and
+    parallelizes with the file splits, unlike the explode+groupBy shape
+    (whose shuffle is corpus-token-sized for a per-document metric).
+    Gram counting per doc is O(L log L) interpreted per row, bounded by
+    document length."""
+    import re as _re
+
+    toks = tokens(text_col)
+    norm_len = F.greatest(
+        F.length(F.array_join(toks, " ")), F.lit(1)
+    ).cast("long")
+    lines_arr = F.array_sort(
+        F.filter(
+            F.transform(
+                F.split(F.col(text_col), _re.escape(line_sep)),
+                lambda x: F.trim(x),
+            ),
+            lambda x: x != "",
+        )
+    )
+    cols: list[Column] = [F.col(id_col)]
+    cols.append(
+        let_col(
+            _sorted_run_stats(lines_arr),
+            lambda s: F.struct(
+                (
+                    s["dup_cnt"].cast("double")
+                    / F.greatest(s["n"], F.lit(1)).cast("double")
+                ).alias("dup_line_frac"),
+                (
+                    s["dup_chars"].cast("double")
+                    / F.greatest(s["chars"], F.lit(1)).cast("double")
+                ).alias("dup_line_char_frac"),
+            ),
+        ).alias("__lines")
+    )
+    for n in top_ns:
+        cols.append(
+            (
+                _sorted_run_stats(F.array_sort(word_ngrams(text_col, n)))[
+                    "top_chars"
+                ].cast("double")
+                / norm_len.cast("double")
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        cols.append(
+            (
+                _sorted_run_stats(F.array_sort(word_ngrams(text_col, n)))[
+                    "dup_chars"
+                ].cast("double")
+                / norm_len.cast("double")
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    out = df.select(*cols)
+    return out.select(
+        id_col,
+        F.col("__lines")["dup_line_frac"].alias("dup_line_frac"),
+        F.col("__lines")["dup_line_char_frac"].alias("dup_line_char_frac"),
+        *[c for c in out.columns if c not in (id_col, "__lines")],
+    )
+
+
 def text_profile(table: ColumnarTable, text_col: str = "text") -> ColumnarTable:
     """Append the full text-analysis profile to a document table."""
     return table.append_map({

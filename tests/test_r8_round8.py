@@ -702,3 +702,61 @@ def test_dedup_paragraphs_literal_separator(spark):
     rows = _dp(spark, ["a b.c d.a b"], sep=".")
     assert rows[0]["n_paras"] == 3 and rows[0]["n_kept"] == 2
     assert rows[0]["clean_text"] == "a b.c d"
+
+
+# ---------------------------------------------------------------------------
+# gopher_repetition — within-document repetition battery (zero-exchange)
+# ---------------------------------------------------------------------------
+
+
+def _gr(spark, texts, **kw):
+    from knime_core_columnar_spark.operators.text import gopher_repetition
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    return {r["doc_id"]: r for r in gopher_repetition(df, **kw).collect()}
+
+
+def test_gopher_repetition_hand_cases(spark):
+    rows = _gr(
+        spark,
+        [
+            "x\nx\ny",            # 0: one duplicate line
+            "a b a b a",          # 1: repeated bigram, no lines
+            "",                   # 2: empty -> all zero
+        ],
+        top_ns=(2,), dup_ns=(2,),
+    )
+    r0 = rows[0]
+    assert r0["dup_line_frac"] == 1 / 3
+    assert r0["dup_line_char_frac"] == 1 / 3
+    # tokens [x, x, y]: top bigram 'x x' covers 3 of 5 normalized chars
+    assert r0["top_2gram_char_frac"] == 3 / 5
+    assert r0["dup_2gram_char_frac"] == 0.0
+    r1 = rows[1]
+    # bigrams: 'a b' x2, 'b a' x2 -> top = 2*3/9; dup = (1+1)*3/9
+    assert r1["top_2gram_char_frac"] == 6 / 9
+    assert r1["dup_2gram_char_frac"] == 6 / 9
+    assert r1["dup_line_frac"] == 0.0
+    assert all(v == 0.0 for k, v in rows[2].asDict().items()
+               if k != "doc_id")
+
+
+def test_gopher_repetition_top_ties_take_max_char_coverage(spark):
+    # 'aa bb' x2 and 'c d' x2 tie on count; the metric is defined as
+    # MAX char coverage, so the longer gram wins deterministically
+    rows = _gr(spark, ["aa bb aa bb c d c d"], top_ns=(2,), dup_ns=())
+    # normalized length 19; 'aa bb' covers 2*5=10
+    assert rows[0]["top_2gram_char_frac"] == 10 / 19
+
+
+def test_gopher_repetition_zero_exchange_plan(spark):
+    from knime_core_columnar_spark.operators.text import gopher_repetition
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    out = gopher_repetition(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan

@@ -74,6 +74,13 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          # docstring's sizing rule, registered below)
          "rm3_expanded_search", "retrieval_rbo",
          "contrastive_pairs_scale",
+         # round-8 in-round additions: paragraph dedup (linear:
+         # posexplode + one hash election window + one id reassembly)
+         # and winnowing overlap — the latter rehearses the CAPPED tier
+         # (max_df, registered below) for the same Σdf² reason as
+         # containment: the tiny-vocabulary synthetic corpus makes hot
+         # fingerprints grow with corpus size
+         "dedup_paragraphs", "winnow_overlap_capped",
          # round-7 in-round additions: the scan-side HTML extraction
          # (regex cost per byte) and the KN bigram model (count-table
          # materialization + scoring join; bigram vocab grows with the
@@ -311,6 +318,22 @@ def main():
                 spark.read.parquet(f"{sf_dir}/documents.parquet")
                 .filter(_F.col("text").isNotNull())
             ),
+        )
+    )
+
+    # Rehearsal-only entry (round 8): winnowing's SCALE tier — max_df
+    # culls hot (boilerplate) fingerprints before the inverted-index
+    # join, bounding pair volume at Σ min(df, 64)² instead of Σdf².
+    # The registered winnow_overlap keeps max_df=None (its oracle's
+    # exactness contract) for the small gate corpus.
+    from knime_core_columnar_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    catalog.QUERIES["winnow_overlap_capped"] = (
+        lambda spark, sf_dir: winnow_overlap_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            "doc_id", "text", k=5, w=4, min_shared=2, max_df=64,
         )
     )
 
