@@ -181,7 +181,10 @@ def shingle_rows(
     # each slice() argument referencing the raw split() expression
     # would re-tokenize the row n times (once per zip_with level)
     tmp = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("__toks"),
     )
     toks = F.col("__toks")
     width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
@@ -907,14 +910,21 @@ def duplicate_spans(
     # at EVERY element (HOFs get no cross-element CSE) — measured 2.7×
     # on dup_span_extract before the same fix
     toks = df.select(
-        F.col(id_col), F.split(F.trim(txt), r"\s+").alias("__w")
+        F.col(id_col), F.filter(F.split(F.trim(txt), r"\s+"), lambda x: x != "").alias("__w")
     )
     words = F.col("__w")
-    anchors = F.filter(
-        F.sequence(F.lit(1), F.size(words)),
-        lambda i: (i == 1)
-        | (base_hash60(F.element_at(words, i)) % anchor_stride == 0),
-    )
+    # empty token array (empty/NULL doc — the tokenizer drops empty
+    # tokens) still anchors at word 1 so the doc yields its single ''
+    # span; unguarded, sequence(1, 0) would DESCEND and index 0
+    # crashes slice
+    anchors = F.when(
+        F.size(words) >= 1,
+        F.filter(
+            F.sequence(F.lit(1), F.size(words)),
+            lambda i: (i == 1)
+            | (base_hash60(F.element_at(words, i)) % anchor_stride == 0),
+        ),
+    ).otherwise(F.array(F.lit(1)))
     spans = toks.select(
         F.col(id_col),
         F.explode(
@@ -952,7 +962,7 @@ def _gram_rows(
     per row (HOF-lambda discipline — see let_col)."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = df.select(
-        F.col(id_col), F.split(F.trim(txt), r"\s+").alias("__w")
+        F.col(id_col), F.filter(F.split(F.trim(txt), r"\s+"), lambda x: x != "").alias("__w")
     )
     n_pos = F.size("__w") - F.lit(k - 1)
     positions = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
@@ -1091,7 +1101,7 @@ def dup_span_apply(
     )
     txt = F.coalesce(F.col(text_col), F.lit(""))
     rebuilt = (
-        df.select(F.col(id_col), F.split(F.trim(txt), r"\s+").alias("__w"))
+        df.select(F.col(id_col), F.filter(F.split(F.trim(txt), r"\s+"), lambda x: x != "").alias("__w"))
         .join(spans, id_col, "left")
         .select(
             id_col,

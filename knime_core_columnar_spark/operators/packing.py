@@ -114,7 +114,10 @@ def length_bucketed_batches(
 
     toks = df.select(
         F.col(id_col),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("__n"),
+        F.size(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda x: x != "")
+        ).cast("long").alias("__n"),
     ).filter(F.col("__n") > 0)
     bucketed = toks.withColumn(
         "bucket",

@@ -545,7 +545,10 @@ def token_budget_plan(
     from pyspark.sql import Window
 
     if token_expr is None:
-        token_expr = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        token_expr = F.size(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                 lambda x: x != "")
+    )
     src = (
         df.groupBy(F.col(source_col).alias("source"))
         .agg(
@@ -690,7 +693,11 @@ def dsir_logratio(
 
     # let-bound: the three references (size + two slices) would each
     # re-split the document per row under interpreted HOF evaluation
-    bigrams = let_col(F.split(F.trim(F.col(text_col)), r"\s+"), _bigrams)
+    bigrams = let_col(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                 lambda x: x != ""),
+        _bigrams,
+    )
     # explode_outer: a bigram-less doc keeps ONE null-placeholder row
     # (null __b — it joins nothing and counts nothing downstream) so
     # every input id reaches the per-doc aggregation

@@ -120,7 +120,10 @@ def top_tokens_exact(
     audit (which boilerplate tokens dominate the corpus?) without a full
     token GROUP BY. Whitespace tokenization matches ``text.tokens``."""
     toks = df.select(
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+        F.explode(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda x: x != "")
+        ).alias("token")
     ).filter(F.col("token") != "")
     return heavy_hitters(toks, "token", min_count=min_count, capacity=capacity)
 

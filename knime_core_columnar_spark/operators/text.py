@@ -34,9 +34,17 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization (the baseline tokenizer; BPE-ish regex
-    splitting below)."""
+    splitting below). Empty tokens are dropped: Spark's ``trim`` strips
+    SPACES only, so text with leading/trailing newlines/tabs would
+    otherwise grow a phantom '' token that inflates every token-derived
+    metric (caught by the round-8 text-quality replay fuzz on
+    trailing-newline docs; the fixed gate corpus never produces one, so
+    all oracles are unaffected). Cross-engine equivalent:
+    ``list_filter(string_split_regex(trim(s), '\\s+'), x -> x <> '')``.
+    Empty / whitespace-only text yields an EMPTY array (token count 0,
+    not 1)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
 
 
 def token_count(col: Column | str) -> Column:
@@ -66,7 +74,9 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     when budgeting LLM training data."""
     c = F.col(col) if isinstance(col, str) else col
     pieces = F.regexp_replace(c, r"([0-9]+|[^\sA-Za-z0-9])", r" $1 ")
-    return F.size(F.split(F.trim(pieces), r"\s+"))
+    return F.size(
+        F.filter(F.split(F.trim(pieces), r"\s+"), lambda x: x != "")
+    )
 
 
 def punct_ratio(col: Column | str) -> Column:
