@@ -295,6 +295,131 @@ def _r8x_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exif_meta — EXIF extraction + PII strip (operators.multimodal.
+# extract_exif_meta / strip_exif_jpeg). The query synthesizes valid
+# EXIF JPEGs byte-by-byte from doc_id (big-endian TIFF, two fixed
+# layouts: with and without a GPSInfo IFD), parses them back, strips
+# the APP1, and re-parses; the oracle computes every field in CLOSED
+# FORM without touching bytes — construction, parse, and strip must be
+# exact inverses for the hash to match (the media_header_meta design).
+# Byte-level adversarial cases (truncation, fill bytes, little-endian,
+# inline ASCII, multi-APP1) are pytest-pinned per the TRUE-oracle
+# pairing rule.
+# ---------------------------------------------------------------------------
+
+# Layout A (gps): IFD0 n=3 @8 (42 B) -> ExifIFD @50 (18 B) ->
+# datetime @68 (20 B) -> GPS IFD @88 (6 B); TIFF 94 B, APP1 len 0x66,
+# file 108 B. Layout B (no gps): n=2, ExifIFD @38, datetime @56;
+# TIFF 76 B, APP1 len 0x54, file 90 B.
+_EXIF_PRE_A = ("FFD8FFE10066457869660000" "4D4D002A00000008" "0003"
+               "0112000300000001")
+_EXIF_MID_A = ("0000" "876900040000000100000032"
+               "882500040000000100000058" "00000000" "0001"
+               "900300020000001400000044" "00000000")
+_EXIF_TAIL_A = "00" "000000000000" "FFD9"      # NUL + empty GPS IFD + EOI
+_EXIF_PRE_B = ("FFD8FFE10054457869660000" "4D4D002A00000008" "0002"
+               "0112000300000001")
+_EXIF_MID_B = ("0000" "876900040000000100000026" "00000000" "0001"
+               "900300020000001400000038" "00000000")
+_EXIF_TAIL_B = "00" "FFD9"
+
+_EXIF_DT_SPARK = (
+    "concat(CAST(2020 + doc_id % 5 AS STRING), ':', "
+    "lpad(CAST(1 + doc_id % 12 AS STRING), 2, '0'), ':', "
+    "lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0'), ' ', "
+    "lpad(CAST(doc_id % 24 AS STRING), 2, '0'), ':', "
+    "lpad(CAST(doc_id % 60 AS STRING), 2, '0'), ':', "
+    "lpad(CAST((doc_id * 7) % 60 AS STRING), 2, '0'))"
+)
+_EXIF_DT_DUCK = (
+    "CAST(2020 + doc_id % 5 AS VARCHAR) || ':' || "
+    "lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || ':' || "
+    "lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' ' || "
+    "lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' || "
+    "lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' || "
+    "lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')"
+)
+
+_EXIF_PAYLOAD_SPARK = f"""
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN concat(unhex('{_EXIF_PRE_A}'),
+                         unhex(lpad(hex(1 + doc_id % 8), 4, '0')),
+                         unhex('{_EXIF_MID_A}'),
+                         cast({_EXIF_DT_SPARK} as binary),
+                         unhex('{_EXIF_TAIL_A}'))
+      WHEN 1 THEN concat(unhex('{_EXIF_PRE_B}'),
+                         unhex(lpad(hex(1 + doc_id % 8), 4, '0')),
+                         unhex('{_EXIF_MID_B}'),
+                         cast({_EXIF_DT_SPARK} as binary),
+                         unhex('{_EXIF_TAIL_B}'))
+      ELSE cast(coalesce(text, '') as binary)
+    END
+"""
+
+
+@query(
+    "exif_meta",
+    f"""
+    SELECT doc_id,
+           doc_id % 3 IN (0, 1) AS exif_present,
+           CASE WHEN doc_id % 3 IN (0, 1)
+                THEN CAST(1 + doc_id % 8 AS INT) END AS orientation,
+           CASE WHEN doc_id % 3 IN (0, 1)
+                THEN {_EXIF_DT_DUCK} END AS datetime_original,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN TRUE WHEN 1 THEN FALSE END AS has_gps,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 104 WHEN 1 THEN 86 ELSE 0
+           END AS BIGINT) AS n_stripped_bytes,
+           CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 4
+                ELSE octet_length(encode(coalesce(text, '')))
+           END AS BIGINT) AS stripped_len,
+           TRUE AS exif_gone
+    FROM documents
+    """,
+)
+def _r8x_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction + PII strip round-trip
+    (operators.multimodal.extract_exif_meta / strip_exif_jpeg):
+    orientation, DateTimeOriginal and the GPS-presence privacy flag
+    parsed from synthesized EXIF JPEGs whose every byte is a closed
+    function of doc_id; the APP1 scrub's removed-byte count and
+    post-strip length are exactly predicted by the oracle, and
+    re-extraction on the stripped bytes must find no EXIF
+    (``exif_gone`` — engine invariant, byte-level burden carried by
+    tests/test_r8_round8.py's adversarial fixtures)."""
+    from knime_core_columnar_spark.operators.multimodal import (
+        extract_exif_meta,
+        strip_exif_jpeg,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_EXIF_PAYLOAD_SPARK).alias("payload")
+    )
+    meta = extract_exif_meta(d, "doc_id", "payload")
+    stripped = strip_exif_jpeg(d, "doc_id", "payload")
+    after = extract_exif_meta(stripped, "doc_id", "payload").select(
+        "doc_id", F.col("exif_present").alias("__after")
+    )
+    return (
+        meta.join(
+            stripped.select(
+                "doc_id",
+                F.length("payload").cast("long").alias("stripped_len"),
+                F.col("n_stripped_bytes"),
+            ),
+            "doc_id",
+        )
+        .join(after, "doc_id")
+        .select(
+            "doc_id", "exif_present", "orientation", "datetime_original",
+            "has_gps", "n_stripped_bytes", "stripped_len",
+            (~F.col("__after")).alias("exif_gone"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # gopher_repetition — the full within-document repetition battery
 # (Rae et al. §A.1.2). The engine computes it as ZERO-exchange
 # row-local sorted-run index algebra; the oracle replays every metric

@@ -760,3 +760,126 @@ def test_gopher_repetition_zero_exchange_plan(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# EXIF extraction + strip — adversarial byte fixtures
+# ---------------------------------------------------------------------------
+
+
+def _tiff_exif(orient=5, dt="2024:03:04 05:06:07", gps=True, bo="MM",
+               dt_in_ifd0=False):
+    import struct
+
+    big = bo == "MM"
+    e = ">" if big else "<"
+    n = 2 + (1 if gps else 0)
+    if dt_in_ifd0:
+        n = 2  # orientation + DateTime(306), no Exif pointer
+    ifd0_size = 2 + 12 * n + 4
+    exif_off = 8 + ifd0_size
+    dt_off = exif_off + (0 if dt_in_ifd0 else 18)
+    gps_off = dt_off + 20
+    out = (b"MM\x00\x2a" if big else b"II\x2a\x00") + struct.pack(e + "I", 8)
+    out += struct.pack(e + "H", n)
+    out += struct.pack(e + "HHI", 274, 3, 1) + struct.pack(e + "HH", orient, 0)
+    if dt_in_ifd0:
+        out += struct.pack(e + "HHII", 306, 2, 20, dt_off)
+    else:
+        out += struct.pack(e + "HHII", 34665, 4, 1, exif_off)
+        if gps:
+            out += struct.pack(e + "HHII", 34853, 4, 1, gps_off)
+    out += b"\x00" * 4
+    if not dt_in_ifd0:
+        out += struct.pack(e + "H", 1)
+        out += struct.pack(e + "HHII", 36867, 2, 20, dt_off)
+        out += b"\x00" * 4
+    out += dt.encode() + b"\x00"
+    if gps and not dt_in_ifd0:
+        out += struct.pack(e + "H", 0) + b"\x00" * 4
+    return out
+
+
+def _jpeg_wrap(tiff, fill=0, extra_seg=False):
+    import struct
+
+    seg = b"Exif\x00\x00" + tiff
+    out = b"\xff\xd8"
+    if extra_seg:  # a non-Exif APP0 stays untouched by the strip
+        out += b"\xff\xe0" + struct.pack(">H", 6) + b"JFIF"
+    out += b"\xff" * fill
+    out += b"\xff\xe1" + struct.pack(">H", 2 + len(seg)) + seg
+    return out + b"\xff\xd9"
+
+
+def _exif_rows(spark, payloads, fn):
+    df = spark.createDataFrame(
+        list(enumerate(payloads)), "doc_id long, payload binary"
+    )
+    return {r["doc_id"]: r for r in fn(df).collect()}
+
+
+def test_exif_extract_hand_fixtures(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        extract_exif_meta,
+    )
+
+    rows = _exif_rows(spark, [
+        _jpeg_wrap(_tiff_exif(gps=True, bo="MM")),
+        _jpeg_wrap(_tiff_exif(gps=False, bo="II"), fill=3),
+        _tiff_exif(orient=8, gps=True, bo="II"),        # bare TIFF
+        _tiff_exif(dt_in_ifd0=True, gps=False),         # 306 fallback
+        b"not an image at all",
+        b"\xff\xd8\xff\xdb\x00\x04\x00\x00\xff\xd9",    # JPEG, no EXIF
+    ], extract_exif_meta)
+    for i in (0, 1, 2, 3):
+        assert rows[i]["exif_present"] and rows[i]["datetime_original"] \
+            == "2024:03:04 05:06:07"
+    assert rows[0]["has_gps"] is True and rows[1]["has_gps"] is False
+    assert rows[2]["orientation"] == 8 and rows[2]["has_gps"] is True
+    assert rows[3]["has_gps"] is False
+    for i in (4, 5):
+        assert rows[i]["exif_present"] is False
+        assert rows[i]["has_gps"] is None
+        assert rows[i]["orientation"] is None
+
+
+def test_exif_extract_truncation_never_crashes(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        extract_exif_meta,
+    )
+
+    full = _jpeg_wrap(_tiff_exif())
+    rows = _exif_rows(
+        spark,
+        [full[:k] for k in (0, 1, 2, 4, 7, 13, 20, 40, len(full) - 1)],
+        extract_exif_meta,
+    )
+    assert len(rows) == 9  # every row present, parser never threw
+    # cut INSIDE the declared APP1 length -> segment rejected entirely
+    assert rows[7]["exif_present"] is False
+
+
+def test_exif_strip_byte_exact(spark):
+    from knime_core_columnar_spark.operators.multimodal import (
+        extract_exif_meta,
+        strip_exif_jpeg,
+    )
+
+    with_app0 = _jpeg_wrap(_tiff_exif(), extra_seg=True)
+    plain = b"\xff\xd8\xff\xdb\x00\x04\x00\x00\xff\xd9"
+    rows = _exif_rows(spark, [with_app0, plain, b"hello"],
+                      strip_exif_jpeg)
+    # non-Exif APP0 survives, Exif APP1 excised byte-exactly
+    assert bytes(rows[0]["payload"]) == (
+        b"\xff\xd8\xff\xe0\x00\x06JFIF\xff\xd9"
+    )
+    assert rows[0]["n_stripped_bytes"] == len(with_app0) - 12
+    assert bytes(rows[1]["payload"]) == plain
+    assert rows[1]["n_stripped_bytes"] == 0
+    assert bytes(rows[2]["payload"]) == b"hello"
+    # stripped output re-parses as EXIF-free
+    df = spark.createDataFrame([(0, bytes(rows[0]["payload"]))],
+                               "doc_id long, payload binary")
+    after = extract_exif_meta(df).collect()[0]
+    assert after["exif_present"] is False
