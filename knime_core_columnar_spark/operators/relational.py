@@ -125,13 +125,30 @@ def aggregate(
     group_by: Sequence[str],
     aggs: dict[str, Column],
     grouping: Literal["groupby", "rollup", "cube"] = "groupby",
+    include_grouping_id: bool = False,
+    empty_grand_total: bool = False,
 ) -> ColumnarTable:
     """Group-by aggregation (partial/final split is automatic — map-side
     combine shrinks the shuffle to nGroups×nPartitions). ``rollup`` /
     ``cube`` add grouping-set rows with nulls on the rolled-up levels.
 
     Result RowID = group key values joined by "_" (null → "?"), matching
-    KNIME GroupBy node output keying.
+    KNIME GroupBy node output keying. When the DATA itself contains
+    NULL group values, a data-NULL group and a rolled-up subtotal are
+    indistinguishable by values alone (and share a RowID) — pass
+    ``include_grouping_id=True`` to append the standard ``grouping_id``
+    bitmask column (SQL GROUPING(); bit set = that level was rolled
+    up, so a data-NULL row scores 0) and suffix it onto the RowID,
+    restoring key uniqueness.
+
+    Known Spark divergence from the SQL standard (found by the round-8
+    grouping fuzz): over EMPTY input, standard ROLLUP/CUBE emit the
+    grand-total row (COUNT 0, NULL sums — DuckDB/Postgres do); Spark's
+    rollup/cube emit nothing. The default keeps Spark's single-scan
+    plan; ``empty_grand_total=True`` restores standard semantics by
+    replacing the () grouping-set row with a separately computed global
+    aggregate (always exactly one row) — the price is a second pass
+    over the input, which is why it is opt-in.
     """
     df = table.df
     g = (
@@ -141,11 +158,32 @@ def aggregate(
         if grouping == "cube"
         else df.groupBy(*group_by)
     )
-    out = g.agg(*[c.alias(n) for n, c in aggs.items()])
+    multi = grouping in ("rollup", "cube")
+    need_gid = multi and (include_grouping_id or empty_grand_total)
+    cols = [c.alias(n) for n, c in aggs.items()]
+    if need_gid:
+        cols.append(F.grouping_id().cast("long").alias("grouping_id"))
+    out = g.agg(*cols)
+    if multi and empty_grand_total:
+        all_mask = (1 << len(group_by)) - 1
+        total = df.agg(*[c.alias(n) for n, c in aggs.items()]).select(
+            *[
+                F.lit(None).cast(df.schema[c].dataType).alias(c)
+                for c in group_by
+            ],
+            *[F.col(n) for n in aggs],
+            F.lit(all_mask).cast("long").alias("grouping_id"),
+        )
+        out = out.filter(F.col("grouping_id") != all_mask).unionByName(total)
     key = F.concat_ws(
         "_", *[F.coalesce(F.col(c).cast("string"), F.lit("?")) for c in group_by]
     )
-    return ColumnarTable(out.select(key.alias(ROW_KEY), "*"))
+    if multi and include_grouping_id:
+        key = F.concat_ws("#", key, F.col("grouping_id").cast("string"))
+    out = out.select(key.alias(ROW_KEY), "*")
+    if need_gid and not include_grouping_id:
+        out = out.drop("grouping_id")
+    return ColumnarTable(out)
 
 
 def sort(
