@@ -122,7 +122,7 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEARDUP_EDGE_CTE = """
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),

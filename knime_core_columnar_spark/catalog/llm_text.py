@@ -32,7 +32,7 @@ from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
     """
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_c,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
            CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
              / length(text) AS punct_ratio,
            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
@@ -59,7 +59,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t0 AS (
       SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS n,
-             string_split_regex(trim(text), '\\s+') AS t,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t,
              CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
                / length(text) AS pr
       FROM documents
@@ -124,7 +124,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
@@ -160,7 +160,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), hs AS (
       SELECT doc_id,
              list_transform(t, tok -> ('0x' || substring(md5(tok), 1, 15))::BIGINT) AS h
@@ -187,7 +187,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
@@ -218,7 +218,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neardup_pipeline",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
@@ -269,7 +269,7 @@ def neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neardup_clusters",
     """
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),

@@ -466,7 +466,7 @@ def _gr_oracle() -> str:
       SELECT doc_id, replace(text, ' table ', chr(10)) AS text2
       FROM documents
     ), toks AS (
-      SELECT doc_id, string_split_regex(trim(text2), '\\s+') AS w FROM t
+      SELECT doc_id, list_filter(string_split_regex(trim(text2), '\\s+'), x -> x <> '') AS w FROM t
     ), norm AS (
       SELECT doc_id,
              CAST(greatest(length(array_to_string(w, ' ')), 1) AS DOUBLE)
@@ -534,7 +534,7 @@ def _r8x_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "winnow_overlap",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), kg AS (
       SELECT doc_id,
              CASE WHEN len(t) >= 5

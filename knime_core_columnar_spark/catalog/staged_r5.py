@@ -64,7 +64,7 @@ SEMDEDUP_ORACLE = """
 
 BIGRAM_LM_ORACLE = """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS l FROM documents
     ), r AS (
       SELECT doc_id, l[CAST(i AS INT)] AS w1, l[CAST(i + 1 AS INT)] AS w2
       FROM toks, LATERAL (SELECT unnest(range(1, len(l))) AS i) t

@@ -29,7 +29,7 @@ from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
 
 HEAVY_HITTER_TOKENS_ORACLE = """
     WITH toks AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token
       FROM documents
     )
     SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
@@ -168,7 +168,7 @@ def _r6_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUPLICATE_SPAN_PROFILE_ORACLE = """
     WITH w AS (
       SELECT doc_id,
-             string_split_regex(trim(coalesce(text, '')), '\\s+') AS l
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), x -> x <> '') AS l
       FROM documents
     ),
     anchors AS (
@@ -208,14 +208,14 @@ HYBRID_SEARCH_RRF_ORACLE = """
     WITH qd AS (
       SELECT doc_id AS query_id,
              list_distinct(list_filter(
-               string_split_regex(trim(coalesce(text, '')), '\\s+'),
+               list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), x -> x <> ''),
                w -> w <> '')) AS qw
       FROM documents WHERE doc_id IN (3, 47, 205)
     ),
     dw AS (
       SELECT doc_id,
              list_distinct(list_filter(
-               string_split_regex(trim(coalesce(text, '')), '\\s+'),
+               list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), x -> x <> ''),
                w -> w <> '')) AS dw
       FROM documents
     ),

@@ -31,12 +31,12 @@ from knime_core_columnar_spark.catalog.formats_graph import (  # noqa: F401
 
 CMS_FREQUENCY_ORACLE = """
     WITH toks AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token
       FROM documents
     ), tok AS (SELECT token FROM toks WHERE token <> ''),
     tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
     probes AS (
-      SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      SELECT DISTINCT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token
       FROM documents WHERE doc_id < 20
     ), pr AS (SELECT token FROM probes WHERE token <> ''),
     cells AS (
@@ -116,7 +116,7 @@ def _r7_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SET_SIMILARITY_JOIN_ORACLE = """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),

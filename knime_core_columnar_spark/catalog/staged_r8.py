@@ -70,7 +70,7 @@ def _r8_join_explosion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SOURCE_SIMILARITY_ORACLE = """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
@@ -119,7 +119,7 @@ def _r8_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 LENGTH_BUCKETED_BATCHES_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
-             len(string_split_regex(trim(text), '\\s+')) AS n
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n
       FROM documents
     ), nz AS (SELECT * FROM toks WHERE n > 0),
     b AS (
@@ -159,7 +159,7 @@ def _r8_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NOVELTY_SCORES_ORACLE = """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
@@ -227,7 +227,7 @@ def _r8_stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_SELECT_ORACLE = """
     WITH toks AS (
       SELECT doc_id, (text LIKE '%spark%') AS tgt,
-             string_split_regex(trim(text), '\\s+') AS l FROM documents
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS l FROM documents
     ), r AS (
       SELECT doc_id, tgt,
              ('0x' || substring(md5(l[CAST(i AS INT)] || ' '
@@ -366,7 +366,7 @@ def _r8_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INCREMENTAL_ADMIT_ORACLE = """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),

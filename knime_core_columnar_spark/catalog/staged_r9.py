@@ -169,7 +169,7 @@ def _r9_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAINMENT_ORACLE = """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
@@ -310,7 +310,7 @@ def _r9_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_BUDGET_PLAN_ORACLE = """
     WITH src AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS BIGINT)
                AS n_tokens
       FROM documents GROUP BY source
     ), w AS (
@@ -386,7 +386,7 @@ def _r9_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_SPAN_EXTRACT_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
-             string_split_regex(trim(coalesce(text, '')), '\\s+') AS w
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), x -> x <> '') AS w
       FROM documents
     ), grams AS (
       SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS g
@@ -437,7 +437,7 @@ def _r9_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LEAKAGE_SAFE_SPLIT_ORACLE = """
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
@@ -516,10 +516,10 @@ def _r9_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_FERTILITY_ORACLE = """
     WITH per_doc AS (
       SELECT lang,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
-             CAST(len(string_split_regex(trim(
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(len(list_filter(string_split_regex(trim(
                regexp_replace(text, '([0-9]+|[^\\sA-Za-z0-9])', ' \\1 ', 'g')
-             ), '\\s+')) AS BIGINT) AS n_pieces,
+             ), '\\s+'), x -> x <> '')) AS BIGINT) AS n_pieces,
              CAST(len(text) AS BIGINT) AS n_chars
       FROM documents
     )
@@ -672,7 +672,7 @@ def _r9_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_SPAN_APPLY_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
-             string_split_regex(trim(coalesce(text, '')), '\\s+') AS w
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), x -> x <> '') AS w
       FROM documents
     ), grams AS (
       SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS g
@@ -962,7 +962,7 @@ def _r9_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURRICULUM_ORDER_ORACLE = """
     WITH t AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT)
                AS n_tokens
       FROM documents
     )

@@ -245,7 +245,7 @@ def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "component_stats",
     """
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
@@ -750,7 +750,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_repetition",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), grams AS (
       SELECT doc_id,
              unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
@@ -787,9 +787,9 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
                / greatest(length(text), 1) AS digit_ratio,
              CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-               / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS mean_token_len,
-             CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
-               / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS ttr
+               / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1) AS mean_token_len,
+             CAST(len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS DOUBLE)
+               / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1) AS ttr
       FROM documents
     )
     SELECT doc_id, round(symbol_ratio, 6) AS symbol_ratio,
@@ -1188,8 +1188,8 @@ def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id,
-             list_distinct(string_split_regex(trim(text), '\\s+')) AS words,
-             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS lwords
+             list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS words,
+             list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS lwords
     FROM documents
     )
     SELECT doc_id,
@@ -1249,7 +1249,7 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
       SELECT doc_id,
              ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|corpus'), 1, 15))::BIGINT
                % 10000 AS b,
-             string_split_regex(trim(text), '\\s+') AS t
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
       FROM documents
     ), sh AS (
       SELECT doc_id, b,
@@ -1297,7 +1297,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boilerplate_ngrams",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents
     ), grams AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
@@ -1410,7 +1410,7 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 15))::BIGINT
                  % 10000) % 8 AS stream,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents
       )
     ), r AS (

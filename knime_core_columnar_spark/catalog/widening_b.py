@@ -324,7 +324,7 @@ def label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokenize_to_ids",
     """
     WITH t AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token
       FROM documents
     ), c AS (
       SELECT token, COUNT(*) AS cnt FROM t GROUP BY token HAVING COUNT(*) >= 5
@@ -333,8 +333,8 @@ def label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     ), w AS (
       SELECT doc_id,
-             unnest(string_split_regex(trim(text), '\\s+')) AS token,
-             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token,
+             generate_subscripts(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), 1) AS pos
       FROM documents
     )
     SELECT doc_id, COUNT(*) AS n_tokens,
@@ -432,7 +432,7 @@ def audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              TIMESTAMP '1970-01-01 00:00:00'
                + (1700000000 + doc_id * 60) * INTERVAL 1 SECOND AS ts,
              CAST(length(text) AS DOUBLE) AS n,
-             len(string_split_regex(trim(text), '\\s+')) AS ntok,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS ntok,
              CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
                / length(text) AS pr
       FROM documents
@@ -675,7 +675,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT doc_id,
              md5(CAST(doc_id AS VARCHAR) || '|epoch0') AS h,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
       FROM documents
     ), c AS (
       SELECT doc_id, n_tokens,
@@ -950,7 +950,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocab_build",
     """
     WITH v AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token
       FROM documents
     ), c AS (
       SELECT token, COUNT(*) AS count FROM v GROUP BY token HAVING COUNT(*) >= 5
@@ -1485,12 +1485,12 @@ def segment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_lm_quality",
     """
     WITH w AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS word
       FROM documents
     ), v AS (
       SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
     ), t AS (
-      SELECT CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS tot
+      SELECT CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS DOUBLE) AS tot
       FROM documents
     ), lp AS (
       SELECT word, cnt,
@@ -1523,7 +1523,7 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t0 AS (
       SELECT source, CAST(length(text) AS DOUBLE) AS n,
-             len(string_split_regex(trim(text), '\\s+')) AS ntok,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS ntok,
              CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
                / length(text) AS pr,
              length(text) AS nchars
@@ -1580,7 +1580,7 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang,
              ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 15))::BIGINT
                % 10000 AS bkt,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS ntok
       FROM documents
     ), k AS (
       SELECT lang, ntok,

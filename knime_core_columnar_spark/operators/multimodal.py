@@ -980,7 +980,9 @@ def _exif_tiff_blob(b: bytes):
     'Exif\\x00\\x00'. Returns (tiff_bytes | None, [(seg_start,
     seg_end), ...]) where the spans cover every Exif APP1 segment
     (marker through payload end — the byte ranges strip removes)."""
-    if len(b) >= 8 and b[:2] in (b"II", b"MM"):
+    # bare TIFF requires the full magic — byte order AND the 42 marker;
+    # 'II'/'MM' alone misclassifies ordinary text ("MM. Chapter ...")
+    if len(b) >= 8 and b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         return b, []
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None, []

@@ -124,7 +124,7 @@ def top_tokens_exact(
             F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                      lambda x: x != "")
         ).alias("token")
-    ).filter(F.col("token") != "")
+    )
     return heavy_hitters(toks, "token", min_count=min_count, capacity=capacity)
 
 

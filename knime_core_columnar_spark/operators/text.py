@@ -169,23 +169,28 @@ def keyed_hash32(key: Column, s: Column) -> Column:
     return F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit("_"), s)), 1, 8), 16, 10).cast("long")
 
 
+def ngrams_of(t: Column, n: int) -> Column:
+    """Word n-grams of an ALREADY-materialized token array column —
+    the shared builder behind :func:`word_ngrams`; pass a bound column
+    reference when several n values read the same tokens (one split
+    total instead of one per n). Guard: Spark's sequence(1, 0) yields
+    a DESCENDING [1, 0] (auto step -1), whose 0 index then crashes
+    slice — fewer than n tokens short-circuits to an empty array."""
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_ngrams(col: Column | str, n: int) -> Column:
-    """Word n-gram array (with duplicates). Guard: Spark's
-    sequence(1, 0) yields a DESCENDING [1, 0] (auto step -1), whose 0
-    index then crashes slice — documents with fewer than n tokens must
-    short-circuit to an empty array. The token array is let-bound
-    (``let_col``) so the per-position lambda reads a variable instead
-    of re-tokenizing the document at every position (measured 7×)."""
-    return let_col(
-        tokens(col),
-        lambda t: F.when(
-            F.size(t) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - (n - 1)),
-                lambda i: F.array_join(F.slice(t, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
+    """Word n-gram array (with duplicates). The token array is
+    let-bound (``let_col``) so the per-position lambda reads a variable
+    instead of re-tokenizing the document at every position (measured
+    7×)."""
+    return let_col(tokens(col), lambda t: ngrams_of(t, n))
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
@@ -371,10 +376,11 @@ def gopher_repetition(
     document length."""
     import re as _re
 
-    toks = tokens(text_col)
-    norm_len = F.greatest(
-        F.length(F.array_join(toks, " ")), F.lit(1)
-    ).cast("long")
+    # materialize the token array ONCE (module discipline: every HOF
+    # reference to a raw split() re-tokenizes the row — measured 7×);
+    # every n reads the same bound column, and an n present in both
+    # top_ns and dup_ns gets ONE stats struct serving both fractions
+    ns = sorted(set(top_ns) | set(dup_ns))
     lines_arr = F.array_sort(
         F.filter(
             F.transform(
@@ -384,8 +390,9 @@ def gopher_repetition(
             lambda x: x != "",
         )
     )
-    cols: list[Column] = [F.col(id_col)]
-    cols.append(
+    mid = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("__toks"),
         let_col(
             _sorted_run_stats(lines_arr),
             lambda s: F.struct(
@@ -398,32 +405,36 @@ def gopher_repetition(
                     / F.greatest(s["chars"], F.lit(1)).cast("double")
                 ).alias("dup_line_char_frac"),
             ),
-        ).alias("__lines")
+        ).alias("__lines"),
     )
-    for n in top_ns:
-        cols.append(
-            (
-                _sorted_run_stats(F.array_sort(word_ngrams(text_col, n)))[
-                    "top_chars"
-                ].cast("double")
-                / norm_len.cast("double")
-            ).alias(f"top_{n}gram_char_frac")
-        )
-    for n in dup_ns:
-        cols.append(
-            (
-                _sorted_run_stats(F.array_sort(word_ngrams(text_col, n)))[
-                    "dup_chars"
-                ].cast("double")
-                / norm_len.cast("double")
-            ).alias(f"dup_{n}gram_char_frac")
-        )
-    out = df.select(*cols)
-    return out.select(
+    toks = F.col("__toks")
+    mid = mid.select(
+        id_col,
+        "__lines",
+        F.greatest(F.length(F.array_join(toks, " ")), F.lit(1))
+        .cast("double")
+        .alias("__L"),
+        *[
+            _sorted_run_stats(F.array_sort(ngrams_of(toks, n))).alias(
+                f"__g{n}"
+            )
+            for n in ns
+        ],
+    )
+    return mid.select(
         id_col,
         F.col("__lines")["dup_line_frac"].alias("dup_line_frac"),
         F.col("__lines")["dup_line_char_frac"].alias("dup_line_char_frac"),
-        *[c for c in out.columns if c not in (id_col, "__lines")],
+        *[
+            (F.col(f"__g{n}")["top_chars"].cast("double") / F.col("__L"))
+            .alias(f"top_{n}gram_char_frac")
+            for n in top_ns
+        ],
+        *[
+            (F.col(f"__g{n}")["dup_chars"].cast("double") / F.col("__L"))
+            .alias(f"dup_{n}gram_char_frac")
+            for n in dup_ns
+        ],
     )
 
 
