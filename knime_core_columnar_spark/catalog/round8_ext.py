@@ -295,6 +295,97 @@ def _r8x_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# normalize_nfc — Unicode NFC normalization. The corpus is ASCII, so
+# the query plants decomposed sequences deterministically (every 'a'
+# gains U+0301, every literal ' value ' becomes the ligature ﬁ + a
+# full-width digit — the latter exercises that NFC must NOT touch
+# compatibility characters); the oracle is DuckDB's utf8proc
+# nfc_normalize — an entirely independent Unicode implementation
+# against Python's unicodedata.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "normalize_nfc",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             replace(replace(text, 'a', 'a' || chr(769)),
+                     ' value ', ' ﬁ１ ') AS text2
+      FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(text2) AS norm_text,
+           nfc_normalize(text2) <> text2 AS changed
+    FROM t
+    """,
+)
+def _r8x_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators.text.normalize_unicode,
+    Arrow-batched unicodedata): decomposed a+COMBINING-ACUTE sequences
+    are planted on every 'a' (NFC composes them to á) and ﬁ/full-width
+    １ on every ' value ' (compatibility characters NFC must PRESERVE —
+    the NFKC-vs-NFC distinction), then engine and DuckDB's utf8proc
+    normalizer must agree byte-for-byte, including the per-row
+    ``changed`` audit flag."""
+    from knime_core_columnar_spark.operators.text import normalize_unicode
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.replace(
+            F.replace(F.col("text"), F.lit("a"), F.lit("a\u0301")),
+            F.lit(" value "),
+            F.lit(" ﬁ１ "),
+        ),
+    )
+    return normalize_unicode(d, "doc_id", "text", form="NFC")
+
+
+# ---------------------------------------------------------------------------
+# split_sentences — rule-based sentence segmentation (the 1->N
+# primitive under sentence-level contamination / span dedup). Sentence
+# punctuation synthesized with the proven replace idiom; oracle replays
+# the identical marker-rewrite + split relationally.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "split_sentences",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(replace(text, ' table ', '. '),
+                            '([.!?]) +', '\\1' || chr(1), 'g') AS marked
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(marked, chr(1)),
+                                        x -> trim(x)),
+                         x -> x <> '') AS sents
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, len(sents))) AS INT) AS sent_idx,
+           unnest(sents) AS sentence
+    FROM s
+    """,
+)
+def _r8x_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (operators.text.split_sentences): terminal
+    punctuation + whitespace boundaries via a lookahead-free marker
+    rewrite, replayed with the identical two steps in DuckDB (RE2 has
+    no lookahead — the design constraint IS the portability proof).
+    Sentence punctuation is synthesized with the ' table ' -> '. '
+    replace idiom. Zero exchanges before the consumer."""
+    from knime_core_columnar_spark.operators.text import split_sentences
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit(". "))
+    )
+    return split_sentences(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # exif_meta — EXIF extraction + PII strip (operators.multimodal.
 # extract_exif_meta / strip_exif_jpeg). The query synthesizes valid
 # EXIF JPEGs byte-by-byte from doc_id (big-endian TIFF, two fixed

@@ -15,6 +15,7 @@ operator in this family differentially testable."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1045,6 +1046,86 @@ def fix_mojibake(
         F.col(id_col),
         fixed.alias("fixed_text"),
         (F.length(t) - F.length(fixed)).cast("long").alias("chars_removed"),
+    )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonical first
+    pass of multilingual corpus cleaning: visually identical strings
+    with different codepoint sequences (composed é vs e+COMBINING
+    ACUTE, compatibility ligatures, full-width forms) otherwise defeat
+    exact dedup, shingle hashing, and vocabulary counting. Spark has no
+    built-in normalizer, so this is an Arrow-batched pandas UDF over
+    Python's unicodedata (the stdlib Unicode tables — same standard
+    DuckDB's utf8proc ``nfc_normalize`` implements, which is the
+    cross-engine oracle for the NFC form). Returns (id, norm_text,
+    changed) — ``changed`` flags rows the normalization actually
+    rewrote, the audit number.
+
+    Scale shape: one batched UDF pass, row-local, no shuffle; the
+    Python cost is unavoidable (no JVM normalizer in Spark SQL) but
+    Arrow-vectorized and scan-parallel."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize(form, x)
+            if x is not None
+            else None
+        )
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    out = df.select(F.col(id_col), t.alias("__t")).select(
+        id_col, "__t", _norm(F.col("__t")).alias("norm_text")
+    )
+    return out.select(
+        id_col,
+        "norm_text",
+        (F.col("__t") != F.col("norm_text")).alias("changed"),
+    )
+
+
+def split_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rule-based sentence segmentation: a sentence boundary is a
+    terminal punctuation mark ([.!?]) followed by whitespace. The
+    1→N primitive under sentence-granular contamination checks, bitext
+    alignment, and three-sentence-span dedup (C4 §2.2 operates on
+    sentence spans). Deliberately regex-minimal — the marker rewrite
+    ``([.!?]) +`` → ``$1\\x01`` then a literal split needs no
+    lookahead, so the SAME two steps replay in RE2-based engines
+    (DuckDB) where lookahead regexes cannot. Abbreviation handling
+    ("Dr. Smith") is out of scope and documented: at corpus scale the
+    downstream consumers (span hashing, containment) are robust to
+    over-splitting.
+
+    Pure Catalyst: regexp_replace + split + trim/filter + posexplode —
+    row-local, zero exchanges, scan-fused. Returns (id, sent_idx,
+    sentence) with 0-based ``sent_idx`` over the trimmed non-empty
+    sentences in document order."""
+    marked = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), r"([.!?]) +", "$1\x01"
+    )
+    sents = F.filter(
+        F.transform(F.split(marked, "\x01"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(sents).alias("sent_idx", "sentence")
     )
 
 

@@ -883,3 +883,57 @@ def test_exif_strip_byte_exact(spark):
                                "doc_id long, payload binary")
     after = extract_exif_meta(df).collect()[0]
     assert after["exif_present"] is False
+
+
+# ---------------------------------------------------------------------------
+# normalize_unicode + split_sentences
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_unicode_forms(spark):
+    from knime_core_columnar_spark.operators.text import normalize_unicode
+
+    df = spark.createDataFrame(
+        [(0, "café ﬁne １"), (1, "plain ascii"), (2, None)],
+        "doc_id long, text string",
+    )
+    nfc = {r["doc_id"]: r for r in
+           normalize_unicode(df, form="NFC").collect()}
+    # NFC composes e+ACUTE but PRESERVES compatibility chars
+    assert nfc[0]["norm_text"] == "café ﬁne １"
+    assert nfc[0]["changed"] is True
+    assert nfc[1]["norm_text"] == "plain ascii"
+    assert nfc[1]["changed"] is False
+    assert nfc[2]["norm_text"] == "" and nfc[2]["changed"] is False
+    nfkc = {r["doc_id"]: r for r in
+            normalize_unicode(df, form="NFKC").collect()}
+    # NFKC additionally folds the ligature and the full-width digit
+    assert nfkc[0]["norm_text"] == "café fine 1"
+    import pytest
+
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode(df, form="NFX")
+
+
+def test_split_sentences_hand_cases(spark):
+    from knime_core_columnar_spark.operators.text import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (0, "one two. three four! five?  six"),
+            (1, "no terminal punct at all"),
+            (2, ""),
+            (3, "ends exactly here."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["sent_idx"], r["sentence"])
+        for r in split_sentences(df).collect()
+    )
+    assert rows == [
+        (0, 0, "one two."), (0, 1, "three four!"), (0, 2, "five?"),
+        (0, 3, "six"),
+        (1, 0, "no terminal punct at all"),
+        (3, 0, "ends exactly here."),
+    ]
