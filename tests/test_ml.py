@@ -124,7 +124,7 @@ def test_naive_bayes_separable_classes(spark):
 
 NB_ORACLE = """
     WITH tok AS (
-      SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      SELECT doc_id, lang, unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w
       FROM documents
     ), cw AS (
       SELECT w, lang, COUNT(*) AS cwc FROM tok GROUP BY w, lang

@@ -41,7 +41,8 @@ def test_word_type_frequencies_match_duckdb(spark_session, texts, cap):
     con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
     want = con.execute(
         "SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM ("
-        "  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w"
+        "  SELECT unnest(list_filter(string_split_regex(trim(text),"
+        "    '\\s+'), x -> x <> '')) AS w"
         "  FROM t)"
         f" GROUP BY w ORDER BY c DESC, w LIMIT {cap}"
     ).fetchall()

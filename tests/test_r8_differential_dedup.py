@@ -75,7 +75,7 @@ def test_prefix_filter_matches_duckdb_exact_jaccard(spark_session, texts,
         for ia, ib, i, u in con.execute(
             f"""
             WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
               FROM docs
             ), sh AS (
               SELECT doc_id,
