@@ -1112,12 +1112,19 @@ def dup_span_apply(
             ).alias("__cuts"),
         )
     )
-    kept = F.filter(
-        F.sequence(F.lit(1), F.size("__w")),
-        lambda i: ~F.exists(
-            F.col("__cuts"), lambda sp: (i >= sp["__s"]) & (i < sp["__e"])
+    # empty token array (empty/NULL doc under the empty-token-free
+    # tokenizer): sequence(1, 0) would DESCEND and its 0 crashes the
+    # element_at rebuild — an empty doc keeps an empty position list
+    kept = F.when(
+        F.size("__w") >= 1,
+        F.filter(
+            F.sequence(F.lit(1), F.size("__w")),
+            lambda i: ~F.exists(
+                F.col("__cuts"),
+                lambda sp: (i >= sp["__s"]) & (i < sp["__e"]),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<int>"))
     return rebuilt.select(id_col, "__w", kept.alias("__kept")).select(
         id_col,
         F.size("__w").cast("long").alias("n_tokens"),
