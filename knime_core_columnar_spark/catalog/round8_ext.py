@@ -310,8 +310,8 @@ def _r8x_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id,
-             replace(replace(text, 'a', 'a' || chr(769)),
-                     ' value ', ' ﬁ１ ') AS text2
+             replace(replace(text, ' value ', ' ﬁ１ '),
+                     'a', 'a' || chr(769)) AS text2
       FROM documents
     )
     SELECT doc_id,
@@ -333,9 +333,13 @@ def _r8x_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").withColumn(
         "text",
         F.replace(
-            F.replace(F.col("text"), F.lit("a"), F.lit("a\u0301")),
-            F.lit(" value "),
-            F.lit(" ﬁ１ "),
+            # ligature plant FIRST: decomposing 'a' afterwards must not
+            # rewrite the ' value ' needle (review finding — the old
+            # inner-first order turned 'value' into 'va\u0301lue' and
+            # made the compat-char coverage dead in BOTH engines)
+            F.replace(F.col("text"), F.lit(" value "), F.lit(" ﬁ１ ")),
+            F.lit("a"),
+            F.lit("a\u0301"),  # decomposed: a + COMBINING ACUTE
         ),
     )
     return normalize_unicode(d, "doc_id", "text", form="NFC")

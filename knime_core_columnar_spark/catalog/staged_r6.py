@@ -208,14 +208,14 @@ HYBRID_SEARCH_RRF_ORACLE = """
     WITH qd AS (
       SELECT doc_id AS query_id,
              list_distinct(list_filter(
-               list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), x -> x <> ''),
+               string_split_regex(trim(coalesce(text, '')), '\\s+'),
                w -> w <> '')) AS qw
       FROM documents WHERE doc_id IN (3, 47, 205)
     ),
     dw AS (
       SELECT doc_id,
              list_distinct(list_filter(
-               list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), x -> x <> ''),
+               string_split_regex(trim(coalesce(text, '')), '\\s+'),
                w -> w <> '')) AS dw
       FROM documents
     ),

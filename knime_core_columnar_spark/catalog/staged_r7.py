@@ -33,12 +33,12 @@ CMS_FREQUENCY_ORACLE = """
     WITH toks AS (
       SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token
       FROM documents
-    ), tok AS (SELECT token FROM toks WHERE token <> ''),
-    tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    ),
+    tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token),
     probes AS (
       SELECT DISTINCT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token
       FROM documents WHERE doc_id < 20
-    ), pr AS (SELECT token FROM probes WHERE token <> ''),
+    ),
     cells AS (
       SELECT t.r,
              ('0x' || substring(md5(CAST(t.r AS VARCHAR) || '|' || tc.token), 1, 15))::BIGINT
@@ -51,7 +51,7 @@ CMS_FREQUENCY_ORACLE = """
       SELECT pr.token, t.r,
              ('0x' || substring(md5(CAST(t.r AS VARCHAR) || '|' || pr.token), 1, 15))::BIGINT
                % 64 AS bucket
-      FROM pr CROSS JOIN range(4) t(r)
+      FROM probes pr CROSS JOIN range(4) t(r)
     ),
     est AS (
       SELECT pb.token, MIN(COALESCE(cells.cnt, 0)) AS est_count

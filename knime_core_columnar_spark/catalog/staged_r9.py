@@ -714,12 +714,14 @@ DUP_SPAN_APPLY_ORACLE = """
       FROM posns p LEFT JOIN cut_pos cp
         ON cp.doc_id = p.doc_id AND cp.cp = p.i
     )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-           COALESCE(string_agg(CASE WHEN NOT cut THEN tok END, ' '
-                               ORDER BY i), '') AS clean_text
-    FROM kept GROUP BY doc_id
+    SELECT t.doc_id,
+           CAST(COALESCE(count(kept.i), 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(CASE WHEN kept.cut THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN NOT kept.cut THEN kept.tok END,
+                               ' ' ORDER BY kept.i), '') AS clean_text
+    FROM toks t LEFT JOIN kept ON kept.doc_id = t.doc_id
+    GROUP BY t.doc_id
 """
 
 

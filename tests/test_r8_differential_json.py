@@ -23,7 +23,7 @@ import duckdb
 from hypothesis import given
 from hypothesis import strategies as st
 
-from tests.test_r8_differential import _SETTINGS, _multiset, _norm
+from tests.test_r8_differential import _SETTINGS, _multiset
 
 _STR = st.text("ab\"\\\n\t é{}:,[]0", min_size=0, max_size=8)
 
