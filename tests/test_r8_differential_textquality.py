@@ -195,3 +195,60 @@ def test_gopher_rules_matches_python_replay(spark_session, texts):
             "fail_reasons": ",".join(reasons),
         }
         assert got[doc_id] == want, (doc_id, text)
+
+
+_SENT_POOL = ["one two.", "three!", "um?", "no punct", "", "  ",
+              "x. y.", 'quo"te.', "dots... end."]
+
+
+@_SETTINGS
+@given(parts=st.lists(st.sampled_from(_SENT_POOL), min_size=0,
+                      max_size=6))
+def test_split_sentences_matches_python_replay(spark_session, parts):
+    """split_sentences ≡ the same two steps in python: mark every
+    terminal-punct+spaces boundary, split, trim, drop empties,
+    re-index. The pool stresses consecutive boundaries, ellipses
+    (every '.' of '...' followed by space is a boundary), quotes, and
+    whitespace-only fragments."""
+    from knime_core_columnar_spark.operators.text import split_sentences
+
+    text = " ".join(parts)
+    df = spark_session.createDataFrame([(0, text)],
+                                       "doc_id long, text string")
+    got = sorted(
+        (r["sent_idx"], r["sentence"])
+        for r in split_sentences(df).collect()
+    )
+    marked = re.sub(r"([.!?]) +", "\\1\x01", text)
+    sents = [s.strip(" ") for s in marked.split("\x01")]
+    sents = [s for s in sents if s != ""]
+    assert got == list(enumerate(sents)), text
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ae\u0301\u0308n\ufb01\uff11 .", min_size=0,
+                max_size=10),
+        min_size=0, max_size=6,
+    )
+)
+def test_normalize_unicode_matches_python_replay(spark_session, texts):
+    """normalize_unicode(NFC/NFKC) ≡ python unicodedata directly on
+    random combining-mark / ligature / full-width soup — including
+    stacked combining marks and marks with no base character."""
+    import unicodedata
+
+    from knime_core_columnar_spark.operators.text import normalize_unicode
+
+    df = spark_session.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for form in ("NFC", "NFKC"):
+        got = {
+            r["doc_id"]: (r["norm_text"], r["changed"])
+            for r in normalize_unicode(df, form=form).collect()
+        }
+        for i, t in enumerate(texts):
+            want = unicodedata.normalize(form, t)
+            assert got[i] == (want, want != t), (form, t)
