@@ -1,7 +1,14 @@
-"""Round-8 in-round extensions: PSL-backed registered domains (closing
-the documented last-two-labels heuristic at operators/web.py) and real
-Common-Crawl WARC response parsing (nested HTTP block split — the
-round-7 verdict's top two web-crawl-fidelity items).
+"""Round-8 in-round extensions.
+
+First half (the round-7 verdict's top web-crawl-fidelity items):
+PSL-backed registered domains (closing the documented last-two-labels
+heuristic at operators/web.py), real Common-Crawl WARC response
+parsing (nested HTTP block split), and audio/video container header
+parsing. Second half: MOSS-style winnowing overlap, corpus-wide
+paragraph dedup with reassembly, the full Gopher repetition battery,
+EXIF metadata extraction + byte-exact PII strip, Unicode NFC
+normalization against DuckDB's independent utf8proc implementation,
+and rule-based sentence segmentation.
 
 Every entry follows the registry determinism rules (_registry.py
 docstring): every computed column aliased identically on both sides;
