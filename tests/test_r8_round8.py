@@ -937,3 +937,47 @@ def test_split_sentences_hand_cases(spark):
         (1, 0, "no terminal punct at all"),
         (3, 0, "ends exactly here."),
     ]
+
+
+def test_exif_walk_random_bytes_never_crash(spark):
+    """Robustness fuzz: random byte soup, bit-flipped valid EXIF
+    JPEGs, and every truncation point through extract + strip — the
+    kernels must never raise, strip must never grow a payload, and a
+    stripped payload must always re-parse EXIF-free."""
+    import hashlib
+
+    from knime_core_columnar_spark.operators.multimodal import (
+        _exif_tiff_blob,
+        _exif_walk,
+    )
+
+    valid = _jpeg_wrap(_tiff_exif(gps=True))
+
+    def rnd(seed, n):
+        out = b""
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}|{len(out)}".encode()).digest()
+        return out[:n]
+
+    cases = []
+    for s in range(40):
+        cases.append(rnd(s, 5 + s * 7))                  # pure soup
+        b = bytearray(valid)
+        pos = int.from_bytes(rnd(100 + s, 2), "big") % len(b)
+        b[pos] ^= rnd(200 + s, 1)[0] or 1                # bit flip
+        cases.append(bytes(b))
+        cases.append(b"\xff\xd8" + rnd(300 + s, 30))      # JPEG + soup
+    cases += [valid[:k] for k in range(len(valid))]       # all cuts
+
+    for b in cases:
+        present, orient, dt, gps = _exif_walk(b)          # never raises
+        tiff, spans = _exif_tiff_blob(b)                  # never raises
+        if spans:
+            kept, pos = [], 0
+            for s0, e0 in spans:
+                kept.append(b[pos:s0])
+                pos = e0
+            kept.append(b[pos:])
+            out = b"".join(kept)
+            assert len(out) <= len(b)
+            assert _exif_walk(out)[0] is False            # EXIF gone
