@@ -397,6 +397,84 @@ def _r8x_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup_sentence_spans — the literal C4 §2.2 three-sentence-span dedup
+# (operators.text.dedup_sentence_spans), completing the sub-document
+# family at sentence granularity. Sentence punctuation synthesized with
+# the ' table ' -> '. ' idiom; the oracle replays segmentation ->
+# span election -> coverage removal -> reassembly relationally.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_sentence_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, replace(text, ' table ', '. ') AS text2
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             regexp_replace(text2, '([.!?]) +', '\\1' || chr(1), 'g')
+               AS marked
+      FROM t
+    ), s AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(marked, chr(1)),
+                                        x -> trim(x)),
+                         x -> x <> '') AS sents
+      FROM m
+    ), sp AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(sents) - 2, 0) + 1)) AS pos,
+             unnest(list_transform(
+               range(1, greatest(len(sents) - 2, 0) + 1),
+               i -> md5(array_to_string(sents[i:i+2], chr(1))))) AS h
+      FROM s
+    ), rn AS (
+      SELECT doc_id, pos, h,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+               AS rn
+      FROM sp
+    ), cuts AS (
+      SELECT DISTINCT doc_id, cut
+      FROM rn, UNNEST(generate_series(pos, pos + 2)) u(cut)
+      WHERE rn > 1
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_cut, list(cut) AS cl
+      FROM cuts GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.sents) AS BIGINT) AS n_sentences,
+           CAST(COALESCE(agg.n_cut, 0) AS BIGINT) AS n_removed,
+           array_to_string(
+             list_filter(
+               list_transform(range(1, len(s.sents) + 1),
+                 i -> CASE WHEN NOT COALESCE(list_contains(agg.cl, i),
+                                             FALSE)
+                           THEN s.sents[i] END),
+               x -> x IS NOT NULL),
+             ' ') AS clean_text
+    FROM s LEFT JOIN agg USING (doc_id)
+    """,
+)
+def _r8x_dedup_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide three-sentence-span dedup — the LITERAL C4 §2.2
+    rule ("we removed all but one of any three-sentence span occurring
+    more than once"), at sentence granularity on the synthesized
+    sentence structure. Globally-first occurrence survives; every
+    other occurrence's sentences are deleted and documents reassembled
+    from survivors. The oracle replays segmentation, span election,
+    coverage removal, and ordered reassembly relationally."""
+    from knime_core_columnar_spark.operators.text import (
+        dedup_sentence_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit(". "))
+    )
+    return dedup_sentence_spans(d, "doc_id", "text", span_sentences=3)
+
+
+# ---------------------------------------------------------------------------
 # exif_meta — EXIF extraction + PII strip (operators.multimodal.
 # extract_exif_meta / strip_exif_jpeg). The query synthesizes valid
 # EXIF JPEGs byte-by-byte from doc_id (big-endian TIFF, two fixed

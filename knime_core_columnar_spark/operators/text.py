@@ -1117,15 +1117,118 @@ def split_sentences(
     row-local, zero exchanges, scan-fused. Returns (id, sent_idx,
     sentence) with 0-based ``sent_idx`` over the trimmed non-empty
     sentences in document order."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(sentences_array(text_col)).alias(
+            "sent_idx", "sentence"
+        ),
+    )
+
+
+def sentences_array(text_col: str) -> Column:
+    """The trimmed non-empty sentence array behind
+    :func:`split_sentences` (shared with the sentence-span dedup)."""
     marked = F.regexp_replace(
         F.coalesce(F.col(text_col), F.lit("")), r"([.!?]) +", "$1\x01"
     )
-    sents = F.filter(
+    return F.filter(
         F.transform(F.split(marked, "\x01"), lambda x: F.trim(x)),
         lambda x: x != "",
     )
-    return df.select(
-        F.col(id_col), F.posexplode(sents).alias("sent_idx", "sentence")
+
+
+def dedup_sentence_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_sentences: int = 3,
+) -> DataFrame:
+    """The literal C4 §2.2 span dedup (Raffel et al. 2020: "we removed
+    all but one of any three-sentence span occurring more than once"):
+    every window of ``span_sentences`` consecutive sentences is
+    fingerprinted corpus-wide; the globally-first occurrence (minimum
+    (``id_col``, position)) of each duplicated span survives, every
+    other occurrence has its sentences deleted, and documents are
+    reassembled from the surviving sentences. Completes the
+    sub-document dedup family at sentence granularity
+    (``dedup_paragraphs`` = separator-delimited blocks,
+    ``segment_dedup`` = fixed word chunks, ``dup_span_*`` = exact
+    token k-grams).
+
+    Deterministic tie rule, documented: a losing occurrence's
+    sentences are removed even where they overlap the winning
+    occurrence inside the same document (repeated-sentence runs
+    collapse toward the head). Documents with fewer than
+    ``span_sentences`` sentences carry no spans and pass through
+    verbatim (C4's rule only fires on full spans).
+
+    Scale shape: sentence segmentation and span windows are row-local
+    array work; what shuffles is (id, pos, 16-byte span hash) — one
+    hash-keyed election window, one doc-keyed removal-set aggregation,
+    one doc-keyed join back (removal sets are duplicate-span-sized,
+    far below corpus size). No corpus-wide windows, nothing
+    driver-sized. Returns (id, n_sentences, n_removed, clean_text)."""
+    if span_sentences < 1:
+        raise ValueError("span_sentences must be >= 1")
+    from pyspark.sql import Window
+
+    k = span_sentences
+    base = df.select(
+        F.col(id_col), sentences_array(text_col).alias("__sents")
+    )
+    spans = base.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.size("__sents") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__sents") - (k - 1)),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("__sents", i, k), "\x01")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "__h"),
+    )
+    w = Window.partitionBy("__h").orderBy(F.col(id_col), F.col("pos"))
+    losers = (
+        spans.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(
+            id_col,
+            # posexplode's pos is 0-based; sentence indices below are
+            # 1-based — the losing span at pos covers sentences
+            # pos+1 .. pos+k
+            F.explode(
+                F.sequence(F.col("pos") + 1, F.col("pos") + k)
+            ).alias("__cut"),
+        )
+    )
+    cuts = losers.groupBy(id_col).agg(
+        F.collect_set("__cut").alias("__cuts")
+    )
+    joined = base.join(cuts, id_col, "left").select(
+        id_col,
+        "__sents",
+        F.coalesce(F.col("__cuts"), F.array().cast("array<int>")).alias(
+            "__cuts"
+        ),
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("__sents"), F.lit(1))),
+            lambda i: F.when(
+                ~F.array_contains(F.col("__cuts"), i),
+                F.element_at("__sents", i),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return joined.select(
+        id_col,
+        F.size("__sents").cast("long").alias("n_sentences"),
+        F.size("__cuts").cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
     )
 
 

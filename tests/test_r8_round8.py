@@ -981,3 +981,37 @@ def test_exif_walk_random_bytes_never_crash(spark):
             out = b"".join(kept)
             assert len(out) <= len(b)
             assert _exif_walk(out)[0] is False            # EXIF gone
+
+
+def test_dedup_sentence_spans_hand_cases(spark):
+    from knime_core_columnar_spark.operators.text import (
+        dedup_sentence_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a one. b two. c three. unique tail."),
+            (1, "x pre. a one. b two. c three. y post."),  # copied span
+            (2, "short doc."),
+            (3, ""),
+            (4, "r r. r r. r r. r r."),   # self-repeat inside one doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_sentence_spans(df).collect()}
+    assert rows[0]["n_removed"] == 0
+    assert rows[0]["clean_text"] == "a one. b two. c three. unique tail."
+    # the losing occurrence's three sentences vanish, neighbors stay
+    assert rows[1]["n_removed"] == 3
+    assert rows[1]["clean_text"] == "x pre. y post."
+    # fewer than 3 sentences: no spans, verbatim pass-through
+    assert rows[2]["n_removed"] == 0
+    assert rows[2]["clean_text"] == "short doc."
+    assert rows[3] ["n_sentences"] == 0 and rows[3]["clean_text"] == ""
+    # within-doc repeat collapses toward the head (documented tie rule)
+    assert rows[4]["n_removed"] == 3
+    assert rows[4]["clean_text"] == "r r."
+    import pytest
+
+    with pytest.raises(ValueError, match="span_sentences"):
+        dedup_sentence_spans(df, span_sentences=0)
