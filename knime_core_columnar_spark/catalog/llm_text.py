@@ -72,7 +72,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t0
     )
     SELECT doc_id, lang,
-           CAST(v_en AS DOUBLE) / ntok AS stopword_ratio,
+           CAST(v_en AS DOUBLE) / greatest(ntok, 1) AS stopword_ratio,
            (CASE WHEN n < 20 THEN n / 20.0 WHEN n > 4000 THEN 0.5 ELSE 1.0 END) * 0.4
              + (1.0 - least(pr * 5.0, 1.0)) * 0.3
              + (CASE WHEN n / ntok >= 3.0 AND n / ntok <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.3 AS quality,

@@ -62,16 +62,17 @@ def dedup_paragraphs(
     paragraph (near-exact tier) while reassembly keeps original bytes.
 
     Scale shape: posexplode is row-local (parallelizes with the file
-    splits); first-occurrence election is ONE shuffle keyed on the
-    16-byte paragraph hash — never the paragraph text — with a
-    row_number window (same shape as exact_dedup; the hottest key's
-    group is every copy of one boilerplate paragraph, which is exactly
-    the data any engine must co-locate to dedup it); reassembly is one
+    splits); first-occurrence election is a partially-aggregated
+    ``min(struct(id, pos))`` per 16-byte paragraph hash — map-side
+    combine absorbs the boilerplate-paragraph hot key ("Share this
+    post…" occurring billions of times collapses to one candidate per
+    map task before the shuffle) — followed by a hash-keyed equi-join
+    back, which AQE can skew-split; a per-hash row_number window would
+    force every copy of the hottest paragraph into ONE task for a sort
+    and AQE cannot split a window partition. Reassembly is one
     ``id_col`` shuffle with map-side partial aggregation. Nothing is
     corpus-sized on the driver."""
     import re as _re
-
-    from pyspark.sql import Window
 
     para = F.trim(F.col("__para_raw"))
     fp = fingerprint(para) if normalize else F.md5(para)
@@ -92,8 +93,14 @@ def dedup_paragraphs(
         )
         .filter(F.col("para") != "")
     )
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col), F.col("pos"))
-    flagged = rows.withColumn("__keep", F.row_number().over(w) == 1)
+    winners = rows.groupBy("__fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__win")
+    )
+    flagged = rows.join(winners, "__fp").withColumn(
+        "__keep",
+        (F.col(f"__win.{id_col}") == F.col(id_col))
+        & (F.col("__win.pos") == F.col("pos")),
+    )
     return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_paras"),
         F.sum(F.col("__keep").cast("long")).alias("n_kept"),
@@ -897,9 +904,14 @@ def duplicate_spans(
     ~2×16 bytes per ``anchor_stride`` input words — far below corpus
     size, the knob that a suffix array does not give you.
 
-    Word 1 is always an anchor, so every doc (including short, empty,
-    and NULL docs — their span is the whole text, '' for empty) yields
-    at least one span and no doc vanishes from the profile.
+    Word 1 is always an anchor, so every doc with at least one token
+    (including short docs — their span is the whole text) yields at
+    least one span. Empty/NULL/whitespace-only docs yield NO tokens,
+    hence no anchors, and are ABSENT from the profile — the same
+    contract as the shingle family for sub-``n``-token docs (the old
+    forced-anchor fallback made every empty doc a "duplicate" of every
+    other empty doc via the shared '' span, a meaningless signal the
+    round-8 advisory flagged).
 
     Returns (id_col, n_spans, n_dup_spans, dup_ratio) per input doc;
     dup_ratio is a single IEEE division (engine-exact, no rounding).
@@ -914,9 +926,9 @@ def duplicate_spans(
     )
     words = F.col("__w")
     # empty token array (empty/NULL doc — the tokenizer drops empty
-    # tokens) still anchors at word 1 so the doc yields its single ''
-    # span; unguarded, sequence(1, 0) would DESCEND and index 0
-    # crashes slice
+    # tokens) yields NULL anchors, which explode() drops: the doc is
+    # absent from the profile. The guard also matters mechanically:
+    # unguarded, sequence(1, 0) would DESCEND and index 0 crashes slice
     anchors = F.when(
         F.size(words) >= 1,
         F.filter(
@@ -924,7 +936,7 @@ def duplicate_spans(
             lambda i: (i == 1)
             | (base_hash60(F.element_at(words, i)) % anchor_stride == 0),
         ),
-    ).otherwise(F.array(F.lit(1)))
+    )
     spans = toks.select(
         F.col(id_col),
         F.explode(

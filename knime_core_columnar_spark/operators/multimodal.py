@@ -1054,7 +1054,17 @@ def _exif_walk(b: bytes):
     tiff, _ = _exif_tiff_blob(b)
     if tiff is None or len(tiff) < 8:
         return False, None, None, None
-    bo = "little" if tiff[:2] == b"II" else "big"
+    # TIFF header magic must be exactly II*\0 or MM\0* (TIFF 6.0 §2):
+    # an APP1 that starts 'Exif\0\0' but carries garbage where the TIFF
+    # header belongs is NOT decodable EXIF — report absent (has_gps
+    # stays NULL = unknown) instead of walking garbage as big-endian
+    # and flagging present with all-NULL fields (round-8 advisory)
+    if tiff[:4] == b"II*\x00":
+        bo = "little"
+    elif tiff[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return False, None, None, None
     ifd0 = int.from_bytes(tiff[4:8], bo)
     orient = dt = None
     exif_off = gps_off = None

@@ -90,12 +90,15 @@ def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     """Fraction of tokens that are common stopwords — a classic quality
     signal (too low → word salad / non-text)."""
     sw = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    # greatest(size, 1): tokens() drops empty tokens, so an empty /
+    # whitespace-only doc has size 0 — score it 0.0, not NULL (same
+    # guard gopher_repetition uses; round-8 advisory)
     return let_col(
         tokens(col),
         lambda t: F.size(
             F.filter(t, lambda x: F.array_contains(sw, F.lower(x)))
         ).cast("double")
-        / F.size(t),
+        / F.greatest(F.size(t), F.lit(1)),
     )
 
 
@@ -382,10 +385,15 @@ def gopher_repetition(
     # every n reads the same bound column, and an n present in both
     # top_ns and dup_ns gets ONE stats struct serving both fractions
     ns = sorted(set(top_ns) | set(dup_ns))
+    # coalesce NULL text to '' (same as duplicate_spans/dup_span_apply):
+    # unguarded, a NULL doc's line split and token array are NULL and
+    # every fraction comes back NULL, contradicting the "no lines / no
+    # n-grams score 0" contract (round-8 advisory)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     lines_arr = F.array_sort(
         F.filter(
             F.transform(
-                F.split(F.col(text_col), _re.escape(line_sep)),
+                F.split(txt, _re.escape(line_sep)),
                 lambda x: F.trim(x),
             ),
             lambda x: x != "",
@@ -393,7 +401,7 @@ def gopher_repetition(
     )
     mid = df.select(
         F.col(id_col),
-        tokens(text_col).alias("__toks"),
+        tokens(txt).alias("__toks"),
         let_col(
             _sorted_run_stats(lines_arr),
             lambda s: F.struct(
@@ -1163,14 +1171,18 @@ def dedup_sentence_spans(
     verbatim (C4's rule only fires on full spans).
 
     Scale shape: sentence segmentation and span windows are row-local
-    array work; what shuffles is (id, pos, 16-byte span hash) — one
-    hash-keyed election window, one doc-keyed removal-set aggregation,
-    one doc-keyed join back (removal sets are duplicate-span-sized,
-    far below corpus size). No corpus-wide windows, nothing
-    driver-sized. Returns (id, n_sentences, n_removed, clean_text)."""
+    array work; what shuffles is (id, pos, 16-byte span hash) — winner
+    election is a partially-aggregated ``min(struct(id, pos))`` per
+    span hash (map-side combine absorbs the hottest boilerplate span,
+    which on a web corpus occurs millions of times) followed by a
+    hash-keyed equi-join back that AQE can skew-split — NOT a per-hash
+    window, which would sort every copy of the hottest span in one
+    task. Then one doc-keyed removal-set aggregation and one doc-keyed
+    join back (removal sets are duplicate-span-sized, far below corpus
+    size). No per-key windows, nothing driver-sized. Returns
+    (id, n_sentences, n_removed, clean_text)."""
     if span_sentences < 1:
         raise ValueError("span_sentences must be >= 1")
-    from pyspark.sql import Window
 
     k = span_sentences
     base = df.select(
@@ -1190,10 +1202,25 @@ def dedup_sentence_spans(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "__h"),
     )
-    w = Window.partitionBy("__h").orderBy(F.col(id_col), F.col("pos"))
+    winners = (
+        spans.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__win"),
+        )
+        # singleton spans can never lose — dropping them here keeps the
+        # join's build side duplicate-sized, not corpus-sized
+        .filter(F.col("__c") >= 2)
+        .select("__h", "__win")
+    )
     losers = (
-        spans.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") > 1)
+        spans.join(winners, "__h")
+        .filter(
+            ~(
+                (F.col(f"__win.{id_col}") == F.col(id_col))
+                & (F.col("__win.pos") == F.col("pos"))
+            )
+        )
         .select(
             id_col,
             # posexplode's pos is 0-based; sentence indices below are

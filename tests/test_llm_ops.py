@@ -474,9 +474,10 @@ def test_duplicate_spans_short_and_empty_docs(spark):
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in duplicate_spans(docs).collect()}
-    assert set(out) == {1, 2, 3, 4, 5}  # no doc vanishes
+    # empty/NULL docs yield no tokens → no anchors → absent (shingle
+    # contract; the old forced anchor made all empty docs mutual dups)
+    assert set(out) == {1, 2, 5}
     assert out[1]["n_dup_spans"] == 1 and out[2]["n_dup_spans"] == 1
-    assert out[3]["n_dup_spans"] == 1 and out[4]["n_dup_spans"] == 1  # '' == ''
     assert out[5]["n_dup_spans"] == 0
 
 

