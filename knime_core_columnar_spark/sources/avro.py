@@ -732,11 +732,18 @@ def write_avro(
     directory: str,
     codec: str = "deflate",
     rows_per_block: int = 4096,
+    check_fs: bool = True,
 ) -> list[str]:
     """Distributed Avro export: each Spark partition encodes its own
     ``part-*.avro`` container executor-side (no driver collect), same
-    shape as ``write_arrow_ipc``. Returns written paths."""
+    shape as ``write_arrow_ipc``. ``directory`` must be
+    executor-visible — enforced by the :mod:`.fscheck` marker probe
+    unless ``check_fs=False``. Returns written paths."""
     df = table_or_df.df if hasattr(table_or_df, "df") else table_or_df
+    if check_fs:
+        from .fscheck import assert_executor_visible
+
+        assert_executor_visible(df.sparkSession, directory)
     os.makedirs(directory, exist_ok=True)
     schema_json = df.schema.json()
 

@@ -183,13 +183,21 @@ def write_parquet(
     writer.parquet(path)
 
 
-def write_arrow_ipc(table: ColumnarTable, directory: str) -> list[str]:
+def write_arrow_ipc(
+    table: ColumnarTable, directory: str, check_fs: bool = True
+) -> list[str]:
     """Distributed Arrow IPC export: each partition writes its own
     ``part-NNNNN.arrow`` file via pyarrow (executor-side, parallel, no
-    driver collect). Returns the written paths."""
+    driver collect). ``directory`` must be executor-visible — enforced
+    by the :mod:`.fscheck` marker probe unless ``check_fs=False``.
+    Returns the written paths."""
     import pyarrow as pa
     import pyarrow.ipc
 
+    if check_fs:
+        from .fscheck import assert_executor_visible
+
+        assert_executor_visible(table.df.sparkSession, directory)
     os.makedirs(directory, exist_ok=True)
     schema_json = table.df.schema.json()
 

@@ -28,12 +28,15 @@ Spark-first design (the webdataset.py companion):
 Write-side filesystem contract: the writer's tasks emit shards with
 local ``open()``/``os.replace`` into ``out_dir`` — correct in local
 mode or when ``out_dir`` is a SHARED filesystem mounted on every
-executor (NFS/Lustre/FUSE-mounted object store). On a cluster without
-a shared mount, write to a shared staging path or route the bytes
-through a distributed-FS client instead; this module intentionally
-avoids a Hadoop-API dependency. Each shard is built in memory by one
-task — pick ``n_files`` so a file stays ~1 GiB (``max_file_bytes``
-makes the overflow a clear error instead of an executor OOM).
+executor (NFS/Lustre/FUSE-mounted object store). This contract is now
+ENFORCED, not assumed: before any data work the writer runs the
+marker-probe guard (:mod:`.fscheck`) and raises when ``out_dir`` is a
+URI-scheme path or not executor-visible, instead of scattering
+partial shards across executor-local disks (``check_fs=False`` skips
+the probe once a mount is validated). Each shard is built in memory
+by one task — pick ``n_files`` so a file stays ~1 GiB
+(``max_file_bytes`` makes the overflow a clear error instead of an
+executor OOM).
 """
 
 from __future__ import annotations
@@ -103,6 +106,7 @@ def write_warc(
     n_files: int = 8,
     http_wrap: bool = False,
     max_file_bytes: int = 2 << 30,
+    check_fs: bool = True,
 ) -> None:
     """Export (url, content) rows as ``out_dir/part-NNNNN.warc.gz``:
     one gzip member per record (the Common Crawl convention), records
@@ -115,6 +119,10 @@ def write_warc(
     uncompressed record bytes exceed ``max_file_bytes`` raises with
     sizing guidance instead of OOM-ing the executor."""
     key_col = key_col or url_col
+    if check_fs:
+        from .fscheck import assert_executor_visible
+
+        assert_executor_visible(df.sparkSession, out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     def _write_file(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -25,12 +25,14 @@ sources/.
 Write-side filesystem contract: writer tasks emit shards with local
 ``open()``/``os.replace`` into ``out_dir`` — correct in local mode or
 when ``out_dir`` is a SHARED filesystem mounted on every executor
-(NFS/Lustre/FUSE-mounted object store). On a cluster without a shared
-mount, point ``out_dir`` at one, or route bytes through a
-distributed-FS client; this module intentionally avoids a Hadoop-API
-dependency. Each shard is built in memory by one task — size
-``n_shards`` so a shard stays ~1 GiB (``max_shard_bytes`` turns the
-overflow into a clear error instead of an executor OOM).
+(NFS/Lustre/FUSE-mounted object store). This contract is ENFORCED:
+the writer runs the marker-probe guard (:mod:`.fscheck`) before any
+data work and raises on URI-scheme or non-executor-visible paths
+instead of scattering partial shards (``check_fs=False`` skips the
+probe once a mount is validated). Each shard is built in memory by
+one task — size ``n_shards`` so a shard stays ~1 GiB
+(``max_shard_bytes`` turns the overflow into a clear error instead of
+an executor OOM).
 """
 
 from __future__ import annotations
@@ -69,17 +71,23 @@ def write_webdataset(
     text_cols: list[str] | None = None,
     binary_cols: list[str] | None = None,
     max_shard_bytes: int = 2 << 30,
+    check_fs: bool = True,
 ) -> None:
     """Export ``df`` as ``out_dir/shard-NNNNN.tar``: for each row, one
     tar member per exported column, named ``{key}.{col}`` (text columns
     utf-8 encoded, binary columns raw). Members are sorted by name and
     carry zeroed metadata, so shard bytes are a pure function of the
     shard's content. ``out_dir`` must be a shared filesystem on a
-    multi-node cluster (module docstring); a shard whose member bytes
-    exceed ``max_shard_bytes`` raises with sizing guidance instead of
+    multi-node cluster — enforced by the :mod:`.fscheck` marker probe
+    unless ``check_fs=False``; a shard whose member bytes exceed
+    ``max_shard_bytes`` raises with sizing guidance instead of
     OOM-ing the executor."""
     text_cols = text_cols if text_cols is not None else ["text"]
     binary_cols = binary_cols or []
+    if check_fs:
+        from .fscheck import assert_executor_visible
+
+        assert_executor_visible(df.sparkSession, out_dir)
     os.makedirs(out_dir, exist_ok=True)
     cols = [key_col, *text_cols, *binary_cols]
 
