@@ -17,6 +17,8 @@ Deterministic (derandomize=True).
 from __future__ import annotations
 
 import re
+
+import pytest
 from collections import Counter
 from decimal import ROUND_HALF_UP, Decimal
 
@@ -46,9 +48,10 @@ def doc(draw, pool, max_lines=6):
     )
 
 
+@pytest.mark.parametrize("engine", ["arrow", "expr"])
 @_SETTINGS
 @given(texts=st.lists(doc(_LINE_POOL), min_size=0, max_size=5))
-def test_gopher_repetition_matches_python_replay(spark_session, texts):
+def test_gopher_repetition_matches_python_replay(spark_session, texts, engine):
     from knime_core_columnar_spark.operators.text import gopher_repetition
 
     df = spark_session.createDataFrame(
@@ -57,7 +60,7 @@ def test_gopher_repetition_matches_python_replay(spark_session, texts):
     got = {
         r["doc_id"]: r.asDict()
         for r in gopher_repetition(df, top_ns=(2, 3),
-                                   dup_ns=(2, 5)).collect()
+                                   dup_ns=(2, 5), engine=engine).collect()
     }
 
     for doc_id, text in enumerate(texts):

@@ -718,7 +718,8 @@ def _gr(spark, texts, **kw):
     return {r["doc_id"]: r for r in gopher_repetition(df, **kw).collect()}
 
 
-def test_gopher_repetition_hand_cases(spark):
+@pytest.mark.parametrize("engine", ["arrow", "expr"])
+def test_gopher_repetition_hand_cases(spark, engine):
     rows = _gr(
         spark,
         [
@@ -726,7 +727,7 @@ def test_gopher_repetition_hand_cases(spark):
             "a b a b a",          # 1: repeated bigram, no lines
             "",                   # 2: empty -> all zero
         ],
-        top_ns=(2,), dup_ns=(2,),
+        top_ns=(2,), dup_ns=(2,), engine=engine,
     )
     r0 = rows[0]
     assert r0["dup_line_frac"] == 1 / 3
@@ -755,11 +756,12 @@ def test_gopher_repetition_zero_exchange_plan(spark):
     from knime_core_columnar_spark.operators.text import gopher_repetition
 
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
-    out = gopher_repetition(df)
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    )
-    assert "Exchange" not in plan
+    for engine in ("arrow", "expr"):
+        out = gopher_repetition(df, engine=engine)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, engine
 
 
 # ---------------------------------------------------------------------------
