@@ -173,3 +173,185 @@ class Plan:
         if table is None:
             raise ValueError("empty plan")
         return table
+
+
+# ---------------------------------------------------------------------------
+# KNIME NodeSettings interop (round 9)
+# ---------------------------------------------------------------------------
+#
+# The reference persists transform DAGs as a NodeSettings tree
+# (TableTransformNodeSettingsPersistor.java:121-150 save / :232-280
+# load): root carries "version", a "transforms" config (children keyed
+# "0", "1", ... each {type, internal}) and a "connections" config
+# (children {from: {transform}, to: {transform, port}}); the persisted
+# type catalog is the TransformSpecPersistor enum (:374-476). KNIME
+# serializes NodeSettings as settings.xml (<config>/<entry> trees with
+# the array-size convention for primitive arrays). The two functions
+# below consume exactly that shape — settings.xml text or the
+# equivalent nested dict — and produce an executable :class:`Plan`, so
+# a workflow saved by the reference backend re-executes on Spark.
+
+#: KNIME settings.xml <entry type=...> decoders
+_XML_ENTRY_TYPES = {
+    "xstring": lambda v: v,
+    "xint": int,
+    "xlong": int,
+    "xshort": int,
+    "xbyte": int,
+    "xdouble": float,
+    "xfloat": float,
+    "xboolean": lambda v: v == "true",
+    "xchar": lambda v: v,
+}
+
+
+def parse_knime_settings_xml(text: str) -> dict:
+    """Parse KNIME settings.xml (org.knime.core.node.config XML
+    serialization) into the nested-dict NodeSettings shape
+    :func:`load_knime_settings` consumes. Handles <entry> primitives,
+    nested <config>, and the array-size convention (a config whose
+    children are 'array-size' plus '0'..'n-1' entries collapses to a
+    Python list)."""
+    import xml.etree.ElementTree as ET
+
+    def strip_ns(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    def walk(el) -> dict | list:
+        out: dict[str, Any] = {}
+        for child in el:
+            tag = strip_ns(child.tag)
+            key = child.get("key")
+            if tag == "entry":
+                typ = child.get("type")
+                if typ not in _XML_ENTRY_TYPES:
+                    raise ValueError(f"unknown settings.xml entry type {typ!r}")
+                val = child.get("value")
+                out[key] = (
+                    None if child.get("isnull") == "true"
+                    else _XML_ENTRY_TYPES[typ](val)
+                )
+            elif tag == "config":
+                out[key] = walk(child)
+            else:
+                raise ValueError(f"unexpected settings.xml element {tag!r}")
+        if "array-size" in out:
+            n = out["array-size"]
+            return [out[str(i)] for i in range(n)]
+        return out
+
+    root = ET.fromstring(text)
+    return walk(root)  # type: ignore[return-value]
+
+
+def load_knime_settings(
+    settings: dict | str,
+    mapper_registry: dict[str, Any] | None = None,
+) -> Plan:
+    """Load a transform DAG saved by the reference's
+    TableTransformNodeSettingsPersistor into an executable :class:`Plan`.
+
+    ``settings`` is settings.xml text or the equivalent nested dict:
+    ``{"version": 1, "transforms": {"0": {"type": ..., "internal":
+    {...}}, ...}, "connections": {"0": {"from": {"transform": i},
+    "to": {"transform": j, "port": p}}, ...}}``.
+
+    Supported types mirror the persistor enum
+    (TableTransformNodeSettingsPersistor.java:374-476): SOURCE
+    (internal.identifier — becomes the Plan's source name), SELECT
+    (internal.included_columns, int indices over the DATA columns;
+    the RowID travels implicitly in both engines), SLICE
+    (internal.from/to), ROWINDEX (internal.offset), IDENTITY, APPEND,
+    CONCATENATE (empty internals; extra inputs must be SOURCE nodes —
+    the linear-pipeline restriction of :class:`Plan`), and
+    MAP / APPEND_MAP via ``mapper_registry``: a dict mapping the
+    persisted ``mapper_factory_class`` name to a callable
+    ``(mapper_factory_settings, column_indices) -> exprs dict`` — the
+    Python mirror of the reference's PersistenceRegistry extension
+    point (Persistor.load), with Spark SQL strings taking the place of
+    compiled mapper factories.
+
+    The DAG must be single-sink and linearizable (every non-port-0
+    input is a SOURCE) — true of everything the reference's own
+    persistor test corpus saves; anything else raises ValueError.
+    """
+    if isinstance(settings, str):
+        settings = parse_knime_settings_xml(settings)
+    mapper_registry = mapper_registry or {}
+
+    transforms = {
+        int(k): v for k, v in settings.get("transforms", {}).items()
+    }
+    inputs: dict[int, dict[int, int]] = {}
+    is_input_of: set[int] = set()
+    for conn in settings.get("connections", {}).values():
+        frm = conn["from"]["transform"]
+        to = conn["to"]["transform"]
+        port = conn["to"]["port"]
+        inputs.setdefault(to, {})[port] = frm
+        is_input_of.add(frm)
+
+    sinks = [i for i in transforms if i not in is_input_of]
+    if len(sinks) != 1:
+        raise ValueError(f"expected exactly one sink transform, got {sinks}")
+
+    def source_name(idx: int) -> str:
+        node = transforms[idx]
+        if node["type"] != "SOURCE":
+            raise ValueError(
+                f"transform {idx}: non-port-0 inputs must be SOURCE nodes "
+                f"(linear-pipeline restriction), got {node['type']!r}"
+            )
+        return node["internal"]["identifier"]
+
+    # walk the port-0 spine from the sink back to its source
+    chain: list[int] = []
+    cur: int | None = sinks[0]
+    while cur is not None:
+        chain.append(cur)
+        cur = inputs.get(cur, {}).get(0)
+    chain.reverse()
+
+    plan = Plan(version=settings.get("version", 1))
+    for idx in chain:
+        node = transforms[idx]
+        typ = node["type"]
+        internal = node.get("internal", {}) or {}
+        side = [
+            source_name(frm)
+            for port, frm in sorted(inputs.get(idx, {}).items())
+            if port != 0
+        ]
+        if typ == "SOURCE":
+            plan.add("SOURCE", table=internal["identifier"])
+        elif typ == "SELECT":
+            plan.add("SELECT", columns=list(internal["included_columns"]))
+        elif typ == "SLICE":
+            plan.add("SLICE", start=internal["from"], stop=internal["to"])
+        elif typ == "ROWINDEX":
+            plan.add(
+                "ROWINDEX", name="row_index",
+                offset=internal.get("offset", 0),
+            )
+        elif typ == "IDENTITY":
+            plan.add("IDENTITY")
+        elif typ == "APPEND":
+            plan.add("APPEND", tables=side)
+        elif typ == "CONCATENATE":
+            plan.add("CONCATENATE", tables=side)
+        elif typ in ("MAP", "APPEND_MAP"):
+            cls = internal["mapper_factory_class"]
+            if cls not in mapper_registry:
+                raise ValueError(
+                    f"no persistor registered for mapper factory {cls!r} "
+                    "(pass mapper_registry — the PersistenceRegistry "
+                    "extension-point mirror)"
+                )
+            exprs = mapper_registry[cls](
+                internal.get("mapper_factory_settings", {}),
+                list(internal.get("column_indices", [])),
+            )
+            plan.add(typ, exprs=exprs)
+        else:
+            raise ValueError(f"unsupported persisted transform type {typ!r}")
+    return plan

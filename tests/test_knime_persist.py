@@ -1,0 +1,300 @@
+"""Golden-file interop with the reference's transform-DAG persistence
+(round-9 stretch): hand-built NodeSettings fixtures replicating, node
+for node and key for key, what TableTransformNodeSettingsPersistorTest
+saves (reference:
+org.knime.core.data.columnar.tests/.../persist/
+TableTransformNodeSettingsPersistorTest.java — testLoadSource :137,
+testLoadAppend :172, testLoadColumnFilter :213, testLoadConcatenate
+:245, testSaveSlice :265, TestMapperFactory/Persistor :456-499), then
+loaded with plans.persist.load_knime_settings and EXECUTED on Spark.
+The settings.xml fixture exercises the KNIME XML serialization
+(org.knime.core.node.config) end-to-end.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from knime_core_columnar_spark.plans.persist import (
+    Plan,
+    load_knime_settings,
+    parse_knime_settings_xml,
+)
+from knime_core_columnar_spark.table import ColumnarTable
+
+ID_A = "11111111-2222-3333-4444-555555555555"
+ID_B = "66666666-7777-8888-9999-aaaaaaaaaaaa"
+
+
+def _src(identifier):
+    return {"type": "SOURCE", "internal": {"identifier": identifier}}
+
+
+def _conn(frm, to, port):
+    return {"from": {"transform": frm}, "to": {"transform": to, "port": port}}
+
+
+def _tables(spark):
+    a = ColumnarTable.from_dataframe(
+        spark.createDataFrame(
+            [("x", 1, 1.5), ("y", 2, 2.5), ("z", 3, 3.5)],
+            "s string, i int, d double",
+        ),
+        key_columns=["s"],
+    )
+    # append() is the reference's key-matched hstack: side tables carry
+    # the SAME RowIDs as the primary
+    b = ColumnarTable.from_dataframe(
+        spark.createDataFrame(
+            [("x", True), ("y", False), ("z", True)], "k string, b boolean"
+        ),
+        key_columns=["k"],
+    ).drop_columns("k")
+    return a, b
+
+
+# ---------------------------------------------------------------------------
+# the reference test corpus, fixture by fixture
+# ---------------------------------------------------------------------------
+
+def test_load_source(spark):
+    """testLoadSource: one SOURCE node, no connections."""
+    settings = {
+        "version": 1,
+        "transforms": {"0": _src(ID_A)},
+        "connections": {},
+    }
+    plan = load_knime_settings(settings)
+    assert [s.op for s in plan.steps] == ["SOURCE"]
+    assert plan.steps[0].args["table"] == ID_A
+    a, _ = _tables(spark)
+    out = plan.execute(spark, {ID_A: a})
+    assert out.df.count() == 3 and out.columns == ["s", "i", "d"]
+
+
+def test_load_append(spark):
+    """testLoadAppend: two sources + APPEND; connection 0→2 port 0,
+    1→2 port 1 — source ORDER must survive (the reference asserts it)."""
+    settings = {
+        "version": 1,
+        "transforms": {"0": _src(ID_A), "1": _src(ID_B),
+                       "2": {"type": "APPEND", "internal": {}}},
+        "connections": {"0": _conn(0, 2, 0), "1": _conn(1, 2, 1)},
+    }
+    plan = load_knime_settings(settings)
+    assert [s.op for s in plan.steps] == ["SOURCE", "APPEND"]
+    assert plan.steps[0].args["table"] == ID_A  # port 0 = primary
+    assert plan.steps[1].args["tables"] == [ID_B]  # port 1 side input
+    a, b = _tables(spark)
+    out = plan.execute(spark, {ID_A: a, ID_B: b})
+    assert out.columns == ["s", "i", "d", "b"]
+    assert out.df.count() == 3
+
+
+def test_load_column_filter(spark):
+    """testLoadColumnFilter: SELECT with included_columns=[1, 2]."""
+    settings = {
+        "version": 1,
+        "transforms": {
+            "0": _src(ID_A),
+            "1": {"type": "SELECT",
+                  "internal": {"included_columns": [1, 2]}},
+        },
+        "connections": {"0": _conn(0, 1, 0)},
+    }
+    plan = load_knime_settings(settings)
+    a, _ = _tables(spark)
+    out = plan.execute(spark, {ID_A: a})
+    assert out.columns == ["i", "d"]  # indices over data columns
+
+
+def test_load_concatenate(spark):
+    """testLoadConcatenate: two same-schema sources + CONCATENATE."""
+    settings = {
+        "version": 1,
+        "transforms": {"0": _src(ID_A), "1": _src(ID_B),
+                       "2": {"type": "CONCATENATE", "internal": {}}},
+        "connections": {"0": _conn(0, 2, 0), "1": _conn(1, 2, 1)},
+    }
+    plan = load_knime_settings(settings)
+    assert [s.op for s in plan.steps] == ["SOURCE", "CONCATENATE"]
+    a, _ = _tables(spark)
+    a2 = ColumnarTable.from_dataframe(
+        a.df.select("s", "i", "d").withColumn(
+            "s", a.df["s"]
+        ).selectExpr("concat(s, '_2') as s", "i", "d"),
+        key_columns=["s"],
+    )
+    out = plan.execute(spark, {ID_A: a, ID_B: a2})
+    assert out.df.count() == 6
+
+
+def test_load_slice(spark):
+    """testSaveSlice's shape: SLICE internal from=1, to=3 (row range
+    [from, to) like the reference's RowRangeSelection)."""
+    settings = {
+        "version": 1,
+        "transforms": {
+            "0": _src(ID_A),
+            "1": {"type": "SLICE", "internal": {"from": 1, "to": 3}},
+        },
+        "connections": {"0": _conn(0, 1, 0)},
+    }
+    plan = load_knime_settings(settings)
+    a, _ = _tables(spark)
+    out = plan.execute(spark, {ID_A: a})
+    assert [r["s"] for r in out.df.orderBy("s").collect()] == ["y", "z"]
+
+
+def test_load_rowindex_offset(spark):
+    """ROWINDEX persists internal.offset (RowIndexTransformSpec)."""
+    settings = {
+        "version": 1,
+        "transforms": {
+            "0": _src(ID_A),
+            "1": {"type": "ROWINDEX", "internal": {"offset": 7}},
+        },
+        "connections": {"0": _conn(0, 1, 0)},
+    }
+    plan = load_knime_settings(settings)
+    a, _ = _tables(spark)
+    out = plan.execute(spark, {ID_A: a})
+    assert sorted(r["row_index"] for r in out.df.collect()) == [7, 8, 9]
+
+
+def test_load_map_via_mapper_registry(spark):
+    """TestMapperFactory's persisted shape: APPEND_MAP with
+    column_indices, mapper_factory_class, and mapper_factory_settings
+    {increment}; the registry callable is the Persistor.load mirror."""
+    settings = {
+        "version": 1,
+        "transforms": {
+            "0": _src(ID_A),
+            "1": {"type": "APPEND_MAP", "internal": {
+                "column_indices": [1],
+                "mapper_factory_class":
+                    "org.knime.test.TestMapperFactory",
+                "mapper_factory_settings": {"increment": 42},
+            }},
+        },
+        "connections": {"0": _conn(0, 1, 0)},
+    }
+
+    def load_test_mapper(mapper_settings, column_indices):
+        assert column_indices == [1]
+        return {"foo": f"i + {mapper_settings['increment']}"}
+
+    plan = load_knime_settings(
+        settings,
+        mapper_registry={"org.knime.test.TestMapperFactory":
+                         load_test_mapper},
+    )
+    a, _ = _tables(spark)
+    out = plan.execute(spark, {ID_A: a})
+    assert sorted(r["foo"] for r in out.df.collect()) == [43, 44, 45]
+
+
+def test_load_map_without_registry_raises(spark):
+    settings = {
+        "version": 1,
+        "transforms": {
+            "0": _src(ID_A),
+            "1": {"type": "MAP", "internal": {
+                "column_indices": [0],
+                "mapper_factory_class": "com.example.Unknown",
+                "mapper_factory_settings": {},
+            }},
+        },
+        "connections": {"0": _conn(0, 1, 0)},
+    }
+    with pytest.raises(ValueError, match="no persistor registered"):
+        load_knime_settings(settings)
+
+
+def test_non_linear_dag_raises(spark):
+    """A non-SOURCE side input is outside Plan's linear pipeline —
+    must fail loudly, not silently mis-load."""
+    settings = {
+        "version": 1,
+        "transforms": {
+            "0": _src(ID_A),
+            "1": {"type": "SLICE", "internal": {"from": 0, "to": 1}},
+            "2": {"type": "APPEND", "internal": {}},
+            "3": _src(ID_B),
+        },
+        "connections": {"0": _conn(3, 2, 0), "1": _conn(0, 1, 0),
+                        "2": _conn(1, 2, 1)},
+    }
+    with pytest.raises(ValueError, match="must be SOURCE"):
+        load_knime_settings(settings)
+
+
+# ---------------------------------------------------------------------------
+# settings.xml — the KNIME on-disk serialization, end to end
+# ---------------------------------------------------------------------------
+
+SETTINGS_XML = f"""<?xml version="1.0" encoding="UTF-8"?>
+<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="root">
+  <entry key="version" type="xint" value="1"/>
+  <config key="transforms">
+    <config key="0">
+      <entry key="type" type="xstring" value="SOURCE"/>
+      <config key="internal">
+        <entry key="identifier" type="xstring" value="{ID_A}"/>
+      </config>
+    </config>
+    <config key="1">
+      <entry key="type" type="xstring" value="SELECT"/>
+      <config key="internal">
+        <config key="included_columns">
+          <entry key="array-size" type="xint" value="2"/>
+          <entry key="0" type="xint" value="0"/>
+          <entry key="1" type="xint" value="2"/>
+        </config>
+      </config>
+    </config>
+    <config key="2">
+      <entry key="type" type="xstring" value="SLICE"/>
+      <config key="internal">
+        <entry key="from" type="xlong" value="0"/>
+        <entry key="to" type="xlong" value="2"/>
+      </config>
+    </config>
+  </config>
+  <config key="connections">
+    <config key="0">
+      <config key="from"><entry key="transform" type="xint" value="0"/></config>
+      <config key="to">
+        <entry key="transform" type="xint" value="1"/>
+        <entry key="port" type="xint" value="0"/>
+      </config>
+    </config>
+    <config key="1">
+      <config key="from"><entry key="transform" type="xint" value="1"/></config>
+      <config key="to">
+        <entry key="transform" type="xint" value="2"/>
+        <entry key="port" type="xint" value="0"/>
+      </config>
+    </config>
+  </config>
+</config>
+"""
+
+
+def test_settings_xml_roundtrip_and_execute(spark):
+    """Parse the XML serialization (namespace, entry types, array-size
+    convention), load, execute — the testSaveColumnFilter chain plus a
+    slice, exactly as a saved KNIME workflow would carry it."""
+    parsed = parse_knime_settings_xml(SETTINGS_XML)
+    assert parsed["version"] == 1
+    assert parsed["transforms"]["1"]["internal"]["included_columns"] == [0, 2]
+
+    plan = load_knime_settings(SETTINGS_XML)
+    assert [s.op for s in plan.steps] == ["SOURCE", "SELECT", "SLICE"]
+    a, _ = _tables(spark)
+    out = plan.execute(spark, {ID_A: a})
+    assert out.columns == ["s", "d"]
+    assert out.df.count() == 2
+    # and the loaded plan is itself persistable through OUR format
+    again = Plan.from_json(plan.to_json())
+    assert [s.op for s in again.steps] == ["SOURCE", "SELECT", "SLICE"]
