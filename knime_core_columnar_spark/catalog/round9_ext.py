@@ -1,0 +1,138 @@
+"""Round-9 in-round extensions: tokenizer-sizing coverage curve and
+T5-style span-corruption training targets — both pure-expression,
+zero-exchange-or-one-shuffle shapes with exact DuckDB twins (registry
+determinism rules per _registry.py: every computed column aliased
+identically on both sides; fractions are single IEEE divisions of
+exact integers; hashes are the shared md5-60 arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    _t,
+    query,
+)
+
+# ---------------------------------------------------------------------------
+# vocab_coverage_curve — frequency-threshold coverage audit (tokenizer
+# vocab sizing). Count table -> count-of-counts -> cumulative window
+# over the tiny count-of-counts table only.
+# ---------------------------------------------------------------------------
+
+_VOCAB_COVERAGE_ORACLE = """
+    WITH tk AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\\W+'),
+               x -> x <> '')) AS t
+      FROM documents
+    ), c AS (
+      SELECT t, COUNT(*) AS c FROM tk GROUP BY t
+    ), coc AS (
+      SELECT c, COUNT(*) AS n_types, c * COUNT(*) AS n_toks
+      FROM c GROUP BY c
+    ), tot AS (
+      SELECT SUM(n_toks) AS total FROM coc
+    )
+    SELECT CAST(c AS BIGINT) AS min_count,
+           CAST(SUM(n_types) OVER w AS BIGINT) AS n_types_cum,
+           CAST(SUM(n_toks) OVER w AS BIGINT) AS n_tokens_cum,
+           CAST(SUM(n_toks) OVER w AS DOUBLE) / CAST(total AS DOUBLE)
+             AS coverage
+    FROM coc, tot
+    WINDOW w AS (ORDER BY c DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("vocab_coverage_curve", _VOCAB_COVERAGE_ORACLE)
+def _r9x_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing coverage curve
+    (operators.text.vocab_coverage_curve): per frequency threshold,
+    cumulative type count and fraction of token occurrences covered.
+    The cumulative window runs over the count-of-counts table
+    (O(√N_tokens) rows), never the vocab or the corpus."""
+    from knime_core_columnar_spark.operators.text import (
+        vocab_coverage_curve,
+    )
+
+    return vocab_coverage_curve(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# span_corruption_masks — deterministic T5 denoising targets. The
+# oracle replays the identical md5-60 seed arithmetic and island
+# algebra in DuckDB list lambdas.
+# ---------------------------------------------------------------------------
+
+_SPAN_CORRUPTION_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')),
+                                            '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), m AS (
+      SELECT doc_id, w, len(w) AS n,
+             list_transform(range(1, len(w) + 1), i ->
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                                      || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                 % 20 = 0) AS seed
+      FROM t
+    ), mm AS (
+      SELECT doc_id, w, n, seed,
+             list_transform(range(1, n + 1), i ->
+               len(list_filter(range(greatest(1, i - 2), i + 1),
+                               j -> seed[CAST(j AS INT)])) > 0) AS msk
+      FROM m
+    ), ss AS (
+      SELECT doc_id, w, n, msk,
+             list_transform(range(1, n + 1), i ->
+               msk[CAST(i AS INT)] AND
+               (i = 1 OR NOT msk[CAST(i - 1 AS INT)])) AS s
+      FROM mm
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(msk, b -> b)) AS BIGINT) AS n_masked,
+           coalesce(array_to_string(list_filter(
+             list_transform(range(1, n + 1), i ->
+               CASE
+                 WHEN NOT msk[CAST(i AS INT)] THEN w[CAST(i AS INT)]
+                 WHEN s[CAST(i AS INT)] THEN '<extra_id_' ||
+                   CAST(len(list_filter(range(1, i + 1),
+                                        j -> s[CAST(j AS INT)])) - 1
+                        AS VARCHAR) || '>'
+                 ELSE ''
+               END),
+             p -> p <> ''), ' '), '') AS inputs,
+           coalesce(array_to_string(list_filter(
+             list_transform(range(1, n + 1), i ->
+               CASE
+                 WHEN NOT msk[CAST(i AS INT)] THEN ''
+                 WHEN s[CAST(i AS INT)] THEN '<extra_id_' ||
+                   CAST(len(list_filter(range(1, i + 1),
+                                        j -> s[CAST(j AS INT)])) - 1
+                        AS VARCHAR) || '> ' || w[CAST(i AS INT)]
+                 ELSE w[CAST(i AS INT)]
+               END),
+             p -> p <> ''), ' '), '') AS targets
+    FROM ss
+"""
+
+
+@query("span_corruption_masks", _SPAN_CORRUPTION_ORACLE)
+def _r9x_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5 span-corruption pairs
+    (operators.text.span_corruption_masks, defaults span_len=3
+    seed_every=20 = the paper's 15% density): hash-seeded masks,
+    merged islands, numbered sentinels, inputs/targets strings.
+    Zero-exchange row-local array algebra."""
+    from knime_core_columnar_spark.operators.text import (
+        span_corruption_masks,
+    )
+
+    return span_corruption_masks(_t(spark, sf_dir, "documents"))

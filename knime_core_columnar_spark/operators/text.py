@@ -1383,6 +1383,190 @@ def dedup_sentence_spans(
     )
 
 
+def vocab_coverage_curve(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing audit: for each
+    frequency threshold ``min_count`` (every distinct type frequency in
+    the corpus), how many types occur at least that often and what
+    fraction of all token OCCURRENCES they cover. Read bottom-up it
+    answers "how large must the vocabulary be to cover 95% of the
+    corpus" (BPE/unigram-LM vocab sizing, Sennrich et al. 2016 §5;
+    same Zipf mechanics as the coverage tables in SentencePiece's
+    docs). Ties (same frequency) enter together, which is the honest
+    curve — a rank-based cut inside a tie class is arbitrary.
+
+    Scale shape: one tokenization pass → ONE partially-aggregated
+    (token) count table (vocab-sized after map-side combine) → one
+    count-of-counts aggregation (|distinct frequencies| rows — by
+    Zipf/Heaps O(√N_tokens), thousands at 100 TB) → a cumulative
+    window over THAT table only. The single-partition window is
+    bounded by the count-of-counts size, never corpus- or vocab-sized;
+    the corpus total rides the same table (broadcast one-row
+    cross join, the repo's bounded-crossJoin convention).
+
+    Tokenization convention shared with :func:`vocab_growth_stats`
+    (lower + ``\\W+`` split): DuckDB twin
+    ``list_filter(string_split_regex(lower(trim(s)), '\\W+'), ...)``.
+
+    Returns (min_count, n_types_cum, n_tokens_cum, coverage) sorted by
+    min_count descending; coverage is one IEEE division of exact int64
+    sums."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\W+")
+        ).alias("__t")
+    ).filter(F.col("__t") != "")
+    counts = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    coc = (
+        counts.groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("__n_types"))
+        .withColumn("__n_toks", F.col("__c") * F.col("__n_types"))
+    )
+    total = coc.agg(F.sum("__n_toks").alias("__total"))
+    w = Window.orderBy(F.col("__c").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        coc.crossJoin(F.broadcast(total))
+        .select(
+            F.col("__c").alias("min_count"),
+            F.sum("__n_types").over(w).cast("long").alias("n_types_cum"),
+            F.sum("__n_toks").over(w).cast("long").alias("n_tokens_cum"),
+            (
+                F.sum("__n_toks").over(w).cast("double")
+                / F.col("__total").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+def span_corruption_masks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 3,
+    seed_every: int = 20,
+) -> DataFrame:
+    """T5-style span-corruption training targets (Raffel et al. 2020
+    §3.1.4 "replace corrupted spans with sentinel tokens"): a
+    deterministic, seed-free hash decides which token positions START
+    a corrupted span (position ``i`` seeds iff
+    ``md5_60(doc_id:i) % seed_every == 0`` — expected corruption
+    density = span_len/seed_every, the paper's 15% at the defaults),
+    each seed masks ``span_len`` tokens, overlapping/adjacent masked
+    ranges merge, and each merged island is replaced by one numbered
+    sentinel. ``inputs`` carries the visible text with sentinels;
+    ``targets`` carries each sentinel followed by the tokens it hides
+    (the exact T5 target format).
+
+    Determinism is the point: any engine (the DuckDB oracle replays
+    the same md5 arithmetic) produces byte-identical training pairs,
+    so a 100 TB corpus can be re-masked reproducibly without storing
+    the masks.
+
+    Scale shape: entirely row-local array algebra (sequence / filter /
+    exists / aggregate over the token array) — zero exchanges, fuses
+    into the parquet scan like the Gopher battery's expression tier.
+
+    Returns (id_col, n_tokens, n_masked, inputs, targets); docs with
+    no seeded position pass through with targets = ''."""
+    if span_len < 1 or seed_every < 1:
+        raise ValueError("span_len and seed_every must be >= 1")
+    # local import: dedup imports from text at module level, so the
+    # reverse edge must stay function-scoped
+    from knime_core_columnar_spark.operators.dedup import base_hash60
+
+    def h(i: Column) -> Column:
+        return base_hash60(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(":"), i.cast("string")
+            )
+        )
+
+    toks = df.select(
+        F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__w")
+    )
+    n = F.size("__w")
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    seeds = F.filter(idx, lambda j: h(j) % seed_every == 0)
+    with_cols = toks.select(
+        id_col, "__w", seeds.alias("__seeds"), idx.alias("__idx")
+    )
+    masked = F.transform(
+        F.col("__idx"),
+        lambda i: F.exists(
+            F.col("__seeds"), lambda j: (j <= i) & (i < j + span_len)
+        ),
+    )
+    mid = with_cols.select(id_col, "__w", masked.alias("__m"))
+    # island starts: masked and (first position or previous unmasked);
+    # sentinel index of position i = (# starts at positions <= i) - 1
+    starts = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__m"), F.lit(1))),
+        lambda i: F.element_at(F.col("__m"), i)
+        & ((i == 1) | ~F.coalesce(
+            F.element_at(F.col("__m"), i - 1), F.lit(False)
+        )),
+    )
+    mid2 = mid.select(
+        id_col, "__w", "__m",
+        F.when(F.size("__m") >= 1, starts)
+        .otherwise(F.array().cast("array<boolean>"))
+        .alias("__s"),
+    )
+
+    def sentinel_of(i: Column) -> Column:
+        # count of starts at positions <= i, minus 1
+        k = F.size(
+            F.filter(
+                F.slice(F.col("__s"), 1, i),
+                lambda b: b,
+            )
+        ) - 1
+        return F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
+
+    piece_in = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__w"), F.lit(1))),
+        lambda i: F.when(
+            ~F.element_at(F.col("__m"), i), F.element_at(F.col("__w"), i)
+        ).when(F.element_at(F.col("__s"), i), sentinel_of(i)).otherwise(
+            F.lit("")
+        ),
+    )
+    piece_tgt = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__w"), F.lit(1))),
+        lambda i: F.when(
+            ~F.element_at(F.col("__m"), i), F.lit("")
+        ).when(
+            F.element_at(F.col("__s"), i),
+            F.concat(sentinel_of(i), F.lit(" "),
+                     F.element_at(F.col("__w"), i)),
+        ).otherwise(F.element_at(F.col("__w"), i)),
+    )
+
+    def joined(pieces: Column) -> Column:
+        return F.array_join(F.filter(pieces, lambda p: p != ""), " ")
+
+    return mid2.select(
+        F.col(id_col),
+        F.size("__w").cast("long").alias("n_tokens"),
+        F.aggregate(
+            "__m", F.lit(0).cast("long"),
+            lambda acc, b: acc + b.cast("long"),
+        ).alias("n_masked"),
+        F.when(F.size("__w") >= 1, joined(piece_in))
+        .otherwise(F.lit("")).alias("inputs"),
+        F.when(F.size("__w") >= 1, joined(piece_tgt))
+        .otherwise(F.lit("")).alias("targets"),
+    )
+
+
 def collocations_pmi(
     df: DataFrame,
     text_col: str = "text",

@@ -712,3 +712,155 @@ def test_writers_reject_object_store_uri(spark):
         write_webdataset(df, "s3://bucket/wds")
     with pytest.raises(ValueError, match="URI scheme"):
         write_avro(df, "hdfs://nn/av")
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage_curve — tokenizer-sizing coverage audit (round 9)
+# ---------------------------------------------------------------------------
+
+def test_vocab_coverage_hand_case(spark):
+    from knime_core_columnar_spark.operators.text import vocab_coverage_curve
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["min_count"]: r for r in vocab_coverage_curve(df).collect()}
+    # counts: the=3, cat=2, sat/on/mat=1 → 8 tokens
+    assert rows[3]["n_types_cum"] == 1 and rows[3]["n_tokens_cum"] == 3
+    assert rows[2]["n_types_cum"] == 2 and rows[2]["n_tokens_cum"] == 5
+    assert rows[1]["n_types_cum"] == 5 and rows[1]["n_tokens_cum"] == 8
+    assert rows[1]["coverage"] == 1.0
+    assert rows[3]["coverage"] == 3 / 8
+
+
+def test_vocab_coverage_monotone_and_partition_invariant(spark, sf_dir):
+    from knime_core_columnar_spark.operators.text import vocab_coverage_curve
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, vocab_coverage_curve(docs).collect()))
+    b = sorted(map(tuple, vocab_coverage_curve(docs.repartition(13)).collect()))
+    assert a == b
+    by_desc = sorted(a, key=lambda r: -r[0])
+    for prev, cur in zip(by_desc, by_desc[1:]):
+        assert cur[1] > prev[1] and cur[2] > prev[2]  # strictly growing
+        assert cur[3] >= prev[3]
+    assert by_desc[-1][3] == 1.0  # min_count=1 covers everything
+
+
+def test_vocab_coverage_window_is_count_of_counts_sized(spark):
+    """The only Window in the plan consumes the count-of-counts
+    aggregate, never the corpus: two aggregation pairs precede it."""
+    from knime_core_columnar_spark.operators.text import vocab_coverage_curve
+
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    out = vocab_coverage_curve(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" in plan and "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # 2 × (partial+final)
+
+
+# ---------------------------------------------------------------------------
+# span_corruption_masks — deterministic T5 denoising pairs (round 9)
+# ---------------------------------------------------------------------------
+
+def _py_span_masks(doc_id, text, span_len, seed_every):
+    """Python replay of the operator contract (the gopher-fuzz
+    discipline): identical md5-60 arithmetic and island algebra."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"\s+", ("" if text is None else text)
+                                .strip(" "), flags=re.ASCII) if t]
+    n = len(toks)
+
+    def h(i):
+        md = hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()
+        return int(md[:15], 16)
+
+    seeds = [i for i in range(1, n + 1) if h(i) % seed_every == 0]
+    msk = [any(j <= i < j + span_len for j in seeds)
+           for i in range(1, n + 1)]
+    starts = [msk[i] and (i == 0 or not msk[i - 1]) for i in range(n)]
+    inp, tgt, k = [], [], -1
+    for i in range(n):
+        if not msk[i]:
+            inp.append(toks[i])
+        elif starts[i]:
+            k += 1
+            inp.append(f"<extra_id_{k}>")
+            tgt.append(f"<extra_id_{k}>")
+            tgt.append(toks[i])
+        else:
+            tgt.append(toks[i])
+    return {
+        "doc_id": doc_id, "n_tokens": n, "n_masked": sum(msk),
+        "inputs": " ".join(inp), "targets": " ".join(tgt),
+    }
+
+
+def test_span_corruption_matches_python_replay(spark):
+    from knime_core_columnar_spark.operators.text import (
+        span_corruption_masks,
+    )
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog " * 5),
+        (1, None), (2, ""), (3, "one"), (4, "a b"),
+        (5, "  leading and  trailing  spaces   "),
+        (6, " ".join(f"tok{i}" for i in range(120))),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    for span_len, seed_every in [(3, 20), (1, 4), (5, 2)]:
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in span_corruption_masks(
+                df, span_len=span_len, seed_every=seed_every
+            ).collect()
+        }
+        for did, text in texts:
+            assert got[did] == _py_span_masks(
+                did, text, span_len, seed_every
+            ), (did, span_len, seed_every)
+
+
+def test_span_corruption_sentinels_numbered_and_consistent(spark):
+    """Every sentinel in inputs appears exactly once in targets, in
+    order, and reconstruction (inputs with sentinels expanded from
+    targets) recovers the whitespace-normalized document."""
+    import re
+
+    from knime_core_columnar_spark.operators.text import (
+        span_corruption_masks,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(80))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    for r in span_corruption_masks(df, span_len=3, seed_every=5).collect():
+        sent_in = re.findall(r"<extra_id_(\d+)>", r["inputs"])
+        sent_tg = re.findall(r"<extra_id_(\d+)>", r["targets"])
+        assert sent_in == sent_tg == [str(k) for k in range(len(sent_in))]
+        # expand: split targets at sentinels, splice into inputs
+        parts = re.split(r"<extra_id_\d+> ?", r["targets"])[1:]
+        text = r["inputs"]
+        for k, chunk in enumerate(parts):
+            text = text.replace(f"<extra_id_{k}>", chunk.strip())
+        orig = " ".join(f"w{r['doc_id']}_{j}" for j in range(80))
+        assert " ".join(text.split()) == orig
+
+
+def test_span_corruption_zero_exchange_plan(spark):
+    from knime_core_columnar_spark.operators.text import (
+        span_corruption_masks,
+    )
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    out = span_corruption_masks(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
