@@ -341,17 +341,181 @@ def load_knime_settings(
             plan.add("CONCATENATE", tables=side)
         elif typ in ("MAP", "APPEND_MAP"):
             cls = internal["mapper_factory_class"]
-            if cls not in mapper_registry:
+            if cls in mapper_registry:
+                exprs = mapper_registry[cls](
+                    internal.get("mapper_factory_settings", {}),
+                    list(internal.get("column_indices", [])),
+                )
+            elif cls == SQL_EXPRS_MAPPER_CLASS:
+                # this engine's own mapper encoding (save_knime_settings):
+                # the exprs dict IS the factory settings
+                exprs = dict(
+                    internal["mapper_factory_settings"]["exprs"]
+                )
+            else:
                 raise ValueError(
                     f"no persistor registered for mapper factory {cls!r} "
                     "(pass mapper_registry — the PersistenceRegistry "
                     "extension-point mirror)"
                 )
-            exprs = mapper_registry[cls](
-                internal.get("mapper_factory_settings", {}),
-                list(internal.get("column_indices", [])),
-            )
             plan.add(typ, exprs=exprs)
         else:
             raise ValueError(f"unsupported persisted transform type {typ!r}")
     return plan
+
+
+#: the mapper_factory_class this engine writes for MAP/APPEND_MAP steps
+#: (Spark SQL expression strings instead of a compiled Java factory);
+#: load_knime_settings resolves it without a registry entry, so
+#: save -> load roundtrips out of the box. A JVM KNIME instance would
+#: need a Persistor registered under this name at its extension point.
+SQL_EXPRS_MAPPER_CLASS = "knime_core_columnar_spark.plans.SqlExprsMapperFactory"
+
+
+def save_knime_settings(plan: Plan) -> dict:
+    """Serialize a :class:`Plan` into the reference's NodeSettings tree
+    shape (the inverse of :func:`load_knime_settings`): root {version,
+    transforms, connections}; side tables of APPEND/CONCATENATE become
+    SOURCE transforms wired in on ports >= 1, exactly like the
+    reference's traversal (TableTransformNodeSettingsPersistor.java:
+    121-165 — ids here number the primary chain first and side sources
+    on demand; ids are arbitrary labels, the connections carry the
+    graph, and the reference loader resolves by id). Only the
+    reference's persisted IR subset is expressible — SOURCE, SELECT
+    (integer columns), SLICE, ROWINDEX, IDENTITY, APPEND, CONCATENATE,
+    MAP/APPEND_MAP (saved under :data:`SQL_EXPRS_MAPPER_CLASS` with the
+    exprs dict as mapper_factory_settings); anything else raises."""
+    transforms: dict[str, dict] = {}
+    connections: dict[str, dict] = {}
+    n_conn = 0
+
+    def add_transform(node: dict) -> int:
+        tid = len(transforms)
+        transforms[str(tid)] = node
+        return tid
+
+    def connect(frm: int, to: int, port: int) -> None:
+        nonlocal n_conn
+        connections[str(n_conn)] = {
+            "from": {"transform": frm},
+            "to": {"transform": to, "port": port},
+        }
+        n_conn += 1
+
+    prev: int | None = None
+    for step in plan.steps:
+        a = step.args
+        if step.op == "SOURCE":
+            node = {"type": "SOURCE",
+                    "internal": {"identifier": a["table"]}}
+        elif step.op == "SELECT":
+            cols = a["columns"]
+            if not all(isinstance(c, int) for c in cols):
+                raise ValueError(
+                    "save_knime_settings: SELECT must use integer column "
+                    "indices (the reference persists included_columns as "
+                    f"an int array), got {cols!r}"
+                )
+            node = {"type": "SELECT",
+                    "internal": {"included_columns": list(cols)}}
+        elif step.op == "SLICE":
+            node = {"type": "SLICE",
+                    "internal": {"from": a["start"], "to": a["stop"]}}
+        elif step.op == "ROWINDEX":
+            node = {"type": "ROWINDEX",
+                    "internal": {"offset": a.get("offset", 0)}}
+        elif step.op == "IDENTITY":
+            node = {"type": "IDENTITY", "internal": {}}
+        elif step.op in ("APPEND", "CONCATENATE"):
+            node = {"type": step.op, "internal": {}}
+        elif step.op in ("MAP", "APPEND_MAP"):
+            node = {"type": step.op, "internal": {
+                "column_indices": [],
+                "mapper_factory_class": SQL_EXPRS_MAPPER_CLASS,
+                "mapper_factory_settings": {"exprs": dict(a["exprs"])},
+            }}
+        else:
+            raise ValueError(
+                f"save_knime_settings: {step.op} is outside the "
+                "reference's persisted IR catalog "
+                "(TableTransformNodeSettingsPersistor.java:374-476); "
+                "use Plan.to_json for the native format"
+            )
+        tid = add_transform(node)
+        if prev is not None:
+            connect(prev, tid, 0)
+        if step.op in ("APPEND", "CONCATENATE"):
+            for port, name in enumerate(a["tables"], start=1):
+                sid = add_transform(
+                    {"type": "SOURCE", "internal": {"identifier": name}}
+                )
+                connect(sid, tid, port)
+        prev = tid
+    return {"version": plan.version, "transforms": transforms,
+            "connections": connections}
+
+
+#: keys the reference writes as longs (SLICE range, ROWINDEX offset)
+_XML_LONG_KEYS = {"from", "to", "offset"}
+
+
+def serialize_knime_settings_xml(tree: dict, root_key: str = "root") -> str:
+    """Render a NodeSettings dict as KNIME settings.xml
+    (org.knime.core.node.config serialization — the byte format KNIME
+    workflows store on disk). Inverse of
+    :func:`parse_knime_settings_xml`; int lists use the array-size
+    convention."""
+    from xml.sax.saxutils import quoteattr
+
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>']
+
+    def emit(key: str, val, depth: int) -> None:
+        pad = "  " * depth
+        k = quoteattr(str(key))
+        if isinstance(val, dict):
+            lines.append(f"{pad}<config key={k}>")
+            for ck, cv in val.items():
+                emit(ck, cv, depth + 1)
+            lines.append(f"{pad}</config>")
+        elif isinstance(val, list):
+            if not all(isinstance(x, int) for x in val):
+                raise ValueError(
+                    f"settings.xml arrays must be int arrays, got {val!r}"
+                )
+            lines.append(f"{pad}<config key={k}>")
+            lines.append(
+                f'{pad}  <entry key="array-size" type="xint" '
+                f'value="{len(val)}"/>'
+            )
+            for i, x in enumerate(val):
+                lines.append(
+                    f'{pad}  <entry key="{i}" type="xint" value="{x}"/>'
+                )
+            lines.append(f"{pad}</config>")
+        else:
+            if isinstance(val, bool):
+                typ, txt = "xboolean", ("true" if val else "false")
+            elif isinstance(val, int):
+                typ = "xlong" if key in _XML_LONG_KEYS else "xint"
+                txt = str(val)
+            elif isinstance(val, float):
+                typ, txt = "xdouble", repr(val)
+            elif val is None:
+                lines.append(
+                    f'{pad}<entry key={k} type="xstring" isnull="true" '
+                    'value=""/>'
+                )
+                return
+            else:
+                typ, txt = "xstring", str(val)
+            v = quoteattr(txt)
+            lines.append(f'{pad}<entry key={k} type="{typ}" value={v}/>')
+
+    lines.append(
+        '<config xmlns="http://www.knime.org/2008/09/XMLConfig" '
+        f'key={quoteattr(root_key)}>'
+    )
+    for k, v in tree.items():
+        emit(k, v, 1)
+    lines.append("</config>")
+    return "\n".join(lines) + "\n"

@@ -298,3 +298,123 @@ def test_settings_xml_roundtrip_and_execute(spark):
     # and the loaded plan is itself persistable through OUR format
     again = Plan.from_json(plan.to_json())
     assert [s.op for s in again.steps] == ["SOURCE", "SELECT", "SLICE"]
+
+
+# ---------------------------------------------------------------------------
+# save direction — Plan -> NodeSettings tree / settings.xml
+# ---------------------------------------------------------------------------
+
+def test_save_source_shape(spark):
+    """testSaveSource's asserts, applied to OUR saver: one transform,
+    type SOURCE, internal.identifier; zero connections."""
+    from knime_core_columnar_spark.plans.persist import save_knime_settings
+
+    tree = save_knime_settings(Plan().add("SOURCE", table=ID_A))
+    assert tree["version"] == 1
+    assert len(tree["connections"]) == 0
+    assert len(tree["transforms"]) == 1
+    src = tree["transforms"]["0"]
+    assert src["type"] == "SOURCE"
+    assert src["internal"]["identifier"] == ID_A
+
+
+def test_save_append_shape_and_roundtrip(spark):
+    """testSaveAppend's asserts: two sources + APPEND (empty internal),
+    2 connections carrying ports 0 and 1; and load(save(p)) executes."""
+    from knime_core_columnar_spark.plans.persist import save_knime_settings
+
+    plan = Plan().add("SOURCE", table=ID_A).add("APPEND", tables=[ID_B])
+    tree = save_knime_settings(plan)
+    assert len(tree["transforms"]) == 3
+    by_type = {t["type"] for t in tree["transforms"].values()}
+    assert by_type == {"SOURCE", "APPEND"}
+    app_id = next(k for k, t in tree["transforms"].items()
+                  if t["type"] == "APPEND")
+    assert tree["transforms"][app_id]["internal"] == {}
+    ports = sorted(
+        c["to"]["port"] for c in tree["connections"].values()
+        if str(c["to"]["transform"]) == app_id
+    )
+    assert ports == [0, 1]
+
+    again = load_knime_settings(tree)
+    a, b = _tables(spark)
+    out = again.execute(spark, {ID_A: a, ID_B: b})
+    assert out.columns == ["s", "i", "d", "b"]
+
+
+def test_save_column_filter_and_slice_shape(spark):
+    from knime_core_columnar_spark.plans.persist import save_knime_settings
+
+    plan = (Plan().add("SOURCE", table=ID_A)
+            .add("SELECT", columns=[0, 2]).add("SLICE", start=3, stop=10))
+    tree = save_knime_settings(plan)
+    sel = tree["transforms"]["1"]
+    assert sel["type"] == "SELECT"
+    assert sel["internal"]["included_columns"] == [0, 2]
+    sl = tree["transforms"]["2"]
+    assert sl["type"] == "SLICE"
+    assert sl["internal"] == {"from": 3, "to": 10}
+    # connections chain 0->1->2 on port 0 (checkConnection's shape)
+    conns = sorted(
+        (c["from"]["transform"], c["to"]["transform"], c["to"]["port"])
+        for c in tree["connections"].values()
+    )
+    assert conns == [(0, 1, 0), (1, 2, 0)]
+
+
+def test_save_select_by_name_raises(spark):
+    from knime_core_columnar_spark.plans.persist import save_knime_settings
+
+    plan = Plan().add("SOURCE", table=ID_A).add("SELECT", columns=["s"])
+    with pytest.raises(ValueError, match="integer column indices"):
+        save_knime_settings(plan)
+
+
+def test_save_outside_reference_catalog_raises(spark):
+    from knime_core_columnar_spark.plans.persist import save_knime_settings
+
+    plan = Plan().add("SOURCE", table=ID_A).add("FILTER", predicate="i > 1")
+    with pytest.raises(ValueError, match="persisted IR catalog"):
+        save_knime_settings(plan)
+
+
+def test_save_map_roundtrips_via_sql_exprs_class(spark):
+    from knime_core_columnar_spark.plans.persist import (
+        SQL_EXPRS_MAPPER_CLASS,
+        save_knime_settings,
+    )
+
+    plan = (Plan().add("SOURCE", table=ID_A)
+            .add("APPEND_MAP", exprs={"foo": "i + 1"}))
+    tree = save_knime_settings(plan)
+    node = tree["transforms"]["1"]
+    assert node["internal"]["mapper_factory_class"] == SQL_EXPRS_MAPPER_CLASS
+    again = load_knime_settings(tree)  # no registry needed for our class
+    a, _ = _tables(spark)
+    out = again.execute(spark, {ID_A: a})
+    assert sorted(r["foo"] for r in out.df.collect()) == [2, 3, 4]
+
+
+def test_xml_serialize_parse_roundtrip(spark):
+    """serialize -> parse is the identity on the NodeSettings tree
+    (entry types, nested configs, int arrays, the xlong keys)."""
+    from knime_core_columnar_spark.plans.persist import (
+        save_knime_settings,
+        serialize_knime_settings_xml,
+    )
+
+    plan = (Plan().add("SOURCE", table=ID_A)
+            .add("SELECT", columns=[1, 2])
+            .add("SLICE", start=0, stop=5)
+            .add("ROWINDEX", name="row_index", offset=3)
+            .add("CONCATENATE", tables=[ID_B]))
+    tree = save_knime_settings(plan)
+    xml = serialize_knime_settings_xml(tree)
+    assert 'type="xlong" value="3"' in xml  # offset saved as long
+    assert parse_knime_settings_xml(xml) == tree
+    # and the full circle executes
+    again = load_knime_settings(xml)
+    assert [s.op for s in again.steps] == [
+        "SOURCE", "SELECT", "SLICE", "ROWINDEX", "CONCATENATE"
+    ]
