@@ -136,3 +136,68 @@ def _r9x_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return span_corruption_masks(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture_plan — alpha-smoothed multilingual mixture
+# allocation (XLM/mT5 alpha-sampling), integer-exact largest-remainder
+# split. alpha=0.5 (sqrt) because IEEE requires sqrt to be correctly
+# rounded — pow() is not cross-engine deterministic.
+# ---------------------------------------------------------------------------
+
+_TEMPERATURE_MIXTURE_ORACLE = """
+    WITH c AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(
+               string_split_regex(trim(coalesce(text, '')), '\\s+'),
+               x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT c.*,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+               AS smoothed_weight
+      FROM c
+    ), t AS (
+      SELECT SUM(CAST(smoothed_weight AS HUGEINT)) AS tot FROM w
+    ), a AS (
+      SELECT w.*,
+             CASE WHEN tot > 0
+               THEN CAST((CAST(100000 AS HUGEINT) * smoothed_weight)
+                         // tot AS BIGINT) ELSE 0 END AS alloc0,
+             CASE WHEN tot > 0
+               THEN CAST((CAST(100000 AS HUGEINT) * smoothed_weight)
+                         % tot AS BIGINT) ELSE 0 END AS rem,
+             tot > 0 AS has_w
+      FROM w, t
+    ), r AS (
+      SELECT 100000 - SUM(alloc0) AS resid FROM a
+    ), f AS (
+      SELECT a.*,
+             CAST(alloc0 + CASE WHEN has_w AND
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) <= resid
+               THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+      FROM a, r
+    )
+    SELECT source, n_docs, n_tokens, smoothed_weight, alloc_tokens,
+           CAST(alloc_tokens AS DOUBLE) / 100000.0 AS share
+    FROM f
+"""
+
+
+@query("temperature_mixture_plan", _TEMPERATURE_MIXTURE_ORACLE)
+def _r9x_temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-smoothed mixture allocation
+    (operators.sampling.temperature_mixture_plan, alpha=0.5, budget
+    100k tokens over the documents sources): floor(sqrt(n)·1e6)
+    integer weights, exact decimal largest-remainder split — Σalloc ==
+    budget exactly. One corpus scan; everything downstream is
+    source-table-sized."""
+    from knime_core_columnar_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+
+    return temperature_mixture_plan(
+        _t(spark, sf_dir, "documents"), source_col="source",
+        budget=100_000, alpha=0.5,
+    )

@@ -822,3 +822,119 @@ def temporal_split_embargo(
         F.min("__us").alias("first_us"),
         F.max("__us").alias("last_us"),
     )
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    source_col: str = "lang",
+    budget: int = 1_000_000,
+    alpha: float = 0.5,
+    token_expr: Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-smoothed source-mixture allocation — the α-sampling
+    of multilingual pretraining (XLM, Conneau & Lample 2019 §3.1; mT5's
+    α=0.3 exploration, Xue et al. 2021 §3.2): sampling probability
+    p_i ∝ n_i^α flattens the head so low-resource sources are not
+    drowned, then a token ``budget`` is split as alloc_i ≈ budget·p_i.
+
+    Engine-exact by construction: α is restricted to {1.0, 0.5, 0.25}
+    — identity, sqrt, sqrt∘sqrt — because IEEE 754 REQUIRES sqrt to be
+    correctly rounded (bit-identical in any engine) while pow() is not;
+    the smoothed weight is the integer floor(n^α · 1e6), and the split
+    is the largest-remainder method in EXACT decimal arithmetic:
+    alloc0_i = ⌊budget·w_i / W⌋ (decimal(38) product — budget·w needs
+    headroom past int64 at trillion-token budgets), and the
+    ``budget − Σ alloc0`` residual units go to the largest remainders
+    (budget·w_i mod W), ties by source name. Σ alloc == budget exactly
+    whenever W > 0.
+
+    Scale shape: ONE corpus scan → per-source partial-aggregated token
+    counts; everything downstream operates on the SOURCE-level table
+    (≤ thousands of rows) — one broadcast one-row totals join and one
+    bounded window for remainder ranking, the same source-table class
+    as token_budget_plan.
+
+    Returns (source, n_docs, n_tokens, smoothed_weight, alloc_tokens,
+    share) — share is alloc/budget, one IEEE division of exact ints.
+    """
+    from pyspark.sql import Window
+
+    if alpha not in (1.0, 0.5, 0.25):
+        raise ValueError(
+            "alpha must be 1.0, 0.5 or 0.25 (identity / sqrt / sqrt∘sqrt "
+            "— the IEEE-correctly-rounded chains; pow() is not "
+            "cross-engine deterministic)"
+        )
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if token_expr is None:
+        token_expr = F.size(
+            F.filter(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+                             r"\s+"),
+                     lambda x: x != "")
+        )
+    src = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_expr).cast("long").alias("n_tokens"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    smooth = (
+        nd if alpha == 1.0
+        else F.sqrt(nd) if alpha == 0.5
+        else F.sqrt(F.sqrt(nd))
+    )
+    src = src.withColumn(
+        "smoothed_weight",
+        F.floor(smooth * F.lit(1e6)).cast("long"),
+    )
+    tot = src.agg(
+        F.sum("smoothed_weight").cast("decimal(38,0)").alias("__W")
+    )
+    prod = (
+        F.lit(budget).cast("decimal(38,0)")
+        * F.col("smoothed_weight").cast("decimal(38,0)")
+    )
+    with_alloc0 = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__alloc0",
+            F.when(
+                F.col("__W") > 0,
+                F.expr(
+                    f"CAST((CAST({budget} AS DECIMAL(38,0)) * "
+                    "CAST(smoothed_weight AS DECIMAL(38,0))) div __W "
+                    "AS BIGINT)"
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "__rem",
+            F.when(
+                F.col("__W") > 0, (prod % F.col("__W")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    residual = with_alloc0.agg(
+        (F.lit(budget) - F.sum("__alloc0")).cast("long").alias("__resid"),
+        F.max(F.col("__W") > 0).alias("__has_w"),
+    )
+    w_rank = Window.orderBy(F.col("__rem").desc(), F.col("source"))
+    return (
+        with_alloc0.crossJoin(F.broadcast(residual))
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .select(
+            "source", "n_docs", "n_tokens", "smoothed_weight",
+            (
+                F.col("__alloc0")
+                + F.when(
+                    F.col("__has_w") & (F.col("__rk") <= F.col("__resid")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("alloc_tokens"),
+        )
+        .withColumn(
+            "share",
+            F.col("alloc_tokens").cast("double") / F.lit(float(budget)),
+        )
+    )

@@ -867,3 +867,84 @@ def test_span_corruption_zero_exchange_plan(spark):
             out._jdf.queryExecution(), "formatted"
         )
         assert "Exchange" not in plan, engine
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture_plan — alpha-smoothed mixture allocation (round 9)
+# ---------------------------------------------------------------------------
+
+def _mix_df(spark, sizes):
+    rows = []
+    for s, n_docs in sizes.items():
+        rows += [(s, "w " * 10)] * n_docs
+    return spark.createDataFrame(rows, "lang string, text string")
+
+
+def test_temperature_mixture_sums_to_budget_and_flattens(spark):
+    from knime_core_columnar_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+
+    df = _mix_df(spark, {"en": 1000, "de": 90, "sw": 2})
+    for alpha in (1.0, 0.5, 0.25):
+        p = {r["source"]: r for r in temperature_mixture_plan(
+            df, budget=1000, alpha=alpha
+        ).collect()}
+        assert sum(r["alloc_tokens"] for r in p.values()) == 1000, alpha
+        assert abs(sum(r["share"] for r in p.values()) - 1.0) < 1e-9
+    raw = {r["source"]: r["share"] for r in temperature_mixture_plan(
+        df, budget=1000, alpha=1.0).collect()}
+    sm = {r["source"]: r["share"] for r in temperature_mixture_plan(
+        df, budget=1000, alpha=0.5).collect()}
+    # smoothing lifts the tail and trims the head
+    assert sm["sw"] > raw["sw"] and sm["de"] > raw["de"]
+    assert sm["en"] < raw["en"]
+
+
+def test_temperature_mixture_hand_allocation(spark):
+    """Exact largest-remainder arithmetic on hand-checkable weights:
+    equal sources split evenly; a 3-way split of 100 gives 34/33/33
+    with the extra unit at the lexicographically-first tied source."""
+    from knime_core_columnar_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+
+    df = _mix_df(spark, {"a": 4, "b": 4, "c": 4})
+    p = {r["source"]: r["alloc_tokens"] for r in temperature_mixture_plan(
+        df, budget=100, alpha=0.5).collect()}
+    assert sorted(p.values(), reverse=True) == [34, 33, 33]
+    assert p["a"] == 34  # tie-break by source name
+
+
+def test_temperature_mixture_guards(spark):
+    from knime_core_columnar_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+
+    df = _mix_df(spark, {"a": 1})
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture_plan(df, alpha=0.3)
+    with pytest.raises(ValueError, match="budget"):
+        temperature_mixture_plan(df, budget=0)
+    # all-empty corpus: W == 0 -> zero allocations, nothing crashes
+    empty = spark.createDataFrame(
+        [("a", ""), ("b", None)], "lang string, text string"
+    )
+    out = {r["source"]: r["alloc_tokens"]
+           for r in temperature_mixture_plan(empty, budget=10).collect()}
+    assert out == {"a": 0, "b": 0}
+
+
+def test_temperature_mixture_partition_invariant(spark, sf_dir):
+    from knime_core_columnar_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, temperature_mixture_plan(
+        docs, source_col="source", budget=99_991).collect()))
+    b = sorted(map(tuple, temperature_mixture_plan(
+        docs.repartition(17), source_col="source", budget=99_991
+    ).collect()))
+    assert a == b
+    assert sum(r[4] for r in a) == 99_991
