@@ -948,3 +948,21 @@ def test_temperature_mixture_partition_invariant(spark, sf_dir):
     ).collect()))
     assert a == b
     assert sum(r[4] for r in a) == 99_991
+
+
+def test_temperature_mixture_plan_shape(spark):
+    """Everything downstream of the corpus scan is source-table-sized:
+    no CartesianProduct (the totals joins are broadcast one-row), and
+    the corpus aggregation runs partial+final."""
+    from knime_core_columnar_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+
+    df = _mix_df(spark, {"a": 4, "b": 2})
+    out = temperature_mixture_plan(df, budget=100)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the bounded one-row joins
+    assert plan.count("HashAggregate") >= 2  # partial + final source agg
