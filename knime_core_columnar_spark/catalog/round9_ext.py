@@ -201,3 +201,59 @@ def _r9x_temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame
         _t(spark, sf_dir, "documents"), source_col="source",
         budget=100_000, alpha=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# fim_transform — fill-in-the-middle training transform (Bavarian et
+# al. 2022): hash-gated 50% FIM rate, hash-drawn cut points, PSM
+# output ordering. Deterministic, so the oracle replays it exactly.
+# ---------------------------------------------------------------------------
+
+_FIM_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')),
+                                            '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), h AS (
+      SELECT doc_id, w, len(w) AS n,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':fim'),
+                                1, 15))::BIGINT % 2 = 0 AS a,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                         || ':cut1'), 1, 15))::BIGINT
+                  % (len(w) + 1) AS INT) AS u,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                         || ':cut2'), 1, 15))::BIGINT
+                  % (len(w) + 1) AS INT) AS v
+      FROM t
+    ), c AS (
+      SELECT doc_id, w, n, a,
+             least(u, v) AS c1, greatest(u, v) AS c2
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           a AS fim_applied,
+           CASE WHEN a THEN c1 END AS c1,
+           CASE WHEN a THEN c2 END AS c2,
+           CASE WHEN a THEN
+             array_to_string(list_filter(
+               ['<fim_prefix>'] || w[1:c1] || ['<fim_suffix>']
+                 || w[CAST(c2 + 1 AS INT):CAST(n AS INT)]
+                 || ['<fim_middle>']
+                 || w[CAST(c1 + 1 AS INT):CAST(c2 AS INT)],
+               x -> x <> ''), ' ')
+           ELSE coalesce(array_to_string(w, ' '), '') END AS output
+    FROM c
+"""
+
+
+@query("fim_transform", _FIM_ORACLE)
+def _r9x_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training pairs (operators.text.fim_transform,
+    defaults = the paper's 50% FIM rate, PSM ordering). Two hashes +
+    three slices per doc, zero exchanges."""
+    from knime_core_columnar_spark.operators.text import fim_transform
+
+    return fim_transform(_t(spark, sf_dir, "documents"))

@@ -1652,6 +1652,94 @@ def span_corruption_masks(
     )
 
 
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    apply_mod: int = 2,
+    prefix_tok: str = "<fim_prefix>",
+    suffix_tok: str = "<fim_suffix>",
+    middle_tok: str = "<fim_middle>",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022
+    "Efficient Training of Language Models to Fill in the Middle"):
+    a deterministic hash decides which documents are FIM-transformed
+    (``md5_60(doc_id:fim) % apply_mod == 0`` — the paper's 50% FIM rate
+    at the default), two hash-drawn cut points split the token sequence
+    into prefix/middle/suffix, and the output is the PSM ordering
+    ``<fim_prefix> P <fim_suffix> S <fim_middle> M``. Untransformed
+    docs pass through whitespace-normalized with ``fim_applied=false``
+    — the paper's key result is that mixing FIM and AR examples at the
+    data level costs no AR capability.
+
+    Deterministic like :func:`span_corruption_masks`: any engine
+    reproduces byte-identical examples, so a 100 TB corpus re-shards
+    and re-transforms reproducibly with no stored state.
+
+    Cut points: c1 = h(doc:cut1) mod (n+1), c2 = h(doc:cut2) mod
+    (n+1), ordered so c1 ≤ c2; prefix = tokens[1..c1], middle =
+    tokens[c1+1..c2], suffix = tokens[c2+1..n] (any segment may be
+    empty, including the whole-document-middle and empty-middle
+    boundary cases — the paper keeps them).
+
+    Scale shape: zero-exchange row-local array algebra — two hashes +
+    three slices per document, O(n) with no per-position work (unlike
+    the span-corruption expression tier, no Arrow tier is needed).
+
+    Returns (id_col, n_tokens, fim_applied, c1, c2, output)."""
+    if apply_mod < 1:
+        raise ValueError("apply_mod must be >= 1")
+    from knime_core_columnar_spark.operators.dedup import base_hash60
+
+    def h(tag: str) -> Column:
+        return base_hash60(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + tag))
+        )
+
+    toks = df.select(
+        F.col(id_col),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__w"),
+    )
+    n = F.size("__w")
+    applied = (h("fim") % apply_mod) == 0
+    u = (h("cut1") % (n + 1)).cast("int")
+    v = (h("cut2") % (n + 1)).cast("int")
+    mid = toks.select(
+        id_col, "__w",
+        applied.alias("__a"),
+        F.least(u, v).alias("__c1"),
+        F.greatest(u, v).alias("__c2"),
+    )
+    w = F.col("__w")
+    c1, c2 = F.col("__c1"), F.col("__c2")
+    nn = F.size(w)
+    part = lambda pos, length: F.array_join(  # noqa: E731
+        F.slice(w, pos, length), " "
+    )
+    psm = F.concat_ws(
+        " ",
+        F.lit(prefix_tok), part(F.lit(1), c1),
+        F.lit(suffix_tok), part(c2 + 1, nn - c2),
+        F.lit(middle_tok), part(c1 + 1, c2 - c1),
+    )
+    # concat_ws skips NULLs but keeps empty strings — normalize the
+    # double spaces empty segments leave behind so the output is a
+    # clean single-spaced token stream in both engines
+    psm_clean = F.array_join(
+        F.filter(F.split(psm, " "), lambda x: x != ""), " "
+    )
+    return mid.select(
+        F.col(id_col),
+        nn.cast("long").alias("n_tokens"),
+        F.col("__a").alias("fim_applied"),
+        F.when(F.col("__a"), c1).cast("int").alias("c1"),
+        F.when(F.col("__a"), c2).cast("int").alias("c2"),
+        F.when(F.col("__a"), psm_clean)
+        .otherwise(F.array_join(w, " "))
+        .alias("output"),
+    )
+
+
 def collocations_pmi(
     df: DataFrame,
     text_col: str = "text",

@@ -966,3 +966,78 @@ def test_temperature_mixture_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the bounded one-row joins
     assert plan.count("HashAggregate") >= 2  # partial + final source agg
+
+
+# ---------------------------------------------------------------------------
+# fim_transform — fill-in-the-middle training transform (round 9)
+# ---------------------------------------------------------------------------
+
+def _py_fim(doc_id, text, apply_mod=2):
+    import hashlib
+    import re
+
+    def h(tag):
+        md = hashlib.md5(f"{doc_id}:{tag}".encode()).hexdigest()
+        return int(md[:15], 16)
+
+    toks = [t for t in re.split(r"\s+", ("" if text is None else text)
+                                .strip(" "), flags=re.ASCII) if t]
+    n = len(toks)
+    a = h("fim") % apply_mod == 0
+    if not a:
+        return (doc_id, n, False, None, None, " ".join(toks))
+    u, v = h("cut1") % (n + 1), h("cut2") % (n + 1)
+    c1, c2 = min(u, v), max(u, v)
+    pieces = (["<fim_prefix>"] + toks[:c1] + ["<fim_suffix>"]
+              + toks[c2:] + ["<fim_middle>"] + toks[c1:c2])
+    return (doc_id, n, True, c1, c2, " ".join(pieces))
+
+
+def test_fim_matches_python_replay(spark):
+    from knime_core_columnar_spark.operators.text import fim_transform
+
+    texts = [(i, " ".join(f"w{j}" for j in range(i % 17))) for i in range(40)]
+    texts += [(100, None), (101, ""), (102, "  padded   text  ")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(map(tuple, fim_transform(df).collect()))
+    want = sorted(_py_fim(d, t) for d, t in texts)
+    assert got == want
+
+
+def test_fim_reconstruction_property(spark):
+    """PSM output reassembles to the original whitespace-normalized
+    document: prefix + middle + suffix == tokens, for every FIM'd doc."""
+    import re
+
+    from knime_core_columnar_spark.operators.text import fim_transform
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"x{i}_{j}" for j in range(30))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    n_applied = 0
+    for r in fim_transform(df).collect():
+        if not r["fim_applied"]:
+            continue
+        n_applied += 1
+        m = re.match(
+            r"<fim_prefix> ?(.*?) ?<fim_suffix> ?(.*?) ?<fim_middle> ?(.*)",
+            r["output"],
+        )
+        p, s, mid = m.groups()
+        rebuilt = " ".join(x for x in (p + " " + mid + " " + s).split() if x)
+        orig = " ".join(f"x{r['doc_id']}_{j}" for j in range(30))
+        assert rebuilt == orig, r["doc_id"]
+        assert r["c2"] - r["c1"] == len(mid.split()) if mid else True
+    assert n_applied > 5  # ~50% of 30
+
+
+def test_fim_zero_exchange_plan(spark):
+    from knime_core_columnar_spark.operators.text import fim_transform
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    out = fim_transform(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
