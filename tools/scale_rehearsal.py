@@ -85,7 +85,12 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          # (regex cost per byte) and the KN bigram model (count-table
          # materialization + scoring join; bigram vocab grows with the
          # decorrelated replicas)
-         "html_extract_main", "kn_bigram_quality"]
+         "html_extract_main", "kn_bigram_quality",
+         # round-9 in-round additions: the training-target generators
+         # (Arrow kernel / pure-slice scan shapes), the count-of-counts
+         # coverage curve, and the source-table mixture plan
+         "span_corruption_masks", "fim_transform",
+         "vocab_coverage_curve", "temperature_mixture_plan"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
