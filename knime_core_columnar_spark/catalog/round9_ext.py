@@ -257,3 +257,87 @@ def _r9x_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knime_core_columnar_spark.operators.text import fim_transform
 
     return fim_transform(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# language_mix_audit — paragraph-level language ID + code-switch
+# fraction (CCNet-style paragraph splitting). Vote rule identical to
+# text_quality_lang so the two audits agree on one-paragraph docs.
+# ---------------------------------------------------------------------------
+
+_LANGUAGE_MIX_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               string_split(coalesce(text, ''), chr(10)), p -> trim(p)),
+               p -> p <> '') AS paras
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             list_transform(paras, p ->
+               list_filter(string_split_regex(lower(p), '\\s+'),
+                           x -> x <> '')) AS tp
+      FROM t
+    ), vp AS (
+      SELECT doc_id,
+             list_transform(tp, t -> [
+               len(list_filter(t, x -> list_contains(
+                 ['the','and','of','to','is'], x))),
+               len(list_filter(t, x -> list_contains(
+                 ['der','die','und','nicht','ist'], x))),
+               len(list_filter(t, x -> list_contains(
+                 ['le','la','et','les','est'], x))),
+               len(list_filter(t, x -> list_contains(
+                 ['el','los','que','y','es'], x)))
+             ]) AS votes
+      FROM tok
+    ), pr AS (
+      SELECT doc_id,
+             list_transform(votes, v ->
+               CASE WHEN greatest(v[1], v[2], v[3], v[4]) = 0 THEN 'und'
+                    WHEN v[1] = greatest(v[1], v[2], v[3], v[4]) THEN 'en'
+                    WHEN v[2] = greatest(v[1], v[2], v[3], v[4]) THEN 'de'
+                    WHEN v[3] = greatest(v[1], v[2], v[3], v[4]) THEN 'fr'
+                    ELSE 'es' END) AS preds
+      FROM vp
+    ), agg AS (
+      SELECT doc_id, preds,
+             len(preds) AS n_paras,
+             len(list_filter(preds, p -> p <> 'und')) AS n_lang,
+             len(list_filter(preds, p -> p = 'en')) AS c_en,
+             len(list_filter(preds, p -> p = 'de')) AS c_de,
+             len(list_filter(preds, p -> p = 'fr')) AS c_fr,
+             len(list_filter(preds, p -> p = 'es')) AS c_es
+      FROM pr
+    )
+    SELECT doc_id,
+           CAST(n_paras AS BIGINT) AS n_paras,
+           CAST(n_lang AS BIGINT) AS n_lang_paras,
+           CASE WHEN n_lang > 0 THEN
+             CASE WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                  WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                  WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                  ELSE 'es' END
+           END AS majority_lang,
+           CAST(CASE WHEN n_lang > 0
+                THEN n_lang - greatest(c_en, c_de, c_fr, c_es)
+                ELSE 0 END AS BIGINT) AS n_switch,
+           CAST(CASE WHEN n_lang > 0
+                THEN n_lang - greatest(c_en, c_de, c_fr, c_es)
+                ELSE 0 END AS DOUBLE)
+             / greatest(n_lang, 1) AS switch_frac
+    FROM agg
+"""
+
+
+@query("language_mix_audit", _LANGUAGE_MIX_ORACLE)
+def _r9x_language_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching audit (operators.text.language_mix_audit):
+    paragraph-level stopword-vote language ID, document majority, and
+    the disagreeing-paragraph fraction. Zero-exchange nested array
+    algebra."""
+    from knime_core_columnar_spark.operators.text import (
+        language_mix_audit,
+    )
+
+    return language_mix_audit(_t(spark, sf_dir, "documents"))

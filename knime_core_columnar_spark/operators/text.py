@@ -1652,6 +1652,104 @@ def span_corruption_masks(
     )
 
 
+def language_mix_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Code-switching audit: per-PARAGRAPH language ID (the stopword-
+    marker vote of :func:`lang_id` / text_quality_lang, applied at
+    paragraph granularity) and the fraction of identified paragraphs
+    that disagree with the document's majority language. Mixed-language
+    documents — scraped pages with translated boilerplate, forum
+    threads, wrongly-merged crawls — hurt monolingual training shards
+    and evade DOCUMENT-level language ID, which sees only the majority;
+    the standard fix is paragraph-level ID + a mixing threshold (e.g.
+    CCNet, Wenzek et al. 2020 splits exactly this way).
+
+    Vote rule per paragraph (identical to text_quality_lang, so the
+    two audits can never disagree on a one-paragraph doc): count
+    LANG_MARKERS stopword hits per language over lowercased whitespace
+    tokens; 'und' when all four votes are zero; ties resolve in the
+    fixed en>de>fr>es order. The document majority is the modal
+    paragraph language (excluding 'und'; NULL when no paragraph
+    identifies), ties in the same order.
+
+    Scale shape: zero-exchange row-local array algebra — one paragraph
+    split, one tokenization per paragraph (materialized once via a
+    nested transform; the vote CASE re-reads the bound token array,
+    never re-tokenizes). Returns (id_col, n_paras, n_lang_paras,
+    majority_lang, n_switch, switch_frac)."""
+    import re as _re
+
+    langs = list(LANG_MARKERS)  # insertion order = tie precedence
+
+    paras = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")),
+                    _re.escape(sep)),
+            lambda p: F.trim(p),
+        ),
+        lambda p: p != "",
+    )
+    toks_per_para = F.transform(
+        paras,
+        lambda p: F.filter(
+            F.split(F.lower(p), r"\s+"), lambda x: x != ""
+        ),
+    )
+
+    def vote(t: Column, lang: str) -> Column:
+        sw = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+
+    def pred_of(t: Column) -> Column:
+        votes = [vote(t, lg) for lg in langs]
+        mx = F.greatest(*votes)
+        out = F.lit("und")
+        # reverse order so earlier langs win ties (last when wins in a
+        # chained otherwise; build right-to-left)
+        expr = F.lit("und")
+        for lg, v in zip(reversed(langs), reversed(votes)):
+            expr = F.when(v == mx, F.lit(lg)).otherwise(expr)
+        return F.when(mx == 0, out).otherwise(expr)
+
+    mid = df.select(
+        F.col(id_col),
+        F.transform(toks_per_para, pred_of).alias("__preds"),
+    )
+    preds = F.col("__preds")
+
+    def _count_of(lg: str) -> Column:
+        # NB: a `lambda p, lg=lg:` default-arg closure would be read by
+        # PySpark's HOF binder as a TWO-argument (element, index)
+        # lambda and silently bind lg to the array index — closure
+        # factory instead
+        return F.size(F.filter(preds, lambda p: p == F.lit(lg)))
+
+    lang_counts = {lg: _count_of(lg) for lg in langs}
+    n_lang = F.size(F.filter(preds, lambda p: p != "und"))
+    mx_count = F.greatest(*lang_counts.values())
+    maj = F.lit(None).cast("string")
+    for lg in reversed(langs):
+        maj = F.when(lang_counts[lg] == mx_count, F.lit(lg)).otherwise(maj)
+    maj = F.when(n_lang > 0, maj)
+    return mid.select(
+        F.col(id_col),
+        F.size(preds).cast("long").alias("n_paras"),
+        n_lang.cast("long").alias("n_lang_paras"),
+        maj.alias("majority_lang"),
+        F.when(n_lang > 0, n_lang - mx_count)
+        .otherwise(F.lit(0)).cast("long").alias("n_switch"),
+        (
+            F.when(n_lang > 0, (n_lang - mx_count).cast("double"))
+            .otherwise(F.lit(0.0))
+            / F.greatest(n_lang, F.lit(1)).cast("double")
+        ).alias("switch_frac"),
+    )
+
+
 def fim_transform(
     df: DataFrame,
     id_col: str = "doc_id",

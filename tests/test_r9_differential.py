@@ -138,3 +138,17 @@ def test_fim_differential(spark_session, texts):
     rows = [(i, t, f"s{i % 3}") for i, t in enumerate(texts)]
     got = fim_transform(_docs_df(spark_session, rows))
     _compare(got, _oracle_rows("fim_transform", rows))
+
+
+@_SETTINGS
+@given(texts=st.lists(_DOC, min_size=0, max_size=8))
+def test_language_mix_differential(spark_session, texts):
+    from knime_core_columnar_spark.operators.text import language_mix_audit
+
+    # fold in multi-paragraph docs with language-marker words so the
+    # majority/tie paths get drawn, not just 'und' paragraphs
+    rows = [(i, t, f"s{i % 3}") for i, t in enumerate(texts)]
+    rows.append((900, "the of is\nder und ist\nle et est\nthe and to", "s0"))
+    rows.append((901, "el que y\nel los es\nthe of and", "s1"))
+    got = language_mix_audit(_docs_df(spark_session, rows))
+    _compare(got, _oracle_rows("language_mix_audit", rows))

@@ -1041,3 +1041,64 @@ def test_fim_zero_exchange_plan(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# language_mix_audit — paragraph language ID + code-switch fraction
+# ---------------------------------------------------------------------------
+
+def test_language_mix_hand_cases(spark):
+    from knime_core_columnar_spark.operators.text import language_mix_audit
+
+    df = spark.createDataFrame([
+        (1, "the cat is on the mat\nder hund ist nicht da\nthe dog is"),
+        (2, "le chat est la\nle chien est la"),   # pure fr
+        (3, "xyzzy plugh\nfoo bar"),              # unidentifiable
+        (4, None), (5, ""),
+        (6, "el que y los es\nthe of and to is\nder und nicht ist"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in language_mix_audit(df).collect()}
+    assert out[1]["majority_lang"] == "en" and out[1]["n_switch"] == 1
+    assert abs(out[1]["switch_frac"] - 1 / 3) < 1e-12
+    assert out[2]["majority_lang"] == "fr" and out[2]["n_switch"] == 0
+    assert out[3]["majority_lang"] is None and out[3]["n_lang_paras"] == 0
+    assert out[4]["n_paras"] == 0 and out[5]["n_paras"] == 0
+    # 3-way tie resolves to 'en' (fixed precedence), 2 switches
+    assert out[6]["majority_lang"] == "en" and out[6]["n_switch"] == 2
+
+
+def test_language_mix_agrees_with_doc_level_langid_on_single_para(spark):
+    """Vote rule parity: a one-paragraph doc's majority_lang equals
+    lang_id's document-level prediction (same markers, same ties)."""
+    from knime_core_columnar_spark.operators.text import (
+        lang_id,
+        language_mix_audit,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "the fox and the hound of note"),
+         (2, "der hund ist nicht die katze"),
+         (3, "le chat et la souris est les"),
+         (4, "el que y los es aqui"),
+         (5, "zz qq ww")],
+        "doc_id long, text string",
+    )
+    doc = {r["doc_id"]: r["p"] for r in
+           df.select("doc_id", lang_id("text").alias("p")).collect()}
+    para = {r["doc_id"]: r["majority_lang"]
+            for r in language_mix_audit(df).collect()}
+    for did, pred in doc.items():
+        want = None if pred == "und" else pred
+        assert para[did] == want, (did, pred)
+
+
+def test_language_mix_zero_exchange_plan(spark):
+    from knime_core_columnar_spark.operators.text import language_mix_audit
+
+    df = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
+    out = language_mix_audit(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -90,7 +90,8 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          # (Arrow kernel / pure-slice scan shapes), the count-of-counts
          # coverage curve, and the source-table mixture plan
          "span_corruption_masks", "fim_transform",
-         "vocab_coverage_curve", "temperature_mixture_plan"]
+         "vocab_coverage_curve", "temperature_mixture_plan",
+         "language_mix_audit"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
