@@ -909,10 +909,13 @@ def temperature_mixture_plan(
             ).otherwise(F.lit(0).cast("long")),
         )
         .withColumn(
+            # stays decimal(38,0): rem < W, and W = sum of floor(n^alpha*1e6)
+            # weights can exceed int64 at trillion-token-per-source scale —
+            # a long cast would wrap/NULL and corrupt the residual ranking
             "__rem",
             F.when(
-                F.col("__W") > 0, (prod % F.col("__W")).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
+                F.col("__W") > 0, prod % F.col("__W")
+            ).otherwise(F.lit(0).cast("decimal(38,0)")),
         )
     )
     residual = with_alloc0.agg(

@@ -259,8 +259,15 @@ def load_knime_settings(
     Supported types mirror the persistor enum
     (TableTransformNodeSettingsPersistor.java:374-476): SOURCE
     (internal.identifier — becomes the Plan's source name), SELECT
-    (internal.included_columns, int indices over the DATA columns;
-    the RowID travels implicitly in both engines), SLICE
+    (internal.included_columns, int indices over the full ValueSchema
+    in which the RowKey is column 0 — the reference's backend persists
+    SelectColumnsTransformSpec selections over ValueSchema indices,
+    ColumnarVirtualTable.selectColumns → ValueSchemaUtils.selectColumns
+    with the RowKey-at-column-0 invariant asserted at
+    ColumnarVirtualTable.java:569-580; this loader requires index 0 to
+    be present and first, strips it, and shifts the data indices down
+    by one because this engine's RowID travels implicitly — a SELECT
+    that drops the RowKey is inexpressible here and raises), SLICE
     (internal.from/to), ROWINDEX (internal.offset), IDENTITY, APPEND,
     CONCATENATE (empty internals; extra inputs must be SOURCE nodes —
     the linear-pipeline restriction of :class:`Plan`), and
@@ -278,6 +285,21 @@ def load_knime_settings(
     if isinstance(settings, str):
         settings = parse_knime_settings_xml(settings)
     mapper_registry = mapper_registry or {}
+
+    # Pre-AP-5.3 settings carry no "version" key (the reference defaults
+    # to 0, TableTransformNodeSettingsPersistor.java:230-233) and need the
+    # loader's compat rewrite of MapperWithRowIndexFactory MAP nodes into
+    # ROWINDEX+MAP+SELECT (:259-280). We don't implement that rewrite, so
+    # loading them here would silently change old MAP semantics — refuse.
+    version = settings.get("version", 0)
+    if version < 1:
+        raise ValueError(
+            f"settings version {version} predates AP 5.3; the reference "
+            "loader rewrites its MapperWithRowIndexFactory MAP nodes "
+            "(TableTransformNodeSettingsPersistor.java:259-280), which "
+            "this loader does not implement — re-save with a current "
+            "KNIME AP first"
+        )
 
     transforms = {
         int(k): v for k, v in settings.get("transforms", {}).items()
@@ -325,7 +347,22 @@ def load_knime_settings(
         if typ == "SOURCE":
             plan.add("SOURCE", table=internal["identifier"])
         elif typ == "SELECT":
-            plan.add("SELECT", columns=list(internal["included_columns"]))
+            # included_columns are ValueSchema indices (RowKey = 0); see
+            # the docstring. Require the RowKey first, shift the rest.
+            vs_cols = list(internal["included_columns"])
+            if not vs_cols or vs_cols[0] != 0:
+                raise ValueError(
+                    f"transform {idx}: SELECT included_columns={vs_cols} "
+                    "does not keep the RowKey (ValueSchema column 0) "
+                    "first; this engine's RowID is implicit and cannot "
+                    "be dropped or reordered by SELECT"
+                )
+            if any(c <= 0 for c in vs_cols[1:]):
+                raise ValueError(
+                    f"transform {idx}: SELECT included_columns={vs_cols} "
+                    "repeats or misorders ValueSchema index 0 (RowKey)"
+                )
+            plan.add("SELECT", columns=[c - 1 for c in vs_cols[1:]])
         elif typ == "SLICE":
             plan.add("SLICE", start=internal["from"], stop=internal["to"])
         elif typ == "ROWINDEX":
@@ -382,7 +419,11 @@ def save_knime_settings(plan: Plan) -> dict:
     on demand; ids are arbitrary labels, the connections carry the
     graph, and the reference loader resolves by id). Only the
     reference's persisted IR subset is expressible — SOURCE, SELECT
-    (integer columns), SLICE, ROWINDEX, IDENTITY, APPEND, CONCATENATE,
+    (integer columns, written as ValueSchema indices: RowKey 0 first,
+    data column i as i+1), SLICE/ROWINDEX only without order_by (the
+    reference specs carry from/to resp. offset alone — an order_by or a
+    non-default ROWINDEX name raises instead of silently dropping
+    semantics), IDENTITY, APPEND, CONCATENATE,
     MAP/APPEND_MAP (saved under :data:`SQL_EXPRS_MAPPER_CLASS` with the
     exprs dict as mapper_factory_settings); anything else raises."""
     transforms: dict[str, dict] = {}
@@ -416,12 +457,38 @@ def save_knime_settings(plan: Plan) -> dict:
                     "indices (the reference persists included_columns as "
                     f"an int array), got {cols!r}"
                 )
+            # persist as ValueSchema indices (RowKey at 0, data at i+1) —
+            # the convention the reference backend writes; see
+            # load_knime_settings for the inverse translation.
             node = {"type": "SELECT",
-                    "internal": {"included_columns": list(cols)}}
+                    "internal": {"included_columns":
+                                 [0] + [c + 1 for c in cols]}}
         elif step.op == "SLICE":
+            if a.get("order_by") is not None:
+                raise ValueError(
+                    "save_knime_settings: SLICE order_by has no slot in "
+                    "the reference's persisted SliceTransformSpec "
+                    "(from/to only) — dropping it would silently select "
+                    "different rows; use Plan.to_json for the native "
+                    "format"
+                )
             node = {"type": "SLICE",
                     "internal": {"from": a["start"], "to": a["stop"]}}
         elif step.op == "ROWINDEX":
+            if a.get("order_by") is not None:
+                raise ValueError(
+                    "save_knime_settings: ROWINDEX order_by has no slot "
+                    "in the reference's persisted RowIndexTransformSpec "
+                    "(offset only) — dropping it would silently number "
+                    "rows in a different order; use Plan.to_json"
+                )
+            if a.get("name", "row_index") != "row_index":
+                raise ValueError(
+                    "save_knime_settings: ROWINDEX column name "
+                    f"{a['name']!r} is not persistable (the reference "
+                    "spec carries only the offset; the loader always "
+                    "restores the default 'row_index' name)"
+                )
             node = {"type": "ROWINDEX",
                     "internal": {"offset": a.get("offset", 0)}}
         elif step.op == "IDENTITY":

@@ -92,7 +92,29 @@ def test_load_append(spark):
 
 
 def test_load_column_filter(spark):
-    """testLoadColumnFilter: SELECT with included_columns=[1, 2]."""
+    """testLoadColumnFilter's shape; indices are ValueSchema positions
+    (RowKey at 0 — ColumnarVirtualTable.java:569-580), so [0, 2, 3]
+    keeps the RowKey plus data columns 1 and 2."""
+    settings = {
+        "version": 1,
+        "transforms": {
+            "0": _src(ID_A),
+            "1": {"type": "SELECT",
+                  "internal": {"included_columns": [0, 2, 3]}},
+        },
+        "connections": {"0": _conn(0, 1, 0)},
+    }
+    plan = load_knime_settings(settings)
+    assert plan.steps[1].args["columns"] == [1, 2]  # shifted to data idx
+    a, _ = _tables(spark)
+    out = plan.execute(spark, {ID_A: a})
+    assert out.columns == ["i", "d"]
+
+
+def test_load_column_filter_dropping_rowkey_raises(spark):
+    """A SELECT whose included_columns omit ValueSchema index 0 drops
+    the RowKey — inexpressible here (the RowID is implicit), so it must
+    refuse rather than silently select shifted columns."""
     settings = {
         "version": 1,
         "transforms": {
@@ -102,10 +124,22 @@ def test_load_column_filter(spark):
         },
         "connections": {"0": _conn(0, 1, 0)},
     }
-    plan = load_knime_settings(settings)
-    a, _ = _tables(spark)
-    out = plan.execute(spark, {ID_A: a})
-    assert out.columns == ["i", "d"]  # indices over data columns
+    with pytest.raises(ValueError, match="RowKey"):
+        load_knime_settings(settings)
+
+
+def test_load_version_zero_raises(spark):
+    """Pre-AP-5.3 settings (version 0 or absent) need the reference
+    loader's MapperWithRowIndexFactory rewrite
+    (TableTransformNodeSettingsPersistor.java:259-280) — refuse."""
+    base = {
+        "transforms": {"0": _src(ID_A)},
+        "connections": {},
+    }
+    with pytest.raises(ValueError, match="5.3"):
+        load_knime_settings(dict(base, version=0))
+    with pytest.raises(ValueError, match="5.3"):
+        load_knime_settings(dict(base))  # no version key = version 0
 
 
 def test_load_concatenate(spark):
@@ -247,9 +281,10 @@ SETTINGS_XML = f"""<?xml version="1.0" encoding="UTF-8"?>
       <entry key="type" type="xstring" value="SELECT"/>
       <config key="internal">
         <config key="included_columns">
-          <entry key="array-size" type="xint" value="2"/>
+          <entry key="array-size" type="xint" value="3"/>
           <entry key="0" type="xint" value="0"/>
-          <entry key="1" type="xint" value="2"/>
+          <entry key="1" type="xint" value="1"/>
+          <entry key="2" type="xint" value="3"/>
         </config>
       </config>
     </config>
@@ -287,7 +322,8 @@ def test_settings_xml_roundtrip_and_execute(spark):
     slice, exactly as a saved KNIME workflow would carry it."""
     parsed = parse_knime_settings_xml(SETTINGS_XML)
     assert parsed["version"] == 1
-    assert parsed["transforms"]["1"]["internal"]["included_columns"] == [0, 2]
+    assert (parsed["transforms"]["1"]["internal"]["included_columns"]
+            == [0, 1, 3])
 
     plan = load_knime_settings(SETTINGS_XML)
     assert [s.op for s in plan.steps] == ["SOURCE", "SELECT", "SLICE"]
@@ -351,7 +387,9 @@ def test_save_column_filter_and_slice_shape(spark):
     tree = save_knime_settings(plan)
     sel = tree["transforms"]["1"]
     assert sel["type"] == "SELECT"
-    assert sel["internal"]["included_columns"] == [0, 2]
+    # data indices [0, 2] persist as ValueSchema indices (RowKey first)
+    assert sel["internal"]["included_columns"] == [0, 1, 3]
+    assert load_knime_settings(tree).steps[1].args["columns"] == [0, 2]
     sl = tree["transforms"]["2"]
     assert sl["type"] == "SLICE"
     assert sl["internal"] == {"from": 3, "to": 10}
@@ -369,6 +407,26 @@ def test_save_select_by_name_raises(spark):
     plan = Plan().add("SOURCE", table=ID_A).add("SELECT", columns=["s"])
     with pytest.raises(ValueError, match="integer column indices"):
         save_knime_settings(plan)
+
+
+def test_save_unpersistable_slice_rowindex_args_raise(spark):
+    """SLICE order_by / ROWINDEX order_by / non-default ROWINDEX name
+    have no slot in the reference specs — must raise, never silently
+    drop semantics (unlike a plain roundtrip these change which rows /
+    which order the reloaded plan produces)."""
+    from knime_core_columnar_spark.plans.persist import save_knime_settings
+
+    p1 = (Plan().add("SOURCE", table=ID_A)
+          .add("SLICE", start=0, stop=2, order_by=["i"]))
+    with pytest.raises(ValueError, match="SLICE order_by"):
+        save_knime_settings(p1)
+    p2 = (Plan().add("SOURCE", table=ID_A)
+          .add("ROWINDEX", name="row_index", order_by=["i"]))
+    with pytest.raises(ValueError, match="ROWINDEX order_by"):
+        save_knime_settings(p2)
+    p3 = Plan().add("SOURCE", table=ID_A).add("ROWINDEX", name="my_idx")
+    with pytest.raises(ValueError, match="not persistable"):
+        save_knime_settings(p3)
 
 
 def test_save_outside_reference_catalog_raises(spark):
