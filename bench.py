@@ -124,6 +124,81 @@ HEADLINE = [
 NOISY_N5 = {"distinct_rows", "window_running_sum", "sort_topk"}
 
 
+# --- host-noise calibration (round-10, VERDICT r9 item 1) ------------------
+# Round 9's only >2x reading (session_windows_batch 2.36x) was adjudicated as
+# KVM steal on untouched code; these probes make that adjudication mechanical:
+# every bench line carries (a) cumulative hypervisor steal seconds around the
+# run and (b) a fixed-work single-core spin timing before and after, compared
+# against the recorded quiet-host profile in HOSTPROFILE.json.
+
+_SPIN_ITERS = 10_000_000  # ~1.1 s on the quiet reference host
+
+
+def _read_steal_sec() -> float | None:
+    """Cumulative hypervisor steal time (seconds, all CPUs) from the
+    aggregate 'cpu' line of /proc/stat; None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            fields = f.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        return int(fields[8]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _spin_sec() -> float:
+    """Wall time of a fixed single-core integer workload (an LCG chain —
+    pure ALU, no allocation): a direct measure of how much CPU this host
+    is actually delivering to one thread right now."""
+    t0 = time.perf_counter()
+    x = 1
+    for _ in range(_SPIN_ITERS):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return time.perf_counter() - t0
+
+
+def _noise_gate(repo: str, spin_before: float, spin_after: float,
+                steal_delta: float | None) -> dict:
+    """Compare this run's spin calibration to the recorded quiet-host
+    profile (HOSTPROFILE.json, written on first run). Returns the
+    calibration record; sets noisy=True and warns on stderr when the
+    best spin deviates >20% from the profile — per-query numbers from a
+    flagged run should be adjudicated against their spread, not taken
+    as regressions."""
+    spin_best = min(spin_before, spin_after)
+    profile_path = os.path.join(repo, "HOSTPROFILE.json")
+    cal = {
+        "spin_iters": _SPIN_ITERS,
+        "spin_sec_before": round(spin_before, 4),
+        "spin_sec_after": round(spin_after, 4),
+        "steal_sec_delta": (None if steal_delta is None
+                            else round(steal_delta, 2)),
+        "noisy": False,
+    }
+    try:
+        with open(profile_path) as f:
+            profile_spin = json.load(f)["spin_sec"]
+    except (OSError, KeyError, ValueError):
+        profile_spin = None
+        try:
+            with open(profile_path, "w") as f:
+                json.dump({"spin_sec": round(spin_best, 4),
+                           "spin_iters": _SPIN_ITERS}, f)
+        except OSError:
+            pass
+    cal["profile_spin_sec"] = profile_spin
+    if profile_spin is not None and spin_best > profile_spin * 1.2:
+        cal["noisy"] = True
+        print(
+            f"WARNING: host noise gate tripped — spin calibration "
+            f"{spin_best:.3f}s vs quiet profile {profile_spin:.3f}s "
+            f"(>{20}% slow; steal_delta={cal['steal_sec_delta']}). "
+            "Timings from this run are not adjudicable as regressions.",
+            file=sys.stderr,
+        )
+    return cal
+
+
 def _force(df) -> None:
     """Evaluate the full plan, every column included. Map-typed columns
     (and structs containing maps) are not hashable by xxhash64, so they
@@ -150,6 +225,9 @@ def main():
 
     # warm the JVM + parquet footers once (not timed)
     _force(catalog.QUERIES["q1_pricing_summary"](spark, sf_dir))
+
+    steal_before = _read_steal_sec()
+    spin_before = _spin_sec()
 
     # best-of-N per query (default 5, override SPARK_GRAFT_BENCH_N):
     # single-shot local[32] timings are noisy (JIT, GC, python-worker
@@ -191,6 +269,15 @@ def main():
             round(runs[-1], 4),
         ]
 
+    spin_after = _spin_sec()
+    steal_after = _read_steal_sec()
+    steal_delta = (
+        None if steal_before is None or steal_after is None
+        else steal_after - steal_before
+    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    calibration = _noise_gate(repo, spin_before, spin_after, steal_delta)
+
     total = round(sum(timings.values()), 4)
     record = {
         "metric": "headline_queries_total",
@@ -203,13 +290,13 @@ def main():
         "n": n_runs,
         "n_noisy": {name: max(n_runs, 5) for name in NOISY_N5 if name in timings},
         "warmup_discard": 1,  # untimed warm run per query (round-6 protocol)
+        "calibration": calibration,
         "git_sha": _git_sha(),
     }
     if os.environ.get("SPARK_GRAFT_BENCH_BASELINE"):
         record["baseline"] = True
     # round-over-round bookkeeping: append to a local history file so
     # per-query regressions are attributable to a commit, not a round
-    repo = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(repo, "bench_history.jsonl"), "a") as f:
             f.write(json.dumps({**record, "ts": time.time()}) + "\n")
@@ -238,6 +325,7 @@ def main():
         "action": record["action"],
         "n": n_runs,
         "warmup_discard": 1,
+        "calibration": calibration,
         "git_sha": record["git_sha"],
         "full_record": full_path,
     }

@@ -123,15 +123,21 @@ def dedup_paragraphs(
 def exact_dedup(table: ColumnarTable, text_col: str = "text") -> ColumnarTable:
     """Content-hash dedup: keep the minimum-RowID row per normalized
     content fingerprint. One shuffle on the 16-byte hash (not the full
-    text) — group keys stay small however large the documents are."""
-    from pyspark.sql import Window
+    text) — group keys stay small however large the documents are.
 
+    Winner election is a partially-aggregated ``min(RowID)`` per hash +
+    an equi-join back on (hash, RowID) — NOT a Window over the hash: on
+    a web corpus the hottest full-document fingerprint (empty docs,
+    error boilerplate) lands every copy in one task under a window
+    partition, which AQE cannot split, while the groupBy's map-side
+    combine absorbs the hot key and the join is AQE-skew-splittable
+    (same election pattern as dedup_paragraphs, the distributed
+    analogue of the reference's serial duplicate scan,
+    ColumnarConcatenater.java:427-470)."""
     df = table.df.withColumn("__fp", fingerprint(text_col))
-    w = Window.partitionBy("__fp").orderBy(F.col(ROW_KEY))
+    winners = df.groupBy("__fp").agg(F.min(ROW_KEY).alias(ROW_KEY))
     return ColumnarTable(
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__fp")
+        df.join(winners, on=["__fp", ROW_KEY], how="leftsemi").drop("__fp")
     )
 
 
@@ -1464,14 +1470,18 @@ def winnow_overlap_pairs(
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
     totals = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     if max_df is not None:
-        from pyspark.sql import Window
-
-        dfreq = Window.partitionBy("fp")
-        fps = (
-            fps.withColumn("__df", F.count(F.lit(1)).over(dfreq))
+        # document frequency via partially-aggregated groupBy + semi-join,
+        # never a Window over the fingerprint: the hot boilerplate fps
+        # this cull exists to remove are exactly the ones that would pile
+        # a window partition into one unsplittable task, while the
+        # groupBy's map-side combine absorbs them for free
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= max_df)
-            .drop("__df")
+            .select("fp")
         )
+        fps = fps.join(rare, "fp", "left_semi")
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     pairs = (
