@@ -744,14 +744,18 @@ def write_avro(
         from .fscheck import assert_executor_visible
 
         assert_executor_visible(df.sparkSession, directory)
-    os.makedirs(directory, exist_ok=True)
+    from . import fsio
+
+    fsio.make_out_dir(directory)
     schema_json = df.schema.json()
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import uuid
 
+        from knime_core_columnar_spark.sources import fsio as _fsio
+
         st = T.StructType.fromJson(json.loads(schema_json))
-        fname = os.path.join(directory, f"part-{uuid.uuid4().hex}.avro")
+        fname = f"part-{uuid.uuid4().hex}.avro"
         n = 0
 
         def rows():
@@ -765,9 +769,8 @@ def write_avro(
             st, rows(), codec=codec, rows_per_block=rows_per_block
         )
         if n:
-            with open(fname, "wb") as fh:
-                fh.write(data)
-            yield pd.DataFrame({"path": [fname], "rows": [n]})
+            path = _fsio.write_shard_bytes(directory, fname, data)
+            yield pd.DataFrame({"path": [path], "rows": [n]})
 
     res = df.mapInPandas(write_partition, "path string, rows long").collect()
     return [r["path"] for r in res]

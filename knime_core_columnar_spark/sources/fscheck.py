@@ -15,18 +15,20 @@ catches.
 This module turns that assumption into a HARD RUNTIME GUARD (round-8
 judge item 3). Before any data work the writer:
 
-1. rejects URI-scheme paths outright (``s3://…``, ``hdfs://…`` —
-   Python ``open()`` cannot write these; Spark's Python workers have
-   no py4j bridge to the JVM Hadoop ``FileSystem``, so routing bytes
-   through the Hadoop API from inside a Pandas UDF is not reachable —
-   export to a mounted path, or write Parquet/ORC via Spark's own
-   distributed writers and convert);
+1. resolves URI-scheme paths (``s3://…``, ``gs://…``, ``file://…``,
+   ``hdfs://…``) through the :mod:`.fsio` pyarrow.fs tier (round-10;
+   Python ``open()`` cannot write these, and Spark's Python workers
+   have no py4j bridge to the JVM Hadoop ``FileSystem`` — the
+   Arrow-native clients bundled with pyarrow take that role), raising
+   immediately for schemes pyarrow cannot reach;
 2. writes a uuid marker file into ``out_dir`` from the driver and
    runs a tiny probe job (``2 × defaultParallelism`` single-element
-   tasks, capped at 64) that re-reads the marker on the executors.
-   Any task that cannot read the marker bytes proves ``out_dir`` is
-   not a shared filesystem and the writer raises BEFORE shuffling a
-   single record.
+   tasks, capped at 64) that re-reads the marker on the executors —
+   through plain ``open()`` for mount paths and through the same
+   pyarrow.fs adapter for URIs (which also validates worker-side
+   credentials/reachability). Any task that cannot read the marker
+   bytes proves ``out_dir`` is not writable distributedly and the
+   writer raises BEFORE shuffling a single record.
 
 The probe is a guard, not a proof: task placement is up to the
 scheduler, so a cluster where only SOME executors lack the mount can
@@ -63,26 +65,62 @@ def _probe_run(spark, marker: str, token: str, n_tasks: int) -> list[bool]:
     return sc.parallelize(range(n_tasks), n_tasks).mapPartitions(probe).collect()
 
 
+def _probe_run_uri(spark, out_dir: str, fname: str, token: str,
+                   n_tasks: int) -> list[bool]:
+    """URI tier: re-read the marker on the executors through the same
+    pyarrow.fs adapter the shards will be written with — validates
+    scheme support, network reachability, and credentials from the
+    worker side, not just the driver."""
+
+    def probe(_it):
+        from knime_core_columnar_spark.sources import fsio
+
+        try:
+            return [fsio.read_shard_bytes(out_dir, fname)
+                    == token.encode("ascii")]
+        except Exception:
+            return [False]
+
+    sc = spark.sparkContext
+    return sc.parallelize(range(n_tasks), n_tasks).mapPartitions(probe).collect()
+
+
 def assert_executor_visible(spark, out_dir: str, n_tasks: int | None = None) -> None:
-    """Raise unless ``out_dir`` is writable by plain ``open()`` AND
-    visible from executor tasks. See module docstring for semantics."""
-    if "://" in out_dir:
-        raise ValueError(
-            f"out_dir {out_dir!r} has a URI scheme: the container writers "
-            "emit shards with executor-local open(), which cannot write "
-            "object-store/HDFS URIs (Python workers have no JVM Hadoop "
-            "FileSystem bridge). Point out_dir at a filesystem path "
-            "mounted on every executor, or export via Spark's own "
-            "distributed writers (parquet/orc) and convert."
-        )
-    os.makedirs(out_dir, exist_ok=True)
+    """Raise unless ``out_dir`` is writable AND visible from executor
+    tasks — via plain ``open()`` for mount paths, via the
+    :mod:`.fsio` pyarrow.fs adapter for URI destinations (``file://``,
+    ``s3://``, ``gs://``, ``abfs[s]://``, ``hdfs://``). See module
+    docstring for semantics."""
+    from . import fsio
+
     token = uuid.uuid4().hex
+    if n_tasks is None:
+        n_tasks = min(max(2 * spark.sparkContext.defaultParallelism, 8), 64)
+    if fsio.is_uri(out_dir):
+        fsio.make_out_dir(out_dir)  # raises early on unreachable schemes
+        fname = f".__fsprobe-{token}"
+        fsio.write_shard_bytes(out_dir, fname, token.encode("ascii"))
+        try:
+            seen = _probe_run_uri(spark, out_dir, fname, token, n_tasks)
+            if not seen or not all(seen):
+                bad = sum(1 for s in seen if not s)
+                raise RuntimeError(
+                    f"out_dir {out_dir!r} is not reachable from the "
+                    f"executors: {bad}/{len(seen)} probe tasks could not "
+                    "re-read the driver's marker through pyarrow.fs. "
+                    "Check that the workers can resolve the scheme "
+                    "(libhdfs for hdfs://) and hold credentials for the "
+                    "bucket; or export via Spark's distributed "
+                    "parquet/orc writers and convert."
+                )
+        finally:
+            fsio.delete_shard(out_dir, fname)
+        return
+    os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, f".__fsprobe-{token}")
     with open(marker, "w", encoding="ascii") as fh:
         fh.write(token)
     try:
-        if n_tasks is None:
-            n_tasks = min(max(2 * spark.sparkContext.defaultParallelism, 8), 64)
         seen = _probe_run(spark, marker, token, n_tasks)
         if not seen or not all(seen):
             bad = sum(1 for s in seen if not s)
@@ -93,8 +131,10 @@ def assert_executor_visible(spark, out_dir: str, n_tasks: int | None = None) -> 
                 "shared filesystem (NFS/Lustre/FUSE object-store mount) "
                 "on every executor; without one each executor would "
                 "write shards to its own local disk — scattered, "
-                "partial output. Mount a shared path, or export via "
-                "Spark's distributed parquet/orc writers and convert."
+                "partial output. Mount a shared path, write to an "
+                "object-store URI (s3://, gs://, abfs://) served by the "
+                "pyarrow.fs tier, or export via Spark's distributed "
+                "parquet/orc writers and convert."
             )
     finally:
         try:

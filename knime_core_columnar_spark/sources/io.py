@@ -198,29 +198,46 @@ def write_arrow_ipc(
         from .fscheck import assert_executor_visible
 
         assert_executor_visible(table.df.sparkSession, directory)
-    os.makedirs(directory, exist_ok=True)
+    from . import fsio
+
+    fsio.make_out_dir(directory)
     schema_json = table.df.schema.json()
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import socket
         import uuid
 
+        import pyarrow as _pa
+        import pyarrow.ipc  # noqa: F401 (sink/new_file below)
         from pyspark.sql.pandas.types import to_arrow_schema
+
+        from knime_core_columnar_spark.sources import fsio as _fsio
 
         spark_schema = T.StructType.fromJson(__import__("json").loads(schema_json))
         arrow_schema = to_arrow_schema(spark_schema)
-        fname = os.path.join(directory, f"part-{uuid.uuid4().hex}.arrow")
+        shard = f"part-{uuid.uuid4().hex}.arrow"
         writer = None
         n = 0
         for pdf in batches:
             batch = pa.RecordBatch.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
             if writer is None:
-                sink = pa.OSFile(fname, "wb")
+                # batches STREAM to the sink (bounded memory per task) on
+                # both tiers: OSFile on mount paths, the pyarrow.fs output
+                # stream (Arrow-native S3/GCS/Azure multipart upload) on
+                # URI destinations
+                if _fsio.is_uri(directory):
+                    fs, root = _fsio.resolve_fs(directory)
+                    fname = f"{directory.rstrip('/')}/{shard}"
+                    sink = fs.open_output_stream(f"{root.rstrip('/')}/{shard}")
+                else:
+                    fname = os.path.join(directory, shard)
+                    sink = _pa.OSFile(fname, "wb")
                 writer = pa.ipc.new_file(sink, arrow_schema)
             writer.write_batch(batch)
             n += len(pdf)
         if writer is not None:
             writer.close()
+            sink.close()
             yield pd.DataFrame({"path": [fname], "rows": [n], "host": [socket.gethostname()]})
 
     out_schema = "path string, rows long, host string"

@@ -123,7 +123,9 @@ def write_warc(
         from .fscheck import assert_executor_visible
 
         assert_executor_visible(df.sparkSession, out_dir)
-    os.makedirs(out_dir, exist_ok=True)
+    from . import fsio
+
+    fsio.make_out_dir(out_dir)
 
     def _write_file(pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(pdf["__file"].iloc[0])
@@ -151,11 +153,12 @@ def write_warc(
             with gzip.GzipFile(fileobj=member, mode="wb", mtime=0) as gz:
                 gz.write(_record_bytes(url, content, http_wrap=http_wrap))
             buf.write(member.getvalue())
-        path = os.path.join(out_dir, f"part-{fid:05d}.warc.gz")
-        tmp = f"{path}.part{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(buf.getvalue())
-        os.replace(tmp, path)
+        # absolute import: this closure is pickled by value into
+        # executor tasks, where relative imports have no package context
+        from knime_core_columnar_spark.sources import fsio
+
+        fsio.write_shard_bytes(out_dir, f"part-{fid:05d}.warc.gz",
+                               buf.getvalue())
         return pd.DataFrame({"file": [fid], "n_records": [len(recs)]})
 
     cols = list(dict.fromkeys([url_col, content_col, key_col]))

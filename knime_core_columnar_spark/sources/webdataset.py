@@ -88,7 +88,9 @@ def write_webdataset(
         from .fscheck import assert_executor_visible
 
         assert_executor_visible(df.sparkSession, out_dir)
-    os.makedirs(out_dir, exist_ok=True)
+    from . import fsio
+
+    fsio.make_out_dir(out_dir)
     cols = [key_col, *text_cols, *binary_cols]
 
     def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -123,11 +125,10 @@ def write_webdataset(
                 info.uid = info.gid = 0
                 info.uname = info.gname = ""
                 tf.addfile(info, io.BytesIO(data))
-        path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
-        tmp = f"{path}.part{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(buf.getvalue())
-        os.replace(tmp, path)
+        from knime_core_columnar_spark.sources import fsio
+
+        fsio.write_shard_bytes(out_dir, f"shard-{shard:05d}.tar",
+                               buf.getvalue())
         return pd.DataFrame(
             {"shard": [shard], "n_samples": [len(pdf)],
              "n_bytes": [len(buf.getvalue())]}
