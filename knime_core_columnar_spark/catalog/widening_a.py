@@ -936,12 +936,21 @@ def simple_linear_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SimpleLinearWorkflowBenchmark.java:80-87 runs exactly this node
     chain over a 64 MB CSV). Here: lineitem exported to CSV once (the
     ingest artifact), read back with a declared schema through the
-    ColumnarTable API, then keep_only_columns → append_map → filter_rows
-    — the same four stages as the reference's measured workflow. Spark
-    CSV round-trips doubles via shortest-repr printing, so values stay
-    bit-exact against the parquet-based oracle."""
+    ColumnarTable API; the three transform nodes are NOT hand-coded —
+    they are expressed as KNIME node settings (the same NodeSettings
+    shape the real workflow serializes, see
+    tests/fixtures/simple_linear/) and compiled to a Plan by
+    plans.workflow.compile_workflow, the code path that also compiles
+    the reference's real settings.xml files in
+    tests/test_knime_workflow.py. Spark CSV round-trips doubles via
+    shortest-repr printing, so values stay bit-exact against the
+    parquet-based oracle."""
     import os
 
+    from knime_core_columnar_spark.plans.workflow import (
+        WorkflowNode,
+        compile_workflow,
+    )
     from knime_core_columnar_spark.sources.io import read_csv
 
     _ensure_pkg_on_executors(spark)
@@ -959,18 +968,41 @@ def simple_linear_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
         _publish_dir(f"{csv_dir}.part{os.getpid()}", csv_dir)
     schema = ("l_orderkey long, l_linenumber int, l_returnflag string, "
               "l_linestatus string, l_quantity double, l_extendedprice double")
-    t = read_csv(
+    t = read_csv(  # CSV Reader (bound per the node's CsvSourceSpec role)
         spark, csv_dir, schema=schema,
         key_columns=["l_orderkey", "l_linenumber"],
     )
-    t = t.keep_only_columns(*cols)  # Column Filter
-    t = t.append_map({                # String Manipulation
-        "flag_status": F.upper(
-            F.concat_ws("_", F.col("l_returnflag"), F.col("l_linestatus"))
-        )
-    })
-    t = t.filter_rows(F.col("l_quantity") > 25)  # Row Filter
-    return t.df
+    nodes = [
+        WorkflowNode(  # Column Filter (#2)'s model shape
+            factory="org.knime.base.node.preproc.filter.column."
+                    "DataColumnSpecFilterNodeFactory",
+            model={"column-filter": {"filter-type": "STANDARD",
+                                     "included_names": cols}},
+        ),
+        WorkflowNode(  # String Manipulation (#3)'s model shape
+            factory="org.knime.base.node.preproc.stringmanipulation."
+                    "StringManipulationNodeFactory",
+            model={"expression":
+                   'upperCase(joinSep("_", $l_returnflag$, $l_linestatus$))',
+                   "replaced_column": "flag_status",
+                   "append_column": True},
+        ),
+        WorkflowNode(  # Row Filter (#4)'s model shape
+            factory="org.knime.base.node.preproc.filter.row3."
+                    "RowFilterNodeFactory",
+            model={"matchCriteria": "AND", "outputMode": "MATCHING",
+                   "predicates": {"0": {
+                       "column": {"selected": "l_quantity"},
+                       "operator": "GT",
+                       "predicateValues": {"inputKind": "SINGLE", "values": {
+                           "0": {"typeIdentifier": {"cell_class":
+                                 "org.knime.core.data.def.IntCell"},
+                                 "value": 25}}},
+                   }}},
+        ),
+    ]
+    plan, _ = compile_workflow(nodes, source_table="lineitem_csv")
+    return plan.execute(spark, {"lineitem_csv": t}).df
 
 
 @query(
