@@ -117,6 +117,10 @@ HEADLINE = [
     # round-9: the Gopher battery's new Arrow kernel tier under the
     # stopwatch (it replaced the expression tier as the default)
     "gopher_repetition",
+    # round-10: the composed end-to-end training pipeline (lang gate →
+    # FIM → recount → pack → rollup) — operator composition under the
+    # stopwatch so a regression in any stage's plan shape surfaces here
+    "training_pipeline_e2e",
 ]
 
 # sub-0.3 s queries whose r3→r4 deltas exceeded 15% with overlapping

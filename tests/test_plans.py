@@ -187,6 +187,26 @@ def test_subdoc_dedup_no_hash_key_window(spark):
         ) >= 2, name
 
 
+def test_training_pipeline_e2e_shape(spark):
+    """Composed pipeline (round-10): the lang-audit gate must broadcast
+    the keep set into a semi-join (never shuffle the corpus for it), no
+    Window anywhere (the audit is array algebra, the packing is
+    applyInPandas), and at most two exchanges — the packing stream
+    partition and the per-pack rollup — both carrying (id, stream,
+    tokens) triples, never document text."""
+    import re
+
+    p = plan_of(spark, "training_pipeline_e2e")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
+    shuffles = set(re.findall(r"\(\d+\) Exchange", p))
+    assert len(shuffles) <= 2, shuffles
+    # the exchanges sit above the FIM output projection: no text column
+    # in their output schemas
+    assert "FlatMapGroupsInPandas" in p  # pack_sequences kernel
+
+
 def test_unigram_lm_single_vocab_agg(spark):
     """Corpus token total must come from the narrow sum(size(tokens))
     scan: exactly ONE word-keyed aggregation pair (vocab count), not
