@@ -1,0 +1,180 @@
+"""Round-10 differential fuzz: (a) dup_span_apply's new Arrow kernel
+tier vs the pure-expression tier — bit-exact on hypothesis-drawn
+corpora with planted duplicate passages (the gopher_repetition /
+span_corruption discipline: one semantics, two engines, equality
+pinned); (b) the Arrow tier vs the REGISTERED DuckDB oracle; (c) the
+composed training_pipeline_e2e query vs its registered oracle on random
+corpora. Deterministic (derandomize=True)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+
+_WORDS = ["the", "fox", "ab", "x1", "Zz", "naïve", "日本", "a-b",
+          "don't", "#", "..."]
+
+# a passage long enough to carry duplicated 8-grams when planted twice
+_PASSAGE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+_DOC = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("   "),
+    st.just(_PASSAGE),
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=30).map(
+        " ".join
+    ),
+    # duplicated passage embedded at a shifted offset
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6).map(
+        lambda ws: " ".join(ws) + " " + _PASSAGE
+    ),
+    # hostile whitespace
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8).map(
+        lambda ws: "  " + "\t".join(ws) + " \n "
+    ),
+)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def _norm(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        return int(v) if v.is_integer() else v
+    if hasattr(v, "item"):
+        return _norm(v.item())
+    return v
+
+
+def _rows_of(df):
+    cols = sorted(df.columns)
+    return cols, sorted(
+        (tuple(_norm(r[c]) for c in cols) for r in df.collect()), key=repr
+    )
+
+
+def _oracle_rows(name, rows):
+    from knime_core_columnar_spark import catalog
+
+    con = duckdb.connect(":memory:")
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+        "source VARCHAR)"
+    )
+    if rows:
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    return con.execute(catalog.ORACLES[name]).df()
+
+
+def _compare_oracle(spark_df, oracle_pdf):
+    cols, got = _rows_of(spark_df)
+    assert sorted(oracle_pdf.columns) == cols
+    want = sorted(
+        (tuple(_norm(v) for v in row)
+         for row in oracle_pdf[cols].itertuples(index=False, name=None)),
+        key=repr,
+    )
+    assert got == want
+
+
+@_SETTINGS
+@given(texts=st.lists(_DOC, min_size=0, max_size=8),
+       k=st.sampled_from([2, 3, 8]))
+def test_dup_span_apply_arrow_vs_expr(spark_session, texts, k):
+    """The two tiers are the SAME operator: identical output on every
+    corpus, every k — including empty/NULL docs, unicode tokens,
+    hostile whitespace, and planted duplicate passages."""
+    from knime_core_columnar_spark.operators.dedup import dup_span_apply
+
+    rows = [(i, t, f"s{i % 3}") for i, t in enumerate(texts)]
+    d = _docs_df(spark_session, rows)
+    a = _rows_of(dup_span_apply(d, "doc_id", "text", k=k, engine="arrow"))
+    e = _rows_of(dup_span_apply(d, "doc_id", "text", k=k, engine="expr"))
+    assert a == e
+
+
+@_SETTINGS
+@given(texts=st.lists(_DOC, min_size=0, max_size=8))
+def test_dup_span_apply_arrow_vs_oracle(spark_session, texts):
+    """The Arrow tier (the registered default) against the registered
+    DuckDB oracle at the catalog's k=8/min_count=2 parameters."""
+    from knime_core_columnar_spark.operators.dedup import dup_span_apply
+
+    rows = [(i, t, f"s{i % 3}") for i, t in enumerate(texts)]
+    got = dup_span_apply(_docs_df(spark_session, rows), "doc_id", "text",
+                         k=8, min_count=2, engine="arrow")
+    _compare_oracle(got, _oracle_rows("dup_span_apply", rows))
+
+
+@_SETTINGS
+@given(texts=st.lists(_DOC, min_size=0, max_size=8))
+def test_training_pipeline_differential(spark_session, texts):
+    """The composed pipeline query vs its oracle on random corpora —
+    the composition is certified beyond the fixed gate corpus. Fold in
+    English-majority multi-paragraph docs so the gate passes something."""
+    from knime_core_columnar_spark import catalog
+
+    rows = [(i, t, f"s{i % 3}") for i, t in enumerate(texts)]
+    rows.append((900, "the of is to and\nthe fox is the\n" + _PASSAGE, "s0"))
+    rows.append((901, "the and of\nder und ist\nthe to is", "s1"))
+    con = duckdb.connect(":memory:")
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+        "source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want_pdf = con.execute(
+        catalog.ORACLES["training_pipeline_e2e"]).df()
+
+    import knime_core_columnar_spark.catalog.round10_ext as r10
+
+    d = _docs_df(spark_session, rows)
+    # rebuild the query body over the in-memory docs (the registered
+    # callable reads parquet; the stages are identical)
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.operators.packing import pack_sequences
+    from knime_core_columnar_spark.operators.text import (
+        fim_transform,
+        language_mix_audit,
+        token_count,
+    )
+
+    audit = language_mix_audit(d)
+    keep = audit.filter(
+        (F.col("majority_lang") == "en")
+        & (4 * F.col("n_switch") <= F.col("n_lang_paras"))
+    ).select("doc_id")
+    gated = d.join(keep, "doc_id", "left_semi")
+    fim = fim_transform(gated)
+    toks = fim.select(
+        "doc_id", token_count(F.col("output")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(toks, "doc_id", "n_tokens",
+                            capacity=512, n_streams=8)
+    got = (
+        packed.groupBy("stream", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("pack_tokens"),
+             F.max("n_tokens").alias("max_doc_tokens"))
+    )
+    _compare_oracle(got, want_pdf)
