@@ -1,10 +1,8 @@
-"""Round-10 differential fuzz: (a) dup_span_apply's new Arrow kernel
-tier vs the pure-expression tier — bit-exact on hypothesis-drawn
-corpora with planted duplicate passages (the gopher_repetition /
-span_corruption discipline: one semantics, two engines, equality
-pinned); (b) the Arrow tier vs the REGISTERED DuckDB oracle; (c) the
-composed training_pipeline_e2e query vs its registered oracle on random
-corpora. Deterministic (derandomize=True)."""
+"""Round-10 differential fuzz: (a) dup_span_apply (single checkpointed
+gram pass) vs the REGISTERED DuckDB oracle on hypothesis-drawn corpora
+with planted duplicate passages; (b) the composed training_pipeline_e2e
+query vs its registered oracle on random corpora. Deterministic
+(derandomize=True)."""
 
 from __future__ import annotations
 
@@ -97,31 +95,19 @@ def _compare_oracle(spark_df, oracle_pdf):
 
 
 @_SETTINGS
-@given(texts=st.lists(_DOC, min_size=0, max_size=8),
-       k=st.sampled_from([2, 3, 8]))
-def test_dup_span_apply_arrow_vs_expr(spark_session, texts, k):
-    """The two tiers are the SAME operator: identical output on every
-    corpus, every k — including empty/NULL docs, unicode tokens,
-    hostile whitespace, and planted duplicate passages."""
-    from knime_core_columnar_spark.operators.dedup import dup_span_apply
-
-    rows = [(i, t, f"s{i % 3}") for i, t in enumerate(texts)]
-    d = _docs_df(spark_session, rows)
-    a = _rows_of(dup_span_apply(d, "doc_id", "text", k=k, engine="arrow"))
-    e = _rows_of(dup_span_apply(d, "doc_id", "text", k=k, engine="expr"))
-    assert a == e
-
-
-@_SETTINGS
 @given(texts=st.lists(_DOC, min_size=0, max_size=8))
-def test_dup_span_apply_arrow_vs_oracle(spark_session, texts):
-    """The Arrow tier (the registered default) against the registered
-    DuckDB oracle at the catalog's k=8/min_count=2 parameters."""
+def test_dup_span_apply_vs_oracle(spark_session, texts):
+    """dup_span_apply (round-10: single checkpointed gram pass) against
+    the registered DuckDB oracle at the catalog's k=8/min_count=2
+    parameters, on corpora with planted duplicate passages, hostile
+    whitespace, unicode tokens, and empty/NULL docs. (An Arrow rebuild
+    kernel was fuzz-pinned against the expression tier here before
+    being rejected on the 100x measurement — see the docstring.)"""
     from knime_core_columnar_spark.operators.dedup import dup_span_apply
 
     rows = [(i, t, f"s{i % 3}") for i, t in enumerate(texts)]
     got = dup_span_apply(_docs_df(spark_session, rows), "doc_id", "text",
-                         k=8, min_count=2, engine="arrow")
+                         k=8, min_count=2)
     _compare_oracle(got, _oracle_rows("dup_span_apply", rows))
 
 

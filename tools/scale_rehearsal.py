@@ -91,7 +91,10 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          # coverage curve, and the source-table mixture plan
          "span_corruption_masks", "fim_transform",
          "vocab_coverage_curve", "temperature_mixture_plan",
-         "language_mix_audit"]
+         "language_mix_audit",
+         # round-10: the composed training pipeline (gate -> FIM ->
+         # recount -> pack -> rollup) — composition under the 100x lens
+         "training_pipeline_e2e"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
