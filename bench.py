@@ -121,6 +121,10 @@ HEADLINE = [
     # FIM → recount → pack → rollup) — operator composition under the
     # stopwatch so a regression in any stage's plan shape surfaces here
     "training_pipeline_e2e",
+    # round-10: URL curation (canonicalize + min-id election) — the
+    # web-corpus hygiene pass; zero-exchange until the (md5-16, id)
+    # election
+    "url_dedup_canonical",
 ]
 
 # sub-0.3 s queries whose r3→r4 deltas exceeded 15% with overlapping

@@ -192,3 +192,194 @@ def _r10x_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_doc_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL curation family (operators.urls) — web-corpus hygiene: parse,
+# canonicalize (tracking-param strip, default-port strip, param sort),
+# canonical-URL dedup, registered-domain rollup. The documents table
+# carries no URL column, so both engines SYNTHESIZE the same messy URL
+# per doc from md5-60 draws (mixed-case scheme/host, default and
+# explicit ports, tracking params in shuffled order, fragments) — the
+# oracle then replays parsing + canonicalization with the identical
+# regexes and list algebra.
+# ---------------------------------------------------------------------------
+
+_URL_SYNTH_SQL = """
+      SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|u1'),
+                                1, 15))::BIGINT % 4 AS v1,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|u2'),
+                                1, 15))::BIGINT % 4 AS v2,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|u3'),
+                                1, 15))::BIGINT % 2 AS v3
+      FROM documents
+"""
+
+_URL_BUILD_SQL = """
+      SELECT doc_id,
+             (['HTTPS', 'http', 'https', 'HtTp'][CAST(v1 + 1 AS INT)])
+             || '://'
+             || (['www.Example.COM', 'news.example.com',
+                  'Blog.Example.co.uk', 'cdn.example.com']
+                 [CAST(v1 + 1 AS INT)])
+             || ([':443', '', '', ':8080'][CAST(v1 + 1 AS INT)])
+             || '/p/' || CAST(doc_id % 120 AS VARCHAR)
+             || (['?utm_source=feed&b=2&a=1', '?a=1&b=2',
+                  '?b=2&a=1&gclid=XYZ', ''][CAST(v2 + 1 AS INT)])
+             || (['#sec', ''][CAST(v3 + 1 AS INT)]) AS url
+      FROM synth
+"""
+
+# DuckDB replay of operators.urls.canonicalize_url — identical regexes,
+# identical tracking-param rules, identical sort.
+_URL_CANON_SQL = r"""
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(regexp_extract(
+               regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+               '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+             regexp_extract(
+               regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+               ':([0-9]+)$', 1) AS port,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             list_sort(list_filter(
+               string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+               p -> p <> ''
+                 AND NOT starts_with(lower(
+                       CASE WHEN instr(p, '=') > 0
+                            THEN split_part(p, '=', 1) ELSE p END),
+                       'utm_')
+                 AND NOT list_contains(
+                       ['gclid', 'fbclid', 'msclkid', 'mc_cid', 'mc_eid',
+                        'ref', 'ref_src', 'igshid'],
+                       lower(CASE WHEN instr(p, '=') > 0
+                                  THEN split_part(p, '=', 1) ELSE p END))
+             )) AS kept
+      FROM urls
+"""
+
+_URL_CANON_FINISH_SQL = """
+      SELECT doc_id, url,
+             scheme || '://' || host
+             || (CASE WHEN port = '' THEN ''
+                      WHEN scheme = 'http'  AND port = '80'  THEN ''
+                      WHEN scheme = 'https' AND port = '443' THEN ''
+                      WHEN scheme = 'ftp'   AND port = '21'  THEN ''
+                      ELSE ':' || port END)
+             || path
+             || (CASE WHEN len(kept) > 0
+                      THEN '?' || array_to_string(kept, '&')
+                      ELSE '' END) AS canon_url,
+             host
+      FROM parts
+"""
+
+_URL_DEDUP_ORACLE = f"""
+    WITH synth AS ({_URL_SYNTH_SQL}),
+    urls AS ({_URL_BUILD_SQL}),
+    parts AS ({_URL_CANON_SQL}),
+    canon AS ({_URL_CANON_FINISH_SQL}),
+    winners AS (
+      SELECT md5(canon_url)[1:16] AS uk, MIN(doc_id) AS doc_id
+      FROM canon GROUP BY md5(canon_url)[1:16]
+    )
+    SELECT c.doc_id, c.url, c.canon_url
+    FROM canon c JOIN winners w
+      ON w.doc_id = c.doc_id AND w.uk = md5(c.canon_url)[1:16]
+"""
+
+
+@query("url_dedup_canonical", _URL_DEDUP_ORACLE)
+def _r10x_url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (operators.urls.url_dedup): synthesize one
+    messy URL per document (mixed-case scheme/host, default and
+    explicit ports, shuffled tracking params, fragments), canonicalize
+    (lower scheme/host, strip default port / fragment / tracking
+    params, sort survivors), keep the min-doc_id row per canonical
+    form. Election is the round-10 min+semi-join pattern — no Window
+    over the URL hash. Zero-exchange until the (md5-16, id) election."""
+    from knime_core_columnar_spark.operators.urls import url_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = d.select("doc_id", _synth_url().alias("url"))
+    return url_dedup(urls, "doc_id", "url").select(
+        "doc_id", "url", "canon_url"
+    )
+
+
+def _synth_url():
+    """Spark twin of the oracle's URL synthesis (same md5-60 draws)."""
+    did = F.col("doc_id").cast("string")
+
+    def draw(salt: str, mod: int):
+        return (
+            F.conv(F.substring(F.md5(F.concat(did, F.lit(salt))), 1, 15),
+                   16, 10).cast("long") % mod
+        ).cast("int")
+
+    v1, v2, v3 = draw("|u1", 4), draw("|u2", 4), draw("|u3", 2)
+    pick = lambda arr, v: F.element_at(  # noqa: E731
+        F.array(*[F.lit(x) for x in arr]), v + 1
+    )
+    return F.concat(
+        pick(["HTTPS", "http", "https", "HtTp"], v1),
+        F.lit("://"),
+        pick(["www.Example.COM", "news.example.com",
+              "Blog.Example.co.uk", "cdn.example.com"], v1),
+        pick([":443", "", "", ":8080"], v1),
+        F.lit("/p/"), (F.col("doc_id") % 120).cast("string"),
+        pick(["?utm_source=feed&b=2&a=1", "?a=1&b=2",
+              "?b=2&a=1&gclid=XYZ", ""], v2),
+        pick(["#sec", ""], v3),
+    )
+
+
+_DOMAIN_ROLLUP_ORACLE = f"""
+    WITH synth AS ({_URL_SYNTH_SQL}),
+    urls AS ({_URL_BUILD_SQL}),
+    parts AS ({_URL_CANON_SQL}),
+    canon AS ({_URL_CANON_FINISH_SQL}),
+    doms AS (
+      SELECT md5(canon_url)[1:16] AS uk,
+             CASE
+               WHEN len(string_split(host, '.')) <= 2 THEN host
+               WHEN list_contains(
+                 ['co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'com.au',
+                  'net.au', 'org.au', 'co.jp', 'or.jp', 'ne.jp',
+                  'com.br', 'com.cn', 'com.mx', 'co.in', 'co.kr',
+                  'com.tr', 'com.ar', 'co.za', 'com.sg', 'github.io'],
+                 string_split(host, '.')[-2] || '.'
+                   || string_split(host, '.')[-1])
+               THEN string_split(host, '.')[-3] || '.'
+                 || string_split(host, '.')[-2] || '.'
+                 || string_split(host, '.')[-1]
+               ELSE string_split(host, '.')[-2] || '.'
+                 || string_split(host, '.')[-1]
+             END AS domain
+      FROM canon
+    )
+    SELECT domain,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT uk) AS BIGINT) AS n_urls,
+           domain = 'example.co.uk' AS is_blocked
+    FROM doms GROUP BY domain
+"""
+
+
+@query("domain_rollup", _DOMAIN_ROLLUP_ORACLE)
+def _r10x_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain census (operators.urls.domain_rollup): eTLD+1
+    extraction with a PSL-subset multi-label suffix table
+    ('blog.example.co.uk' → 'example.co.uk'), docs + distinct canonical
+    URLs per domain, blocklist flag. One partially-aggregated groupBy;
+    only (domain, md5-16) pairs shuffle."""
+    from knime_core_columnar_spark.operators.urls import domain_rollup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = d.select("doc_id", _synth_url().alias("url"))
+    return domain_rollup(urls, "url", blocklist=("example.co.uk",))
