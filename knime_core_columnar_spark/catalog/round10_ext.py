@@ -383,3 +383,80 @@ def _r10x_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id")
     urls = d.select("doc_id", _synth_url().alias("url"))
     return domain_rollup(urls, "url", blocklist=("example.co.uk",))
+
+
+# ---------------------------------------------------------------------------
+# packed_sequences_text — the WRITER step after sequence_packing:
+# materialized packed sequences + per-doc boundary maps.
+# ---------------------------------------------------------------------------
+
+_PACKED_TEXT_ORACLE = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')),
+                                            '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), normed AS (
+      SELECT doc_id,
+             array_to_string(w, ' ') AS norm,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|pack'),
+                                 1, 15))::BIGINT % 10000) % 8 AS stream
+      FROM toks
+    ), base AS (
+      SELECT doc_id, stream, n_tokens, norm,
+             ROW_NUMBER() OVER (PARTITION BY stream ORDER BY doc_id) AS rn
+      FROM normed
+    ), r AS (
+      SELECT stream, rn, doc_id, n_tokens, norm, n_tokens AS acc,
+             CAST(0 AS BIGINT) AS pack_id
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.stream, b.rn, b.doc_id, b.n_tokens, b.norm,
+             CASE WHEN r.acc + b.n_tokens > 512 THEN b.n_tokens
+                  ELSE r.acc + b.n_tokens END,
+             CASE WHEN r.acc + b.n_tokens > 512 THEN r.pack_id + 1
+                  ELSE r.pack_id END
+      FROM r JOIN base b ON b.stream = r.stream AND b.rn = r.rn + 1
+    ), bounds AS (
+      SELECT stream, pack_id, doc_id, n_tokens, norm,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY stream, pack_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS start_tok
+      FROM r
+    ), ptext AS (
+      SELECT stream, pack_id,
+             md5(string_agg(norm, ' <|doc|> ' ORDER BY doc_id))
+               AS pack_md5
+      FROM r GROUP BY stream, pack_id
+    )
+    SELECT CAST(b.stream AS BIGINT) AS stream, b.pack_id, b.doc_id,
+           CAST(b.start_tok AS BIGINT) AS start_tok,
+           CAST(b.start_tok + b.n_tokens AS BIGINT) AS end_tok,
+           p.pack_md5
+    FROM bounds b JOIN ptext p
+      ON p.stream = b.stream AND p.pack_id = b.pack_id
+"""
+
+
+@query("packed_sequences_text", _PACKED_TEXT_ORACLE)
+def _r10x_packed_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-sequence materialization
+    (operators.packing.assemble_packed_sequences): the writer step a
+    training pipeline runs after pack assignment — each (stream, pack)
+    becomes one separator-joined sequence, boundaries in document-token
+    space, pack_md5 certifying assembly byte-for-byte. collect_list is
+    capacity-bounded by construction (a pack holds <= 512 tokens), the
+    one place it is safe at 100 TB; text crosses exactly one exchange,
+    already cut to pack-sized pieces."""
+    from knime_core_columnar_spark.operators.packing import (
+        assemble_packed_sequences,
+    )
+
+    _ensure_pkg_on_executors(spark)
+    d = _t(spark, sf_dir, "documents")
+    return assemble_packed_sequences(
+        d, "doc_id", "text", capacity=512, n_streams=8,
+    )

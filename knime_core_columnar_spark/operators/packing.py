@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 
 from knime_core_columnar_spark.operators.sampling import hash_bucket
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "assemble_packed_sequences"]
 
 
 def pack_sequences(
@@ -135,4 +135,91 @@ def length_bucketed_batches(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("__n").cast("long").alias("total_tokens"),
         (F.max("__n") * F.count(F.lit(1))).cast("long").alias("padded_tokens"),
+    )
+
+
+def assemble_packed_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 512,
+    n_streams: int = 64,
+    separator: str = "<|doc|>",
+    salt: str = "pack",
+) -> DataFrame:
+    """The WRITER step after :func:`pack_sequences`: materialize each
+    (stream, pack_id) window as an actual packed sequence — documents
+    whitespace-normalized and joined in packing order with
+    ``separator`` between them — plus the per-document boundary map a
+    trainer needs for attention masking / loss spans.
+
+    Boundaries are in DOCUMENT-token space (exclusive prefix sums of
+    per-doc token counts within the pack, separators not counted) so
+    they are independent of the separator choice; ``pack_md5`` is the
+    md5 of the packed text, certifying the assembly byte-for-byte
+    without shipping megabyte rows to a comparison.
+
+    Returns one row per packed DOCUMENT: (stream, pack_id, id, start_tok,
+    end_tok, pack_md5).
+
+    Scale shape: one pack-assignment pass (:func:`pack_sequences` —
+    only (id, stream, tokens) triples through Python), one id-keyed
+    join to bring each document's normalized text to its assignment,
+    one (stream, pack_id) aggregation whose groups are capacity-bounded
+    (a pack holds at most ``capacity`` tokens, so collect_list is
+    bounded by construction — the one place collect_list is safe at
+    100 TB), then per-pack array algebra: boundary starts via
+    aggregate-over-slice (O(m²) in docs-per-pack, m ≤ capacity) and one
+    explode back to document rows. Text crosses exactly one exchange —
+    the pack grouping — already cut to pack-sized pieces.
+    """
+    toks_arr = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    normed = df.select(
+        F.col(id_col),
+        F.array_join(toks_arr, " ").alias("__norm"),
+        F.size(toks_arr).cast("long").alias("__nt"),
+    )
+    packed = pack_sequences(
+        normed.select(id_col, "__nt"), id_col, "__nt",
+        capacity=capacity, n_streams=n_streams, salt=salt,
+    )
+    rows = packed.drop("__nt").join(normed, id_col)
+    g = rows.groupBy("stream", "pack_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col), F.col("__norm"),
+                                    F.col("__nt")))
+        ).alias("__arr")
+    )
+    sep = f" {separator} "
+    pack_md5 = F.md5(
+        F.array_join(F.transform("__arr", lambda x: x["__norm"]), sep)
+    )
+    def _bound(x, i):
+        start = F.aggregate(
+            F.slice("__arr", F.lit(1), i),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y["__nt"],
+        )
+        return F.struct(
+            x[id_col].alias(id_col),
+            start.alias("start_tok"),
+            (start + x["__nt"]).alias("end_tok"),
+        )
+
+    bounds = F.transform("__arr", _bound)
+    return (
+        g.select(
+            "stream", "pack_id", pack_md5.alias("pack_md5"),
+            F.explode(bounds).alias("__b"),
+        )
+        .select(
+            "stream", "pack_id",
+            F.col(f"__b.{id_col}").alias(id_col),
+            F.col("__b.start_tok").alias("start_tok"),
+            F.col("__b.end_tok").alias("end_tok"),
+            "pack_md5",
+        )
     )
