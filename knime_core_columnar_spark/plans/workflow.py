@@ -44,6 +44,7 @@ __all__ = [
     "translate_string_manipulation",
     "compile_row_filter_predicate",
     "compile_workflow",
+    "load_workflow_dir",
 ]
 
 
@@ -463,3 +464,48 @@ def compile_workflow(
                 "Filter, String Manipulation, Row Filter (row3)"
             )
     return plan, csv_spec
+
+
+def load_workflow_dir(
+    path: str, source_table: str = "source"
+) -> tuple[Plan, CsvSourceSpec | None]:
+    """Compile a whole saved-workflow DIRECTORY: parse ``workflow.knime``
+    (the node table + connection graph KNIME's WorkflowPersistor writes),
+    topologically order the nodes along the port-1 data edges, load each
+    node's settings.xml by its ``node_settings_file`` entry, and compile
+    the chain with :func:`compile_workflow`. Only linear chains are
+    supported (every node has at most one data successor/predecessor) —
+    true of the reference's benchmark workflow; branching raises."""
+    import os
+
+    with open(os.path.join(path, "workflow.knime"), encoding="utf-8") as f:
+        wf = parse_knime_settings_xml(f.read())
+    nodes = {n["id"]: n for n in wf.get("nodes", {}).values()}
+    succ: dict[int, int] = {}
+    pred: dict[int, int] = {}
+    for conn in wf.get("connections", {}).values():
+        src, dst = conn["sourceID"], conn["destID"]
+        if src in succ or dst in pred:
+            raise ValueError(
+                "load_workflow_dir supports linear workflows only "
+                f"(node {src if src in succ else dst} has multiple "
+                "data edges)"
+            )
+        succ[src] = dst
+        pred[dst] = src
+    roots = [i for i in nodes if i not in pred]
+    if len(roots) != 1:
+        raise ValueError(f"expected one root node, got {sorted(roots)}")
+    order: list[int] = []
+    cur: int | None = roots[0]
+    while cur is not None:
+        order.append(cur)
+        cur = succ.get(cur)
+    if len(order) != len(nodes):
+        raise ValueError("connection graph does not cover every node")
+    xml_texts = []
+    for i in order:
+        with open(os.path.join(path, nodes[i]["node_settings_file"]),
+                  encoding="utf-8") as f:
+            xml_texts.append(f.read())
+    return compile_workflow(xml_texts, source_table=source_table)

@@ -27,6 +27,10 @@ from knime_core_columnar_spark.table import ColumnarTable
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures", "simple_linear")
 
 
+_NODE_DIRS = ("CSV Reader (#1)", "Column Filter (#2)",
+              "String Manipulation (#3)", "Row Filter (#4)")
+
+
 def _fixture(name: str) -> str:
     with open(os.path.join(FIXTURES, name), encoding="utf-8") as f:
         return f.read()
@@ -35,10 +39,8 @@ def _fixture(name: str) -> str:
 @pytest.fixture(scope="module")
 def nodes():
     return [
-        parse_workflow_node(_fixture(n))
-        for n in ("csv_reader.settings.xml", "column_filter.settings.xml",
-                  "string_manipulation.settings.xml",
-                  "row_filter.settings.xml")
+        parse_workflow_node(_fixture(os.path.join(d, "settings.xml")))
+        for d in _NODE_DIRS
     ]
 
 
@@ -196,8 +198,23 @@ def test_row_filter_predicate_variants():
         == "NOT ((`c` IS NULL) OR (`d` = TRUE))"
 
 
+def test_load_workflow_dir_end_to_end(nodes):
+    """The whole saved-workflow DIRECTORY (workflow.knime node graph +
+    per-node settings.xml, byte copies of the reference benchmark
+    workflow) compiles in one call; node order comes from the real
+    connection graph, not the caller."""
+    from knime_core_columnar_spark.plans.workflow import load_workflow_dir
+
+    plan, csv_spec = load_workflow_dir(FIXTURES, source_table="flights")
+    want, want_spec = compile_workflow(nodes, source_table="flights")
+    assert [s.op for s in plan.steps] == [s.op for s in want.steps]
+    assert [s.args for s in plan.steps] == [s.args for s in want.steps]
+    assert csv_spec == want_spec
+
+
 def test_unknown_node_factory_raises(nodes):
-    bad = parse_workflow_node(_fixture("row_filter.settings.xml"))
+    bad = parse_workflow_node(
+        _fixture(os.path.join("Row Filter (#4)", "settings.xml")))
     bad.factory = "org.example.MysteryNodeFactory"
     with pytest.raises(ValueError, match="no compiler for node factory"):
         compile_workflow([bad])
