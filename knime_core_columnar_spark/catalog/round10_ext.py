@@ -248,7 +248,7 @@ _URL_CANON_SQL = r"""
              regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
              list_sort(list_filter(
-               string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+               string_split(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '&'),
                p -> p <> ''
                  AND NOT starts_with(lower(
                        CASE WHEN instr(p, '=') > 0

@@ -134,7 +134,13 @@ def exact_dedup(table: ColumnarTable, text_col: str = "text") -> ColumnarTable:
     (same election pattern as dedup_paragraphs, the distributed
     analogue of the reference's serial duplicate scan,
     ColumnarConcatenater.java:427-470)."""
-    df = table.df.withColumn("__fp", fingerprint(text_col))
+    # null-safe key: md5(NULL) is NULL, and a null key never matches in
+    # the equi-join — without the coalesce every NULL-text row VANISHES
+    # instead of deduping to one survivor (the Window this replaced, and
+    # the SQL oracle's PARTITION BY, both group NULLs; round-10 review)
+    df = table.df.withColumn(
+        "__fp", F.coalesce(fingerprint(text_col), F.lit("__NULL__"))
+    )
     winners = df.groupBy("__fp").agg(F.min(ROW_KEY).alias(ROW_KEY))
     return ColumnarTable(
         df.join(winners, on=["__fp", ROW_KEY], how="leftsemi").drop("__fp")

@@ -54,7 +54,9 @@ _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _HOST_IN_AUTH_RE = r"^(?:[^@]*@)?([^:]*)"
 _PORT_IN_AUTH_RE = r":([0-9]+)$"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+#: anchored to the pre-fragment region: a '?' that first appears inside
+#: the fragment is NOT a query (round-10 review finding)
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def url_scheme(col: Column | str) -> Column:
@@ -142,7 +144,8 @@ def canonicalize_url(col: Column | str) -> Column:
         F.size(kept) > 0,
         F.concat(F.lit("?"), F.array_join(F.array_sort(kept), "&")),
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    built = F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    return F.when(scheme == "", url).otherwise(built)
 
 
 #: multi-label public suffixes (PSL subset — the high-traffic two-label
@@ -190,8 +193,12 @@ def url_dedup(
     semi-join back — map-side combine absorbs the hottest URL, the join
     is AQE-skew-splittable, no Window. Adds ``canon_url``."""
     with_canon = df.withColumn("canon_url", canonicalize_url(url_col))
+    # null-safe key: a NULL url must dedup as ONE group (keep the min-id
+    # row), not vanish through the null-rejecting equi-join
     keyed = with_canon.withColumn(
-        "__uk", F.substring(F.md5("canon_url"), 1, 16)
+        "__uk",
+        F.coalesce(F.substring(F.md5("canon_url"), 1, 16),
+                   F.lit("__NULL__")),
     )
     winners = keyed.groupBy("__uk").agg(F.min(id_col).alias(id_col))
     return keyed.join(winners, ["__uk", id_col], "leftsemi").drop("__uk")

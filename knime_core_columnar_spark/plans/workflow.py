@@ -101,8 +101,8 @@ def _indexed_children(cfg) -> list:
     if isinstance(cfg, list):
         return cfg
     if isinstance(cfg, dict):
-        return [cfg[k] for k in sorted(cfg, key=lambda s: int(s))
-                if k.isdigit() or k.lstrip("-").isdigit()]
+        idx = [k for k in cfg if k.lstrip("-").isdigit()]
+        return [cfg[k] for k in sorted(idx, key=int)]
     return []
 
 
@@ -194,7 +194,10 @@ class _ExprParser:
                 continue
             if c == '"':
                 self.pos = i + 1
-                lit = "".join(out).replace("'", "''")
+                # Spark's lexer treats backslash as an escape inside
+                # single-quoted literals — double it BEFORE quote-doubling
+                lit = ("".join(out).replace("\\", "\\\\")
+                       .replace("'", "''"))
                 return f"'{lit}'"
             out.append(c)
             i += 1
@@ -296,7 +299,7 @@ def _sql_literal(value, cell_class: str) -> str:
         return repr(float(value))
     if cell_class.endswith("BooleanCell"):
         return "TRUE" if value else "FALSE"
-    escaped = str(value).replace("'", "''")
+    escaped = str(value).replace("\\", "\\\\").replace("'", "''")
     return f"'{escaped}'"
 
 
@@ -325,9 +328,15 @@ def _one_predicate(pred: dict) -> str:
     if op == "REGEX":
         return f"{escaped_col} RLIKE {lit}"
     if op == "WILDCARD":
-        # KNIME wildcard: * = any run, ? = one char
-        pat = str(v0.get("value", "")).replace("%", r"\%").replace("_", r"\_")
-        pat = pat.replace("*", "%").replace("?", "_").replace("'", "''")
+        # KNIME wildcard: * = any run, ? = one char. Escape order:
+        # LIKE-level first (backslash is LIKE's escape char, so literal
+        # \ % _ need it), then lexer-level (backslash doubling inside
+        # the single-quoted literal, quote doubling).
+        pat = (str(v0.get("value", ""))
+               .replace("\\", "\\\\")
+               .replace("%", "\\%").replace("_", "\\_")
+               .replace("*", "%").replace("?", "_"))
+        pat = pat.replace("\\", "\\\\").replace("'", "''")
         return f"{escaped_col} LIKE '{pat}'"
     raise ValueError(
         f"unsupported Row Filter operator {op!r} (supported: "
@@ -484,6 +493,10 @@ def load_workflow_dir(
     succ: dict[int, int] = {}
     pred: dict[int, int] = {}
     for conn in wf.get("connections", {}).values():
+        # port 0 is KNIME's implicit flow-variable port; only ports >= 1
+        # carry data — a variable edge must not enter the data chain
+        if conn.get("sourcePort", 1) < 1 or conn.get("destPort", 1) < 1:
+            continue
         src, dst = conn["sourceID"], conn["destID"]
         if src in succ or dst in pred:
             raise ValueError(

@@ -218,3 +218,66 @@ def test_unknown_node_factory_raises(nodes):
     bad.factory = "org.example.MysteryNodeFactory"
     with pytest.raises(ValueError, match="no compiler for node factory"):
         compile_workflow([bad])
+
+
+def test_backslash_and_newline_literals_survive_compilation(spark):
+    """Round-10 review: backslashes in DSL string literals must be
+    escaped for Spark's lexer — replace($p$, "\\", "/") previously
+    emitted a PARSE_SYNTAX_ERROR literal, and join($p$, "\\n") silently
+    appended the letter n."""
+    sql = translate_string_manipulation('replace($p$, "\\\\", "/")')
+    df = spark.createDataFrame([("a\\b",)], "p string")
+    assert df.selectExpr(f"{sql} AS v").collect()[0]["v"] == "a/b"
+    sql2 = translate_string_manipulation('join($p$, "\\\\n")')
+    got = df.selectExpr(f"{sql2} AS v").collect()[0]["v"]
+    assert got == "a\\b\\n"  # literal backslash-n appended, not letter n
+
+
+def test_row_filter_wildcard_and_literal_backslashes(spark):
+    """LIKE-level and lexer-level escaping compose: a wildcard value
+    with literal % _ \\ matches exactly itself plus * / ? expansion."""
+    model = {"matchCriteria": "AND", "outputMode": "MATCHING",
+             "predicates": {"0": {
+                 "column": {"selected": "c"}, "operator": "WILDCARD",
+                 "predicateValues": {"inputKind": "SINGLE", "values": {
+                     "0": {"typeIdentifier": {"cell_class":
+                           "org.knime.core.data.def.StringCell"},
+                           "value": "a%b\\c*"}}}}}}
+    sql = compile_row_filter_predicate(model)
+    df = spark.createDataFrame(
+        [("a%b\\cXYZ",), ("aQb\\cXYZ",), ("a%bc",)], "c string")
+    got = sorted(r["c"] for r in df.filter(sql).collect())
+    assert got == ["a%b\\cXYZ"]  # % literal, \\ literal, * expands
+
+
+def test_indexed_children_tolerates_internals_siblings():
+    """Round-10 review: a non-numeric sibling key (KNIME's *_Internals
+    convention) must be filtered, not crash the int() sort."""
+    from knime_core_columnar_spark.plans.workflow import _indexed_children
+
+    assert _indexed_children(
+        {"1": "b", "0": "a", "keys_Internals": "x"}) == ["a", "b"]
+
+
+def test_flow_variable_connections_ignored(tmp_path, nodes):
+    """Round-10 review: port-0 (flow-variable) edges are not data edges
+    — a linear data chain with one variable edge still loads."""
+    import shutil
+
+    from knime_core_columnar_spark.plans.workflow import load_workflow_dir
+
+    dst = tmp_path / "wf"
+    shutil.copytree(FIXTURES, dst)
+    wf = (dst / "workflow.knime").read_text()
+    extra = """<config key="connection_9">
+            <entry key="sourceID" type="xint" value="1"/>
+            <entry key="destID" type="xint" value="3"/>
+            <entry key="sourcePort" type="xint" value="0"/>
+            <entry key="destPort" type="xint" value="0"/>
+          </config>"""
+    wf = wf.replace('<config key="connection_0">',
+                    extra + '\n<config key="connection_0">')
+    (dst / "workflow.knime").write_text(wf)
+    plan, _ = load_workflow_dir(str(dst), source_table="flights")
+    assert [s.op for s in plan.steps] == [
+        "SOURCE", "KEEP_ONLY", "APPEND_MAP", "FILTER"]

@@ -693,3 +693,18 @@ def test_c4_line_filter_optional_punct(spark):
     ).collect()[0]
     assert strict["n_kept_lines"] == 0 and not strict["keep"]
     assert lax["n_kept_lines"] == 2 and lax["keep"]
+
+
+def test_exact_dedup_null_text_keeps_one_survivor(spark):
+    """Round-10 review: NULL-text rows form ONE dedup group with a
+    min-RowID survivor (the Window this election replaced, and the SQL
+    oracle's PARTITION BY, both group NULLs) — they must not vanish
+    through the null-rejecting equi-join."""
+    from knime_core_columnar_spark.operators.dedup import exact_dedup
+    from knime_core_columnar_spark.table import ColumnarTable
+
+    df = spark.createDataFrame(
+        [("r1", None), ("r2", None), ("r3", "hello")],
+        "_row_key string, text string")
+    out = exact_dedup(ColumnarTable(df), "text")
+    assert sorted(r["_row_key"] for r in out.df.collect()) == ["r1", "r3"]

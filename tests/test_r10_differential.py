@@ -164,3 +164,28 @@ def test_training_pipeline_differential(spark_session, texts):
              F.max("n_tokens").alias("max_doc_tokens"))
     )
     _compare_oracle(got, want_pdf)
+
+
+@_SETTINGS
+@given(ids=st.lists(st.integers(0, 10_000_000), min_size=0, max_size=20,
+                    unique=True))
+def test_url_family_differential(spark_session, ids):
+    """url_dedup_canonical + domain_rollup vs their registered oracles
+    on random doc_id sets (both sides synthesize the messy URL from the
+    id, so the id IS the fuzz surface: every host/port/query/fragment
+    variant combination gets drawn)."""
+    from knime_core_columnar_spark import catalog
+    from knime_core_columnar_spark.catalog.round10_ext import _synth_url
+    from knime_core_columnar_spark.operators.urls import (
+        domain_rollup,
+        url_dedup,
+    )
+
+    rows = [(i, None, "s") for i in ids]
+    d = _docs_df(spark_session, rows).select("doc_id")
+    urls = d.select("doc_id", _synth_url().alias("url"))
+    got_dedup = url_dedup(urls, "doc_id", "url").select(
+        "doc_id", "url", "canon_url")
+    _compare_oracle(got_dedup, _oracle_rows("url_dedup_canonical", rows))
+    got_roll = domain_rollup(urls, "url", blocklist=("example.co.uk",))
+    _compare_oracle(got_roll, _oracle_rows("domain_rollup", rows))

@@ -139,3 +139,36 @@ def test_url_dedup_no_hash_window_plan(spark):
     assert "Window" not in p
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
+
+
+def test_schemeless_urls_pass_through_not_collapsed(spark):
+    """Round-10 review: unparseable/relative URLs must NOT collapse into
+    one degenerate '://' key (which silently deleted all but one)."""
+    rows = [(3, "example.com/a"), (4, "other.org/b"), (5, "example.com/a")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    canon = {r["doc_id"]: r["c"] for r in
+             df.select("doc_id", canonicalize_url("url").alias("c")).collect()}
+    assert canon[3] == "example.com/a" and canon[4] == "other.org/b"
+    out = url_dedup(df, "doc_id", "url")
+    assert sorted(r["doc_id"] for r in out.collect()) == [3, 4]
+
+
+def test_question_mark_in_fragment_is_not_a_query(spark):
+    """Round-10 review: '?' first appearing inside the fragment must not
+    be parsed as a query string."""
+    assert _one(spark, "http://e.com/p#frag?x=1", url_query) == ""
+    assert (_one(spark, "http://e.com/p#frag?x=1", canonicalize_url)
+            == "http://e.com/p")
+    # a real query before the fragment still parses
+    assert _one(spark, "http://e.com/p?x=1#frag?y=2", url_query) == "x=1"
+
+
+def test_url_dedup_null_urls_keep_one_survivor(spark):
+    """Round-10 review: NULL urls dedup to one min-id survivor, they do
+    not vanish through the null-rejecting equi-join."""
+    rows = [(7, None), (2, None), (9, "https://e.com/x")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r["canon_url"] for r in
+           url_dedup(df, "doc_id", "url").collect()}
+    assert set(out) == {2, 9}
+    assert out[2] is None
