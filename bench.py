@@ -125,6 +125,10 @@ HEADLINE = [
     # web-corpus hygiene pass; zero-exchange until the (md5-16, id)
     # election
     "url_dedup_canonical",
+    # round-10: the packed-sequence writer (capacity-bounded
+    # collect_list + boundary algebra) — benched so a regression into
+    # an unbounded group or a second text exchange surfaces here
+    "packed_sequences_text",
 ]
 
 # sub-0.3 s queries whose r3→r4 deltas exceeded 15% with overlapping
