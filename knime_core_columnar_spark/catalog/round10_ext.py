@@ -460,3 +460,123 @@ def _r10x_packed_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_packed_sequences(
         d, "doc_id", "text", capacity=512, n_streams=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# neardup_keep_longest — cluster canonicalization policy: within each
+# near-dup cluster keep the LONGEST member (ties -> min doc_id), the
+# SlimPajama-style alternative to min-id canonical selection. Composes
+# the full near-dup stack (MinHash-LSH candidates -> Jaccard verify ->
+# connected components) with a token-length election.
+# ---------------------------------------------------------------------------
+
+_KEEP_LONGEST_ORACLE = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), mh AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(s, x ->
+                 ((2*i + 1) * (('0x' || substring(md5(x), 1, 15))::BIGINT
+                               % 2147483647)
+                  + 104729 * i) % 2147483647))) AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(CAST(b AS VARCHAR) || '|'
+                 || array_to_string(sig[b*4+1:b*4+4], ',')) AS key
+      FROM mh, (SELECT unnest(range(0, 4)) AS b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    ), verified AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+                JOIN sh sb ON sb.doc_id = cand.id_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+            >= 0.5
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION ALL
+      SELECT id_b, id_a FROM verified
+    ), reach AS (
+      SELECT a AS node, a AS label FROM e
+      UNION
+      SELECT e.a, reach.label FROM e JOIN reach ON reach.node = e.b
+    ), comp AS (
+      SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    ), fullc AS (
+      SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component,
+             CAST(len(t.t) AS BIGINT) AS n_tokens
+      FROM documents d
+      LEFT JOIN comp ON comp.node = d.doc_id
+      JOIN toks t ON t.doc_id = d.doc_id
+    ), mx AS (
+      SELECT component, MAX(n_tokens) AS mxn FROM fullc GROUP BY component
+    ), win AS (
+      SELECT f.component, MIN(f.doc_id) AS canonical_id
+      FROM fullc f JOIN mx ON mx.component = f.component
+                  AND f.n_tokens = mx.mxn
+      GROUP BY f.component
+    )
+    SELECT f.doc_id, f.component, f.n_tokens,
+           f.doc_id = w.canonical_id AS keep
+    FROM fullc f JOIN win w ON w.component = f.component
+"""
+
+
+@query("neardup_keep_longest", _KEEP_LONGEST_ORACLE)
+def _r10x_neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster canonicalization by the keep-longest policy: the full
+    near-dup stack (MinHash-LSH bands → n-gram Jaccard verify ≥ 0.5 →
+    connected components) composed with a token-length election — per
+    component keep the member with the most tokens, ties to the
+    smallest doc_id. Election is aggregates + joins (max-tokens table,
+    then min-id among maximal members), never a per-component Window —
+    the biggest cluster on a web corpus is boilerplate and would pin a
+    window task. Singletons keep themselves."""
+    from knime_core_columnar_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from knime_core_columnar_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, "doc_id", "text", num_perm=16, bands=4)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cand
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    fullc = (
+        d.select(
+            "doc_id", token_count("text").cast("long").alias("n_tokens")
+        )
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("component"),
+            "n_tokens",
+        )
+    )
+    mx = fullc.groupBy("component").agg(F.max("n_tokens").alias("__mx"))
+    winners = (
+        fullc.join(mx, "component")
+        .filter(F.col("n_tokens") == F.col("__mx"))
+        .groupBy("component")
+        .agg(F.min("doc_id").alias("__canon"))
+    )
+    return fullc.join(winners, "component").select(
+        "doc_id", "component", "n_tokens",
+        (F.col("doc_id") == F.col("__canon")).alias("keep"),
+    )

@@ -708,3 +708,40 @@ def test_exact_dedup_null_text_keeps_one_survivor(spark):
         "_row_key string, text string")
     out = exact_dedup(ColumnarTable(df), "text")
     assert sorted(r["_row_key"] for r in out.df.collect()) == ["r1", "r3"]
+
+
+def test_neardup_keep_longest_policy(spark):
+    """keep-longest canonicalization: within a verified near-dup
+    cluster, the member with the most tokens wins; ties go to the
+    smallest doc_id; singletons keep themselves."""
+    from knime_core_columnar_spark import catalog  # noqa: F401 (registry)
+    from knime_core_columnar_spark.catalog.round10_ext import (
+        _r10x_neardup_keep_longest,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away tonight")
+    rows = [
+        (1, base),                      # near-dups of each other
+        (2, base + " extra tokens appended here"),   # longest -> canonical
+        (3, base + " extra tokens appended here"),   # tie with 2 -> 2 wins
+        (9, "completely different text about spark engines"),  # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import knime_core_columnar_spark.catalog._registry as reg
+
+    orig = reg._t
+    try:
+        reg._t = lambda s, sf, name: df
+        import knime_core_columnar_spark.catalog.round10_ext as r10
+        r10._t = reg._t
+        out = {r["doc_id"]: r for r in
+               _r10x_neardup_keep_longest(spark, "unused").collect()}
+    finally:
+        reg._t = orig
+        import knime_core_columnar_spark.catalog.round10_ext as r10
+        r10._t = orig
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"]
+    assert not out[1]["keep"]
+    assert out[2]["keep"] and not out[3]["keep"]  # tie -> min doc_id
+    assert out[9]["keep"] and out[9]["component"] == 9
