@@ -172,3 +172,73 @@ def test_url_dedup_null_urls_keep_one_survivor(spark):
            url_dedup(df, "doc_id", "url").collect()}
     assert set(out) == {2, 9}
     assert out[2] is None
+
+
+def _py_canonicalize(url):
+    """Pure-Python replica of canonicalize_url (independent arithmetic:
+    str.partition instead of regexes) for property fuzz."""
+    import re
+
+    if url is None:
+        return None
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", url)
+    if not m:
+        return url
+    scheme = m.group(1).lower()
+    rest = url[m.end():]
+    authority = re.split(r"[/?#]", rest, 1)[0]
+    tail = rest[len(authority):]
+    hostport = authority.rsplit("@", 1)[-1]
+    host, _, port = hostport.partition(":")
+    host = host.lower()
+    path = re.split(r"[?#]", tail, 1)[0]
+    after_path = tail[len(path):]
+    query = ""
+    if after_path.startswith("?"):
+        query = after_path[1:].split("#", 1)[0]
+    defaults = {"http": "80", "https": "443", "ftp": "21"}
+    port_part = "" if (port == "" or defaults.get(scheme) == port) \
+        else f":{port}"
+    kept = []
+    for p in query.split("&"):
+        if p == "":
+            continue
+        key = p.split("=", 1)[0].lower()
+        if key.startswith("utm_") or key in (
+                "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid",
+                "ref", "ref_src", "igshid"):
+            continue
+        kept.append(p)
+    q_part = "?" + "&".join(sorted(kept)) if kept else ""
+    return f"{scheme}://{host}{port_part}{path}{q_part}"
+
+
+def test_canonicalize_url_vs_python_replica(spark):
+    """Property fuzz: the Spark expression equals an independent
+    pure-Python canonicalizer on adversarial URL shapes."""
+    cases = [
+        "HTTPS://WWW.E.COM:443/p?b=2&a=1#f",
+        "http://u:p@H.org:8080/a/b?utm_x=1&z=9&gclid=q",
+        "ftp://files.example.com:21/pub",
+        "http://e.com",
+        "http://e.com/",
+        "http://e.com?",
+        "http://e.com?#",
+        "http://e.com/#?notquery=1",
+        "http://e.com/p?&&a=1&&",
+        "http://e.com/p?A=1&a=1",          # case-sensitive param names kept
+        "http://e.com/p?ref",              # bare tracking key
+        "http://e.com/p?REF=2&x=1",        # tracking match is lowercased
+        "scheme+odd.x-y://Host/Path?q=1#z",
+        "no scheme at all",
+        "://degenerate",
+        "http//missing-colon.com/a",
+        "x://",
+        "HtTp://E.com:80/UPPER/path",
+        "https://e.co.uk:443/p?utm_source=a&utm_medium=b",
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["c"] for r in
+           df.select("url", canonicalize_url("url").alias("c")).collect()}
+    for u in cases:
+        assert got[u] == _py_canonicalize(u), u
