@@ -580,3 +580,92 @@ def _r10x_neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "component", "n_tokens",
         (F.col("doc_id") == F.col("__canon")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_funnel — per-stage survivor census across the curation gates
+# (raw → Gopher rules → C4 line filter → language gate → exact dedup).
+# The oracle REUSES the registered oracle strings of the component
+# queries verbatim as CTE bodies, so the funnel cannot drift from the
+# per-stage semantics it audits; stage-4 counts DISTINCT fingerprints
+# (survivor count is winner-independent).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = (
+    "WITH g AS (" + ORACLES["gopher_rules"] + "),\n"
+    "c AS (" + ORACLES["c4_line_filter"] + "),\n"
+    "l AS (" + ORACLES["text_quality_lang"] + "),\n"
+    "s3 AS (SELECT d.doc_id, d.text FROM documents d\n"
+    "       JOIN g ON g.doc_id = d.doc_id\n"
+    "       JOIN c ON c.doc_id = d.doc_id\n"
+    "       JOIN l ON l.doc_id = d.doc_id\n"
+    "       WHERE g.keep AND c.keep AND l.lang_pred = 'en')\n"
+    "SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs\n"
+    "FROM documents\n"
+    "UNION ALL SELECT '1_gopher', CAST(COUNT(*) AS BIGINT)\n"
+    "FROM g WHERE keep\n"
+    "UNION ALL SELECT '2_c4', CAST(COUNT(*) AS BIGINT)\n"
+    "FROM g JOIN c ON c.doc_id = g.doc_id WHERE g.keep AND c.keep\n"
+    "UNION ALL SELECT '3_lang_en', CAST(COUNT(*) AS BIGINT) FROM s3\n"
+    "UNION ALL SELECT '4_dedup_exact', CAST(COUNT(DISTINCT\n"
+    "  md5(lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ',\n"
+    "      'g')))) AS BIGINT) FROM s3"
+)
+
+
+@query("curation_funnel", _FUNNEL_ORACLE)
+def _r10x_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel audit: how many documents survive each gate of
+    the standard web-corpus pipeline — Gopher rule battery, C4 line
+    cleaning, English language gate, exact dedup. The per-stage counts
+    are the acceptance dashboard every curation run publishes; a
+    surprising drop localizes WHICH gate changed. One lazy plan of five
+    1-row aggregates unioned; stage 4 counts distinct content
+    fingerprints over the gated subset (survivor cardinality does not
+    depend on winner choice)."""
+    from knime_core_columnar_spark.operators.text import (
+        c4_line_filter,
+        fingerprint,
+        gopher_rules,
+        lang_id,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    # SAME parameters as the registered component queries (whose oracle
+    # strings this funnel's oracle embeds verbatim): gopher thresholds
+    # fitted to the synthetic corpus; c4 over the deterministic
+    # ' table ' -> '.\n' newline synthesis (the corpus has no natural
+    # newlines) — see staged_r7._r7_gopher_rules / _r7_c4_line_filter.
+    g = gopher_rules(
+        d, min_words=20, max_words=80, min_mean_word_len=3.2,
+        max_mean_word_len=4.2, max_symbol_ratio=0.1,
+        min_alpha_ratio=0.8, min_stopwords=1,
+    ).select("doc_id", F.col("keep").alias("__gk"))
+    d2 = d.withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit(".\n"))
+    )
+    c = c4_line_filter(
+        d2, min_words_per_line=4, require_terminal_punct=True,
+        min_kept_lines=2,
+    ).select("doc_id", F.col("keep").alias("__ck"))
+    lang = d.select("doc_id", lang_id("text").alias("__lp"))
+    s2 = g.filter("__gk").join(c.filter("__ck"), "doc_id")
+    s3 = (
+        s2.join(lang.filter(F.col("__lp") == "en"), "doc_id")
+        .join(d.select("doc_id", "text"), "doc_id")
+    )
+
+    def stage(name, agg_df):
+        return agg_df.select(F.lit(name).alias("stage"),
+                             F.col("n").cast("long").alias("n_docs"))
+
+    fp = fingerprint(F.coalesce(F.col("text"), F.lit("")))
+    return (
+        stage("0_raw", d.agg(F.count(F.lit(1)).alias("n")))
+        .unionByName(stage("1_gopher",
+                           g.filter("__gk").agg(F.count(F.lit(1)).alias("n"))))
+        .unionByName(stage("2_c4", s2.agg(F.count(F.lit(1)).alias("n"))))
+        .unionByName(stage("3_lang_en", s3.agg(F.count(F.lit(1)).alias("n"))))
+        .unionByName(stage("4_dedup_exact",
+                           s3.agg(F.countDistinct(fp).alias("n"))))
+    )
