@@ -94,7 +94,11 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          "language_mix_audit",
          # round-10: the composed training pipeline (gate -> FIM ->
          # recount -> pack -> rollup) — composition under the 100x lens
-         "training_pipeline_e2e"]
+         "training_pipeline_e2e",
+         # round-10 additions: URL hygiene, the packed-sequence writer,
+         # keep-longest cluster canonicalization, the gate funnel
+         "url_dedup_canonical", "packed_sequences_text",
+         "neardup_keep_longest", "curation_funnel"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
