@@ -997,3 +997,13 @@ def test_media_header_meta_zero_exchange(spark):
     p = plan_of(spark, "media_header_meta")
     assert "Exchange" not in p
     assert "Scan parquet" in p
+
+
+def test_curation_funnel_shape(spark):
+    """The funnel is ONE lazy plan of five 1-row aggregates unioned —
+    no cartesian products, no windows, no collects; every stage's agg
+    runs partial+final."""
+    p = plan_of(spark, "curation_funnel")
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "Union" in p
