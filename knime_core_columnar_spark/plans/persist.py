@@ -244,9 +244,133 @@ def parse_knime_settings_xml(text: str) -> dict:
     return walk(root)  # type: ignore[return-value]
 
 
+#: KNIME cell class (DataType.save's "cell_class") ↔ Spark SQL type,
+#: plus the matching knime-core ValueFactory class — the public
+#: org.knime.core.data primitive catalog
+_CELL_CLASS_TO_SPARK = {
+    "org.knime.core.data.def.IntCell": "int",
+    "org.knime.core.data.def.LongCell": "bigint",
+    "org.knime.core.data.def.DoubleCell": "double",
+    "org.knime.core.data.def.StringCell": "string",
+    "org.knime.core.data.def.BooleanCell": "boolean",
+}
+_SPARK_TO_CELL_CLASS = {v: k for k, v in _CELL_CLASS_TO_SPARK.items()}
+_SPARK_TO_CELL_CLASS["long"] = _SPARK_TO_CELL_CLASS["bigint"]
+_CELL_TO_VALUE_FACTORY = {
+    "org.knime.core.data.def.IntCell":
+        "org.knime.core.data.v2.value.IntValueFactory",
+    "org.knime.core.data.def.LongCell":
+        "org.knime.core.data.v2.value.LongValueFactory",
+    "org.knime.core.data.def.DoubleCell":
+        "org.knime.core.data.v2.value.DoubleValueFactory",
+    "org.knime.core.data.def.StringCell":
+        "org.knime.core.data.v2.value.StringValueFactory",
+    "org.knime.core.data.def.BooleanCell":
+        "org.knime.core.data.v2.value.BooleanValueFactory",
+}
+_VALUE_FACTORY_TO_CELL = {v: k for k, v in _CELL_TO_VALUE_FACTORY.items()}
+
+
+def _load_missing_columns_schema(internal: dict) -> dict[str, str]:
+    """Parse the persisted ValueSchema of an APPEND_MISSING transform
+    (TableTransformNodeSettingsPersistor.java:544-556
+    loadMissingColumnsSchema): ``data_table_spec`` is a saved
+    DataTableSpec (public knime-core layout — spec_name/number_columns/
+    column_spec_<i> with column_name + column_type.cell_class) and
+    ``value_factories`` holds one saved ValueFactory per column, keyed
+    "0".."n-1". Types come from the cell class; when a per-column
+    factory config names a known ValueFactory that contradicts the cell
+    class, loading raises rather than guessing. Returns the
+    ``{name: spark_type}`` dict the APPEND_MISSING plan step executes."""
+    dts = internal.get("data_table_spec")
+    if not isinstance(dts, dict):
+        raise ValueError(
+            "APPEND_MISSING transform is missing its data_table_spec "
+            "config (saveMissingColumnsSchema writes one, "
+            "TableTransformNodeSettingsPersistor.java:524-542)"
+        )
+    n = int(dts.get("number_columns", 0))
+    factories = internal.get("value_factories", {}) or {}
+    out: dict[str, str] = {}
+    for i in range(n):
+        spec = dts.get(f"column_spec_{i}")
+        if not isinstance(spec, dict):
+            raise ValueError(
+                f"APPEND_MISSING data_table_spec declares "
+                f"{n} columns but column_spec_{i} is absent"
+            )
+        name = spec["column_name"]
+        cell = spec.get("column_type", {}).get("cell_class", "")
+        spark_type = _CELL_CLASS_TO_SPARK.get(cell)
+        if spark_type is None:
+            raise ValueError(
+                f"APPEND_MISSING column {name!r}: no Spark mapping for "
+                f"cell class {cell!r} (supported: "
+                f"{sorted(_CELL_CLASS_TO_SPARK)})"
+            )
+        fac_cfg = factories.get(str(i))
+        if isinstance(fac_cfg, dict):
+            named = [v for v in fac_cfg.values() if isinstance(v, str)
+                     and v in _VALUE_FACTORY_TO_CELL]
+            if named and _VALUE_FACTORY_TO_CELL[named[0]] != cell:
+                raise ValueError(
+                    f"APPEND_MISSING column {name!r}: saved value "
+                    f"factory {named[0]!r} contradicts cell class "
+                    f"{cell!r}"
+                )
+        out[name] = spark_type
+    return out
+
+
+def _save_missing_columns_schema(columns) -> dict:
+    """Inverse of :func:`_load_missing_columns_schema` — the persistor's
+    saveMissingColumnsSchema shape
+    (TableTransformNodeSettingsPersistor.java:524-542): a RowID-less
+    DataTableSpec under ``data_table_spec`` plus one ValueFactory per
+    column under ``value_factories``. ``columns`` is the plan step's
+    ``{name: spark_type}`` dict (or a StructType)."""
+    try:  # StructType → items; plain dicts of type strings stay as-is
+        from pyspark.sql import types as _T
+
+        if isinstance(columns, _T.StructType):
+            columns = {f.name: f.dataType.simpleString()
+                       for f in columns.fields}
+        else:
+            columns = {
+                k: (v.simpleString() if isinstance(v, _T.DataType) else v)
+                for k, v in columns.items()
+            }
+    except ImportError:  # pragma: no cover — pyspark always present
+        columns = dict(columns)
+    dts: dict[str, Any] = {
+        "spec_name": "default",
+        "number_columns": len(columns),
+    }
+    factories: dict[str, Any] = {}
+    for i, (name, spark_type) in enumerate(columns.items()):
+        cell = _SPARK_TO_CELL_CLASS.get(str(spark_type).lower())
+        if cell is None:
+            raise ValueError(
+                "save_knime_settings: APPEND_MISSING column "
+                f"{name!r} has Spark type {spark_type!r} with no KNIME "
+                "cell-class mapping (supported: "
+                f"{sorted(_SPARK_TO_CELL_CLASS)}); use Plan.to_json for "
+                "the native format"
+            )
+        dts[f"column_spec_{i}"] = {
+            "column_name": name,
+            "column_type": {"cell_class": cell},
+        }
+        factories[str(i)] = {
+            "value_factory_class": _CELL_TO_VALUE_FACTORY[cell],
+        }
+    return {"data_table_spec": dts, "value_factories": factories}
+
+
 def load_knime_settings(
     settings: dict | str,
     mapper_registry: dict[str, Any] | None = None,
+    select_convention: str | None = None,
 ) -> Plan:
     """Load a transform DAG saved by the reference's
     TableTransformNodeSettingsPersistor into an executable :class:`Plan`.
@@ -278,6 +402,23 @@ def load_knime_settings(
     point (Persistor.load), with Spark SQL strings taking the place of
     compiled mapper factories.
 
+    APPEND_MISSING loads the persisted RowID-less ValueSchema
+    (data_table_spec + value_factories,
+    TableTransformNodeSettingsPersistor.java:476-488) into the Plan's
+    APPEND_MISSING step via :func:`_load_missing_columns_schema`.
+
+    ``select_convention`` adjudicates how SELECT included_columns are
+    read: ``"value_schema"`` (the reference's convention, RowKey = 0 —
+    the default) or ``"data_column"`` (0 = first data column — the
+    convention THIS engine wrote before its round-10 fix; the settings
+    version stayed 1 across that fix, so old self-written files are
+    indistinguishable from reference files by version alone). Files
+    saved by the current :func:`save_knime_settings` carry a
+    ``select_convention`` marker entry that resolves it automatically
+    (the reference loader reads only the keys it knows, so the extra
+    entry is inert there); for unmarked legacy self-written files pass
+    ``select_convention="data_column"`` explicitly — or re-save once.
+
     The DAG must be single-sink and linearizable (every non-port-0
     input is a SOURCE) — true of everything the reference's own
     persistor test corpus saves; anything else raises ValueError.
@@ -285,17 +426,33 @@ def load_knime_settings(
     if isinstance(settings, str):
         settings = parse_knime_settings_xml(settings)
     mapper_registry = mapper_registry or {}
+    if select_convention is None:
+        select_convention = settings.get("select_convention", "value_schema")
+    if select_convention not in ("value_schema", "data_column"):
+        raise ValueError(
+            f"unknown select_convention {select_convention!r} "
+            "(expected 'value_schema' or 'data_column')"
+        )
 
     # Pre-AP-5.3 settings carry no "version" key (the reference defaults
-    # to 0, TableTransformNodeSettingsPersistor.java:230-233) and need the
-    # loader's compat rewrite of MapperWithRowIndexFactory MAP nodes into
-    # ROWINDEX+MAP+SELECT (:259-280). We don't implement that rewrite, so
-    # loading them here would silently change old MAP semantics — refuse.
+    # to 0, TableTransformNodeSettingsPersistor.java:230-233). The only
+    # thing the reference's version-0 compat path actually changes is the
+    # rewrite of MapperWithRowIndexFactory MAP nodes into
+    # ROWINDEX+MAP+SELECT (:259-280) — version-0 trees made of
+    # SOURCE/SELECT/SLICE/... load identically to version-1 there. We
+    # don't implement that rewrite (we can't tell which persisted mapper
+    # factories are row-index mappers), so refuse exactly the trees it
+    # could apply to: version-0 WITH a MAP/APPEND_MAP node. Rewrite-free
+    # version-0 files the reference accepts load normally.
     version = settings.get("version", 0)
-    if version < 1:
+    if version < 1 and any(
+        t.get("type") in ("MAP", "APPEND_MAP")
+        for t in settings.get("transforms", {}).values()
+    ):
         raise ValueError(
-            f"settings version {version} predates AP 5.3; the reference "
-            "loader rewrites its MapperWithRowIndexFactory MAP nodes "
+            f"settings version {version} predates AP 5.3 and contains a "
+            "MAP transform; the reference loader rewrites its "
+            "MapperWithRowIndexFactory MAP nodes "
             "(TableTransformNodeSettingsPersistor.java:259-280), which "
             "this loader does not implement — re-save with a current "
             "KNIME AP first"
@@ -347,6 +504,12 @@ def load_knime_settings(
         if typ == "SOURCE":
             plan.add("SOURCE", table=internal["identifier"])
         elif typ == "SELECT":
+            if select_convention == "data_column":
+                # legacy self-written files (pre-round-10): indices are
+                # already data-column positions, RowID implicit
+                plan.add("SELECT",
+                         columns=list(internal["included_columns"]))
+                continue
             # included_columns are ValueSchema indices (RowKey = 0); see
             # the docstring. Require the RowKey first, shift the rest.
             vs_cols = list(internal["included_columns"])
@@ -355,7 +518,9 @@ def load_knime_settings(
                     f"transform {idx}: SELECT included_columns={vs_cols} "
                     "does not keep the RowKey (ValueSchema column 0) "
                     "first; this engine's RowID is implicit and cannot "
-                    "be dropped or reordered by SELECT"
+                    "be dropped or reordered by SELECT. If this file was "
+                    "saved by this engine before its round-10 convention "
+                    "fix, reload with select_convention='data_column'."
                 )
             if any(c <= 0 for c in vs_cols[1:]):
                 raise ValueError(
@@ -372,6 +537,9 @@ def load_knime_settings(
             )
         elif typ == "IDENTITY":
             plan.add("IDENTITY")
+        elif typ == "APPEND_MISSING":
+            plan.add("APPEND_MISSING",
+                     columns=_load_missing_columns_schema(internal))
         elif typ == "APPEND":
             plan.add("APPEND", tables=side)
         elif typ == "CONCATENATE":
@@ -423,7 +591,10 @@ def save_knime_settings(plan: Plan) -> dict:
     data column i as i+1), SLICE/ROWINDEX only without order_by (the
     reference specs carry from/to resp. offset alone — an order_by or a
     non-default ROWINDEX name raises instead of silently dropping
-    semantics), IDENTITY, APPEND, CONCATENATE,
+    semantics), IDENTITY, APPEND, CONCATENATE, APPEND_MISSING (the
+    RowID-less ValueSchema as data_table_spec + value_factories,
+    TableTransformNodeSettingsPersistor.java:476-488; primitive
+    column types only — anything unmappable raises),
     MAP/APPEND_MAP (saved under :data:`SQL_EXPRS_MAPPER_CLASS` with the
     exprs dict as mapper_factory_settings); anything else raises."""
     transforms: dict[str, dict] = {}
@@ -493,6 +664,9 @@ def save_knime_settings(plan: Plan) -> dict:
                     "internal": {"offset": a.get("offset", 0)}}
         elif step.op == "IDENTITY":
             node = {"type": "IDENTITY", "internal": {}}
+        elif step.op == "APPEND_MISSING":
+            node = {"type": "APPEND_MISSING",
+                    "internal": _save_missing_columns_schema(a["columns"])}
         elif step.op in ("APPEND", "CONCATENATE"):
             node = {"type": step.op, "internal": {}}
         elif step.op in ("MAP", "APPEND_MAP"):
@@ -518,8 +692,14 @@ def save_knime_settings(plan: Plan) -> dict:
                 )
                 connect(sid, tid, port)
         prev = tid
-    return {"version": plan.version, "transforms": transforms,
-            "connections": connections}
+    # select_convention is an engine marker (the reference loader reads
+    # only the keys it knows, so this entry is inert there): it lets
+    # load_knime_settings distinguish current files (SELECT indices over
+    # the ValueSchema, RowKey = 0) from this engine's pre-round-10 files
+    # (data-column indices) that share version 1 — see the ADVICE-driven
+    # migration note in load_knime_settings.
+    return {"version": plan.version, "select_convention": "value_schema",
+            "transforms": transforms, "connections": connections}
 
 
 #: keys the reference writes as longs (SLICE range, ROWINDEX offset)

@@ -183,21 +183,54 @@ class _ExprParser:
         escaped = name.replace("`", "``")
         return f"`{escaped}`"
 
+    #: Java string escapes the node dialog can produce (JLS §3.10.6);
+    #: anything else after a backslash raises — silently dropping the
+    #: backslash would change the literal's bytes
+    _JAVA_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b",
+                     "f": "\f", "0": "\0", '"': '"', "'": "'",
+                     "\\": "\\"}
+
     def _string(self) -> str:
         out = []
         i = self.pos + 1
         while i < len(self.text):
             c = self.text[i]
             if c == "\\" and i + 1 < len(self.text):
-                out.append(self.text[i + 1])
-                i += 2
-                continue
+                esc = self.text[i + 1]
+                if esc in self._JAVA_ESCAPES:
+                    out.append(self._JAVA_ESCAPES[esc])
+                    i += 2
+                    continue
+                if esc == "u":
+                    hexs = self.text[i + 2:i + 6]
+                    if len(hexs) == 4 and all(
+                        h in "0123456789abcdefABCDEF" for h in hexs
+                    ):
+                        out.append(chr(int(hexs, 16)))
+                        i += 6
+                        continue
+                    self.pos = i
+                    raise self._err(
+                        f"malformed \\u escape {self.text[i:i + 6]!r}"
+                    )
+                self.pos = i
+                raise self._err(
+                    f"unsupported escape sequence \\{esc} in string "
+                    "literal (Java escapes \\n \\t \\r \\b \\f \\0 "
+                    "\\\" \\' \\\\ \\uXXXX are translated; anything "
+                    "else refuses rather than silently dropping the "
+                    "backslash)"
+                )
             if c == '"':
                 self.pos = i + 1
                 # Spark's lexer treats backslash as an escape inside
-                # single-quoted literals — double it BEFORE quote-doubling
+                # single-quoted literals — double it BEFORE quote-doubling;
+                # control characters render back as lexer escapes so the
+                # emitted SQL stays single-line and diff-friendly
                 lit = ("".join(out).replace("\\", "\\\\")
-                       .replace("'", "''"))
+                       .replace("'", "''")
+                       .replace("\n", "\\n").replace("\t", "\\t")
+                       .replace("\r", "\\r"))
                 return f"'{lit}'"
             out.append(c)
             i += 1

@@ -66,20 +66,28 @@ def _probe_run(spark, marker: str, token: str, n_tasks: int) -> list[bool]:
 
 
 def _probe_run_uri(spark, out_dir: str, fname: str, token: str,
-                   n_tasks: int) -> list[bool]:
+                   n_tasks: int) -> list[tuple[bool, str]]:
     """URI tier: re-read the marker on the executors through the same
     pyarrow.fs adapter the shards will be written with — validates
     scheme support, network reachability, and credentials from the
-    worker side, not just the driver."""
+    worker side, not just the driver. Each task returns ``(ok, err)``
+    where ``err`` carries the exception text on failure, so the caller
+    can distinguish a missing native lib / bad credentials / unreachable
+    endpoint from a plain missing marker. The probe is deliberately
+    self-contained (inline pyarrow.fs, no import of this package) so a
+    cluster that has pyarrow but not this package on the workers still
+    gets a truthful reachability answer, not a misleading ImportError."""
 
     def probe(_it):
-        from knime_core_columnar_spark.sources import fsio
-
         try:
-            return [fsio.read_shard_bytes(out_dir, fname)
-                    == token.encode("ascii")]
-        except Exception:
-            return [False]
+            from pyarrow import fs as pafs
+
+            fs, root = pafs.FileSystem.from_uri(out_dir)
+            with fs.open_input_stream(f"{root.rstrip('/')}/{fname}") as f:
+                ok = f.read() == token.encode("ascii")
+            return [(ok, "" if ok else "marker bytes did not match")]
+        except Exception as exc:  # noqa: BLE001 — report, don't mask
+            return [(False, f"{type(exc).__name__}: {exc}")]
 
     sc = spark.sparkContext
     return sc.parallelize(range(n_tasks), n_tasks).mapPartitions(probe).collect()
@@ -102,13 +110,16 @@ def assert_executor_visible(spark, out_dir: str, n_tasks: int | None = None) -> 
         fsio.write_shard_bytes(out_dir, fname, token.encode("ascii"))
         try:
             seen = _probe_run_uri(spark, out_dir, fname, token, n_tasks)
-            if not seen or not all(seen):
-                bad = sum(1 for s in seen if not s)
+            if not seen or not all(ok for ok, _ in seen):
+                bad = sum(1 for ok, _ in seen if not ok)
+                first_err = next((e for ok, e in seen if not ok and e), "")
                 raise RuntimeError(
                     f"out_dir {out_dir!r} is not reachable from the "
                     f"executors: {bad}/{len(seen)} probe tasks could not "
-                    "re-read the driver's marker through pyarrow.fs. "
-                    "Check that the workers can resolve the scheme "
+                    "re-read the driver's marker through pyarrow.fs"
+                    + (f" (first executor error: {first_err})" if first_err
+                       else "")
+                    + ". Check that the workers can resolve the scheme "
                     "(libhdfs for hdfs://) and hold credentials for the "
                     "bucket; or export via Spark's distributed "
                     "parquet/orc writers and convert."

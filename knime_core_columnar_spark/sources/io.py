@@ -218,26 +218,43 @@ def write_arrow_ipc(
         shard = f"part-{uuid.uuid4().hex}.arrow"
         writer = None
         n = 0
+        finalize = None  # temp→final rename, run only after a clean close
         for pdf in batches:
             batch = pa.RecordBatch.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
             if writer is None:
                 # batches STREAM to the sink (bounded memory per task) on
                 # both tiers: OSFile on mount paths, the pyarrow.fs output
                 # stream (Arrow-native S3/GCS/Azure multipart upload) on
-                # URI destinations
+                # URI destinations. POSIX-like targets (plain mounts,
+                # file://, hdfs://) stream to a .part temp and rename on
+                # close — fsio.write_shard_bytes's atomicity contract — so
+                # a killed task never leaves a truncated part-*.arrow
+                # visible to concurrent readers; object stores stream to
+                # the final key directly (the PUT completes atomically on
+                # close, and rename there is a full copy).
                 if _fsio.is_uri(directory):
                     fs, root = _fsio.resolve_fs(directory)
                     fname = f"{directory.rstrip('/')}/{shard}"
-                    sink = fs.open_output_stream(f"{root.rstrip('/')}/{shard}")
+                    final_key = f"{root.rstrip('/')}/{shard}"
+                    if fs.type_name in _fsio._POSIX_FS_TYPES:
+                        tmp_key = f"{final_key}.part{os.getpid()}"
+                        sink = fs.open_output_stream(tmp_key)
+                        finalize = lambda: fs.move(tmp_key, final_key)  # noqa: E731
+                    else:
+                        sink = fs.open_output_stream(final_key)
                 else:
                     fname = os.path.join(directory, shard)
-                    sink = _pa.OSFile(fname, "wb")
+                    tmp_path = f"{fname}.part{os.getpid()}"
+                    sink = _pa.OSFile(tmp_path, "wb")
+                    finalize = lambda: os.replace(tmp_path, fname)  # noqa: E731
                 writer = pa.ipc.new_file(sink, arrow_schema)
             writer.write_batch(batch)
             n += len(pdf)
         if writer is not None:
             writer.close()
             sink.close()
+            if finalize is not None:
+                finalize()
             yield pd.DataFrame({"path": [fname], "rows": [n], "host": [socket.gethostname()]})
 
     out_schema = "path string, rows long, host string"

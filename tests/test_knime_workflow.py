@@ -281,3 +281,21 @@ def test_flow_variable_connections_ignored(tmp_path, nodes):
     plan, _ = load_workflow_dir(str(dst), source_table="flights")
     assert [s.op for s in plan.steps] == [
         "SOURCE", "KEEP_ONLY", "APPEND_MAP", "FILTER"]
+
+
+def test_java_escape_sequences_translate_and_unknown_raise(spark):
+    """Round-11 ADVICE: Java-style escapes in DSL string literals must
+    translate to the characters they denote (\\n, \\t, \\uXXXX), and an
+    unrecognized escape refuses rather than dropping the backslash."""
+    sql = translate_string_manipulation('join($p$, "\\n")')
+    df = spark.createDataFrame([("a",)], "p string")
+    assert df.selectExpr(f"{sql} AS v").collect()[0]["v"] == "a\n"
+    sql_t = translate_string_manipulation('join("x", "\\t", "y")')
+    assert df.selectExpr(f"{sql_t} AS v").collect()[0]["v"] == "x\ty"
+    # A is 'A'
+    sql_u = translate_string_manipulation('join($p$, "\\u0041")')
+    assert df.selectExpr(f"{sql_u} AS v").collect()[0]["v"] == "aA"
+    with pytest.raises(ValueError, match="unsupported escape"):
+        translate_string_manipulation('join($p$, "\\q")')
+    with pytest.raises(ValueError, match="malformed"):
+        translate_string_manipulation('join($p$, "\\u00Zx")')

@@ -1188,3 +1188,44 @@ def test_language_mix_zero_exchange_plan(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_fscheck_uri_probe_surfaces_executor_error(spark, tmp_path, monkeypatch):
+    """Round-11 ADVICE: a failing URI probe must carry the executor-side
+    exception text (credentials / scheme / native-lib failures are
+    distinguishable), not a generic 'not reachable'."""
+    from knime_core_columnar_spark.sources import fscheck
+
+    monkeypatch.setattr(
+        fscheck, "_probe_run_uri",
+        lambda *a, **k: [(True, ""), (False, "OSError: AWS access denied")],
+    )
+    with pytest.raises(RuntimeError, match="AWS access denied"):
+        fscheck.assert_executor_visible(spark, f"file://{tmp_path / 'x'}")
+    # marker cleaned up on the failure path too
+    import os
+    assert not [f for f in os.listdir(tmp_path / "x")
+                if f.startswith(".__fsprobe")]
+
+
+def test_arrow_ipc_leaves_no_part_temps(spark, tmp_path):
+    """Round-11 ADVICE: both tiers stream to a .part temp and rename on
+    close (POSIX-like targets), so a completed export directory holds
+    only finished part-*.arrow shards."""
+    import os
+
+    from knime_core_columnar_spark.sources.io import write_arrow_ipc
+    from knime_core_columnar_spark.table import ColumnarTable
+
+    t = ColumnarTable.from_dataframe(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(50)], "i long, s string"
+        ).repartition(4),
+        key_columns=["i"],
+    )
+    for dest in (str(tmp_path / "plain"), f"file://{tmp_path / 'uri'}"):
+        paths = write_arrow_ipc(t, dest, check_fs=False)
+        assert paths
+        local_dir = dest[len("file://"):] if dest.startswith("file://") else dest
+        names = os.listdir(local_dir)
+        assert all(n.endswith(".arrow") for n in names), names
