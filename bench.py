@@ -129,6 +129,14 @@ HEADLINE = [
     # collect_list + boundary algebra) — benched so a regression into
     # an unbounded group or a second text exchange surfaces here
     "packed_sequences_text",
+    # round-11: the saved-workflow path timed FROM settings.xml text
+    # (parse -> compile -> execute, the reference's own benchmark
+    # protocol — SimpleLinearWorkflowBenchmark.java:80-87); compile is
+    # sub-ms, so this should track simple_linear_workflow 1:1
+    "workflow_compile_execute",
+    # round-11: the incremental curation funnel (increment-only gating
+    # + one fingerprint anti-join against the base index)
+    "curation_funnel_delta",
 ]
 
 # sub-0.3 s queries whose r3→r4 deltas exceeded 15% with overlapping

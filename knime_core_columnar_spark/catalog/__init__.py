@@ -34,6 +34,7 @@ _SECTIONS = [
     "round8_ext",
     "round9_ext",
     "round10_ext",
+    "round11_ext",
     # LAST: orders the registry (never-checked first, then greens
     # oldest-evidence-first) so the driver's 50-slot window is always
     # the freshness frontier — see rotation.py

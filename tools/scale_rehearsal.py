@@ -98,7 +98,10 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          # round-10 additions: URL hygiene, the packed-sequence writer,
          # keep-longest cluster canonicalization, the gate funnel
          "url_dedup_canonical", "packed_sequences_text",
-         "neardup_keep_longest", "curation_funnel"]
+         "neardup_keep_longest", "curation_funnel",
+         # round-11: the incremental funnel (increment-only gating +
+         # one fingerprint anti-join against the base index)
+         "curation_funnel_delta"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
