@@ -137,6 +137,10 @@ HEADLINE = [
     # round-11: the incremental curation funnel (increment-only gating
     # + one fingerprint anti-join against the base index)
     "curation_funnel_delta",
+    # round-11: the real PNG codec round-trip (encode + CRC + inflate +
+    # unfilter per row, two Arrow-batched scans) — the heaviest
+    # per-row Python kernel after bpe_encode goes under the stopwatch
+    "png_pixel_stats",
 ]
 
 # sub-0.3 s queries whose r3→r4 deltas exceeded 15% with overlapping

@@ -5,12 +5,16 @@ VarBinary-with-pluggable-serializer pattern
 getObject(ObjectDeserializer)).
 
 Real decode libs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are stubbed: ``strict=True`` raises NotImplementedError at
-the exact point a real decoder would plug in; ``strict=False`` produces a
-deterministic fake decode derived from the bytes, so the Spark-side
-plumbing — schema, Arrow batch shape, mapInPandas partitioning — is real
-and fully tested. Swapping in a real decoder changes only the marked
-inner function.
+decode kernels HERE are stubbed: ``strict=True`` raises
+NotImplementedError at the exact point a real decoder would plug in;
+``strict=False`` produces a deterministic fake decode derived from the
+bytes, so the Spark-side plumbing — schema, Arrow batch shape,
+mapInPandas partitioning — is real and fully tested. Swapping in a real
+decoder changes only the marked inner function. PNG is the exception
+since round 11: :mod:`.png` implements the actual codec (stdlib zlib +
+the spec's five scanline filters) with real pixel access — use
+``png.png_pixel_stats`` for PNG payloads; this module's stub path
+remains for formats that genuinely need a codec library (JPEG etc.).
 
 Everything runs through mapInPandas (Arrow-batched, partition-parallel,
 never a driver collect)."""

@@ -101,7 +101,9 @@ HEAVY = ["dedup_minhash_lsh", "neardup_pipeline", "kmeans_clusters",
          "neardup_keep_longest", "curation_funnel",
          # round-11: the incremental funnel (increment-only gating +
          # one fingerprint anti-join against the base index)
-         "curation_funnel_delta"]
+         "curation_funnel_delta",
+         # round-11: the real PNG codec round-trip (per-row encode+decode)
+         "png_pixel_stats"]
 
 
 def synthesize(spark, out_dir: str, r: int) -> None:
