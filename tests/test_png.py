@@ -155,3 +155,41 @@ def test_png_pixel_stats_distributed(spark):
             ch = px[:, :, c].astype(np.int64)
             assert got[(d, c)] == (64, int(ch.sum()), int((ch * ch).sum()))
     assert got[(2, -1)] == (None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: the codec is the identity on arbitrary images through
+# arbitrary per-row filter choices, and corruption never yields pixels
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_fuzz_decode_inverts_any_filtered_encoding(h, w, c, seed, data):
+    px = _rng_pixels(h, w, c=c, seed=seed)
+    ftypes = data.draw(st.lists(st.integers(0, 4), min_size=1, max_size=h))
+    assert np.array_equal(png_decode_rgb(_png_with_filters(px, ftypes)), px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), flip=st.integers(0, 10_000))
+def test_fuzz_corruption_raises_never_lies(seed, flip):
+    px = _rng_pixels(6, 6, seed=seed % 1000)
+    blob = bytearray(png_encode_rgb(px))
+    blob[flip % len(blob)] ^= 0xA5
+    try:
+        out = png_decode_rgb(bytes(blob))
+    except (ValueError, zlib.error, struct.error):
+        return  # loud failure is the contract
+    # the flip may land in a byte that keeps the stream consistent only
+    # if it decoded back to the SAME pixels (e.g. flip inside a chunk we
+    # ignore is impossible — every chunk is CRC-checked)
+    assert np.array_equal(out, px)
