@@ -660,3 +660,78 @@ def test_select_convention_marker_and_legacy_override(spark):
     # an explicit marker wins over the default
     with pytest.raises(ValueError, match="unknown select_convention"):
         load_knime_settings(legacy, select_convention="bogus")
+
+
+# ---------------------------------------------------------------------------
+# round-11: property fuzz of the full persistence circle —
+# Plan -> save_knime_settings -> settings.xml -> parse -> load -> Plan
+# over the whole persistable IR subset (incl. APPEND_MISSING)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings as hyp_settings, strategies as st  # noqa: E402
+
+_names = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                           max_codepoint=0x7E),
+    min_size=1, max_size=12,
+)
+_spark_types = st.sampled_from(["int", "bigint", "double", "string",
+                                "boolean"])
+
+_step = st.one_of(
+    st.builds(lambda c: ("SELECT", {"columns": c}),
+              st.lists(st.integers(0, 20), min_size=1, max_size=6,
+                       unique=True)),
+    st.builds(lambda a, b: ("SLICE", {"start": a, "stop": a + b}),
+              st.integers(0, 1000), st.integers(0, 1000)),
+    st.builds(lambda o: ("ROWINDEX", {"name": "row_index", "offset": o}),
+              st.integers(0, 10**9)),
+    st.just(("IDENTITY", {})),
+    st.builds(lambda t: ("APPEND", {"tables": t}),
+              st.lists(_names, min_size=1, max_size=3)),
+    st.builds(lambda t: ("CONCATENATE", {"tables": t}),
+              st.lists(_names, min_size=1, max_size=3)),
+    st.builds(lambda e: ("APPEND_MAP", {"exprs": e}),
+              st.dictionaries(_names, st.just("i + 1"), min_size=1,
+                              max_size=3)),
+    st.builds(lambda e: ("MAP", {"exprs": e}),
+              st.dictionaries(_names, st.just("i * 2"), min_size=1,
+                              max_size=3)),
+    st.builds(lambda cols: ("APPEND_MISSING", {"columns": cols}),
+              st.dictionaries(_names, _spark_types, min_size=1,
+                              max_size=4)),
+)
+
+
+@hyp_settings(max_examples=80, deadline=None, derandomize=True)
+@given(steps=st.lists(_step, min_size=0, max_size=8))
+def test_fuzz_persistence_roundtrip_identity(steps):
+    """save -> xml -> parse -> load is the identity on the persistable
+    IR subset (APPEND_MISSING 'long' normalizes to 'bigint', the one
+    documented canonicalization)."""
+    from knime_core_columnar_spark.plans.persist import (
+        Plan,
+        load_knime_settings,
+        parse_knime_settings_xml,
+        save_knime_settings,
+        serialize_knime_settings_xml,
+    )
+
+    plan = Plan().add("SOURCE", table=ID_A)
+    for op, args in steps:
+        plan.add(op, **args)
+    xml = serialize_knime_settings_xml(save_knime_settings(plan))
+    again = load_knime_settings(parse_knime_settings_xml(xml))
+    assert [s.op for s in again.steps] == [s.op for s in plan.steps]
+    for orig, back in zip(plan.steps, again.steps):
+        if orig.op in ("SELECT", "APPEND_MISSING"):
+            assert back.args["columns"] == orig.args["columns"]
+        elif orig.op == "SLICE":
+            assert (back.args["start"], back.args["stop"]) == (
+                orig.args["start"], orig.args["stop"])
+        elif orig.op == "ROWINDEX":
+            assert back.args.get("offset", 0) == orig.args["offset"]
+        elif orig.op in ("APPEND", "CONCATENATE"):
+            assert back.args["tables"] == orig.args["tables"]
+        elif orig.op in ("MAP", "APPEND_MAP"):
+            assert back.args["exprs"] == orig.args["exprs"]
