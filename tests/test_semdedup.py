@@ -80,14 +80,13 @@ def test_semdedup_duckdb_oracle(spark, sf_dir):
 
 def test_r5_section_registered():
     """The round-5 section registers at import: every name is live in
-    QUERIES with its oracle (bpe_merges deliberately oracle-less)."""
+    QUERIES with its oracle (bpe_merges gained its unrolled-loop oracle
+    in round 11 — the catalog has no oracle-less query left)."""
     from knime_core_columnar_spark import catalog
 
     r5 = ["semantic_dedup", "bigram_lm_quality", "decontaminate_bloom",
           "stream_stream_join_batch", "bpe_merges"]
     for name in r5:
         assert callable(catalog.QUERIES[name])
-        if name == "bpe_merges":
-            assert name not in catalog.ORACLES
-        else:
-            assert "SELECT" in catalog.ORACLES[name].upper()
+        assert "SELECT" in catalog.ORACLES[name].upper()
+    assert set(catalog.QUERIES) == set(catalog.ORACLES)
