@@ -92,43 +92,20 @@ def _r11x_curation_funnel_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation_funnel)."""
     from knime_core_columnar_spark.operators.text import (
         c4_line_filter,
-        fingerprint,
+        curation_gate_fingerprints,
         gopher_rules,
-        lang_id,
     )
 
     d = _t(spark, sf_dir, "documents")
 
-    def gated_fps(df: DataFrame) -> DataFrame:
-        """doc_id + fingerprint of the docs surviving the full gate
-        chain (shared by both sources — the same persisted artifact a
-        production run would reuse)."""
-        g = gopher_rules(
-            df, min_words=20, max_words=80, min_mean_word_len=3.2,
-            max_mean_word_len=4.2, max_symbol_ratio=0.1,
-            min_alpha_ratio=0.8, min_stopwords=1,
-        ).select("doc_id", F.col("keep").alias("__gk"))
-        d2 = df.withColumn(
-            "text", F.replace(F.col("text"), F.lit(" table "), F.lit(".\n"))
-        )
-        c = c4_line_filter(
-            d2, min_words_per_line=4, require_terminal_punct=True,
-            min_kept_lines=2,
-        ).select("doc_id", F.col("keep").alias("__ck"))
-        lang = df.select("doc_id", lang_id("text").alias("__lp"))
-        fp = fingerprint(F.coalesce(F.col("text"), F.lit("")))
-        return (
-            g.filter("__gk").join(c.filter("__ck"), "doc_id")
-            .join(lang.filter(F.col("__lp") == "en"), "doc_id")
-            .join(df.select("doc_id", fp.alias("__fp")), "doc_id")
-            .select("doc_id", "__fp")
-        )
-
     base = d.filter(F.col("doc_id") % 10 != 0)
     inc = d.filter(F.col("doc_id") % 10 == 0)
 
-    base_index = gated_fps(base).select("__fp").distinct()
-    inc_gated = gated_fps(inc)
+    # the shared gate chain (text.curation_gate_fingerprints — same
+    # function the batch funnel and the streaming admitter use; its
+    # defaults ARE the registered funnel parameters)
+    base_index = curation_gate_fingerprints(base).select("__fp").distinct()
+    inc_gated = curation_gate_fingerprints(inc)
 
     # increment-side intermediate stages (gate-by-gate, same params)
     g_inc = gopher_rules(

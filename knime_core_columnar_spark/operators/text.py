@@ -2055,3 +2055,63 @@ def kn_bigram_logprob(
             ).alias("avg_kn_logprob"),
         )
     )
+
+
+def curation_gate_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 20,
+    max_words: int = 80,
+    min_mean_word_len: float = 3.2,
+    max_mean_word_len: float = 4.2,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 1,
+    c4_min_words_per_line: int = 4,
+    c4_require_terminal_punct: bool = True,
+    c4_min_kept_lines: int = 2,
+    lang: str = "en",
+    newline_synthesis: tuple[str, str] | None = (" table ", ".\n"),
+) -> DataFrame:
+    """(id, __fp) of the documents surviving the standard curation gate
+    chain — Gopher rule battery → C4 line cleaning → language gate —
+    with the content fingerprint exact-dedup keys on. The SHARED stage
+    of the funnel family: the batch census (catalog curation_funnel),
+    the incremental delta audit (curation_funnel_delta), and the
+    streaming admitter (streaming.ops.streaming_curation_admit) all
+    call this one function, so the three surfaces cannot drift apart.
+    Defaults are the corpus-fitted parameters the registered funnel
+    queries pin (see catalog.round10_ext); ``newline_synthesis``
+    rewrites a marker to '.\\n' before the C4 pass because the
+    synthetic corpus has no natural newlines — pass None for real
+    corpora. All stages are zero-exchange row-local expressions; the
+    joins are id-keyed and collapse under AQE."""
+    g = gopher_rules(
+        df, min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        min_alpha_ratio=min_alpha_ratio, min_stopwords=min_stopwords,
+    ).select(id_col, F.col("keep").alias("__gk"))
+    d2 = df
+    if newline_synthesis is not None:
+        d2 = df.withColumn(
+            text_col,
+            F.replace(F.col(text_col), F.lit(newline_synthesis[0]),
+                      F.lit(newline_synthesis[1])),
+        )
+    c = c4_line_filter(
+        d2, min_words_per_line=c4_min_words_per_line,
+        require_terminal_punct=c4_require_terminal_punct,
+        min_kept_lines=c4_min_kept_lines,
+    ).select(id_col, F.col("keep").alias("__ck"))
+    lng = df.select(id_col, lang_id(text_col).alias("__lp"))
+    fp = fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        g.filter("__gk").join(c.filter("__ck"), id_col)
+        .join(lng.filter(F.col("__lp") == lang), id_col)
+        .join(df.select(id_col, fp.alias("__fp")), id_col)
+        .select(id_col, "__fp")
+    )

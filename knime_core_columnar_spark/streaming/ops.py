@@ -742,3 +742,98 @@ def streaming_hll_store_ingest(
             os.rename(new, store_dir)
 
     return _ingest
+
+
+def streaming_curation_admit(
+    index_dir: str,
+    admitted_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **gate_params,
+):
+    """foreachBatch admitter for a STREAMING curation pipeline — the
+    micro-batch twin of the catalog's ``curation_funnel_delta``: each
+    batch runs the shared gate chain
+    (``text.curation_gate_fingerprints`` — Gopher battery → C4 line
+    cleaning → language gate, identical parameters), elects one winner
+    per fingerprint WITHIN the batch (min-id aggregate, never a
+    window), anti-joins the winners against the persisted
+    survivor-fingerprint INDEX, appends the newly admitted (id, fp)
+    rows to ``admitted_dir`` (one overwrite-mode partition per
+    batch_id — foreachBatch retries are idempotent), and merges the new
+    fingerprints into the index with the same write-new-then-swap
+    protocol as ``streaming_hll_store_ingest`` (crash between renames
+    recovers from ``.old``).
+
+    Returns the callback for ``df.writeStream.foreachBatch(...)``; it
+    also accepts a batch DataFrame directly (``callback(batch_df,
+    batch_id)``) for backfill/testing — the code path is shared.
+    Batch ids key the admitted partitions and every streaming query
+    numbers its batches from 0, so give each query (and any manual
+    backfill) its OWN ``admitted_dir`` — the index may be shared.
+
+    Invariant the parity test pins: the SET of admitted fingerprints
+    equals the batch pipeline's gated-distinct-fp set minus the initial
+    index, for ANY batch split (which winner id is admitted for a
+    fingerprint that spans batches is first-batch-wins — the streaming
+    semantics — and min-id within a batch).
+
+    Scale shape: per-batch cost is O(batch) gate expressions + ONE
+    anti-join of 16-byte fingerprints against the index — history is
+    never re-read, never re-gated; the index grows by exactly the
+    admitted rows (disjoint by construction, so the merge is a plain
+    union, no distinct)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.operators.text import (
+        curation_gate_fingerprints,
+    )
+
+    def _recover() -> None:
+        if os.path.isdir(index_dir):
+            return
+        olds = sorted(
+            (p for p in glob.glob(f"{index_dir}.old*") if os.path.isdir(p)),
+            key=os.path.getmtime,
+        )
+        if olds:
+            os.rename(olds[-1], index_dir)
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover()
+        gated = curation_gate_fingerprints(
+            batch_df, id_col, text_col, **gate_params
+        )
+        winners = gated.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+        if os.path.isdir(index_dir):
+            index = spark.read.parquet(index_dir)
+            new = winners.join(index, "__fp", "left_anti")
+        else:
+            index = None
+            new = winners
+        # materialize the admitted rows FIRST (they are read twice:
+        # the sink append and the index merge); per-batch overwrite
+        # partition makes a foreachBatch retry rewrite, not double-append
+        batch_out = os.path.join(admitted_dir, f"batch_id={batch_id}")
+        new.select(id_col, "__fp").write.mode("overwrite").parquet(batch_out)
+        admitted = spark.read.parquet(batch_out)
+        merged = (index.unionByName(admitted.select("__fp"))
+                  if index is not None else admitted.select("__fp"))
+        new_dir = f"{index_dir}.new{batch_id}"
+        merged.write.mode("overwrite").parquet(new_dir)
+        if os.path.isdir(index_dir):
+            old = f"{index_dir}.old{batch_id}"
+            if os.path.isdir(old):  # crashed retry of this batch
+                shutil.rmtree(old)
+            os.rename(index_dir, old)
+            os.rename(new_dir, index_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(new_dir, index_dir)
+
+    return _admit

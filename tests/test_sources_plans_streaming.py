@@ -577,3 +577,71 @@ def test_drift_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
     import collections
     per_win = collections.Counter(w for (w, _) in want)
     assert set(per_win.values()) == {12}
+
+
+def test_streaming_curation_admit_multibatch_parity(spark, sf_dir, tmp_path):
+    """Round-11: the streaming curation admitter. Seed the index from a
+    base slice (the 'already-curated corpus'), stream the increment in
+    real micro-batches, and pin the invariant: the admitted fingerprint
+    SET equals the batch pipeline's gated-distinct set minus the seed
+    index, for any batch split; admitted ids are unique per fp."""
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.operators.text import (
+        curation_gate_fingerprints,
+    )
+    from knime_core_columnar_spark.streaming import ops as ST
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    inc = d.filter(F.col("doc_id") % 10 == 0)
+
+    index_dir = str(tmp_path / "cur_index")
+    admitted_dir = str(tmp_path / "cur_admitted")
+    # the seed writes to its own sink: the STREAM's foreachBatch ids
+    # restart at 0, and admitted partitions are keyed by batch_id
+    seed_admit = ST.streaming_curation_admit(
+        index_dir, str(tmp_path / "cur_seed_admitted"))
+    admit = ST.streaming_curation_admit(index_dir, admitted_dir)
+
+    # seed: batch-mode call with the base corpus (shared code path)
+    seed_admit(base, 0)
+    seed_fps = {r["__fp"] for r in
+                spark.read.parquet(index_dir).collect()}
+    assert seed_fps == {
+        r["__fp"]
+        for r in curation_gate_fingerprints(base).select("__fp").collect()
+    }
+
+    # stream the increment in real micro-batches
+    src_dir = str(tmp_path / "cur_in")
+    inc.repartition(6).write.parquet(src_dir)
+    stream = ST.stream_from_directory(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=2,
+    )
+    q = (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    inc_admitted = spark.read.parquet(admitted_dir)
+    got_fps = {r["__fp"] for r in inc_admitted.select("__fp").collect()}
+    want_fps = {
+        r["__fp"]
+        for r in curation_gate_fingerprints(inc).select("__fp").collect()
+    } - seed_fps
+    assert got_fps == want_fps and len(want_fps) > 0
+    # one winner per fingerprint across the whole run
+    n = inc_admitted.count()
+    assert n == inc_admitted.select("__fp").distinct().count()
+    # the index ends as seed ∪ admitted (disjoint union, no dups)
+    final = spark.read.parquet(index_dir)
+    assert final.count() == final.distinct().count() == len(
+        seed_fps | got_fps
+    )
