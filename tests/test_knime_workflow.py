@@ -442,3 +442,188 @@ def test_row_filter_neq_miss_settings_xml(spark):
         spark, {"src": ColumnarTable.from_dataframe(df, key_columns=["k"])}
     )
     assert sorted(r["k"] for r in out.df.collect()) == ["r1", "r2"]
+
+
+# ---------------------------------------------------------------------------
+# round-11: differential fuzz of the String Manipulation translator —
+# random expression TREES over the supported function matrix, executed
+# on Spark via the translated SQL and compared row-by-row against an
+# independent pure-Python replica of each function's documented
+# (commons-lang / Spark-builtin) semantics. The urls.py test discipline
+# applied to the DSL.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings as hyp_settings, strategies as st  # noqa: E402
+
+
+def _py_initcap(s):
+    if s is None:
+        return None
+    out, start = [], True
+    for ch in s:
+        if ch == " ":
+            out.append(ch)
+            start = True
+        else:
+            out.append(ch.upper() if start else ch.lower())
+            start = False
+    return "".join(out)
+
+
+def _py_translate(s, frm, to):
+    """Spark translate / StringUtils.replaceChars: char i of frm maps
+    to char i of to, extras delete, FIRST duplicate mapping wins."""
+    if s is None:
+        return None
+    m = {}
+    for i, ch in enumerate(frm):
+        m.setdefault(ch, to[i] if i < len(to) else None)
+    return "".join(
+        (m[ch] if m[ch] is not None else "") if ch in m else ch
+        for ch in s
+    )
+
+
+# leaf strings: the constrained alphabet keeps every function's python
+# replica exact (no unicode-case or regex-metachar edge semantics)
+_lit = st.text(alphabet="abc x.", min_size=0, max_size=6)
+_needle = st.text(alphabet="abc x", min_size=1, max_size=3)
+
+
+def _leaf():
+    return st.one_of(
+        st.builds(lambda v: (f'"{v}"', lambda row: v), _lit),
+        st.just(("$s$", lambda row: row["s"])),
+        st.just(("$t$", lambda row: row["t"])),
+    )
+
+
+def _wrap1(inner):
+    def mk(name, fn):
+        return st.builds(
+            lambda a: (f"{name}({a[0]})", lambda row: fn(a[1](row))),
+            inner,
+        )
+    import re as _re
+    return st.one_of(
+        mk("upperCase", lambda v: None if v is None else v.upper()),
+        mk("lowerCase", lambda v: None if v is None else v.lower()),
+        mk("capitalize", _py_initcap),
+        mk("strip", lambda v: None if v is None else v.strip(" ")),
+        mk("stripStart", lambda v: None if v is None else v.lstrip(" ")),
+        mk("stripEnd", lambda v: None if v is None else v.rstrip(" ")),
+        mk("reverse", lambda v: None if v is None else v[::-1]),
+        mk("removeDuplicates",
+           lambda v: None if v is None else _re.sub(" {2,}", " ", v)),
+        mk("toNull",
+           lambda v: None if v is None or v.strip(" ") == "" else v),
+        mk("toEmpty", lambda v: "" if v is None else v),
+    )
+
+
+def _wrap2(inner):
+    return st.one_of(
+        st.builds(
+            lambda a, n: (f'replace({a[0]}, "{n}", "_")',
+                          lambda row: (None if a[1](row) is None
+                                       else a[1](row).replace(n, "_"))),
+            inner, _needle,
+        ),
+        st.builds(
+            lambda a, n: (f'removeChars({a[0]}, "{n}")',
+                          lambda row: _py_translate(a[1](row), n, "")),
+            inner, _needle,
+        ),
+        st.builds(
+            lambda a, n: (f'replaceChars({a[0]}, "{n}", "yz")',
+                          lambda row: _py_translate(a[1](row), n, "yz")),
+            inner, _needle,
+        ),
+        st.builds(
+            lambda a, b: (f"join({a[0]}, {b[0]})",
+                          lambda row: (None if a[1](row) is None
+                                       or b[1](row) is None
+                                       else a[1](row) + b[1](row))),
+            inner, inner,
+        ),
+        st.builds(
+            lambda a, b: (f'joinSep("-", {a[0]}, {b[0]})',
+                          lambda row: "-".join(
+                              v for v in (a[1](row), b[1](row))
+                              if v is not None)),
+            inner, inner,
+        ),
+        st.builds(
+            lambda a, p, ln: (
+                f"substr({a[0]}, {p}, {ln})",
+                lambda row: (None if a[1](row) is None
+                             else a[1](row)[p:p + ln])),
+            inner, st.integers(0, 5), st.integers(0, 5),
+        ),
+    )
+
+
+def _int_fns(inner):
+    return st.one_of(
+        st.builds(
+            lambda a: (f"string(length({a[0]}))",
+                       lambda row: (None if a[1](row) is None
+                                    else str(len(a[1](row))))),
+            inner,
+        ),
+        st.builds(
+            lambda a, n: (f'string(indexOf({a[0]}, "{n}"))',
+                          lambda row: str(-1 if a[1](row) is None
+                                          else a[1](row).find(n))),
+            inner, _needle,
+        ),
+        st.builds(
+            lambda a, n: (f'string(lastIndexOf({a[0]}, "{n}"))',
+                          lambda row: str(-1 if a[1](row) is None
+                                          else a[1](row).rfind(n))),
+            inner, _needle,
+        ),
+        st.builds(
+            lambda a, n: (f'string(count({a[0]}, "{n}"))',
+                          lambda row: str(0 if a[1](row) is None
+                                          else a[1](row).count(n))),
+            inner, _needle,
+        ),
+        st.builds(
+            lambda a, n: (f'string(countChars({a[0]}, "{n}"))',
+                          lambda row: str(0 if a[1](row) is None else
+                                          sum(1 for ch in a[1](row)
+                                              if ch in set(n)))),
+            inner, _needle,
+        ),
+    )
+
+
+_expr = st.recursive(
+    _leaf(),
+    lambda inner: st.one_of(_wrap1(inner), _wrap2(inner), _int_fns(inner)),
+    max_leaves=8,
+)
+
+_ROWS = [
+    {"s": "ab  cx.a", "t": "x b"},
+    {"s": "", "t": "  "},
+    {"s": None, "t": "abc abc"},
+    {"s": " a.b ", "t": None},
+    {"s": "aaaa", "t": "a a a"},
+]
+
+
+@hyp_settings(max_examples=120, deadline=None, derandomize=True)
+@given(e=_expr)
+def test_fuzz_dsl_translation_matches_python_replica(spark, e):
+    dsl, py = e
+    sql = translate_string_manipulation(dsl)
+    df = spark.createDataFrame(
+        [(i, r["s"], r["t"]) for i, r in enumerate(_ROWS)],
+        "i int, s string, t string",
+    )
+    got = {r["i"]: r["v"]
+           for r in df.selectExpr("i", f"{sql} AS v").collect()}
+    want = {i: py(r) for i, r in enumerate(_ROWS)}
+    assert got == want, f"{dsl!r} -> {sql!r}"
