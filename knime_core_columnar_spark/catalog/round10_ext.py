@@ -619,10 +619,18 @@ def _r10x_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard web-corpus pipeline — Gopher rule battery, C4 line
     cleaning, English language gate, exact dedup. The per-stage counts
     are the acceptance dashboard every curation run publishes; a
-    surprising drop localizes WHICH gate changed. One lazy plan of five
-    1-row aggregates unioned; stage 4 counts distinct content
-    fingerprints over the gated subset (survivor cardinality does not
-    depend on winner choice)."""
+    surprising drop localizes WHICH gate changed.
+
+    Round-11 plan rework: ONE corpus pass instead of five. The r10
+    shape unioned five 1-row aggregates, and each branch re-evaluated
+    the gate join tree — five scans per run. Now the gates CHAIN on
+    one frame (their ``append=True`` mode keeps the text flowing, so
+    no per-gate self-join either), one aggregation computes all five
+    counts as conditional aggregates — stage 4 is the single distinct,
+    over survivors' fingerprints only — and ``stack`` unpivots the
+    1-row result. At 100 TB that is one zero-exchange corpus read +
+    one partial+final aggregation. The oracle is unchanged and still
+    embeds the component queries' oracle SQL verbatim."""
     from knime_core_columnar_spark.operators.text import (
         c4_line_filter,
         fingerprint,
@@ -636,36 +644,35 @@ def _r10x_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fitted to the synthetic corpus; c4 over the deterministic
     # ' table ' -> '.\n' newline synthesis (the corpus has no natural
     # newlines) — see staged_r7._r7_gopher_rules / _r7_c4_line_filter.
-    g = gopher_rules(
-        d, min_words=20, max_words=80, min_mean_word_len=3.2,
+    t = gopher_rules(
+        d.select("doc_id", "text"),
+        min_words=20, max_words=80, min_mean_word_len=3.2,
         max_mean_word_len=4.2, max_symbol_ratio=0.1,
-        min_alpha_ratio=0.8, min_stopwords=1,
-    ).select("doc_id", F.col("keep").alias("__gk"))
-    d2 = d.withColumn(
-        "text", F.replace(F.col("text"), F.lit(" table "), F.lit(".\n"))
+        min_alpha_ratio=0.8, min_stopwords=1, append=True,
+    ).select("doc_id", "text", F.col("keep").alias("__gk"))
+    t = t.withColumn(
+        "__c4_text",
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")),
     )
-    c = c4_line_filter(
-        d2, min_words_per_line=4, require_terminal_punct=True,
-        min_kept_lines=2,
-    ).select("doc_id", F.col("keep").alias("__ck"))
-    lang = d.select("doc_id", lang_id("text").alias("__lp"))
-    s2 = g.filter("__gk").join(c.filter("__ck"), "doc_id")
-    s3 = (
-        s2.join(lang.filter(F.col("__lp") == "en"), "doc_id")
-        .join(d.select("doc_id", "text"), "doc_id")
-    )
-
-    def stage(name, agg_df):
-        return agg_df.select(F.lit(name).alias("stage"),
-                             F.col("n").cast("long").alias("n_docs"))
-
+    t = c4_line_filter(
+        t, text_col="__c4_text", min_words_per_line=4,
+        require_terminal_punct=True, min_kept_lines=2, append=True,
+    ).select("doc_id", "text", "__gk", F.col("keep").alias("__ck"))
     fp = fingerprint(F.coalesce(F.col("text"), F.lit("")))
-    return (
-        stage("0_raw", d.agg(F.count(F.lit(1)).alias("n")))
-        .unionByName(stage("1_gopher",
-                           g.filter("__gk").agg(F.count(F.lit(1)).alias("n"))))
-        .unionByName(stage("2_c4", s2.agg(F.count(F.lit(1)).alias("n"))))
-        .unionByName(stage("3_lang_en", s3.agg(F.count(F.lit(1)).alias("n"))))
-        .unionByName(stage("4_dedup_exact",
-                           s3.agg(F.countDistinct(fp).alias("n"))))
+    flags = t.select(
+        "__gk", "__ck",
+        (lang_id("text") == "en").alias("__lk"),
+        fp.alias("__fp"),
     )
+    gated = F.col("__gk") & F.col("__ck") & F.col("__lk")
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count_if("__gk").alias("n1"),
+        F.count_if(F.col("__gk") & F.col("__ck")).alias("n2"),
+        F.count_if(gated).alias("n3"),
+        F.countDistinct(F.when(gated, F.col("__fp"))).alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(5, '0_raw', n0, '1_gopher', n1, '2_c4', n2, "
+        "'3_lang_en', n3, '4_dedup_exact', n4) AS (stage, n_docs)"
+    ).selectExpr("stage", "CAST(n_docs AS LONG) AS n_docs")

@@ -85,15 +85,24 @@ def _r11x_curation_funnel_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard gate chain (Gopher battery → C4 line cleaning → English
     gate), then stage 4 admits only increment survivors whose content
     fingerprint is BOTH distinct within the increment and absent from
-    the base corpus's survivor-fingerprint index — one anti-join of
-    16-byte hashes, the only place the two sources meet. Gate
-    parameters are identical to the registered component queries whose
-    oracle strings the delta oracle embeds verbatim (see
-    curation_funnel)."""
+    the base corpus's survivor-fingerprint index — one join of 16-byte
+    hashes, the only place the two sources meet. Gate parameters are
+    identical to the registered component queries whose oracle strings
+    the delta oracle embeds verbatim (see curation_funnel).
+
+    Round-11 plan shape (same rework as curation_funnel): the
+    increment's gate flags CHAIN on one frame (the gates'
+    ``append=True`` mode — one zero-exchange increment scan), the base
+    index arrives as a membership-marker left join on the fingerprint
+    (the ONLY exchange), and a single aggregation computes all five
+    stage counts as conditional aggregates instead of five union
+    branches."""
     from knime_core_columnar_spark.operators.text import (
         c4_line_filter,
         curation_gate_fingerprints,
+        fingerprint,
         gopher_rules,
+        lang_id,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -104,44 +113,45 @@ def _r11x_curation_funnel_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shared gate chain (text.curation_gate_fingerprints — same
     # function the batch funnel and the streaming admitter use; its
     # defaults ARE the registered funnel parameters)
-    base_index = curation_gate_fingerprints(base).select("__fp").distinct()
-    inc_gated = curation_gate_fingerprints(inc)
+    base_index = (
+        curation_gate_fingerprints(base).select("__fp").distinct()
+        .withColumn("__inb", F.lit(True))
+    )
 
-    # increment-side intermediate stages (gate-by-gate, same params)
-    g_inc = gopher_rules(
-        inc, min_words=20, max_words=80, min_mean_word_len=3.2,
+    t = gopher_rules(
+        inc.select("doc_id", "text"),
+        min_words=20, max_words=80, min_mean_word_len=3.2,
         max_mean_word_len=4.2, max_symbol_ratio=0.1,
-        min_alpha_ratio=0.8, min_stopwords=1,
-    ).select("doc_id", F.col("keep").alias("__gk"))
-    inc2 = inc.withColumn(
-        "text", F.replace(F.col("text"), F.lit(" table "), F.lit(".\n"))
+        min_alpha_ratio=0.8, min_stopwords=1, append=True,
+    ).select("doc_id", "text", F.col("keep").alias("__gk"))
+    t = t.withColumn(
+        "__c4_text",
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")),
     )
-    c_inc = c4_line_filter(
-        inc2, min_words_per_line=4, require_terminal_punct=True,
-        min_kept_lines=2,
-    ).select("doc_id", F.col("keep").alias("__ck"))
-    s2 = g_inc.filter("__gk").join(c_inc.filter("__ck"), "doc_id")
-
-    admitted = inc_gated.join(base_index, "__fp", "left_anti")
-
-    def stage(name, agg_df):
-        return agg_df.select(F.lit(name).alias("stage"),
-                             F.col("n").cast("long").alias("n_docs"))
-
-    return (
-        stage("0_raw_increment", inc.agg(F.count(F.lit(1)).alias("n")))
-        .unionByName(stage(
-            "1_gopher", g_inc.filter("__gk").agg(F.count(F.lit(1)).alias("n"))
-        ))
-        .unionByName(stage("2_c4", s2.agg(F.count(F.lit(1)).alias("n"))))
-        .unionByName(stage(
-            "3_lang_en", inc_gated.agg(F.count(F.lit(1)).alias("n"))
-        ))
-        .unionByName(stage(
-            "4_dedup_admitted",
-            admitted.agg(F.countDistinct("__fp").alias("n")),
-        ))
+    t = c4_line_filter(
+        t, text_col="__c4_text", min_words_per_line=4,
+        require_terminal_punct=True, min_kept_lines=2, append=True,
+    ).select("doc_id", "text", "__gk", F.col("keep").alias("__ck"))
+    fp = fingerprint(F.coalesce(F.col("text"), F.lit("")))
+    flags = t.select(
+        "__gk", "__ck",
+        (lang_id("text") == "en").alias("__lk"),
+        fp.alias("__fp"),
+    ).join(base_index, "__fp", "left")
+    gated = F.col("__gk") & F.col("__ck") & F.col("__lk")
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count_if("__gk").alias("n1"),
+        F.count_if(F.col("__gk") & F.col("__ck")).alias("n2"),
+        F.count_if(gated).alias("n3"),
+        F.countDistinct(
+            F.when(gated & F.col("__inb").isNull(), F.col("__fp"))
+        ).alias("n4"),
     )
+    return agg.selectExpr(
+        "stack(5, '0_raw_increment', n0, '1_gopher', n1, '2_c4', n2, "
+        "'3_lang_en', n3, '4_dedup_admitted', n4) AS (stage, n_docs)"
+    ).selectExpr("stage", "CAST(n_docs AS LONG) AS n_docs")
 
 
 # ---------------------------------------------------------------------------

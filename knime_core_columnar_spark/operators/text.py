@@ -890,6 +890,7 @@ def gopher_rules(
     max_symbol_ratio: float = 0.1,
     min_alpha_ratio: float = 0.8,
     min_stopwords: int = 2,
+    append: bool = False,
 ) -> DataFrame:
     """Gopher-style rule battery (Rae et al. 2021 §A.1.1): word count
     bounds, mean word length bounds, symbol-to-word ratio (# and
@@ -906,7 +907,13 @@ def gopher_rules(
     scan speed on 100 TB. Complements the reference's row-filter
     surface (``ColumnarVirtualTable.java:254-257``) the same way the
     other text filters do: an n-ary predicate over selected columns,
-    expressed declaratively."""
+    expressed declaratively.
+
+    ``append=True`` keeps EVERY input column alongside the rule
+    outputs (raising on a name clash) so gate chains — the curation
+    funnels — compose on one scan with zero joins instead of
+    re-reading the corpus per gate."""
+    orig_cols = list(df.columns)
     # materialize the token array once: each HOF call site below would
     # otherwise re-evaluate filter(split(...)) per row (6 tokenizations
     # per document — HOFs run interpreted, outside codegen CSE)
@@ -958,8 +965,7 @@ def gopher_rules(
         ),
         lambda x: x.isNotNull(),
     )
-    return df.select(
-        F.col(id_col),
+    outputs = [
         n_words.cast("long").alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(symbol_ratio, 6).alias("symbol_ratio"),
@@ -967,7 +973,19 @@ def gopher_rules(
         n_stop.cast("long").alias("n_stopwords"),
         (F.size(reasons) == 0).alias("keep"),
         F.array_join(reasons, ",").alias("fail_reasons"),
-    )
+    ]
+    if append:
+        clash = set(orig_cols) & {
+            "n_words", "mean_word_len", "symbol_ratio", "alpha_ratio",
+            "n_stopwords", "keep", "fail_reasons",
+        }
+        if clash:
+            raise ValueError(
+                f"gopher_rules(append=True): input columns {sorted(clash)} "
+                "clash with the rule outputs — rename them first"
+            )
+        return df.select(*orig_cols, *outputs)
+    return df.select(F.col(id_col), *outputs)
 
 
 def c4_line_filter(
@@ -979,6 +997,7 @@ def c4_line_filter(
     min_kept_lines: int = 3,
     drop_substrings: tuple[str, ...] = ("javascript", "{"),
     drop_doc_substrings: tuple[str, ...] = ("lorem ipsum",),
+    append: bool = False,
 ) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al. 2020 §2.2): split the
     document into lines, keep only lines that end in terminal
@@ -994,7 +1013,11 @@ def c4_line_filter(
     ``array_join`` to rebuild. No explode, no shuffle, no Python: the
     cleaner is a row-local map that fuses into the scan, exactly the
     shape the reference's map operator prescribes for row-wise
-    transforms (``ColumnarVirtualTable.java:447-451``)."""
+    transforms (``ColumnarVirtualTable.java:447-451``).
+
+    ``append=True`` keeps every input column alongside the outputs
+    (raising on a name clash) — see ``gopher_rules``."""
+    orig_cols = list(df.columns)
     lines = F.split(F.col(text_col), "\n")
     # NB: the lambda must be unary — F.trim itself has an optional second
     # parameter, and pyspark's HOF binding would pass the element INDEX
@@ -1023,13 +1046,22 @@ def c4_line_filter(
     doc_ok = F.size(kept) >= min_kept_lines
     for s in drop_doc_substrings:
         doc_ok = doc_ok & ~F.lower(F.col(text_col)).contains(s.lower())
-    return df.select(
-        F.col(id_col),
+    outputs = [
         F.size(trimmed_nonempty).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept_lines"),
         F.array_join(kept, "\n").alias("clean_text"),
         doc_ok.alias("keep"),
-    )
+    ]
+    if append:
+        clash = set(orig_cols) & {"n_lines", "n_kept_lines",
+                                  "clean_text", "keep"}
+        if clash:
+            raise ValueError(
+                f"c4_line_filter(append=True): input columns "
+                f"{sorted(clash)} clash with the outputs — rename first"
+            )
+        return df.select(*orig_cols, *outputs)
+    return df.select(F.col(id_col), *outputs)
 
 
 # UTF-8-read-as-Latin-1 double-decode artifacts: explicit list of the
@@ -2086,32 +2118,39 @@ def curation_gate_fingerprints(
     queries pin (see catalog.round10_ext); ``newline_synthesis``
     rewrites a marker to '.\\n' before the C4 pass because the
     synthetic corpus has no natural newlines — pass None for real
-    corpora. All stages are zero-exchange row-local expressions; the
-    joins are id-keyed and collapse under AQE."""
-    g = gopher_rules(
-        df, min_words=min_words, max_words=max_words,
+    corpora.
+
+    Plan shape (round-11 rework): the gates CHAIN on one frame via
+    their ``append=True`` mode and filter as they go — ONE corpus
+    scan, zero joins, zero exchanges; survivors shrink at each gate so
+    later gates do less work. The previous shape joined three
+    separately-derived flag frames on the id, which re-read the corpus
+    per gate and shuffled corpus-sized flag tables at scale."""
+    t = df.select(id_col, text_col)
+    t = gopher_rules(
+        t, id_col, text_col, min_words=min_words, max_words=max_words,
         min_mean_word_len=min_mean_word_len,
         max_mean_word_len=max_mean_word_len,
         max_symbol_ratio=max_symbol_ratio,
         min_alpha_ratio=min_alpha_ratio, min_stopwords=min_stopwords,
-    ).select(id_col, F.col("keep").alias("__gk"))
-    d2 = df
+        append=True,
+    ).where("keep").select(id_col, text_col)
+    c4_text = text_col
     if newline_synthesis is not None:
-        d2 = df.withColumn(
-            text_col,
+        c4_text = "__c4_text"
+        t = t.withColumn(
+            c4_text,
             F.replace(F.col(text_col), F.lit(newline_synthesis[0]),
                       F.lit(newline_synthesis[1])),
         )
-    c = c4_line_filter(
-        d2, min_words_per_line=c4_min_words_per_line,
+    t = c4_line_filter(
+        t, id_col, c4_text,
+        min_words_per_line=c4_min_words_per_line,
         require_terminal_punct=c4_require_terminal_punct,
-        min_kept_lines=c4_min_kept_lines,
-    ).select(id_col, F.col("keep").alias("__ck"))
-    lng = df.select(id_col, lang_id(text_col).alias("__lp"))
+        min_kept_lines=c4_min_kept_lines, append=True,
+    ).where("keep").select(id_col, text_col)
     fp = fingerprint(F.coalesce(F.col(text_col), F.lit("")))
     return (
-        g.filter("__gk").join(c.filter("__ck"), id_col)
-        .join(lng.filter(F.col("__lp") == lang), id_col)
-        .join(df.select(id_col, fp.alias("__fp")), id_col)
-        .select(id_col, "__fp")
+        t.where(lang_id(text_col) == lang)
+        .select(id_col, fp.alias("__fp"))
     )

@@ -1000,10 +1000,15 @@ def test_media_header_meta_zero_exchange(spark):
 
 
 def test_curation_funnel_shape(spark):
-    """The funnel is ONE lazy plan of five 1-row aggregates unioned —
-    no cartesian products, no windows, no collects; every stage's agg
-    runs partial+final."""
+    """Round-11 rework: the funnel is ONE corpus pass — gate flags
+    joined once, a single aggregation of conditional counts, stack
+    unpivot. No per-stage union branches re-scanning the corpus, no
+    cartesian products, no windows."""
     p = plan_of(spark, "curation_funnel")
     assert "CartesianProduct" not in p
     assert "Window" not in p
-    assert "Union" in p
+    assert "Union" not in p  # the five stages come from stack(), not union
+    assert "Generate" in p  # the stack unpivot
+    # the delta variant keeps the same single-pass shape
+    pd = plan_of(spark, "curation_funnel_delta")
+    assert "CartesianProduct" not in pd and "Union" not in pd
