@@ -632,38 +632,15 @@ def _r10x_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partial+final aggregation. The oracle is unchanged and still
     embeds the component queries' oracle SQL verbatim."""
     from knime_core_columnar_spark.operators.text import (
-        c4_line_filter,
-        fingerprint,
-        gopher_rules,
-        lang_id,
+        curation_gate_fingerprints,
     )
 
     d = _t(spark, sf_dir, "documents")
-    # SAME parameters as the registered component queries (whose oracle
-    # strings this funnel's oracle embeds verbatim): gopher thresholds
-    # fitted to the synthetic corpus; c4 over the deterministic
-    # ' table ' -> '.\n' newline synthesis (the corpus has no natural
-    # newlines) — see staged_r7._r7_gopher_rules / _r7_c4_line_filter.
-    t = gopher_rules(
-        d.select("doc_id", "text"),
-        min_words=20, max_words=80, min_mean_word_len=3.2,
-        max_mean_word_len=4.2, max_symbol_ratio=0.1,
-        min_alpha_ratio=0.8, min_stopwords=1, append=True,
-    ).select("doc_id", "text", F.col("keep").alias("__gk"))
-    t = t.withColumn(
-        "__c4_text",
-        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")),
-    )
-    t = c4_line_filter(
-        t, text_col="__c4_text", min_words_per_line=4,
-        require_terminal_punct=True, min_kept_lines=2, append=True,
-    ).select("doc_id", "text", "__gk", F.col("keep").alias("__ck"))
-    fp = fingerprint(F.coalesce(F.col("text"), F.lit("")))
-    flags = t.select(
-        "__gk", "__ck",
-        (lang_id("text") == "en").alias("__lk"),
-        fp.alias("__fp"),
-    )
+    # the shared gate chain in flags mode — its DEFAULTS are the
+    # registered component queries' parameters (whose oracle strings
+    # this funnel's oracle embeds verbatim), so the census cannot
+    # drift from the gates it audits
+    flags = curation_gate_fingerprints(d, flags=True)
     gated = F.col("__gk") & F.col("__ck") & F.col("__lk")
     agg = flags.agg(
         F.count(F.lit(1)).alias("n0"),

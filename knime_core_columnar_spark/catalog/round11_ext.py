@@ -98,11 +98,7 @@ def _r11x_curation_funnel_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage counts as conditional aggregates instead of five union
     branches."""
     from knime_core_columnar_spark.operators.text import (
-        c4_line_filter,
         curation_gate_fingerprints,
-        fingerprint,
-        gopher_rules,
-        lang_id,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -110,34 +106,17 @@ def _r11x_curation_funnel_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.filter(F.col("doc_id") % 10 != 0)
     inc = d.filter(F.col("doc_id") % 10 == 0)
 
-    # the shared gate chain (text.curation_gate_fingerprints — same
-    # function the batch funnel and the streaming admitter use; its
-    # defaults ARE the registered funnel parameters)
+    # the shared gate chain (text.curation_gate_fingerprints — the one
+    # implementation the batch funnel and the streaming admitter also
+    # use; its defaults ARE the registered funnel parameters)
     base_index = (
         curation_gate_fingerprints(base).select("__fp").distinct()
         .withColumn("__inb", F.lit(True))
     )
-
-    t = gopher_rules(
-        inc.select("doc_id", "text"),
-        min_words=20, max_words=80, min_mean_word_len=3.2,
-        max_mean_word_len=4.2, max_symbol_ratio=0.1,
-        min_alpha_ratio=0.8, min_stopwords=1, append=True,
-    ).select("doc_id", "text", F.col("keep").alias("__gk"))
-    t = t.withColumn(
-        "__c4_text",
-        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")),
+    flags = (
+        curation_gate_fingerprints(inc, flags=True)
+        .join(base_index, "__fp", "left")
     )
-    t = c4_line_filter(
-        t, text_col="__c4_text", min_words_per_line=4,
-        require_terminal_punct=True, min_kept_lines=2, append=True,
-    ).select("doc_id", "text", "__gk", F.col("keep").alias("__ck"))
-    fp = fingerprint(F.coalesce(F.col("text"), F.lit("")))
-    flags = t.select(
-        "__gk", "__ck",
-        (lang_id("text") == "en").alias("__lk"),
-        fp.alias("__fp"),
-    ).join(base_index, "__fp", "left")
     gated = F.col("__gk") & F.col("__ck") & F.col("__lk")
     agg = flags.agg(
         F.count(F.lit(1)).alias("n0"),
@@ -346,6 +325,10 @@ def _r11x_workflow_compile_execute(
         spark, csv_spec.path, schema=schema,
         header=csv_spec.has_column_header,
         key_columns=["l_orderkey", "l_linenumber"],
+        # the spec's dialect fields bind too — a settings.xml declaring
+        # a different delimiter/quote must not silently read defaults
+        sep=csv_spec.column_delimiter,
+        quote=csv_spec.quote_char,
     )
     return plan.execute(spark, {"lineitem_csv": t}).df
 

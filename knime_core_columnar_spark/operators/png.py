@@ -96,7 +96,7 @@ def png_decode_rgb(data: bytes) -> np.ndarray:
         (clen,) = struct.unpack(">I", data[pos:pos + 4])
         ctype = data[pos + 4:pos + 8]
         cdata = data[pos + 8:pos + 8 + clen]
-        if len(cdata) != clen:
+        if len(cdata) != clen or pos + 12 + clen > len(data):
             raise ValueError(f"truncated PNG: {ctype!r} data past EOF")
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + clen:pos + 12 + clen])
@@ -124,7 +124,12 @@ def png_decode_rgb(data: bytes) -> np.ndarray:
     if interlace != 0:
         raise ValueError("Adam7-interlaced PNG not supported")
     bpp = 3 if ctype_id == 2 else 4
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # the documented contract is ValueError-with-reason for every
+        # corrupt/truncated stream — don't leak zlib.error
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError(

@@ -2106,14 +2106,18 @@ def curation_gate_fingerprints(
     c4_min_kept_lines: int = 2,
     lang: str = "en",
     newline_synthesis: tuple[str, str] | None = (" table ", ".\n"),
+    flags: bool = False,
 ) -> DataFrame:
     """(id, __fp) of the documents surviving the standard curation gate
     chain — Gopher rule battery → C4 line cleaning → language gate —
-    with the content fingerprint exact-dedup keys on. The SHARED stage
-    of the funnel family: the batch census (catalog curation_funnel),
-    the incremental delta audit (curation_funnel_delta), and the
+    with the content fingerprint exact-dedup keys on. With
+    ``flags=True``, EVERY row comes back instead, carrying the
+    per-gate verdicts (id, __gk, __ck, __lk, __fp) — the funnel
+    censuses aggregate these conditionally. The SHARED stage of the
+    funnel family: the batch census (catalog curation_funnel), the
+    incremental delta audit (curation_funnel_delta), and the
     streaming admitter (streaming.ops.streaming_curation_admit) all
-    call this one function, so the three surfaces cannot drift apart.
+    call this one function, so the surfaces cannot drift apart.
     Defaults are the corpus-fitted parameters the registered funnel
     queries pin (see catalog.round10_ext); ``newline_synthesis``
     rewrites a marker to '.\\n' before the C4 pass because the
@@ -2121,20 +2125,22 @@ def curation_gate_fingerprints(
     corpora.
 
     Plan shape (round-11 rework): the gates CHAIN on one frame via
-    their ``append=True`` mode and filter as they go — ONE corpus
-    scan, zero joins, zero exchanges; survivors shrink at each gate so
-    later gates do less work. The previous shape joined three
-    separately-derived flag frames on the id, which re-read the corpus
-    per gate and shuffled corpus-sized flag tables at scale."""
-    t = df.select(id_col, text_col)
+    their ``append=True`` mode — ONE corpus scan, zero joins, zero
+    exchanges. The previous shape joined three separately-derived flag
+    frames on the id, which re-read the corpus per gate and shuffled
+    corpus-sized flag tables at scale. In the filtered (default) mode
+    Catalyst splits the final conjunction and pushes each gate's
+    predicate below the later gates' projections, so survivors still
+    shrink gate-by-gate."""
     t = gopher_rules(
-        t, id_col, text_col, min_words=min_words, max_words=max_words,
+        df.select(id_col, text_col), id_col, text_col,
+        min_words=min_words, max_words=max_words,
         min_mean_word_len=min_mean_word_len,
         max_mean_word_len=max_mean_word_len,
         max_symbol_ratio=max_symbol_ratio,
         min_alpha_ratio=min_alpha_ratio, min_stopwords=min_stopwords,
         append=True,
-    ).where("keep").select(id_col, text_col)
+    ).select(id_col, text_col, F.col("keep").alias("__gk"))
     c4_text = text_col
     if newline_synthesis is not None:
         c4_text = "__c4_text"
@@ -2148,9 +2154,16 @@ def curation_gate_fingerprints(
         min_words_per_line=c4_min_words_per_line,
         require_terminal_punct=c4_require_terminal_punct,
         min_kept_lines=c4_min_kept_lines, append=True,
-    ).where("keep").select(id_col, text_col)
+    ).select(id_col, text_col, "__gk", F.col("keep").alias("__ck"))
     fp = fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+    out = t.select(
+        id_col, "__gk", "__ck",
+        (lang_id(text_col) == lang).alias("__lk"),
+        fp.alias("__fp"),
+    )
+    if flags:
+        return out
     return (
-        t.where(lang_id(text_col) == lang)
-        .select(id_col, fp.alias("__fp"))
+        out.where(F.col("__gk") & F.col("__ck") & F.col("__lk"))
+        .select(id_col, "__fp")
     )

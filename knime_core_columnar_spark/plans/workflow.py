@@ -321,8 +321,11 @@ class _ExprParser:
             if len(args) == 2:
                 return f"coalesce(instr({args[0]}, {args[1]}) - 1, -1)"
             if len(args) == 3:
+                # StringUtils.indexOf clamps a negative fromIndex to 0;
+                # Spark's locate(pos=0) would instead return 0 ('not
+                # found') — greatest() reproduces the clamp
                 return (f"coalesce(locate({args[1]}, {args[0]}, "
-                        f"({args[2]}) + 1) - 1, -1)")
+                        f"greatest({args[2]}, 0) + 1) - 1, -1)")
             raise self._err("indexOf takes 2 or 3 arguments")
         if fn == "lastIndexOf":
             if len(args) != 2:
@@ -378,13 +381,15 @@ class _ExprParser:
                 raise self._err("removeDuplicates takes 1 argument")
             return f"regexp_replace({args[0]}, ' {{2,}}', ' ')"
         if fn == "toNull":
-            # blank (empty or spaces-only) -> null, anything else
-            # passes through UNCHANGED (the node returns the original,
-            # not the trimmed, string)
+            # blank -> null with the isBlank whitespace set (the node
+            # nulls whitespace-ONLY strings, not just space-only —
+            # Spark's trim strips 0x20 alone, so a regex blank test is
+            # needed); anything else passes through UNCHANGED (the
+            # node returns the original, not the trimmed, string)
             if len(args) != 1:
                 raise self._err("toNull takes 1 argument")
-            return (f"CASE WHEN trim({args[0]}) = '' THEN NULL "
-                    f"ELSE {args[0]} END")
+            return (f"CASE WHEN regexp_replace({args[0]}, '\\\\s', '') "
+                    f"= '' THEN NULL ELSE {args[0]} END")
         if fn == "toEmpty":
             if len(args) != 1:
                 raise self._err("toEmpty takes 1 argument")

@@ -770,7 +770,20 @@ def streaming_curation_admit(
     batch_id)``) for backfill/testing — the code path is shared.
     Batch ids key the admitted partitions and every streaming query
     numbers its batches from 0, so give each query (and any manual
-    backfill) its OWN ``admitted_dir`` — the index may be shared.
+    backfill) its OWN ``admitted_dir``. The read-merge-swap index
+    protocol has NO cross-process locking — exactly ONE writer (one
+    streaming query) may maintain a given ``index_dir``; concurrent
+    writers would lose each other's merges, and readers can observe
+    the directory mid-swap.
+
+    Retry semantics (foreachBatch may replay a batch after a crash at
+    ANY point past its first side effect): the admitted partition is
+    published atomically (write to a temp dir, rename), and a retry
+    that finds it published REUSES it — re-deriving the anti-join on a
+    retry would find the fps already merged into the index and
+    overwrite the partition with an empty result, silently losing the
+    admitted rows. The index merge adds only the partition fps not
+    already present, so replaying after a completed swap is a no-op.
 
     Invariant the parity test pins: the SET of admitted fingerprints
     equals the batch pipeline's gated-distinct-fp set minus the initial
@@ -781,8 +794,7 @@ def streaming_curation_admit(
     Scale shape: per-batch cost is O(batch) gate expressions + ONE
     anti-join of 16-byte fingerprints against the index — history is
     never re-read, never re-gated; the index grows by exactly the
-    admitted rows (disjoint by construction, so the merge is a plain
-    union, no distinct)."""
+    admitted rows."""
     import glob
     import os
     import shutil
@@ -806,24 +818,37 @@ def streaming_curation_admit(
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover()
-        gated = curation_gate_fingerprints(
-            batch_df, id_col, text_col, **gate_params
-        )
-        winners = gated.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+        batch_out = os.path.join(admitted_dir, f"batch_id={batch_id}")
+        if not os.path.isdir(batch_out):
+            gated = curation_gate_fingerprints(
+                batch_df, id_col, text_col, **gate_params
+            )
+            winners = gated.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+            if os.path.isdir(index_dir):
+                new = winners.join(
+                    spark.read.parquet(index_dir), "__fp", "left_anti"
+                )
+            else:
+                new = winners
+            # materialize the admitted rows FIRST (they are read twice:
+            # the sink and the index merge) and PUBLISH atomically —
+            # a half-written partition must never look complete to a
+            # retry (see the docstring's retry semantics)
+            tmp_out = f"{batch_out}.tmp{os.getpid()}"
+            new.select(id_col, "__fp").write.mode("overwrite").parquet(tmp_out)
+            os.makedirs(admitted_dir, exist_ok=True)
+            os.rename(tmp_out, batch_out)
+        # a published partition is authoritative: a retry reuses it
+        # instead of re-deriving (the anti-join would come back empty
+        # once the fps are merged, and overwriting would lose the rows)
+        admitted = spark.read.parquet(batch_out)
         if os.path.isdir(index_dir):
             index = spark.read.parquet(index_dir)
-            new = winners.join(index, "__fp", "left_anti")
+            # add only fps not already merged — replay-safe
+            to_add = admitted.select("__fp").join(index, "__fp", "left_anti")
+            merged = index.unionByName(to_add)
         else:
-            index = None
-            new = winners
-        # materialize the admitted rows FIRST (they are read twice:
-        # the sink append and the index merge); per-batch overwrite
-        # partition makes a foreachBatch retry rewrite, not double-append
-        batch_out = os.path.join(admitted_dir, f"batch_id={batch_id}")
-        new.select(id_col, "__fp").write.mode("overwrite").parquet(batch_out)
-        admitted = spark.read.parquet(batch_out)
-        merged = (index.unionByName(admitted.select("__fp"))
-                  if index is not None else admitted.select("__fp"))
+            merged = admitted.select("__fp")
         new_dir = f"{index_dir}.new{batch_id}"
         merged.write.mode("overwrite").parquet(new_dir)
         if os.path.isdir(index_dir):

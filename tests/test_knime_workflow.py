@@ -516,7 +516,7 @@ def _wrap1(inner):
         mk("removeDuplicates",
            lambda v: None if v is None else _re.sub(" {2,}", " ", v)),
         mk("toNull",
-           lambda v: None if v is None or v.strip(" ") == "" else v),
+           lambda v: None if v is None or v.strip() == "" else v),
         mk("toEmpty", lambda v: "" if v is None else v),
     )
 

@@ -645,3 +645,36 @@ def test_streaming_curation_admit_multibatch_parity(spark, sf_dir, tmp_path):
     assert final.count() == final.distinct().count() == len(
         seed_fps | got_fps
     )
+
+
+def test_streaming_curation_admit_retry_is_lossless(spark, sf_dir, tmp_path):
+    """Round-11 review finding: a foreachBatch retry AFTER a completed
+    batch (admitted partition published, fps merged into the index)
+    must reuse the published partition, not overwrite it with the
+    now-empty anti-join — admitted rows are never lost, and the index
+    is unchanged."""
+    from pyspark.sql import functions as F
+
+    from knime_core_columnar_spark.streaming import ops as ST
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(2000)
+    index_dir = str(tmp_path / "ri_index")
+    admitted_dir = str(tmp_path / "ri_admitted")
+    admit = ST.streaming_curation_admit(index_dir, admitted_dir)
+
+    admit(d, 0)
+    first = spark.read.parquet(admitted_dir)
+    n_admitted = first.count()
+    fps = {r["__fp"] for r in first.select("__fp").collect()}
+    assert n_admitted > 0
+
+    # replay the SAME batch id with the same rows — the exact
+    # foreachBatch retry shape
+    admit(d, 0)
+    again = spark.read.parquet(admitted_dir)
+    assert again.count() == n_admitted
+    assert {r["__fp"] for r in again.select("__fp").collect()} == fps
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == idx.distinct().count() == len(fps)
