@@ -141,6 +141,12 @@ HEADLINE = [
     # unfilter per row, two Arrow-batched scans) — the heaviest
     # per-row Python kernel after bpe_encode goes under the stopwatch
     "png_pixel_stats",
+    # round-11: the workflow compiler's DAG tier — a converging saved
+    # workflow (two CSV branches -> Concatenate UNIQUIFY -> project)
+    # compiled from its on-disk directory and executed; one exchange
+    # (the suffix window's key partition), branch filters pushed to
+    # the scans
+    "workflow_dag_execute",
 ]
 
 # sub-0.3 s queries whose r3→r4 deltas exceeded 15% with overlapping

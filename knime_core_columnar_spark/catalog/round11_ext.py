@@ -396,3 +396,246 @@ def _r11x_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with_png = d.mapInPandas(encode, "doc_id long, payload binary")
     return png_pixel_stats(with_png)
+
+
+# ---------------------------------------------------------------------------
+# workflow_dag_execute — the round-11 DAG tier of the workflow compiler,
+# driver-hash-certified: a CONVERGING saved workflow (two CSV Readers, a
+# Row Filter on each branch, a Concatenate with the append-suffix RowID
+# mode, a Column Filter) is written to disk in KNIME's on-disk shape,
+# compiled by plans.workflow.load_workflow_program (workflow.knime graph
+# -> main Plan + branch sub-plan bound as a named side source — the
+# reference's multi-table resolution, ReferenceTables.java:76-146), and
+# executed. The oracle replays the union AND the engine's UNIQUIFY
+# policy (ColumnarConcatenater.java:252-292: colliding keys from the
+# LATER table gain '_dup') in SQL, so a wrong branch plan, wrong table
+# order, or wrong RowID policy all break the hash.
+# ---------------------------------------------------------------------------
+
+_WF_DAG_CSV_READER_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.io.filehandling.csv.reader.CSVTableReaderNodeFactory"/>
+    <entry key="node-name" type="xstring" value="CSV Reader"/>
+    <config key="model">
+        <config key="settings">
+            <config key="file_selection">
+                <config key="path">
+                    <entry key="fs_category" type="xstring" value="LOCAL"/>
+                    <entry key="path" type="xstring" value="{csv_path}"/>
+                </config>
+            </config>
+            <entry key="has_column_header" type="xboolean" value="true"/>
+            <entry key="has_row_id" type="xboolean" value="false"/>
+            <entry key="column_delimiter" type="xstring" value=","/>
+            <entry key="quote_char" type="xstring" value="&quot;"/>
+        </config>
+        <config key="table_spec_config_Internals">
+            <config key="individual_specs">
+                <config key="{csv_path}">
+                    <entry key="num_columns" type="xint" value="5"/>
+                    <config key="0">
+                        <entry key="name" type="xstring" value="o_orderkey"/>
+                        <config key="type"><entry key="class" type="xstring" value="java.lang.Long"/></config>
+                    </config>
+                    <config key="1">
+                        <entry key="name" type="xstring" value="o_custkey"/>
+                        <config key="type"><entry key="class" type="xstring" value="java.lang.Long"/></config>
+                    </config>
+                    <config key="2">
+                        <entry key="name" type="xstring" value="o_orderstatus"/>
+                        <config key="type"><entry key="class" type="xstring" value="java.lang.String"/></config>
+                    </config>
+                    <config key="3">
+                        <entry key="name" type="xstring" value="o_totalprice"/>
+                        <config key="type"><entry key="class" type="xstring" value="java.lang.Double"/></config>
+                    </config>
+                    <config key="4">
+                        <entry key="name" type="xstring" value="o_orderpriority"/>
+                        <config key="type"><entry key="class" type="xstring" value="java.lang.String"/></config>
+                    </config>
+                </config>
+            </config>
+        </config>
+    </config>
+</config>
+"""
+
+_WF_DAG_ROW_FILTER_STATUS_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.preproc.filter.row3.RowFilterNodeFactory"/>
+    <config key="model">
+        <entry key="matchCriteria" type="xstring" value="AND"/>
+        <config key="predicates">
+            <config key="0">
+                <config key="column"><entry key="selected" type="xstring" value="o_orderstatus"/></config>
+                <entry key="operator" type="xstring" value="EQ"/>
+                <config key="predicateValues"><config key="values"><config key="0">
+                    <config key="typeIdentifier">
+                        <entry key="cell_class" type="xstring" value="org.knime.core.data.def.StringCell"/>
+                    </config>
+                    <entry key="value" type="xstring" value="F"/>
+                </config></config></config>
+            </config>
+        </config>
+        <entry key="outputMode" type="xstring" value="MATCHING"/>
+    </config>
+</config>
+"""
+
+_WF_DAG_ROW_FILTER_PRICE_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.preproc.filter.row3.RowFilterNodeFactory"/>
+    <config key="model">
+        <entry key="matchCriteria" type="xstring" value="AND"/>
+        <config key="predicates">
+            <config key="0">
+                <config key="column"><entry key="selected" type="xstring" value="o_totalprice"/></config>
+                <entry key="operator" type="xstring" value="GT"/>
+                <config key="predicateValues"><config key="values"><config key="0">
+                    <config key="typeIdentifier">
+                        <entry key="cell_class" type="xstring" value="org.knime.core.data.def.IntCell"/>
+                    </config>
+                    <entry key="value" type="xint" value="150000"/>
+                </config></config></config>
+            </config>
+        </config>
+        <entry key="outputMode" type="xstring" value="MATCHING"/>
+    </config>
+</config>
+"""
+
+_WF_DAG_CONCATENATE_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.preproc.append.row.AppendedRowsNodeFactory"/>
+    <config key="model">
+        <entry key="fail_on_duplicates" type="xboolean" value="false"/>
+        <entry key="append_suffix" type="xboolean" value="true"/>
+        <entry key="suffix" type="xstring" value="_dup"/>
+        <entry key="intersection_of_columns" type="xboolean" value="false"/>
+        <entry key="enable_hiliting" type="xboolean" value="false"/>
+    </config>
+</config>
+"""
+
+_WF_DAG_COLUMN_FILTER_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.preproc.filter.column.DataColumnSpecFilterNodeFactory"/>
+    <config key="model"><config key="column-filter">
+        <entry key="filter-type" type="xstring" value="STANDARD"/>
+        <config key="included_names">
+            <entry key="array-size" type="xint" value="4"/>
+            <entry key="0" type="xstring" value="o_orderkey"/>
+            <entry key="1" type="xstring" value="o_custkey"/>
+            <entry key="2" type="xstring" value="o_orderstatus"/>
+            <entry key="3" type="xstring" value="o_totalprice"/>
+        </config>
+    </config></config>
+</config>
+"""
+
+_WF_DAG_WORKFLOW_KNIME = """<?xml version="1.0" encoding="UTF-8"?>
+<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="workflow.knime">
+    <config key="nodes">
+        <config key="node_1"><entry key="id" type="xint" value="1"/><entry key="node_settings_file" type="xstring" value="CSV Reader (#1)/settings.xml"/></config>
+        <config key="node_2"><entry key="id" type="xint" value="2"/><entry key="node_settings_file" type="xstring" value="CSV Reader (#2)/settings.xml"/></config>
+        <config key="node_3"><entry key="id" type="xint" value="3"/><entry key="node_settings_file" type="xstring" value="Row Filter (#3)/settings.xml"/></config>
+        <config key="node_4"><entry key="id" type="xint" value="4"/><entry key="node_settings_file" type="xstring" value="Row Filter (#4)/settings.xml"/></config>
+        <config key="node_5"><entry key="id" type="xint" value="5"/><entry key="node_settings_file" type="xstring" value="Concatenate (#5)/settings.xml"/></config>
+        <config key="node_6"><entry key="id" type="xint" value="6"/><entry key="node_settings_file" type="xstring" value="Column Filter (#6)/settings.xml"/></config>
+    </config>
+    <config key="connections">
+        <config key="connection_0"><entry key="sourceID" type="xint" value="1"/><entry key="destID" type="xint" value="3"/><entry key="sourcePort" type="xint" value="1"/><entry key="destPort" type="xint" value="1"/></config>
+        <config key="connection_1"><entry key="sourceID" type="xint" value="2"/><entry key="destID" type="xint" value="4"/><entry key="sourcePort" type="xint" value="1"/><entry key="destPort" type="xint" value="1"/></config>
+        <config key="connection_2"><entry key="sourceID" type="xint" value="3"/><entry key="destID" type="xint" value="5"/><entry key="sourcePort" type="xint" value="1"/><entry key="destPort" type="xint" value="1"/></config>
+        <config key="connection_3"><entry key="sourceID" type="xint" value="4"/><entry key="destID" type="xint" value="5"/><entry key="sourcePort" type="xint" value="1"/><entry key="destPort" type="xint" value="2"/></config>
+        <config key="connection_4"><entry key="sourceID" type="xint" value="5"/><entry key="destID" type="xint" value="6"/><entry key="sourcePort" type="xint" value="1"/><entry key="destPort" type="xint" value="1"/></config>
+    </config>
+</config>
+"""
+
+_WF_DAG_ORACLE = """
+    WITH o AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS _row_key,
+             o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders
+    ),
+    a AS (SELECT * FROM o WHERE o_orderstatus = 'F'),
+    b AS (SELECT * FROM o WHERE o_totalprice > 150000)
+    SELECT * FROM a
+    UNION ALL
+    SELECT CASE WHEN a2._row_key IS NOT NULL THEN b._row_key || '_dup'
+                ELSE b._row_key END AS _row_key,
+           b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+    FROM b LEFT JOIN (SELECT _row_key FROM a) a2 USING (_row_key)
+"""
+
+
+@query("workflow_dag_execute", _WF_DAG_ORACLE)
+def _r11x_workflow_dag_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A converging saved workflow executed from its on-disk directory:
+    branch A filters o_orderstatus = 'F', branch B filters
+    o_totalprice > 150000, the Concatenate node unions them under the
+    append-'_dup' RowID mode (341 orders at sf0.001 sit in BOTH
+    branches, collide on the row key, and branch B's copy is suffixed —
+    the oracle replays exactly that election), and a Column Filter
+    projects the result. The source is `orders` because its o_orderkey
+    is UNIQUE — the engine's suffix policy needs deterministic
+    collisions, and the synthetic lineitem's (orderkey, linenumber)
+    pairs repeat. The workflow directory is authored fresh each call;
+    parse+graph+compile cost is ms-level, execution dominates — the
+    same certification workflow_compile_execute makes for the linear
+    tier, now for the DAG tier."""
+    from knime_core_columnar_spark.catalog.widening_a import (
+        _artifact_tag,
+        _publish_dir,
+    )
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+    from knime_core_columnar_spark.sources.io import read_csv
+
+    import os
+    import tempfile
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    tag = _artifact_tag(sf_dir, "orders")
+    csv_dir = f"/tmp/kccs_workflow_dag_csv_{tag}"
+    if not os.path.isdir(csv_dir):
+        (
+            _t(spark, sf_dir, "orders")
+            .select(cols)
+            .write.mode("overwrite").option("header", "true")
+            .csv(f"{csv_dir}.part{os.getpid()}")
+        )
+        _publish_dir(f"{csv_dir}.part{os.getpid()}", csv_dir)
+
+    wf_dir = tempfile.mkdtemp(prefix="kccs_wf_dag_")
+    node_files = {
+        "CSV Reader (#1)": _WF_DAG_CSV_READER_XML.replace(
+            "{csv_path}", csv_dir),
+        "CSV Reader (#2)": _WF_DAG_CSV_READER_XML.replace(
+            "{csv_path}", csv_dir),
+        "Row Filter (#3)": _WF_DAG_ROW_FILTER_STATUS_XML,
+        "Row Filter (#4)": _WF_DAG_ROW_FILTER_PRICE_XML,
+        "Concatenate (#5)": _WF_DAG_CONCATENATE_XML,
+        "Column Filter (#6)": _WF_DAG_COLUMN_FILTER_XML,
+    }
+    for d, xml in node_files.items():
+        os.makedirs(os.path.join(wf_dir, d), exist_ok=True)
+        with open(os.path.join(wf_dir, d, "settings.xml"), "w",
+                  encoding="utf-8") as f:
+            f.write(xml)
+    with open(os.path.join(wf_dir, "workflow.knime"), "w",
+              encoding="utf-8") as f:
+        f.write(_WF_DAG_WORKFLOW_KNIME)
+
+    prog = load_workflow_program(wf_dir)
+    bindings = {}
+    for name, spec in prog.csv_specs.items():
+        schema = ", ".join(f"{n} {t}" for n, t in spec.columns)
+        bindings[name] = read_csv(
+            spark, spec.path, schema=schema,
+            header=spec.has_column_header,
+            key_columns=["o_orderkey"],
+            sep=spec.column_delimiter, quote=spec.quote_char,
+        )
+    return prog.execute(spark, bindings).df

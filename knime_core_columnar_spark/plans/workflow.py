@@ -31,7 +31,22 @@ and this module compiles those four node types:
 - ``RowFilterNodeFactory`` (row3) → FILTER with the predicate list
   rendered to SQL (operators EQ/NEQ/NEQ_MISS/LT/LTE/GT/GTE, missing
   checks, IS_TRUE/IS_FALSE, REGEX, WILDCARD; AND/OR criteria;
-  MATCHING/NON_MATCHING output).
+  MATCHING/NON_MATCHING output);
+- ``AppendedRowsNodeFactory`` (Concatenate — round-11 DAG extension) →
+  the Plan IR's multi-input CONCATENATE step. This is the first
+  MULTI-INPUT node, so :func:`load_workflow_program` generalizes the
+  workflow.knime loader from linear chains to converging DAGs: every
+  secondary input branch compiles into its own sub-:class:`~.persist.Plan`
+  bound as a named side source — exactly how the reference resolves
+  multi-table transform graphs (ReferenceTables.java:76-146: extra
+  inputs enter the graph as UUID-named sources). RowID modes map onto
+  the engine's :class:`~..table.RowIdPolicy`
+  (ColumnarTableBackend.java:186-215): ``fail_on_duplicates`` → FAIL,
+  ``append_suffix`` (suffix ``_dup`` — the policy's fixed suffix,
+  ColumnarConcatenater.java:252-292) → UNIQUIFY; the node's third
+  mode (skip duplicate rows) has no engine policy and refuses;
+  ``intersection_of_columns`` compiles KEEP_ONLY of the common
+  branch columns onto every input.
 
 Everything unknown raises with the factory / function / operator named
 — a workflow that silently compiles to different semantics is worse
@@ -48,11 +63,13 @@ from .persist import Plan, parse_knime_settings_xml
 __all__ = [
     "CsvSourceSpec",
     "WorkflowNode",
+    "WorkflowProgram",
     "parse_workflow_node",
     "translate_string_manipulation",
     "compile_row_filter_predicate",
     "compile_workflow",
     "load_workflow_dir",
+    "load_workflow_program",
 ]
 
 
@@ -548,10 +565,81 @@ def _compile_string_manipulation(node: WorkflowNode) -> tuple[str, str, str]:
     return op, name, sql
 
 
+def _compile_concatenate(node: WorkflowNode) -> tuple[str, bool]:
+    """The Concatenate node's model → (engine row-ID policy, intersect
+    flag). The node's three RowID radio modes map onto the engine's
+    :class:`RowIdPolicy` where a policy exists and refuse where none
+    does — silent divergence from the dialog's promise is the failure
+    mode this module exists to prevent."""
+    m = node.model
+    fail = bool(m.get("fail_on_duplicates", False))
+    suffix_mode = bool(m.get("append_suffix", False))
+    intersect = bool(m.get("intersection_of_columns", False))
+    if fail:
+        policy = "fail"
+    elif suffix_mode:
+        suffix = m.get("suffix", "_dup")
+        if suffix != "_dup":
+            raise ValueError(
+                f"Concatenate suffix {suffix!r} unsupported: the engine's "
+                "UNIQUIFY policy appends the reference's fixed '_dup' "
+                "(ColumnarConcatenater.java:252-292); a different suffix "
+                "would silently rename rows"
+            )
+        policy = "uniquify"
+    else:
+        raise ValueError(
+            "Concatenate 'skip duplicate rows' mode has no engine RowID "
+            "policy (FAIL/UNIQUIFY/REGENERATE/KEEP all keep every row) — "
+            "set fail_on_duplicates or append_suffix"
+        )
+    return policy, intersect
+
+
 _CSV_READER = "org.knime.base.node.io.filehandling.csv.reader.CSVTableReaderNodeFactory"
 _COLUMN_FILTER = "org.knime.base.node.preproc.filter.column.DataColumnSpecFilterNodeFactory"
 _STRING_MANIP = "org.knime.base.node.preproc.stringmanipulation.StringManipulationNodeFactory"
 _ROW_FILTER = "org.knime.base.node.preproc.filter.row3.RowFilterNodeFactory"
+_CONCATENATE = "org.knime.base.node.preproc.append.row.AppendedRowsNodeFactory"
+
+
+def _apply_simple_node(
+    plan: Plan, node: WorkflowNode, known_columns: list[str] | None
+) -> list[str] | None:
+    """Apply one SINGLE-INPUT node's step to ``plan``; returns the
+    updated ordered column list (None when unknown — no CSV spec
+    upstream declared the schema). Shared by the linear and the DAG
+    compiler so there is exactly one translation per node type."""
+    if node.factory == _COLUMN_FILTER:
+        cols = _compile_column_filter(node)
+        plan.add("KEEP_ONLY", columns=cols)
+        return list(cols)
+    if node.factory == _STRING_MANIP:
+        op, name, sql = _compile_string_manipulation(node)
+        if op == "REPLACE_MAP" and (
+            known_columns is not None and name not in known_columns
+        ):
+            op = "APPEND_MAP"
+        if op == "REPLACE_MAP":
+            plan.add("REPLACE_MAP", name=name, expr=sql)
+        else:
+            plan.add("APPEND_MAP", exprs={name: sql})
+        if known_columns is not None and name not in known_columns:
+            return [*known_columns, name]
+        return known_columns
+    if node.factory == _ROW_FILTER:
+        plan.add("FILTER", predicate=compile_row_filter_predicate(node.model))
+        return known_columns
+    if node.factory == _CONCATENATE:
+        raise ValueError(
+            "Concatenate is a multi-input node — it compiles only from a "
+            "workflow graph (load_workflow_program), not a linear node list"
+        )
+    raise ValueError(
+        f"no compiler for node factory {node.factory!r} "
+        f"(node {node.name!r}); supported: CSV Reader, Column "
+        "Filter, String Manipulation, Row Filter (row3), Concatenate"
+    )
 
 
 def compile_workflow(
@@ -572,82 +660,207 @@ def compile_workflow(
     plan = Plan()
     plan.add("SOURCE", table=source_table)
     csv_spec: CsvSourceSpec | None = None
-    known_columns: set[str] | None = None
+    known_columns: list[str] | None = None
     for node in parsed:
         if node.factory == _CSV_READER:
             csv_spec = _compile_csv_reader(node)
-            known_columns = {c for c, _ in csv_spec.columns}
-        elif node.factory == _COLUMN_FILTER:
-            cols = _compile_column_filter(node)
-            plan.add("KEEP_ONLY", columns=cols)
-            known_columns = set(cols)
-        elif node.factory == _STRING_MANIP:
-            op, name, sql = _compile_string_manipulation(node)
-            if op == "REPLACE_MAP" and (
-                known_columns is not None and name not in known_columns
-            ):
-                op = "APPEND_MAP"
-            if op == "REPLACE_MAP":
-                plan.add("REPLACE_MAP", name=name, expr=sql)
-            else:
-                plan.add("APPEND_MAP", exprs={name: sql})
-            if known_columns is not None:
-                known_columns.add(name)
-        elif node.factory == _ROW_FILTER:
-            plan.add("FILTER", predicate=compile_row_filter_predicate(node.model))
+            known_columns = [c for c, _ in csv_spec.columns]
         else:
-            raise ValueError(
-                f"no compiler for node factory {node.factory!r} "
-                f"(node {node.name!r}); supported: CSV Reader, Column "
-                "Filter, String Manipulation, Row Filter (row3)"
-            )
+            known_columns = _apply_simple_node(plan, node, known_columns)
     return plan, csv_spec
+
+
+@dataclass
+class WorkflowProgram:
+    """A compiled converging-DAG workflow: the main :class:`Plan` (the
+    sink's input-port-1 ancestry) plus one sub-plan per secondary input
+    branch, bound as named side sources — the reference's multi-table
+    resolution shape (ReferenceTables.java:76-146: extra transform-graph
+    inputs are UUID-named sources the executor resolves).
+
+    ``side_plans`` is in dependency order (a nested branch's plan is
+    inserted before any plan that references it), so :meth:`execute`
+    runs them front to back. ``sources`` lists every source-table name
+    the program reads, in discovery order; ``csv_specs`` maps the
+    subset that came from CSV Reader nodes to their declared specs —
+    the caller binds each name to data (a parquet path or a live
+    :class:`~..table.ColumnarTable`) when executing.
+    """
+
+    plan: Plan
+    side_plans: dict[str, Plan]
+    sources: list[str]
+    csv_specs: dict[str, CsvSourceSpec]
+
+    def execute(self, spark, bindings, key_columns=None):
+        """Run the program: execute every branch sub-plan in dependency
+        order, then the main plan with the branch results bound as side
+        sources. ``bindings`` resolves the names in :attr:`sources`."""
+        resolved = dict(bindings)
+        for name, sub in self.side_plans.items():
+            resolved[name] = sub.execute(spark, resolved,
+                                         key_columns=key_columns)
+        return self.plan.execute(spark, resolved, key_columns=key_columns)
+
+
+def load_workflow_program(
+    path: str, source_prefix: str = "source"
+) -> WorkflowProgram:
+    """Compile a whole saved-workflow DIRECTORY into a
+    :class:`WorkflowProgram`: parse ``workflow.knime`` (the node table +
+    connection graph KNIME's WorkflowPersistor writes), load each node's
+    settings.xml by its ``node_settings_file`` entry, and compile the
+    sink's ancestry. Converging DAGs are supported: a multi-input node
+    (Concatenate) continues the main plan along its port-1 input and
+    compiles every higher-port branch into its own sub-plan bound as a
+    named side source. Fan-OUT (one node feeding two successors) and
+    multiple sinks still refuse — result reuse needs materialization
+    policy the reference delegates to the workflow manager, not the
+    table backend.
+
+    Source naming: the first discovered source is ``source_prefix``
+    verbatim, later ones ``{source_prefix}_2``, ``_3``, … in
+    depth-first port order; a root node that is not a CSV Reader still
+    gets a SOURCE name (the caller binds it), just no CsvSourceSpec."""
+    import os
+
+    with open(os.path.join(path, "workflow.knime"), encoding="utf-8") as f:
+        wf = parse_knime_settings_xml(f.read())
+    nodes_raw = {n["id"]: n for n in wf.get("nodes", {}).values()}
+    preds: dict[int, dict[int, int]] = {}
+    succs: dict[int, list[int]] = {}
+    for conn in wf.get("connections", {}).values():
+        # port 0 is KNIME's implicit flow-variable port; only ports >= 1
+        # carry data — a variable edge must not enter the data graph
+        if conn.get("sourcePort", 1) < 1 or conn.get("destPort", 1) < 1:
+            continue
+        src, dst = conn["sourceID"], conn["destID"]
+        port = conn.get("destPort", 1)
+        if port in preds.setdefault(dst, {}):
+            raise ValueError(
+                f"node {dst} input port {port} has two incoming data edges"
+            )
+        preds[dst][port] = src
+        succs.setdefault(src, []).append(dst)
+        if len(succs[src]) > 1:
+            raise ValueError(
+                f"node {src} feeds multiple successors — fan-out needs a "
+                "materialization policy and is not compiled; split the "
+                "workflow or persist the intermediate table"
+            )
+    sinks = [i for i in nodes_raw if not succs.get(i)]
+    if len(sinks) != 1:
+        raise ValueError(f"expected one sink node, got {sorted(sinks)}")
+
+    def load_node(nid: int) -> WorkflowNode:
+        with open(os.path.join(path, nodes_raw[nid]["node_settings_file"]),
+                  encoding="utf-8") as f:
+            return parse_workflow_node(f.read())
+
+    csv_specs: dict[str, CsvSourceSpec] = {}
+    source_names: list[str] = []
+    side_plans: dict[str, Plan] = {}
+    compiled_count = 0
+
+    def next_source_name() -> str:
+        n = len(source_names) + 1
+        name = source_prefix if n == 1 else f"{source_prefix}_{n}"
+        source_names.append(name)
+        return name
+
+    def compile_into(nid: int, plan: Plan) -> list[str] | None:
+        nonlocal compiled_count
+        compiled_count += 1
+        node = load_node(nid)
+        p = preds.get(nid, {})
+        if node.factory == _CSV_READER:
+            if p:
+                raise ValueError(
+                    f"CSV Reader node {nid} has an incoming data edge"
+                )
+            spec = _compile_csv_reader(node)
+            name = next_source_name()
+            csv_specs[name] = spec
+            plan.add("SOURCE", table=name)
+            return [c for c, _ in spec.columns]
+        if node.factory == _CONCATENATE:
+            policy, intersect = _compile_concatenate(node)
+            ports = sorted(p)
+            if not ports or ports[0] != 1 or len(ports) < 2:
+                raise ValueError(
+                    f"Concatenate node {nid} needs data on port 1 and at "
+                    f"least one higher port (connected: {ports})"
+                )
+            known = compile_into(p[1], plan)
+            branch_cols: list[list[str] | None] = [known]
+            names: list[str] = []
+            for port in ports[1:]:
+                sub = Plan()
+                branch_cols.append(compile_into(p[port], sub))
+                name = f"__branch_{nid}_{port}"
+                side_plans[name] = sub
+                names.append(name)
+            if intersect:
+                if any(k is None for k in branch_cols):
+                    raise ValueError(
+                        f"Concatenate node {nid} intersection_of_columns "
+                        "needs every branch's schema known at compile "
+                        "time (a CSV Reader spec or Column Filter on "
+                        "each branch)"
+                    )
+                common = [c for c in branch_cols[0]
+                          if all(c in k for k in branch_cols[1:])]
+                plan.add("KEEP_ONLY", columns=common)
+                for nm in names:
+                    side_plans[nm].add("KEEP_ONLY", columns=common)
+                known = list(common)
+            elif any(k is None for k in branch_cols):
+                known = None
+            else:
+                known = list(branch_cols[0])
+                for k in branch_cols[1:]:
+                    known.extend(c for c in k if c not in known)
+            plan.add("CONCATENATE", tables=names, row_id_policy=policy)
+            return known
+        if not p:
+            # non-reader root: the caller binds its input table
+            plan.add("SOURCE", table=next_source_name())
+            return _apply_simple_node(plan, node, None)
+        if sorted(p) != [1]:
+            raise ValueError(
+                f"node {nid} ({node.factory.rsplit('.', 1)[-1]}) has data "
+                f"on ports {sorted(p)}; only port 1 is expected for a "
+                "single-input node"
+            )
+        known = compile_into(p[1], plan)
+        return _apply_simple_node(plan, node, known)
+
+    plan = Plan()
+    compile_into(sinks[0], plan)
+    if compiled_count != len(nodes_raw):
+        raise ValueError(
+            "connection graph does not cover every node "
+            f"({compiled_count} reachable from the sink, "
+            f"{len(nodes_raw)} in the workflow)"
+        )
+    return WorkflowProgram(plan=plan, side_plans=side_plans,
+                           sources=source_names, csv_specs=csv_specs)
 
 
 def load_workflow_dir(
     path: str, source_table: str = "source"
 ) -> tuple[Plan, CsvSourceSpec | None]:
-    """Compile a whole saved-workflow DIRECTORY: parse ``workflow.knime``
-    (the node table + connection graph KNIME's WorkflowPersistor writes),
-    topologically order the nodes along the port-1 data edges, load each
-    node's settings.xml by its ``node_settings_file`` entry, and compile
-    the chain with :func:`compile_workflow`. Only linear chains are
-    supported (every node has at most one data successor/predecessor) —
-    true of the reference's benchmark workflow; branching raises."""
-    import os
-
-    with open(os.path.join(path, "workflow.knime"), encoding="utf-8") as f:
-        wf = parse_knime_settings_xml(f.read())
-    nodes = {n["id"]: n for n in wf.get("nodes", {}).values()}
-    succ: dict[int, int] = {}
-    pred: dict[int, int] = {}
-    for conn in wf.get("connections", {}).values():
-        # port 0 is KNIME's implicit flow-variable port; only ports >= 1
-        # carry data — a variable edge must not enter the data chain
-        if conn.get("sourcePort", 1) < 1 or conn.get("destPort", 1) < 1:
-            continue
-        src, dst = conn["sourceID"], conn["destID"]
-        if src in succ or dst in pred:
-            raise ValueError(
-                "load_workflow_dir supports linear workflows only "
-                f"(node {src if src in succ else dst} has multiple "
-                "data edges)"
-            )
-        succ[src] = dst
-        pred[dst] = src
-    roots = [i for i in nodes if i not in pred]
-    if len(roots) != 1:
-        raise ValueError(f"expected one root node, got {sorted(roots)}")
-    order: list[int] = []
-    cur: int | None = roots[0]
-    while cur is not None:
-        order.append(cur)
-        cur = succ.get(cur)
-    if len(order) != len(nodes):
-        raise ValueError("connection graph does not cover every node")
-    xml_texts = []
-    for i in order:
-        with open(os.path.join(path, nodes[i]["node_settings_file"]),
-                  encoding="utf-8") as f:
-            xml_texts.append(f.read())
-    return compile_workflow(xml_texts, source_table=source_table)
+    """Linear-chain compatibility wrapper over
+    :func:`load_workflow_program`: compile the directory and return the
+    single (Plan, CsvSourceSpec) pair — exactly the reference benchmark
+    workflow's shape. A workflow with branches (side plans or a second
+    source) refuses here; call :func:`load_workflow_program` for those."""
+    prog = load_workflow_program(path, source_prefix=source_table)
+    if prog.side_plans or len(prog.sources) > 1:
+        raise ValueError(
+            "workflow is not a linear chain (it has "
+            f"{len(prog.sources)} sources and {len(prog.side_plans)} "
+            "branch plans) — use load_workflow_program"
+        )
+    spec = next(iter(prog.csv_specs.values()), None)
+    return prog.plan, spec

@@ -627,3 +627,261 @@ def test_fuzz_dsl_translation_matches_python_replica(spark, e):
            for r in df.selectExpr("i", f"{sql} AS v").collect()}
     want = {i: py(r) for i, r in enumerate(_ROWS)}
     assert got == want, f"{dsl!r} -> {sql!r}"
+
+
+# ---------------------------------------------------------------------------
+# round-11 DAG extension: converging workflows (Concatenate node) compile
+# into a WorkflowProgram — main plan + per-branch sub-plans bound as named
+# side sources (ReferenceTables.java:76-146 multi-table resolution shape)
+# ---------------------------------------------------------------------------
+
+_XML_HEAD = '<?xml version="1.0" encoding="UTF-8"?>\n'
+
+
+def _csv_reader_xml(path: str, columns) -> str:
+    cols = "\n".join(
+        f'<config key="{i}"><entry key="name" type="xstring" value="{n}"/>'
+        f'<config key="type"><entry key="class" type="xstring" value="{j}"/>'
+        "</config></config>"
+        for i, (n, j) in enumerate(columns)
+    )
+    return (
+        _XML_HEAD
+        + f'''<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.io.filehandling.csv.reader.CSVTableReaderNodeFactory"/>
+    <config key="model">
+        <config key="settings">
+            <config key="file_selection"><config key="path">
+                <entry key="path" type="xstring" value="{path}"/>
+            </config></config>
+            <entry key="has_column_header" type="xboolean" value="true"/>
+        </config>
+        <config key="table_spec_config_Internals">
+            <config key="individual_specs"><config key="{path}">
+                <entry key="num_columns" type="xint" value="{len(columns)}"/>
+                {cols}
+            </config></config>
+        </config>
+    </config>
+</config>
+''')
+
+
+def _row_filter_xml(col: str, op: str, value: int) -> str:
+    return (
+        _XML_HEAD
+        + f'''<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.preproc.filter.row3.RowFilterNodeFactory"/>
+    <config key="model">
+        <entry key="matchCriteria" type="xstring" value="AND"/>
+        <config key="predicates"><config key="0">
+            <config key="column"><entry key="selected" type="xstring" value="{col}"/></config>
+            <entry key="operator" type="xstring" value="{op}"/>
+            <config key="predicateValues"><config key="values"><config key="0">
+                <config key="typeIdentifier">
+                    <entry key="cell_class" type="xstring" value="org.knime.core.data.def.IntCell"/>
+                </config>
+                <entry key="value" type="xint" value="{value}"/>
+            </config></config></config>
+        </config></config>
+        <entry key="outputMode" type="xstring" value="MATCHING"/>
+    </config>
+</config>
+''')
+
+
+def _column_filter_xml(names) -> str:
+    entries = "\n".join(
+        f'<entry key="{i}" type="xstring" value="{n}"/>'
+        for i, n in enumerate(names)
+    )
+    return (
+        _XML_HEAD
+        + f'''<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.preproc.filter.column.DataColumnSpecFilterNodeFactory"/>
+    <config key="model"><config key="column-filter">
+        <entry key="filter-type" type="xstring" value="STANDARD"/>
+        <config key="included_names">
+            <entry key="array-size" type="xint" value="{len(names)}"/>
+            {entries}
+        </config>
+    </config></config>
+</config>
+''')
+
+
+def _concatenate_xml(fail=False, suffix_mode=True, intersect=False,
+                     suffix="_dup") -> str:
+    b = lambda v: "true" if v else "false"  # noqa: E731
+    return (
+        _XML_HEAD
+        + f'''<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.preproc.append.row.AppendedRowsNodeFactory"/>
+    <config key="model">
+        <entry key="fail_on_duplicates" type="xboolean" value="{b(fail)}"/>
+        <entry key="append_suffix" type="xboolean" value="{b(suffix_mode)}"/>
+        <entry key="suffix" type="xstring" value="{suffix}"/>
+        <entry key="intersection_of_columns" type="xboolean" value="{b(intersect)}"/>
+        <entry key="enable_hiliting" type="xboolean" value="false"/>
+    </config>
+</config>
+''')
+
+
+def _workflow_knime(node_files: dict, connections) -> str:
+    nodes = "\n".join(
+        f'<config key="node_{i}"><entry key="id" type="xint" value="{i}"/>'
+        f'<entry key="node_settings_file" type="xstring" value="{f}"/></config>'
+        for i, f in node_files.items()
+    )
+    conns = "\n".join(
+        f'<config key="connection_{k}">'
+        f'<entry key="sourceID" type="xint" value="{s}"/>'
+        f'<entry key="destID" type="xint" value="{d}"/>'
+        f'<entry key="sourcePort" type="xint" value="{sp}"/>'
+        f'<entry key="destPort" type="xint" value="{dp}"/></config>'
+        for k, (s, d, sp, dp) in enumerate(connections)
+    )
+    return (
+        _XML_HEAD
+        + '<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="workflow.knime">\n'
+        + f'<config key="nodes">{nodes}</config>\n'
+        + f'<config key="connections">{conns}</config>\n</config>\n'
+    )
+
+
+def _write_dag_workflow(tmp_path, concat_xml: str,
+                        csv_b_columns=None) -> str:
+    """CSV A (#1) ─────────────┐
+       CSV B (#2) → Filter (#3) ┴→ Concatenate (#4) → Column Filter (#5)"""
+    cols_a = [("a", "java.lang.Integer"), ("b", "java.lang.String")]
+    cols_b = csv_b_columns or cols_a
+    wf = tmp_path / "wf"
+    files = {
+        1: ("CSV A (#1)", _csv_reader_xml("/data/a.csv", cols_a)),
+        2: ("CSV B (#2)", _csv_reader_xml("/data/b.csv", cols_b)),
+        3: ("Row Filter (#3)", _row_filter_xml("a", "GT", 1)),
+        4: ("Concatenate (#4)", concat_xml),
+        5: ("Column Filter (#5)",
+            _column_filter_xml([n for n, _ in cols_a])),
+    }
+    for _, (d, xml) in files.items():
+        (wf / d).mkdir(parents=True, exist_ok=True)
+        (wf / d / "settings.xml").write_text(xml, encoding="utf-8")
+    (wf / "workflow.knime").write_text(
+        _workflow_knime(
+            {i: f"{d}/settings.xml" for i, (d, _) in files.items()},
+            [(1, 4, 1, 1), (2, 3, 1, 1), (3, 4, 1, 2), (4, 5, 1, 1)],
+        ),
+        encoding="utf-8",
+    )
+    return str(wf)
+
+
+def test_dag_workflow_compiles(tmp_path):
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+
+    prog = load_workflow_program(_write_dag_workflow(
+        tmp_path, _concatenate_xml(suffix_mode=True)))
+    assert prog.sources == ["source", "source_2"]
+    assert list(prog.csv_specs) == ["source", "source_2"]
+    assert [s.op for s in prog.plan.steps] == [
+        "SOURCE", "CONCATENATE", "KEEP_ONLY"]
+    concat = prog.plan.steps[1]
+    assert concat.args["row_id_policy"] == "uniquify"
+    (branch_name,) = concat.args["tables"]
+    assert [s.op for s in prog.side_plans[branch_name].steps] == [
+        "SOURCE", "FILTER"]
+
+
+def _bind_ab(spark):
+    a = ColumnarTable(spark.createDataFrame(
+        [("r0", 1, "x"), ("r1", 2, "y"), ("r2", 3, "z")],
+        "_row_key string, a int, b string"))
+    b = ColumnarTable(spark.createDataFrame(
+        [("r1", 5, "p"), ("r2", 1, "q"), ("r3", 7, "s")],
+        "_row_key string, a int, b string"))
+    return {"source": a, "source_2": b}
+
+
+def test_dag_workflow_executes_uniquify(spark, tmp_path):
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+
+    prog = load_workflow_program(_write_dag_workflow(
+        tmp_path, _concatenate_xml(suffix_mode=True)))
+    out = prog.execute(spark, _bind_ab(spark))
+    got = {r["_row_key"]: (r["a"], r["b"]) for r in out.df.collect()}
+    # branch B keeps a > 1: r1 (5,p), r3 (7,s); r1 collides with A -> _dup
+    assert got == {"r0": (1, "x"), "r1": (2, "y"), "r2": (3, "z"),
+                   "r1_dup": (5, "p"), "r3": (7, "s")}
+
+
+def test_dag_workflow_fail_policy_raises_on_duplicate(spark, tmp_path):
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+
+    prog = load_workflow_program(_write_dag_workflow(
+        tmp_path, _concatenate_xml(fail=True, suffix_mode=False)))
+    out = prog.execute(spark, _bind_ab(spark))
+    with pytest.raises(Exception, match="(?i)duplicate|assert"):
+        out.df.collect()
+
+
+def test_dag_workflow_intersection_of_columns(spark, tmp_path):
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+
+    path = _write_dag_workflow(
+        tmp_path, _concatenate_xml(suffix_mode=True, intersect=True),
+        csv_b_columns=[("a", "java.lang.Integer"),
+                       ("c", "java.lang.String")])
+    prog = load_workflow_program(path)
+    # intersection = ['a']; the final Column Filter still asks for b -> the
+    # compiled plan keeps only what both branches share before the union
+    (branch_name,) = prog.plan.steps[-2].args["tables"]
+    assert prog.plan.steps[1].args == {"columns": ["a"]}
+    assert prog.side_plans[branch_name].steps[-1].args == {"columns": ["a"]}
+
+
+def test_concatenate_skip_mode_refuses(tmp_path):
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+
+    with pytest.raises(ValueError, match="skip duplicate rows"):
+        load_workflow_program(_write_dag_workflow(
+            tmp_path, _concatenate_xml(fail=False, suffix_mode=False)))
+
+
+def test_concatenate_custom_suffix_refuses(tmp_path):
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+
+    with pytest.raises(ValueError, match="_dup"):
+        load_workflow_program(_write_dag_workflow(
+            tmp_path, _concatenate_xml(suffix_mode=True, suffix="_b")))
+
+
+def test_fanout_refuses(tmp_path):
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+
+    path = _write_dag_workflow(tmp_path, _concatenate_xml())
+    wf = os.path.join(path, "workflow.knime")
+    with open(wf, encoding="utf-8") as f:
+        txt = f.read()
+    # add a second consumer of node 1's output
+    txt = txt.replace(
+        "</config>\n</config>\n",
+        '<config key="connection_9">'
+        '<entry key="sourceID" type="xint" value="1"/>'
+        '<entry key="destID" type="xint" value="3"/>'
+        '<entry key="sourcePort" type="xint" value="1"/>'
+        '<entry key="destPort" type="xint" value="2"/></config>'
+        "</config>\n</config>\n", 1)
+    with open(wf, "w", encoding="utf-8") as f:
+        f.write(txt)
+    with pytest.raises(ValueError, match="fan-out"):
+        load_workflow_program(path)
+
+
+def test_linear_wrapper_refuses_dag(tmp_path):
+    from knime_core_columnar_spark.plans.workflow import load_workflow_dir
+
+    with pytest.raises(ValueError, match="load_workflow_program"):
+        load_workflow_dir(_write_dag_workflow(
+            tmp_path, _concatenate_xml(suffix_mode=True)))
