@@ -147,6 +147,11 @@ HEADLINE = [
     # (the suffix window's key partition), branch filters pushed to
     # the scans
     "workflow_dag_execute",
+    # round-11: the Joiner node through the DAG compiler — filtered
+    # orders FULL OUTER customer from an on-disk workflow; full outer
+    # is the one unbroadcastable mode, so the cost IS the two-sided
+    # key shuffle + sort-merge
+    "workflow_join_execute",
 ]
 
 # sub-0.3 s queries whose r3→r4 deltas exceeded 15% with overlapping

@@ -639,3 +639,226 @@ def _r11x_workflow_dag_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
             sep=spec.column_delimiter, quote=spec.quote_char,
         )
     return prog.execute(spark, bindings).df
+
+
+# ---------------------------------------------------------------------------
+# workflow_join_execute — the Joiner node through the DAG compiler,
+# driver-hash-certified: orders (filtered to big-ticket) FULL OUTER
+# customer on o_custkey = c_custkey, compiled from an on-disk workflow
+# directory. The oracle replays the join AND the engine's concatenate
+# row-key rule (matched rows okey_ckey, outer rows keep the surviving
+# side's key — relational.join's concat mode), so a wrong join mode,
+# wrong predicate pairing, or wrong key fallback all break the hash.
+# ---------------------------------------------------------------------------
+
+_WF_JOIN_CUSTOMER_READER_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.io.filehandling.csv.reader.CSVTableReaderNodeFactory"/>
+    <entry key="node-name" type="xstring" value="CSV Reader"/>
+    <config key="model">
+        <config key="settings">
+            <config key="file_selection">
+                <config key="path">
+                    <entry key="fs_category" type="xstring" value="LOCAL"/>
+                    <entry key="path" type="xstring" value="{csv_path}"/>
+                </config>
+            </config>
+            <entry key="has_column_header" type="xboolean" value="true"/>
+            <entry key="has_row_id" type="xboolean" value="false"/>
+            <entry key="column_delimiter" type="xstring" value=","/>
+            <entry key="quote_char" type="xstring" value="&quot;"/>
+        </config>
+        <config key="table_spec_config_Internals">
+            <config key="individual_specs">
+                <config key="{csv_path}">
+                    <entry key="num_columns" type="xint" value="5"/>
+                    <config key="0">
+                        <entry key="name" type="xstring" value="c_custkey"/>
+                        <config key="type"><entry key="class" type="xstring" value="java.lang.Long"/></config>
+                    </config>
+                    <config key="1">
+                        <entry key="name" type="xstring" value="c_name"/>
+                        <config key="type"><entry key="class" type="xstring" value="java.lang.String"/></config>
+                    </config>
+                    <config key="2">
+                        <entry key="name" type="xstring" value="c_nationkey"/>
+                        <config key="type"><entry key="class" type="xstring" value="java.lang.Integer"/></config>
+                    </config>
+                    <config key="3">
+                        <entry key="name" type="xstring" value="c_acctbal"/>
+                        <config key="type"><entry key="class" type="xstring" value="java.lang.Double"/></config>
+                    </config>
+                    <config key="4">
+                        <entry key="name" type="xstring" value="c_mktsegment"/>
+                        <config key="type"><entry key="class" type="xstring" value="java.lang.String"/></config>
+                    </config>
+                </config>
+            </config>
+        </config>
+    </config>
+</config>
+"""
+
+_WF_JOIN_ROW_FILTER_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.preproc.filter.row3.RowFilterNodeFactory"/>
+    <config key="model">
+        <entry key="matchCriteria" type="xstring" value="AND"/>
+        <config key="predicates">
+            <config key="0">
+                <config key="column"><entry key="selected" type="xstring" value="o_totalprice"/></config>
+                <entry key="operator" type="xstring" value="GT"/>
+                <config key="predicateValues"><config key="values"><config key="0">
+                    <config key="typeIdentifier">
+                        <entry key="cell_class" type="xstring" value="org.knime.core.data.def.IntCell"/>
+                    </config>
+                    <entry key="value" type="xint" value="200000"/>
+                </config></config></config>
+            </config>
+        </config>
+        <entry key="outputMode" type="xstring" value="MATCHING"/>
+    </config>
+</config>
+"""
+
+_WF_JOIN_JOINER_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.preproc.joiner3.Joiner3NodeFactory"/>
+    <config key="model">
+        <entry key="compositionMode" type="xstring" value="MATCH_ALL"/>
+        <config key="leftTableJoinPredicate">
+            <entry key="array-size" type="xint" value="1"/>
+            <entry key="0" type="xstring" value="o_custkey"/>
+        </config>
+        <config key="rightTableJoinPredicate">
+            <entry key="array-size" type="xint" value="1"/>
+            <entry key="0" type="xstring" value="c_custkey"/>
+        </config>
+        <entry key="includeMatchesInOutput" type="xboolean" value="true"/>
+        <entry key="includeLeftUnmatchedInOutput" type="xboolean" value="true"/>
+        <entry key="includeRightUnmatchedInOutput" type="xboolean" value="true"/>
+        <entry key="mergeJoinColumns" type="xboolean" value="false"/>
+        <entry key="outputUnmatchedRowsToSeparatePorts" type="xboolean" value="false"/>
+        <entry key="rowKeyFactory" type="xstring" value="concatenate"/>
+        <entry key="rowKeySeparator" type="xstring" value="_"/>
+    </config>
+</config>
+"""
+
+_WF_JOIN_WORKFLOW_KNIME = """<?xml version="1.0" encoding="UTF-8"?>
+<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="workflow.knime">
+    <config key="nodes">
+        <config key="node_1"><entry key="id" type="xint" value="1"/><entry key="node_settings_file" type="xstring" value="CSV Reader (#1)/settings.xml"/></config>
+        <config key="node_2"><entry key="id" type="xint" value="2"/><entry key="node_settings_file" type="xstring" value="Row Filter (#2)/settings.xml"/></config>
+        <config key="node_3"><entry key="id" type="xint" value="3"/><entry key="node_settings_file" type="xstring" value="CSV Reader (#3)/settings.xml"/></config>
+        <config key="node_4"><entry key="id" type="xint" value="4"/><entry key="node_settings_file" type="xstring" value="Joiner (#4)/settings.xml"/></config>
+    </config>
+    <config key="connections">
+        <config key="connection_0"><entry key="sourceID" type="xint" value="1"/><entry key="destID" type="xint" value="2"/><entry key="sourcePort" type="xint" value="1"/><entry key="destPort" type="xint" value="1"/></config>
+        <config key="connection_1"><entry key="sourceID" type="xint" value="2"/><entry key="destID" type="xint" value="4"/><entry key="sourcePort" type="xint" value="1"/><entry key="destPort" type="xint" value="1"/></config>
+        <config key="connection_2"><entry key="sourceID" type="xint" value="3"/><entry key="destID" type="xint" value="4"/><entry key="sourcePort" type="xint" value="1"/><entry key="destPort" type="xint" value="2"/></config>
+    </config>
+</config>
+"""
+
+_WF_JOIN_ORACLE = """
+    WITH o AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+             o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_totalprice > 200000
+    ),
+    c AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS ckey,
+             c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer
+    )
+    SELECT CASE WHEN okey IS NULL THEN ckey
+                WHEN ckey IS NULL THEN okey
+                ELSE okey || '_' || ckey END AS _row_key,
+           o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderpriority,
+           c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM o FULL JOIN c ON o.o_custkey = c.c_custkey
+"""
+
+
+@query("workflow_join_execute", _WF_JOIN_ORACLE)
+def _r11x_workflow_join_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Joiner node through the saved-workflow DAG compiler: orders
+    filtered to o_totalprice > 200000 FULL OUTER customer on
+    o_custkey = c_custkey, executed from an on-disk workflow directory
+    (CSV Reader ×2, Row Filter, Joiner). Matched rows get okey_ckey
+    concatenated row keys; customers with no big-ticket order keep
+    their own key with every order column missing (the engine's outer
+    fallback — relational.join concat mode), which the oracle replays.
+    Plan shape: the order-side filter pushes into the CSV scan
+    (explain-verified) and the equi-keys hash-partition both sides into
+    a sort-merge join — FULL OUTER is the one mode Spark cannot
+    broadcast (unmatched rows of BOTH sides must surface), so the
+    shuffle is semantically irreducible; at 100 TB AQE's skew split
+    handles hot customers, and inner/left variants of the same compiled
+    plan do broadcast the dim side."""
+    from knime_core_columnar_spark.catalog.widening_a import (
+        _artifact_tag,
+        _publish_dir,
+    )
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+    from knime_core_columnar_spark.sources.io import read_csv
+
+    import os
+    import tempfile
+
+    tag = _artifact_tag(sf_dir, "orders")
+    orders_csv = f"/tmp/kccs_workflow_dag_csv_{tag}"
+    if not os.path.isdir(orders_csv):
+        (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite").option("header", "true")
+            .csv(f"{orders_csv}.part{os.getpid()}")
+        )
+        _publish_dir(f"{orders_csv}.part{os.getpid()}", orders_csv)
+    ctag = _artifact_tag(sf_dir, "customer")
+    customer_csv = f"/tmp/kccs_workflow_join_csv_{ctag}"
+    if not os.path.isdir(customer_csv):
+        (
+            _t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                    "c_mktsegment")
+            .write.mode("overwrite").option("header", "true")
+            .csv(f"{customer_csv}.part{os.getpid()}")
+        )
+        _publish_dir(f"{customer_csv}.part{os.getpid()}", customer_csv)
+
+    wf_dir = tempfile.mkdtemp(prefix="kccs_wf_join_")
+    node_files = {
+        "CSV Reader (#1)": _WF_DAG_CSV_READER_XML.replace(
+            "{csv_path}", orders_csv),
+        "Row Filter (#2)": _WF_JOIN_ROW_FILTER_XML,
+        "CSV Reader (#3)": _WF_JOIN_CUSTOMER_READER_XML.replace(
+            "{csv_path}", customer_csv),
+        "Joiner (#4)": _WF_JOIN_JOINER_XML,
+    }
+    for d, xml in node_files.items():
+        os.makedirs(os.path.join(wf_dir, d), exist_ok=True)
+        with open(os.path.join(wf_dir, d, "settings.xml"), "w",
+                  encoding="utf-8") as f:
+            f.write(xml)
+    with open(os.path.join(wf_dir, "workflow.knime"), "w",
+              encoding="utf-8") as f:
+        f.write(_WF_JOIN_WORKFLOW_KNIME)
+
+    prog = load_workflow_program(wf_dir)
+    keys = {"source": ["o_orderkey"], "source_2": ["c_custkey"]}
+    bindings = {}
+    for name, spec in prog.csv_specs.items():
+        schema = ", ".join(f"{n} {t}" for n, t in spec.columns)
+        bindings[name] = read_csv(
+            spark, spec.path, schema=schema,
+            header=spec.has_column_header,
+            key_columns=keys[name],
+            sep=spec.column_delimiter, quote=spec.quote_char,
+        )
+    return prog.execute(spark, bindings).df

@@ -45,6 +45,14 @@ _OPS: dict[str, list[str]] = {
     "CONCATENATE": ["tables"],
     "RENAME": ["mapping"],
     "CAST": ["casts"],
+    # ENGINE EXTENSION (round-11): equi-join of the running table with a
+    # named side source — compiled from the Joiner workflow node
+    # (plans/workflow.py). NOT part of the reference's persisted IR
+    # (TableTransformNodeSettingsPersistor.java:374-476 has no join
+    # transform — joins are workflow NODES there, not table-backend
+    # transforms), so save_knime_settings refuses it; Plan.to_json
+    # carries it natively.
+    "JOIN": ["table", "left_on", "right_on", "how"],
 }
 
 
@@ -170,6 +178,27 @@ class Plan:
                 table = table.rename_columns(a["mapping"])
             elif step.op == "CAST":
                 table = table.cast_columns(a["casts"])
+            elif step.op == "JOIN":
+                from pyspark.sql import functions as F
+
+                from ..operators.relational import join as _rel_join
+
+                right = resolve(a["table"])
+                lon, ron = list(a["left_on"]), list(a["right_on"])
+                if lon == ron:
+                    on: object = lon
+                else:
+                    # pairwise equality over differently-named columns;
+                    # the l/r aliases are the ones join() binds
+                    cond = None
+                    for lc, rc in zip(lon, ron):
+                        e = F.col(f"l.{lc}") == F.col(f"r.{rc}")
+                        cond = e if cond is None else (cond & e)
+                    on = cond
+                table = _rel_join(
+                    table, right, on=on, how=a["how"],
+                    row_key=a.get("row_key", "concat"),
+                )
         if table is None:
             raise ValueError("empty plan")
         return table

@@ -46,7 +46,16 @@ and this module compiles those four node types:
   ColumnarConcatenater.java:252-292) → UNIQUIFY; the node's third
   mode (skip duplicate rows) has no engine policy and refuses;
   ``intersection_of_columns`` compiles KEEP_ONLY of the common
-  branch columns onto every input.
+  branch columns onto every input;
+- ``Joiner3NodeFactory`` (Joiner) → the Plan IR's JOIN engine-extension
+  step executed by ``operators.relational.join``: MATCH_ALL pairwise
+  column predicates, inner/left/right/full via the node's
+  include-matches/include-unmatched flag triple, concatenate-'_'
+  row keys with outer fallback. MATCH_ANY, merged join columns,
+  separate unmatched ports, unmatched-only extraction, other row-key
+  factories/separators, and right-vs-left column-name collisions all
+  refuse by name (the engine's '_r' suffix must not silently stand in
+  for the node's duplicate-column setting).
 
 Everything unknown raises with the factory / function / operator named
 — a workflow that silently compiles to different semantics is worse
@@ -596,11 +605,90 @@ def _compile_concatenate(node: WorkflowNode) -> tuple[str, bool]:
     return policy, intersect
 
 
+#: Joiner (joiner3) output-mode flag triples → engine join modes. The
+#: node encodes inner/left/right/full as include-matches plus the two
+#: include-unmatched flags; combinations WITHOUT matches (pure
+#: unmatched extraction) keep the full joined schema with one side all
+#: missing in the node, which the engine's left_anti (left columns
+#: only) does not reproduce — those refuse with the alternative named.
+_JOINER_MODES = {
+    (True, False, False): "inner",
+    (True, True, False): "left",
+    (True, False, True): "right",
+    (True, True, True): "full",
+}
+
+
+def _compile_joiner(node: WorkflowNode) -> tuple[list[str], list[str], str]:
+    """The Joiner node's model → (left_on, right_on, engine join how).
+    Translated subset: MATCH_ALL composition over pairwise column
+    predicates, the four matched output modes, and the concatenate-'_'
+    row-key factory (exactly what operators.relational.join emits —
+    lk_rk with outer rows keeping the surviving side's key). Everything
+    else refuses by name."""
+    m = node.model
+    comp = m.get("compositionMode", "MATCH_ALL")
+    if comp != "MATCH_ALL":
+        raise ValueError(
+            f"Joiner compositionMode {comp!r} unsupported (only "
+            "MATCH_ALL conjunctions translate; MATCH_ANY would need an "
+            "OR-of-equalities join plan)"
+        )
+    left_on = [str(c) for c in
+               _indexed_children(m.get("leftTableJoinPredicate", {}))]
+    right_on = [str(c) for c in
+                _indexed_children(m.get("rightTableJoinPredicate", {}))]
+    if not left_on or len(left_on) != len(right_on):
+        raise ValueError(
+            "Joiner needs equal-length, non-empty "
+            f"leftTableJoinPredicate/rightTableJoinPredicate (got "
+            f"{left_on!r} / {right_on!r})"
+        )
+    if m.get("mergeJoinColumns", False):
+        raise ValueError(
+            "Joiner mergeJoinColumns is not translated (the engine "
+            "keeps both sides' join columns; merging would change the "
+            "output schema silently)"
+        )
+    if m.get("outputUnmatchedRowsToSeparatePorts", False):
+        raise ValueError(
+            "Joiner outputUnmatchedRowsToSeparatePorts is not "
+            "translated (the program compiles one output table)"
+        )
+    flags = (bool(m.get("includeMatchesInOutput", True)),
+             bool(m.get("includeLeftUnmatchedInOutput", False)),
+             bool(m.get("includeRightUnmatchedInOutput", False)))
+    how = _JOINER_MODES.get(flags)
+    if how is None:
+        raise ValueError(
+            f"Joiner output flags (matches={flags[0]}, "
+            f"left_unmatched={flags[1]}, right_unmatched={flags[2]}) "
+            "have no engine mode — unmatched-only extraction keeps the "
+            "joined schema with missing cells in the node; use the "
+            "engine's left_anti/left_semi directly for key-level "
+            "extraction"
+        )
+    rkf = m.get("rowKeyFactory", "concatenate")
+    if rkf != "concatenate":
+        raise ValueError(
+            f"Joiner rowKeyFactory {rkf!r} unsupported (the engine "
+            "emits concatenated left_right keys with outer fallback)"
+        )
+    sep = m.get("rowKeySeparator", "_")
+    if sep != "_":
+        raise ValueError(
+            f"Joiner rowKeySeparator {sep!r} unsupported (the engine's "
+            "concat key uses '_')"
+        )
+    return left_on, right_on, how
+
+
 _CSV_READER = "org.knime.base.node.io.filehandling.csv.reader.CSVTableReaderNodeFactory"
 _COLUMN_FILTER = "org.knime.base.node.preproc.filter.column.DataColumnSpecFilterNodeFactory"
 _STRING_MANIP = "org.knime.base.node.preproc.stringmanipulation.StringManipulationNodeFactory"
 _ROW_FILTER = "org.knime.base.node.preproc.filter.row3.RowFilterNodeFactory"
 _CONCATENATE = "org.knime.base.node.preproc.append.row.AppendedRowsNodeFactory"
+_JOINER = "org.knime.base.node.preproc.joiner3.Joiner3NodeFactory"
 
 
 def _apply_simple_node(
@@ -630,10 +718,11 @@ def _apply_simple_node(
     if node.factory == _ROW_FILTER:
         plan.add("FILTER", predicate=compile_row_filter_predicate(node.model))
         return known_columns
-    if node.factory == _CONCATENATE:
+    if node.factory in (_CONCATENATE, _JOINER):
         raise ValueError(
-            "Concatenate is a multi-input node — it compiles only from a "
-            "workflow graph (load_workflow_program), not a linear node list"
+            f"{node.factory.rsplit('.', 1)[-1]} is a multi-input node — "
+            "it compiles only from a workflow graph "
+            "(load_workflow_program), not a linear node list"
         )
     raise ValueError(
         f"no compiler for node factory {node.factory!r} "
@@ -822,6 +911,44 @@ def load_workflow_program(
                     known.extend(c for c in k if c not in known)
             plan.add("CONCATENATE", tables=names, row_id_policy=policy)
             return known
+        if node.factory == _JOINER:
+            left_on, right_on, how = _compile_joiner(node)
+            if sorted(p) != [1, 2]:
+                raise ValueError(
+                    f"Joiner node {nid} needs data on exactly ports 1 "
+                    f"(left) and 2 (right); connected: {sorted(p)}"
+                )
+            known = compile_into(p[1], plan)
+            sub = Plan()
+            rknown = compile_into(p[2], sub)
+            name = f"__branch_{nid}_2"
+            side_plans[name] = sub
+            if known is None or rknown is None:
+                raise ValueError(
+                    f"Joiner node {nid} needs both branch schemas known "
+                    "at compile time (a CSV Reader spec or Column "
+                    "Filter on each branch) to verify join columns and "
+                    "name disjointness"
+                )
+            missing_l = [c for c in left_on if c not in known]
+            missing_r = [c for c in right_on if c not in rknown]
+            if missing_l or missing_r:
+                raise ValueError(
+                    f"Joiner node {nid} join columns absent from their "
+                    f"branch: left {missing_l}, right {missing_r}"
+                )
+            clash = [c for c in rknown if c in known]
+            if clash:
+                raise ValueError(
+                    f"Joiner node {nid}: right-side columns {clash} "
+                    "collide with the left side — the engine would "
+                    "'_r'-suffix them, which diverges from the node's "
+                    "duplicate-column setting; rename or Column-Filter "
+                    "one side first"
+                )
+            plan.add("JOIN", table=name, left_on=left_on,
+                     right_on=right_on, how=how)
+            return [*known, *rknown]
         if not p:
             # non-reader root: the caller binds its input table
             plan.add("SOURCE", table=next_source_name())

@@ -885,3 +885,160 @@ def test_linear_wrapper_refuses_dag(tmp_path):
     with pytest.raises(ValueError, match="load_workflow_program"):
         load_workflow_dir(_write_dag_workflow(
             tmp_path, _concatenate_xml(suffix_mode=True)))
+
+
+# ---------------------------------------------------------------------------
+# round-11 DAG extension, part 2: the Joiner node -> Plan IR JOIN step
+# ---------------------------------------------------------------------------
+
+
+def _joiner_xml(left_on=("k",), right_on=("k2",), matches=True,
+                left_unmatched=False, right_unmatched=False,
+                composition="MATCH_ALL", merge=False, row_key_factory=
+                "concatenate", sep="_", separate_ports=False) -> str:
+    b = lambda v: "true" if v else "false"  # noqa: E731
+    arr = lambda names: (  # noqa: E731
+        f'<entry key="array-size" type="xint" value="{len(names)}"/>'
+        + "".join(f'<entry key="{i}" type="xstring" value="{n}"/>'
+                  for i, n in enumerate(names)))
+    return (
+        _XML_HEAD
+        + f'''<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.preproc.joiner3.Joiner3NodeFactory"/>
+    <config key="model">
+        <entry key="compositionMode" type="xstring" value="{composition}"/>
+        <config key="leftTableJoinPredicate">{arr(left_on)}</config>
+        <config key="rightTableJoinPredicate">{arr(right_on)}</config>
+        <entry key="includeMatchesInOutput" type="xboolean" value="{b(matches)}"/>
+        <entry key="includeLeftUnmatchedInOutput" type="xboolean" value="{b(left_unmatched)}"/>
+        <entry key="includeRightUnmatchedInOutput" type="xboolean" value="{b(right_unmatched)}"/>
+        <entry key="mergeJoinColumns" type="xboolean" value="{b(merge)}"/>
+        <entry key="outputUnmatchedRowsToSeparatePorts" type="xboolean" value="{b(separate_ports)}"/>
+        <entry key="rowKeyFactory" type="xstring" value="{row_key_factory}"/>
+        <entry key="rowKeySeparator" type="xstring" value="{sep}"/>
+    </config>
+</config>
+''')
+
+
+def _write_join_workflow(tmp_path, joiner_xml: str,
+                         right_columns=None) -> str:
+    """CSV A (#1) → Filter (#2) ─┐
+       CSV B (#3) ───────────────┴→ Joiner (#4)  (A port 1, B port 2)"""
+    cols_a = [("k", "java.lang.Integer"), ("va", "java.lang.String")]
+    cols_b = right_columns or [("k2", "java.lang.Integer"),
+                               ("vb", "java.lang.String")]
+    wf = tmp_path / "jwf"
+    files = {
+        1: ("CSV A (#1)", _csv_reader_xml("/data/a.csv", cols_a)),
+        2: ("Row Filter (#2)", _row_filter_xml("k", "GT", 0)),
+        3: ("CSV B (#3)", _csv_reader_xml("/data/b.csv", cols_b)),
+        4: ("Joiner (#4)", joiner_xml),
+    }
+    for _, (d, xml) in files.items():
+        (wf / d).mkdir(parents=True, exist_ok=True)
+        (wf / d / "settings.xml").write_text(xml, encoding="utf-8")
+    (wf / "workflow.knime").write_text(
+        _workflow_knime(
+            {i: f"{d}/settings.xml" for i, (d, _) in files.items()},
+            [(1, 2, 1, 1), (2, 4, 1, 1), (3, 4, 1, 2)],
+        ),
+        encoding="utf-8",
+    )
+    return str(wf)
+
+
+def _bind_join(spark):
+    a = ColumnarTable(spark.createDataFrame(
+        [("a0", 0, "zero"), ("a1", 1, "one"), ("a2", 2, "two"),
+         ("a3", 3, "three")],
+        "_row_key string, k int, va string"))
+    b = ColumnarTable(spark.createDataFrame(
+        [("b1", 1, "B1"), ("b2", 2, "B2"), ("b9", 9, "B9")],
+        "_row_key string, k2 int, vb string"))
+    return {"source": a, "source_2": b}
+
+
+def test_joiner_compiles_and_executes_inner(spark, tmp_path):
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+
+    prog = load_workflow_program(_write_join_workflow(
+        tmp_path, _joiner_xml()))
+    assert [s.op for s in prog.plan.steps] == ["SOURCE", "FILTER", "JOIN"]
+    join = prog.plan.steps[-1]
+    assert join.args["how"] == "inner"
+    assert join.args["left_on"] == ["k"] and join.args["right_on"] == ["k2"]
+    out = prog.execute(spark, _bind_join(spark))
+    got = {r["_row_key"]: (r["k"], r["va"], r["k2"], r["vb"])
+           for r in out.df.collect()}
+    # filter keeps k>0 (a1,a2,a3); inner join matches k==k2 on 1,2
+    assert got == {"a1_b1": (1, "one", 1, "B1"),
+                   "a2_b2": (2, "two", 2, "B2")}
+
+
+def test_joiner_full_outer_row_keys(spark, tmp_path):
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+
+    prog = load_workflow_program(_write_join_workflow(
+        tmp_path, _joiner_xml(left_unmatched=True, right_unmatched=True)))
+    assert prog.plan.steps[-1].args["how"] == "full"
+    out = prog.execute(spark, _bind_join(spark))
+    got = {r["_row_key"]: (r["k"], r["k2"]) for r in out.df.collect()}
+    # unmatched keep the surviving side's key alone
+    assert got == {"a1_b1": (1, 1), "a2_b2": (2, 2),
+                   "a3": (3, None), "b9": (None, 9)}
+
+
+def test_joiner_left_and_right_modes(tmp_path):
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+
+    p1 = load_workflow_program(_write_join_workflow(
+        tmp_path / "l", _joiner_xml(left_unmatched=True)))
+    assert p1.plan.steps[-1].args["how"] == "left"
+    p2 = load_workflow_program(_write_join_workflow(
+        tmp_path / "r", _joiner_xml(right_unmatched=True)))
+    assert p2.plan.steps[-1].args["how"] == "right"
+
+
+def test_joiner_refusals(tmp_path):
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+
+    cases = [
+        (_joiner_xml(composition="MATCH_ANY"), "MATCH_ANY"),
+        (_joiner_xml(merge=True), "mergeJoinColumns"),
+        (_joiner_xml(separate_ports=True), "SeparatePorts"),
+        (_joiner_xml(matches=False, left_unmatched=True), "no engine mode"),
+        (_joiner_xml(row_key_factory="sequential"), "rowKeyFactory"),
+        (_joiner_xml(sep="-"), "rowKeySeparator"),
+        (_joiner_xml(left_on=("k", "va"), right_on=("k2",)),
+         "equal-length"),
+        (_joiner_xml(left_on=("nope",)), "absent from their branch"),
+    ]
+    for i, (xml, msg) in enumerate(cases):
+        with pytest.raises(ValueError, match=msg):
+            load_workflow_program(
+                _write_join_workflow(tmp_path / str(i), xml))
+
+
+def test_joiner_column_collision_refuses(tmp_path):
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+
+    with pytest.raises(ValueError, match="collide"):
+        load_workflow_program(_write_join_workflow(
+            tmp_path, _joiner_xml(right_on=("k2",)),
+            right_columns=[("k2", "java.lang.Integer"),
+                           ("va", "java.lang.String")]))
+
+
+def test_join_plan_json_roundtrip_and_save_refusal(tmp_path):
+    from knime_core_columnar_spark.plans.persist import (
+        Plan, save_knime_settings)
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+
+    prog = load_workflow_program(_write_join_workflow(
+        tmp_path, _joiner_xml()))
+    rt = Plan.from_json(prog.plan.to_json())
+    assert [s.op for s in rt.steps] == [s.op for s in prog.plan.steps]
+    assert rt.steps[-1].args == prog.plan.steps[-1].args
+    with pytest.raises(ValueError, match="persisted IR catalog"):
+        save_knime_settings(prog.plan)
