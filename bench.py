@@ -152,6 +152,10 @@ HEADLINE = [
     # is the one unbroadcastable mode, so the cost IS the two-sided
     # key shuffle + sort-merge
     "workflow_join_execute",
+    # round-11: Top k Selector (unique-values mode) — partial-distinct
+    # shuffle of one column -> TakeOrdered -> k-row broadcast semi-join;
+    # no global sort/window anywhere
+    "workflow_topk_execute",
 ]
 
 # sub-0.3 s queries whose r3→r4 deltas exceeded 15% with overlapping

@@ -862,3 +862,115 @@ def _r11x_workflow_join_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
             sep=spec.column_delimiter, quote=spec.quote_char,
         )
     return prog.execute(spark, bindings).df
+
+
+# ---------------------------------------------------------------------------
+# workflow_topk_execute — the Top k Selector node from an on-disk
+# workflow: orders -> top 50 DISTINCT o_totalprice values (descending).
+# Unique-values mode is the oracle-clean one (no tie-break dependence):
+# the SQL replays "value is among the k best distinct values" exactly.
+# The engine plan is TakeOrdered on the distinct frame + a k-row
+# broadcast semi-join — no global sort, no global window.
+# ---------------------------------------------------------------------------
+
+_WF_TOPK_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.preproc.topk.TopKSelectorNodeFactory"/>
+    <config key="model">
+        <entry key="k" type="xint" value="50"/>
+        <entry key="selectionMode" type="xstring" value="TOP_K_UNIQUE_VALUES"/>
+        <entry key="outputOrder" type="xstring" value="NO_ORDER"/>
+        <config key="sorting">
+            <config key="incllist">
+                <entry key="array-size" type="xint" value="1"/>
+                <entry key="0" type="xstring" value="o_totalprice"/>
+            </config>
+            <config key="sortOrder">
+                <entry key="array-size" type="xint" value="1"/>
+                <entry key="0" type="xboolean" value="false"/>
+            </config>
+        </config>
+    </config>
+</config>
+"""
+
+_WF_TOPK_WORKFLOW_KNIME = """<?xml version="1.0" encoding="UTF-8"?>
+<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="workflow.knime">
+    <config key="nodes">
+        <config key="node_1"><entry key="id" type="xint" value="1"/><entry key="node_settings_file" type="xstring" value="CSV Reader (#1)/settings.xml"/></config>
+        <config key="node_2"><entry key="id" type="xint" value="2"/><entry key="node_settings_file" type="xstring" value="Top k Selector (#2)/settings.xml"/></config>
+    </config>
+    <config key="connections">
+        <config key="connection_0"><entry key="sourceID" type="xint" value="1"/><entry key="destID" type="xint" value="2"/><entry key="sourcePort" type="xint" value="1"/><entry key="destPort" type="xint" value="1"/></config>
+    </config>
+</config>
+"""
+
+_WF_TOPK_ORACLE = """
+    SELECT CAST(o_orderkey AS VARCHAR) AS _row_key,
+           o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderpriority
+    FROM orders
+    WHERE o_totalprice IN (
+        SELECT o_totalprice FROM (
+            SELECT DISTINCT o_totalprice FROM orders
+            ORDER BY o_totalprice DESC LIMIT 50))
+"""
+
+
+@query("workflow_topk_execute", _WF_TOPK_ORACLE)
+def _r11x_workflow_topk_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top k Selector through the saved-workflow compiler: keep every
+    order whose o_totalprice is among the 50 highest DISTINCT totals.
+    The compiled TOPK step's unique-values mode runs TakeOrdered over
+    the distinct value frame and broadcast-semi-joins the k survivors
+    back — at 100 TB the only moving parts are a partial-distinct
+    shuffle of ONE column and a k-row broadcast; there is no global
+    sort and no single-partition window anywhere in the plan."""
+    from knime_core_columnar_spark.catalog.widening_a import (
+        _artifact_tag,
+        _publish_dir,
+    )
+    from knime_core_columnar_spark.plans.workflow import load_workflow_program
+    from knime_core_columnar_spark.sources.io import read_csv
+
+    import os
+    import tempfile
+
+    tag = _artifact_tag(sf_dir, "orders")
+    orders_csv = f"/tmp/kccs_workflow_dag_csv_{tag}"
+    if not os.path.isdir(orders_csv):
+        (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite").option("header", "true")
+            .csv(f"{orders_csv}.part{os.getpid()}")
+        )
+        _publish_dir(f"{orders_csv}.part{os.getpid()}", orders_csv)
+
+    wf_dir = tempfile.mkdtemp(prefix="kccs_wf_topk_")
+    node_files = {
+        "CSV Reader (#1)": _WF_DAG_CSV_READER_XML.replace(
+            "{csv_path}", orders_csv),
+        "Top k Selector (#2)": _WF_TOPK_XML,
+    }
+    for d, xml in node_files.items():
+        os.makedirs(os.path.join(wf_dir, d), exist_ok=True)
+        with open(os.path.join(wf_dir, d, "settings.xml"), "w",
+                  encoding="utf-8") as f:
+            f.write(xml)
+    with open(os.path.join(wf_dir, "workflow.knime"), "w",
+              encoding="utf-8") as f:
+        f.write(_WF_TOPK_WORKFLOW_KNIME)
+
+    prog = load_workflow_program(wf_dir)
+    (name,) = prog.sources
+    spec = prog.csv_specs[name]
+    schema = ", ".join(f"{n} {t}" for n, t in spec.columns)
+    t = read_csv(
+        spark, spec.path, schema=schema, header=spec.has_column_header,
+        key_columns=["o_orderkey"],
+        sep=spec.column_delimiter, quote=spec.quote_char,
+    )
+    return prog.execute(spark, {name: t}).df

@@ -53,6 +53,14 @@ _OPS: dict[str, list[str]] = {
     # transforms), so save_knime_settings refuses it; Plan.to_json
     # carries it natively.
     "JOIN": ["table", "left_on", "right_on", "how"],
+    # ENGINE EXTENSION (round-11): top-k selection — compiled from the
+    # Top k Selector workflow node. mode "rows" is TakeOrdered with the
+    # RowID as the deterministic tie-break (a valid instance of the
+    # node's arbitrary tie handling that stays stable at any
+    # parallelism); mode "unique" keeps every row whose order-column
+    # tuple is among the k best DISTINCT tuples, via a k-row broadcast
+    # join — never a global window. Same save refusal as JOIN.
+    "TOPK": ["columns", "ascending", "k"],
 }
 
 
@@ -199,6 +207,36 @@ class Plan:
                     table, right, on=on, how=a["how"],
                     row_key=a.get("row_key", "concat"),
                 )
+            elif step.op == "TOPK":
+                from pyspark.sql import functions as F
+
+                from ..schema import ROW_KEY
+
+                cols = list(a["columns"])
+                asc = list(a["ascending"])
+                k = int(a["k"])
+                order = [F.col(c).asc() if up else F.col(c).desc()
+                         for c, up in zip(cols, asc)]
+                if a.get("mode", "rows") == "unique":
+                    # k best DISTINCT order-tuples (TakeOrdered on the
+                    # distinct frame), broadcast null-safe-joined back —
+                    # deterministic under ties, no global window/sort
+                    best = (table.df.select(*cols).distinct()
+                            .orderBy(*order).limit(k))
+                    cond = None
+                    for c in cols:
+                        e = table.df[c].eqNullSafe(best[c])
+                        cond = e if cond is None else (cond & e)
+                    table = type(table)(
+                        table.df.join(F.broadcast(best), cond, "left_semi")
+                    )
+                else:
+                    # exactly k rows; RowID breaks order ties so the
+                    # result is stable at any parallelism
+                    table = type(table)(
+                        table.df.orderBy(*order, F.col(ROW_KEY).asc())
+                        .limit(k)
+                    )
         if table is None:
             raise ValueError("empty plan")
         return table

@@ -55,7 +55,12 @@ and this module compiles those four node types:
   separate unmatched ports, unmatched-only extraction, other row-key
   factories/separators, and right-vs-left column-name collisions all
   refuse by name (the engine's '_r' suffix must not silently stand in
-  for the node's duplicate-column setting).
+  for the node's duplicate-column setting);
+- ``TopKSelectorNodeFactory`` (Top k Selector) → the TOPK
+  engine-extension step: TOP_K_ROWS is TakeOrdered with a RowID
+  tie-break (deterministic at any parallelism), TOP_K_UNIQUE_VALUES
+  keeps rows whose order tuple is among the k best distinct tuples
+  via a k-row broadcast semi-join — never a global window.
 
 Everything unknown raises with the factory / function / operator named
 — a workflow that silently compiles to different semantics is worse
@@ -683,12 +688,44 @@ def _compile_joiner(node: WorkflowNode) -> tuple[list[str], list[str], str]:
     return left_on, right_on, how
 
 
+def _compile_topk(node: WorkflowNode) -> tuple[list[str], list[bool], int, str]:
+    """The Top k Selector node's model → (columns, ascending, k, mode).
+    Selection modes: TOP_K_ROWS emits exactly k rows (the engine breaks
+    order ties by RowID — a deterministic instance of the node's
+    arbitrary tie handling); TOP_K_UNIQUE_VALUES keeps every row whose
+    order tuple is among the k best distinct tuples. The node's
+    outputOrder is accepted and ignored: this table model is unordered
+    and no translated downstream node is row-order-sensitive."""
+    m = node.model
+    k = int(m.get("k", 0))
+    if k < 1:
+        raise ValueError(f"Top k Selector k={k} must be >= 1")
+    sorting = m.get("sorting", m)
+    cols = [str(c) for c in _indexed_children(sorting.get("incllist", {}))]
+    asc = [bool(b) for b in _indexed_children(sorting.get("sortOrder", {}))]
+    if not cols or len(cols) != len(asc):
+        raise ValueError(
+            "Top k Selector needs equal-length, non-empty "
+            f"incllist/sortOrder (got {cols!r} / {asc!r})"
+        )
+    mode_raw = m.get("selectionMode", "TOP_K_ROWS")
+    modes = {"TOP_K_ROWS": "rows", "TOP_K_UNIQUE_VALUES": "unique"}
+    mode = modes.get(mode_raw)
+    if mode is None:
+        raise ValueError(
+            f"Top k Selector selectionMode {mode_raw!r} unsupported "
+            f"(known: {sorted(modes)})"
+        )
+    return cols, asc, k, mode
+
+
 _CSV_READER = "org.knime.base.node.io.filehandling.csv.reader.CSVTableReaderNodeFactory"
 _COLUMN_FILTER = "org.knime.base.node.preproc.filter.column.DataColumnSpecFilterNodeFactory"
 _STRING_MANIP = "org.knime.base.node.preproc.stringmanipulation.StringManipulationNodeFactory"
 _ROW_FILTER = "org.knime.base.node.preproc.filter.row3.RowFilterNodeFactory"
 _CONCATENATE = "org.knime.base.node.preproc.append.row.AppendedRowsNodeFactory"
 _JOINER = "org.knime.base.node.preproc.joiner3.Joiner3NodeFactory"
+_TOPK = "org.knime.base.node.preproc.topk.TopKSelectorNodeFactory"
 
 
 def _apply_simple_node(
@@ -717,6 +754,16 @@ def _apply_simple_node(
         return known_columns
     if node.factory == _ROW_FILTER:
         plan.add("FILTER", predicate=compile_row_filter_predicate(node.model))
+        return known_columns
+    if node.factory == _TOPK:
+        cols, asc, k, mode = _compile_topk(node)
+        if known_columns is not None:
+            missing = [c for c in cols if c not in known_columns]
+            if missing:
+                raise ValueError(
+                    f"Top k Selector sort columns absent: {missing}"
+                )
+        plan.add("TOPK", columns=cols, ascending=asc, k=k, mode=mode)
         return known_columns
     if node.factory in (_CONCATENATE, _JOINER):
         raise ValueError(

@@ -1042,3 +1042,100 @@ def test_join_plan_json_roundtrip_and_save_refusal(tmp_path):
     assert rt.steps[-1].args == prog.plan.steps[-1].args
     with pytest.raises(ValueError, match="persisted IR catalog"):
         save_knime_settings(prog.plan)
+
+
+# ---------------------------------------------------------------------------
+# round-11 DAG extension, part 3: Top k Selector -> TOPK engine step
+# ---------------------------------------------------------------------------
+
+
+def _topk_xml(k=2, cols=("v",), asc=(False,),
+              mode="TOP_K_ROWS") -> str:
+    b = lambda v: "true" if v else "false"  # noqa: E731
+    incl = "".join(f'<entry key="{i}" type="xstring" value="{c}"/>'
+                   for i, c in enumerate(cols))
+    order = "".join(f'<entry key="{i}" type="xboolean" value="{b(a)}"/>'
+                    for i, a in enumerate(asc))
+    return (
+        _XML_HEAD
+        + f'''<config xmlns="http://www.knime.org/2008/09/XMLConfig" key="settings.xml">
+    <entry key="factory" type="xstring" value="org.knime.base.node.preproc.topk.TopKSelectorNodeFactory"/>
+    <config key="model">
+        <entry key="k" type="xint" value="{k}"/>
+        <entry key="selectionMode" type="xstring" value="{mode}"/>
+        <entry key="outputOrder" type="xstring" value="NO_ORDER"/>
+        <config key="sorting">
+            <config key="incllist">
+                <entry key="array-size" type="xint" value="{len(cols)}"/>
+                {incl}
+            </config>
+            <config key="sortOrder">
+                <entry key="array-size" type="xint" value="{len(asc)}"/>
+                {order}
+            </config>
+        </config>
+    </config>
+</config>
+''')
+
+
+def _topk_frame(spark):
+    return ColumnarTable(spark.createDataFrame(
+        [("r0", 5, "a"), ("r1", 9, "b"), ("r2", 9, "c"),
+         ("r3", 7, "d"), ("r4", 2, "e")],
+        "_row_key string, v int, s string"))
+
+
+def test_topk_rows_mode_rowid_tiebreak(spark):
+    """k=2 descending over values 9,9,7,5,2: the two 9s tie and the
+    RowID tie-break deterministically keeps r1 (not r2)."""
+    plan, _ = compile_workflow([_topk_xml(k=2)], source_table="t")
+    out = plan.execute(spark, {"t": _topk_frame(spark)})
+    got = {r["_row_key"] for r in out.df.collect()}
+    assert got == {"r1", "r2"}
+    # k=3: both 9s + the 7
+    plan3, _ = compile_workflow([_topk_xml(k=3)], source_table="t")
+    got3 = {r["_row_key"]
+            for r in plan3.execute(spark, {"t": _topk_frame(spark)}).df.collect()}
+    assert got3 == {"r1", "r2", "r3"}
+    # tie split: k=1 must keep exactly the min-RowID 9
+    plan1, _ = compile_workflow([_topk_xml(k=1)], source_table="t")
+    got1 = [r["_row_key"]
+            for r in plan1.execute(spark, {"t": _topk_frame(spark)}).df.collect()]
+    assert got1 == ["r1"]
+
+
+def test_topk_unique_values_mode(spark):
+    """k=2 best DISTINCT values descending = {9, 7} -> three rows
+    (both 9s and the 7), more than k — value-level selection."""
+    plan, _ = compile_workflow(
+        [_topk_xml(k=2, mode="TOP_K_UNIQUE_VALUES")], source_table="t")
+    assert plan.steps[-1].args["mode"] == "unique"
+    out = plan.execute(spark, {"t": _topk_frame(spark)})
+    got = {r["_row_key"] for r in out.df.collect()}
+    assert got == {"r1", "r2", "r3"}
+
+
+def test_topk_ascending_and_refusals(spark):
+    plan, _ = compile_workflow(
+        [_topk_xml(k=2, asc=(True,))], source_table="t")
+    got = {r["_row_key"]
+           for r in plan.execute(spark, {"t": _topk_frame(spark)}).df.collect()}
+    assert got == {"r4", "r0"}  # 2 and 5
+    with pytest.raises(ValueError, match="k=0"):
+        compile_workflow([_topk_xml(k=0)])
+    with pytest.raises(ValueError, match="selectionMode"):
+        compile_workflow([_topk_xml(mode="NONSENSE")])
+    with pytest.raises(ValueError, match="equal-length"):
+        compile_workflow([_topk_xml(cols=("v", "s"), asc=(True,))])
+
+
+def test_topk_save_refusal_and_json_roundtrip(spark):
+    from knime_core_columnar_spark.plans.persist import (
+        Plan, save_knime_settings)
+
+    plan, _ = compile_workflow([_topk_xml(k=2)], source_table="t")
+    rt = Plan.from_json(plan.to_json())
+    assert rt.steps[-1].args == plan.steps[-1].args
+    with pytest.raises(ValueError, match="persisted IR catalog"):
+        save_knime_settings(plan)
