@@ -166,21 +166,41 @@ def _r10x_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knime_core_columnar_spark.operators.packing import pack_sequences
     from knime_core_columnar_spark.operators.text import (
         fim_transform,
-        language_mix_audit,
-        token_count,
+        language_mix_gate,
     )
 
     _ensure_pkg_on_executors(spark)
     d = _t(spark, sf_dir, "documents")
-    audit = language_mix_audit(d)
-    keep = audit.filter(
-        (F.col("majority_lang") == "en")
-        & (4 * F.col("n_switch") <= F.col("n_lang_paras"))
-    ).select("doc_id")
-    gated = d.join(keep, "doc_id", "left_semi")
+    # r11 optimization (guide §2.4 / §1.2): the language gate is a
+    # single-expression FILTER on the one corpus scan instead of an
+    # audit projection + doc_id semi-join back against a second scan —
+    # plan went 2 scans + BroadcastHashJoin LeftSemi → 1 scan, 0 joins,
+    # and language_mix_gate's let-binding keeps the pushed-down filter
+    # at ONE audit evaluation per row (a filter on the audit's derived
+    # columns inlined the tokenize+vote pipeline 13×: measured SLOWER
+    # than the join it replaced). Gate semantics are unchanged:
+    # English-majority, 4·n_switch ≤ n_lang_paras.
+    gated = d.filter(
+        language_mix_gate("text", majority="en",
+                          max_switch_num=1, max_switch_den=4)
+    ).select("doc_id", "text")
     fim = fim_transform(gated)
+    # r11 optimization (guide §1.2 "don't compute things you throw
+    # away"): the recount of the transformed output is exactly
+    # n_tokens + 3·fim_applied — PSM reorders the n source tokens and
+    # inserts the three sentinel tokens (empty segments are filtered,
+    # sentinels never are; untransformed docs re-join their n tokens
+    # single-spaced). token_count(output) re-split the assembled string
+    # per row AND forced the whole PSM string build to be computed;
+    # the arithmetic form lets Catalyst prune `output` entirely.
+    # Equivalence is oracle-certified (hash-identical vs the DuckDB
+    # replay, which still recounts by splitting).
     toks = fim.select(
-        "doc_id", token_count(F.col("output")).cast("long").alias("n_tokens")
+        "doc_id",
+        (
+            F.col("n_tokens")
+            + F.when(F.col("fim_applied"), F.lit(3)).otherwise(F.lit(0))
+        ).cast("long").alias("n_tokens"),
     )
     packed = pack_sequences(toks, "doc_id", "n_tokens",
                             capacity=512, n_streams=8)

@@ -1684,11 +1684,114 @@ def span_corruption_masks(
     )
 
 
+def _para_lang_preds(text_col: Column | str, sep: str) -> Column:
+    """Per-paragraph language predictions as array<string> — the shared
+    expression under :func:`language_mix_audit` and
+    :func:`language_mix_gate`. Split on ``sep``, trim, drop empties,
+    tokenize each paragraph lowercased, stopword-vote per language;
+    'und' when all votes are zero, ties in LANG_MARKERS order.
+
+    The 4 vote counts are let-bound ONCE per paragraph: the tie CASE
+    references every vote ~5× and an unbound reference re-runs its
+    filter pass over the token array per read (~20 interpreted passes
+    per paragraph; r11 measured a filter on the audit's derived columns
+    at 13 inlined copies of this whole pipeline before the binding)."""
+    import re as _re
+
+    langs = list(LANG_MARKERS)
+
+    paras = F.filter(
+        F.transform(
+            F.split(F.coalesce(
+                F.col(text_col) if isinstance(text_col, str) else text_col,
+                F.lit("")), _re.escape(sep)),
+            lambda p: F.trim(p),
+        ),
+        lambda p: p != "",
+    )
+    toks_per_para = F.transform(
+        paras,
+        lambda p: F.filter(
+            F.split(F.lower(p), r"\s+"), lambda x: x != ""
+        ),
+    )
+
+    def vote(t: Column, lang: str) -> Column:
+        sw = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+
+    def pred_of(t: Column) -> Column:
+        def _pick(v: Column) -> Column:
+            votes = [F.element_at(v, i + 1) for i in range(len(langs))]
+            mx = F.greatest(*votes)
+            expr = F.lit("und")
+            # reverse order so earlier langs win ties (last when wins
+            # in a chained otherwise; build right-to-left)
+            for lg, vt in zip(reversed(langs), reversed(votes)):
+                expr = F.when(vt == mx, F.lit(lg)).otherwise(expr)
+            return F.when(mx == 0, F.lit("und")).otherwise(expr)
+
+        return let_col(F.array(*[vote(t, lg) for lg in langs]), _pick)
+
+    return F.transform(toks_per_para, pred_of)
+
+
+def language_mix_gate(
+    text_col: Column | str = "text",
+    sep: str = "\n",
+    majority: str = "en",
+    max_switch_num: int = 1,
+    max_switch_den: int = 4,
+) -> Column:
+    """Single-EXPRESSION monolingual gate: TRUE iff
+    :func:`language_mix_audit` would report ``majority_lang ==
+    majority`` and ``n_switch / n_lang_paras <= max_switch_num /
+    max_switch_den`` (evaluated in exact integer arithmetic as
+    ``den·n_switch <= num·n_lang_paras``; FALSE when no paragraph
+    identifies). Same vote/tie rules, provably: majority_lang ==
+    majority ⟺ n_lang > 0 ∧ count(majority) == max(counts) under the
+    fixed tie order, and n_switch = n_lang − max(counts).
+
+    Why an expression and not a filter on the audit's columns: Catalyst
+    pushes a filter through the audit's projection by SUBSTITUTING the
+    full per-column expressions into the predicate — the r11 plan audit
+    found 13 inlined copies of the whole tokenize+vote pipeline (391
+    lambda nodes) evaluating per row, 1.2× SLOWER than the two-scan
+    semi-join it replaced. Here the prediction array is let-bound once;
+    every read inside the condition is an O(1) variable reference, so
+    the pushed-down filter costs one audit evaluation per row (guide
+    §2.4: remove the join; §1.2: then fix the per-row work)."""
+    if majority not in LANG_MARKERS:
+        raise ValueError(f"majority must be one of {list(LANG_MARKERS)}")
+
+    def _cond(preds: Column) -> Column:
+        def cnt(lg: str) -> Column:
+            return F.size(F.filter(preds, lambda p: p == F.lit(lg)))
+
+        langs = list(LANG_MARKERS)
+        counts = {lg: cnt(lg) for lg in langs}
+        mx = F.greatest(*counts.values())
+        n_lang = F.size(F.filter(preds, lambda p: p != "und"))
+        is_majority = counts[majority] == mx
+        # earlier langs win ties: majority_lang == majority also needs
+        # every earlier language to sit strictly below the maximum
+        for lg in langs[: langs.index(majority)]:
+            is_majority = is_majority & (counts[lg] < mx)
+        return (
+            (n_lang > 0)
+            & is_majority
+            & (max_switch_den * (n_lang - mx) <= max_switch_num * n_lang)
+        )
+
+    return let_col(_para_lang_preds(text_col, sep), _cond)
+
+
 def language_mix_audit(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Code-switching audit: per-PARAGRAPH language ID (the stopword-
     marker vote of :func:`lang_id` / text_quality_lang, applied at
@@ -1712,44 +1815,19 @@ def language_mix_audit(
     split, one tokenization per paragraph (materialized once via a
     nested transform; the vote CASE re-reads the bound token array,
     never re-tokenizes). Returns (id_col, n_paras, n_lang_paras,
-    majority_lang, n_switch, switch_frac)."""
-    import re as _re
+    majority_lang, n_switch, switch_frac[, *passthrough]).
 
+    ``passthrough`` carries input columns (e.g. the text itself)
+    through to the output unchanged, so a consumer that gates the
+    corpus on audit columns can FILTER in the same scan instead of
+    re-scanning the source and semi-joining back on id — one scan and
+    zero exchanges instead of two scans and a join (guide §2.4)."""
     langs = list(LANG_MARKERS)  # insertion order = tie precedence
-
-    paras = F.filter(
-        F.transform(
-            F.split(F.coalesce(F.col(text_col), F.lit("")),
-                    _re.escape(sep)),
-            lambda p: F.trim(p),
-        ),
-        lambda p: p != "",
-    )
-    toks_per_para = F.transform(
-        paras,
-        lambda p: F.filter(
-            F.split(F.lower(p), r"\s+"), lambda x: x != ""
-        ),
-    )
-
-    def vote(t: Column, lang: str) -> Column:
-        sw = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-        return F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
-
-    def pred_of(t: Column) -> Column:
-        votes = [vote(t, lg) for lg in langs]
-        mx = F.greatest(*votes)
-        out = F.lit("und")
-        # reverse order so earlier langs win ties (last when wins in a
-        # chained otherwise; build right-to-left)
-        expr = F.lit("und")
-        for lg, v in zip(reversed(langs), reversed(votes)):
-            expr = F.when(v == mx, F.lit(lg)).otherwise(expr)
-        return F.when(mx == 0, out).otherwise(expr)
 
     mid = df.select(
         F.col(id_col),
-        F.transform(toks_per_para, pred_of).alias("__preds"),
+        _para_lang_preds(text_col, sep).alias("__preds"),
+        *[F.col(c) for c in passthrough],
     )
     preds = F.col("__preds")
 
@@ -1779,6 +1857,7 @@ def language_mix_audit(
             .otherwise(F.lit(0.0))
             / F.greatest(n_lang, F.lit(1)).cast("double")
         ).alias("switch_frac"),
+        *[F.col(c) for c in passthrough],
     )
 
 
