@@ -75,6 +75,81 @@ def _ensure_pkg_on_executors(spark: SparkSession) -> None:
     _PKG_SHIPPED.add(key)
 
 
+#: (path, mtime) → row-group count; footer metadata is a driver-side
+#: read, cached so repeated query construction costs nothing
+_SCAN_SPLITS_CACHE: dict[tuple[str, float], int] = {}
+
+
+def _natural_scan_splits(path: str) -> int | None:
+    """Upper bound on a parquet scan's natural task parallelism: the
+    row-group count (a row group is parquet's minimum read unit — a
+    single-row-group file scans as ONE task no matter how the planner
+    splits it). Local paths only; None when unknowable."""
+    import os
+
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return None
+    key = (path, mtime)
+    hit = _SCAN_SPLITS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        if os.path.isdir(path):
+            import pyarrow.dataset as ds
+
+            n = sum(
+                f.metadata.num_row_groups
+                for f in ds.dataset(path, format="parquet").get_fragments()
+            )
+        else:
+            import pyarrow.parquet as pq
+
+            n = pq.read_metadata(path).num_row_groups
+    except Exception:
+        return None
+    _SCAN_SPLITS_CACHE[key] = n
+    return n
+
+
+def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scale-ADAPTIVE scan parallelization (guide §2.5, input skew:
+    "one huge unsplittable file ... repartition immediately after the
+    read"). The sandbox testdata ships ONE row group per table, so
+    every scan — and with it every scan-stage kernel: partial
+    aggregations, shingle explodes, Arrow batches — runs as a single
+    task however many cores the host has. When the scan's natural
+    parallelism (row-group count) is under a quarter of the cluster's,
+    round-robin repartition to defaultParallelism right after the
+    read: one shuffle of an input that is small-or-serial either way
+    buys full-width downstream stages. At production scale the
+    condition is false (a 100 TB table has tens of thousands of row
+    groups) and this is a NO-OP — nothing here is tuned to local[32];
+    the threshold derives from the session's own parallelism."""
+    import os
+
+    par = spark.sparkContext.defaultParallelism
+    natural = _natural_scan_splits(path)
+    try:
+        sz = (
+            sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(path) for f in fs
+            )
+            if os.path.isdir(path) else os.path.getsize(path)
+        )
+    except OSError:
+        return df
+    # tiny dimensions (region/nation/supplier) stay as-is: the exchange
+    # would cost more than the serial scan it parallelizes
+    if sz < 512 * 1024:
+        return df
+    if natural is not None and natural < max(2, par // 4):
+        return df.repartition(par)
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_pkg_on_executors(spark)
     # Runtime-settable confs forced here instead of relying on session
@@ -86,12 +161,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark 4
         # refuses (PARQUET_TYPE_ILLEGAL).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as long via nanosAsLong — restore
         # timestamp_ntz at micro precision (what DuckDB reads natively).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
     return df
+
+
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` + :func:`_widen_scan`: OPT-IN per query, for queries whose
+    scan stage carries heavy per-row work (text kernels, shingle
+    explodes, per-row Arrow batches) that would otherwise run serially
+    on a low-row-group input. NOT the default: for cheap row-level
+    scans the added exchange costs more than it parallelizes
+    (filter_rows measured 2.4× WORSE widened), hand-tuned join plans
+    gain a useless extra shuffle of the fact table (q21 2.0× worse),
+    and per-task-init-heavy kernels multiply their init cost
+    (bpe_encode 2.5× worse). Each call site below was measured both
+    ways (OPTIMIZATION_r11.md)."""
+    return _widen_scan(
+        spark, _t(spark, sf_dir, name), f"{sf_dir}/{name}.parquet"
+    )
 
 
 def _parquet_rows(sf_dir: str, name: str) -> int | None:

@@ -18,6 +18,7 @@ from knime_core_columnar_spark.table import ColumnarTable, RowIdPolicy
 from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
     _dec,
     _t,
+    _tw,
     query,
 )
 

@@ -21,6 +21,7 @@ from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
     _parquet_rows,
     _publish_dir,
     _t,
+    _tw,
     query,
 )
 

@@ -19,6 +19,7 @@ from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
     _dec,
     _parquet_rows,
     _t,
+    _tw,
     query,
 )
 
@@ -89,7 +90,7 @@ def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + stopword ratio + stopword-voting language ID."""
     from knime_core_columnar_spark.operators import text as X
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return d.select(
         "doc_id", "lang",
         X.stopword_ratio("text").alias("stopword_ratio"),
@@ -152,7 +153,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 band keys per doc are exploded and shuffled."""
     from knime_core_columnar_spark.operators.dedup import minhash_lsh_candidates
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return minhash_lsh_candidates(d, "doc_id", "text", num_perm=16, bands=4)
 
 
@@ -501,7 +502,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL replay (previously this tier was pytest-only)."""
     from knime_core_columnar_spark.operators.similarity import ivf_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tw(spark, sf_dir, "embeddings")
     return ivf_topk(e, e.filter("vec_id < 10"), k=5, ncells=16, nprobe=4,
                     corpus_count=_parquet_rows(sf_dir, "embeddings"))
 

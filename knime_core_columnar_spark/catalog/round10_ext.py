@@ -32,6 +32,7 @@ from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
     QUERIES,
     _ensure_pkg_on_executors,
     _t,
+    _tw,
     query,
 )
 
@@ -170,7 +171,7 @@ def _r10x_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_pkg_on_executors(spark)
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     # r11 optimization (guide §2.4 / §1.2): the language gate is a
     # single-expression FILTER on the one corpus scan instead of an
     # audit projection + doc_id semi-join back against a second scan —

@@ -29,6 +29,7 @@ from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
     QUERIES,
     _ensure_pkg_on_executors,
     _t,
+    _tw,
     query,
 )
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from knime_core_columnar_spark.catalog._registry import (
     _parquet_rows,
     _t,
+    _tw,
     query,
 )
 

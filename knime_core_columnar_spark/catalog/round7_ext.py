@@ -19,6 +19,7 @@ from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
     ORACLES,
     QUERIES,
     _t,
+    _tw,
     query,
 )
 
@@ -114,18 +115,22 @@ def _r7x_html_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure Catalyst regex + higher-order functions, scan-side."""
     from knime_core_columnar_spark.operators.web import html_main_text
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _tw(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.lit(_PAGE_HEAD), F.col("text"), F.lit(_PAGE_TAIL)).alias(
             "html"
         ),
     )
+    # r11 optimization: materialize the extraction struct ONCE per row,
+    # then extract its fields — extracting the three fields straight
+    # off the raw expression inlined the whole regex pipeline once per
+    # output column (~3 evaluations/row; guide §1.2)
     m = html_main_text("html", min_words=3, max_link_milli=400)
-    return d.select(
+    return d.select("doc_id", m.alias("__m")).select(
         "doc_id",
-        m["n_blocks"].alias("n_blocks"),
-        m["n_kept"].alias("n_kept"),
-        m["text"].alias("main_text"),
+        F.col("__m")["n_blocks"].alias("n_blocks"),
+        F.col("__m")["n_kept"].alias("n_kept"),
+        F.col("__m")["text"].alias("main_text"),
     )
 
 
@@ -171,7 +176,7 @@ def _r7x_kn_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
     from knime_core_columnar_spark.operators.text import kn_bigram_logprob
 
-    return kn_bigram_logprob(_t(spark, sf_dir, "documents"))
+    return kn_bigram_logprob(_tw(spark, sf_dir, "documents"))
 
 
 @query(

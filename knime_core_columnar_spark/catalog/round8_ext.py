@@ -26,6 +26,7 @@ from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
     ORACLES,
     QUERIES,
     _t,
+    _tw,
     query,
 )
 from knime_core_columnar_spark.operators.psl import registered_domain_sql
@@ -691,7 +692,7 @@ def _r8x_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay share only the metric definitions."""
     from knime_core_columnar_spark.operators.text import gopher_repetition
 
-    d = _t(spark, sf_dir, "documents").withColumn(
+    d = _tw(spark, sf_dir, "documents").withColumn(
         "text", F.replace(F.col("text"), F.lit(" table "), F.lit("\n"))
     )
     return gopher_repetition(

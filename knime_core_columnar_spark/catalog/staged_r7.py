@@ -19,6 +19,7 @@ from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
     ORACLES,
     QUERIES,
     _t,
+    _tw,
 )
 from knime_core_columnar_spark.catalog.formats_graph import (  # noqa: F401
     _NEARDUP_EDGE_CTE,
@@ -437,7 +438,7 @@ def _r7_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same conditions — no second pass, no Python."""
     from knime_core_columnar_spark.operators.text import gopher_rules
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return gopher_rules(
         d, min_words=20, max_words=80, min_mean_word_len=3.2,
         max_mean_word_len=4.2, max_symbol_ratio=0.1,

@@ -20,6 +20,7 @@ from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
     QUERIES,
     _parquet_rows,
     _t,
+    _tw,
 )
 
 # ---------------------------------------------------------------------------
@@ -735,7 +736,7 @@ def _r9_dup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knime_core_columnar_spark.operators.dedup import dup_span_apply
 
     return dup_span_apply(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_count=2
+        _tw(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_count=2
     )
 
 

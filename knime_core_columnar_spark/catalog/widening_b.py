@@ -20,6 +20,7 @@ from knime_core_columnar_spark.catalog._registry import (  # noqa: F401
     _ensure_pkg_on_executors,
     _parquet_rows,
     _t,
+    _tw,
     query,
 )
 

@@ -355,12 +355,15 @@ def _gopher_doc_stats(
     fraction is one IEEE division of exact integers, and the integer
     counts replicate the expression algebra's contracts precisely
     (trim strips 0x20 only like Spark's ``trim``; the token split uses
-    ASCII ``\\s`` like Java regex; gram identity is the token-id tuple,
-    injective to the joined gram string because tokens cannot contain
-    whitespace; gram char length = Σ token lens + (n−1) separator
-    spaces = length of the joined string)."""
+    ASCII ``\\s`` like Java regex; gram identity is the dense token-id
+    sequence — computed progressively in numpy via exact int64 pair
+    packing, r11 — injective to the joined gram string because tokens
+    cannot contain whitespace; gram char length = Σ token lens + (n−1)
+    separator spaces = length of the joined string)."""
     import re as _re
     from collections import Counter as _Counter
+
+    import numpy as np
 
     ws = _re.compile(r"\s+", _re.ASCII)
     if not isinstance(text, str):
@@ -377,27 +380,56 @@ def _gopher_doc_stats(
         "dup_line_char_frac": dup_line_chars / max(line_chars, 1),
     }
     toks = [t for t in ws.split(text.strip(" ")) if t != ""]
-    ids: dict[str, int] = {}
-    tid = [ids.setdefault(t, len(ids)) for t in toks]
-    id_len = [len(t) for t in ids]
-    norm_len = float(
-        max(sum(id_len[i] for i in tid) + max(len(toks) - 1, 0), 1)
-    )
+    L = len(toks)
+    # r11: vectorized gram counting (guide §4.2). The old kernel built
+    # a Counter of python token-id TUPLES per n (tuple alloc + hash per
+    # position per n — the dominant per-row cost of the battery per
+    # SCALE.md). Gram ids are now assigned PROGRESSIVELY in numpy: the
+    # n-gram id at position i is the dense-unique of the exact pair
+    # (id of (n-1)-gram at i, token id at i+n-1) packed into one int64
+    # — injective because both components are <= L < L+1, so gram
+    # identity stays EXACT (no hashing anywhere; bit-identical results,
+    # pinned by the differential fuzz vs the independent replica).
+    if L:
+        tid_arr = np.unique(np.array(toks, dtype=object),
+                            return_inverse=True)[1].astype(np.int64)
+        tok_lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                               count=L)
+        csum = np.concatenate(([0], np.cumsum(tok_lens)))
+        norm_len = float(max(int(csum[L]) + max(L - 1, 0), 1))
+    else:
+        tid_arr = np.empty(0, dtype=np.int64)
+        csum = np.zeros(1, dtype=np.int64)
+        norm_len = 1.0
     top: dict[int, float] = {}
     dup: dict[int, float] = {}
+    prev = tid_arr  # dense ids of (prev_n)-grams by start position
+    prev_n = 1
     for n in sorted(set(top_ns) | set(dup_ns)):
         top_chars = 0
         dup_chars = 0
-        if len(tid) >= n:
-            cnt = _Counter(zip(*(tid[k:] for k in range(n))))
-            sep_len = n - 1
-            for g, c in cnt.items():
-                glen = sum(id_len[i] for i in g) + sep_len
-                cov = c * glen
-                if cov > top_chars:
-                    top_chars = cov
-                if c > 1:
-                    dup_chars += cov - glen
+        if L >= n:
+            # extend the (prev_n)-gram ids one level at a time up to n;
+            # the final level also yields first-occurrence index and
+            # count per unique n-gram in the same pass
+            first = counts = None
+            for m in range(prev_n + 1, n + 1):
+                key = prev[: L - m + 1] * np.int64(L + 1) + tid_arr[m - 1:]
+                if m == n:
+                    _, first, prev, counts = np.unique(
+                        key, return_index=True, return_inverse=True,
+                        return_counts=True)
+                else:
+                    prev = np.unique(key, return_inverse=True)[1]
+            prev_n = n
+            if first is None:  # n == prev_n already (e.g. n == 1)
+                _, first, counts = np.unique(
+                    prev, return_index=True, return_counts=True)
+            glen = csum[first + n] - csum[first] + (n - 1)
+            cov = counts * glen
+            top_chars = int(cov.max())
+            d = counts > 1
+            dup_chars = int(((counts[d] - 1) * glen[d]).sum())
         if n in top_ns:
             top[n] = top_chars / norm_len
         if n in dup_ns:

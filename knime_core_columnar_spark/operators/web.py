@@ -217,6 +217,8 @@ def html_main_text(
     Returns struct(text, n_blocks, n_kept): the kept blocks joined by
     newline, the non-empty block count, and the kept count.
     """
+    from knime_core_columnar_spark.operators.text import let_col
+
     h = F.col(html) if isinstance(html, str) else html
     x = F.regexp_replace(h, _SCRIPT_RE, " ")
     x = F.regexp_replace(x, _STYLE_RE, " ")
@@ -224,32 +226,56 @@ def html_main_text(
     raw_blocks = F.split(F.regexp_replace(x, _BLOCK_SPLIT_RE, "\x01"), "\x01")
 
     def _block_info(b: Column) -> Column:
-        plain = _plain(b)
-        words = F.size(F.filter(F.split(plain, " "), lambda w: w != ""))
-        link_len = F.aggregate(
-            F.regexp_extract_all(b, F.lit(_ANCHOR_RE), F.lit(1)),
-            F.lit(0),
-            lambda acc, a: acc + F.length(_plain(a)),
-        )
-        return F.struct(
-            plain.alias("text"),
-            words.alias("words"),
-            link_len.alias("link_len"),
-        )
+        # let-bind the block's plain text: the struct reads it twice
+        # (text field + word count) and an unbound reference re-runs
+        # the tag-strip + entity-decode + collapse chain per read —
+        # interpreted HOF lambdas get no subexpression elimination
+        # (r11 measurement discipline, same as language_mix_gate)
+        def _with_plain(plain: Column) -> Column:
+            words = F.size(F.filter(F.split(plain, " "), lambda w: w != ""))
+            link_len = F.aggregate(
+                F.regexp_extract_all(b, F.lit(_ANCHOR_RE), F.lit(1)),
+                F.lit(0),
+                lambda acc, a: acc + F.length(_plain(a)),
+            )
+            return F.struct(
+                plain.alias("text"),
+                words.alias("words"),
+                link_len.alias("link_len"),
+            )
 
-    infos = F.filter(
+        return let_col(_plain(b), _with_plain)
+
+    infos_expr = F.filter(
         F.transform(raw_blocks, _block_info), lambda s: s["text"] != ""
     )
-    kept = F.filter(
-        infos,
-        lambda s: (s["words"] >= F.lit(min_words))
-        & (s["link_len"] * F.lit(1000) <= F.lit(max_link_milli) * F.length(s["text"])),
-    )
-    return F.struct(
-        F.array_join(F.transform(kept, lambda s: s["text"]), "\n").alias("text"),
-        F.size(infos).alias("n_blocks"),
-        F.size(kept).alias("n_kept"),
-    )
+
+    # let-bind infos AND kept: the output struct reads infos twice
+    # (kept's input + n_blocks) and kept twice (text + n_kept); unbound,
+    # each read re-runs the whole per-block extraction pipeline. NB: a
+    # consumer that extracts several FIELDS of the returned struct into
+    # separate columns still inlines the whole expression once per
+    # field — materialize the struct as a column first (one select),
+    # then extract fields from the bound column (see the catalog query).
+    def _build(infos: Column) -> Column:
+        kept_expr = F.filter(
+            infos,
+            lambda s: (s["words"] >= F.lit(min_words))
+            & (s["link_len"] * F.lit(1000)
+               <= F.lit(max_link_milli) * F.length(s["text"])),
+        )
+        return let_col(
+            kept_expr,
+            lambda kept: F.struct(
+                F.array_join(
+                    F.transform(kept, lambda s: s["text"]), "\n"
+                ).alias("text"),
+                F.size(infos).alias("n_blocks"),
+                F.size(kept).alias("n_kept"),
+            ),
+        )
+
+    return let_col(infos_expr, _build)
 
 
 def extract_main_text(
@@ -263,13 +289,19 @@ def extract_main_text(
     Scan-side row-local work — zero exchanges added to the plan; at
     100 TB this runs at whatever speed the scan runs."""
     m = html_main_text(html_col, min_words, max_link_milli)
-    return df.withColumns(
+    # materialize the struct ONCE, then extract fields from the bound
+    # column: extracting three fields of the raw expression would
+    # inline (and per row re-evaluate) the whole extraction pipeline
+    # once per field — CollapseProject keeps the boundary because the
+    # alias is non-cheap and multiply referenced
+    bound = df.withColumn("__m", m)
+    return bound.withColumns(
         {
-            f"{prefix}text": m["text"],
-            f"{prefix}n_blocks": m["n_blocks"],
-            f"{prefix}n_kept": m["n_kept"],
+            f"{prefix}text": F.col("__m")["text"],
+            f"{prefix}n_blocks": F.col("__m")["n_blocks"],
+            f"{prefix}n_kept": F.col("__m")["n_kept"],
         }
-    )
+    ).drop("__m")
 
 
 def apply_disallow_rules(
