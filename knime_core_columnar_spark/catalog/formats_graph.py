@@ -203,8 +203,14 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from knime_core_columnar_spark.operators.graph import pagerank_scaled
 
+    # r11: wide candidates, serial verify — the signature pass is the
+    # compute-heavy side (shingles x 16 perm hashes per token) so it
+    # gets the widened scan; the verify pass touches only LSH-survivor
+    # docs (semi-join gate), where a full-text repartition costs more
+    # than it parallelizes (measured: wide/wide 1.86 s, serial/serial
+    # 2.11 s, wide-cand/serial-verify 1.64 s at sf0.1)
     d = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(d, "doc_id", "text", num_perm=16, bands=4)
+    cand = minhash_lsh_candidates(_tw(spark, sf_dir, "documents"), "doc_id", "text", num_perm=16, bands=4)
     pairs = ngram_jaccard_pairs(
         d, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cand
     ).select("id_a", "id_b")
@@ -213,7 +219,8 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    ranks = pagerank_scaled(sym, "src", "dst", iterations=3)
+    ranks = pagerank_scaled(sym, "src", "dst", iterations=3,
+                            symmetric=True)
     return ranks.select(F.col("node").alias("doc_id"), "rank")
 
 

@@ -646,10 +646,19 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     ).localCheckpoint(eager=False)
+    # r11: seed labels at min(node, min neighbor) — the node-distinct
+    # pass was a groupBy on the same (src) shuffle anyway, so folding
+    # min(dst) into it runs propagation round 1 for free: one fewer
+    # BSP round (join + aggregate + checkpoint + probe) on every call.
+    # Fixpoint unchanged — labels still only ever decrease toward the
+    # component minimum along edges.
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__mn")).alias("label"),
+        )
         .localCheckpoint()
     )
     changed = 0

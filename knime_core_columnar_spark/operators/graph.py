@@ -24,6 +24,7 @@ def pagerank_scaled(
     scale: int = 1_000_000,
     damping_num: int = 85,
     damping_den: int = 100,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER micro-units — bit-identical on
     any engine and any partitioning.
@@ -64,13 +65,22 @@ def pagerank_scaled(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     ).localCheckpoint()
-    nodes = (
-        sym.select(F.col("src").alias("node"))
-        .unionByName(sym.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
     outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if symmetric:
+        # r11: with a SYMMETRIC edge list (every caller that undirects
+        # pairs), every endpoint appears as a src, so the node set IS
+        # the outdeg aggregation's key set — the union+distinct pass
+        # (a second full-edge shuffle + its own materialization) is
+        # redundant and dropped.
+        outdeg = outdeg.localCheckpoint()
+        nodes = outdeg.select(F.col("src").alias("node"))
+    else:
+        nodes = (
+            sym.select(F.col("src").alias("node"))
+            .unionByName(sym.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
     adj = sym.join(outdeg, "src").localCheckpoint()
 
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))

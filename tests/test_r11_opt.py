@@ -104,6 +104,43 @@ def test_fim_recount_arithmetic(spark, docs_df):
         assert r["recount"] == expect, r
 
 
+def test_pagerank_symmetric_flag_identical(spark):
+    """pagerank_scaled(symmetric=True) must be rank-for-rank identical
+    to the general path on a symmetric edge list (the flag only skips
+    the redundant union+distinct node derivation)."""
+    from knime_core_columnar_spark.operators.graph import pagerank_scaled
+
+    pairs = [(1, 2), (2, 3), (3, 4), (5, 6), (7, 7)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    a = {r["node"]: r["rank"]
+         for r in pagerank_scaled(edges, iterations=3).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank_scaled(edges, iterations=3,
+                                  symmetric=True).collect()}
+    assert a == b and len(a) == 7
+
+
+def test_connected_components_seeded_init_fixpoint(spark):
+    """The min-neighbor label seeding must not change the fixpoint:
+    labels equal the component minimum, including chain graphs that
+    exercise pointer doubling and singleton self-loops."""
+    from knime_core_columnar_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(10, 30)]          # diameter 20
+    extra = [(3, 1), (1, 2), (50, 50), (40, 41), (41, 42)]
+    edges = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+    got = {r["node"]: r["label"]
+           for r in connected_components(edges, "id_a", "id_b").collect()}
+    for n in range(10, 31):
+        assert got[n] == 10
+    assert got[1] == got[2] == got[3] == 1
+    assert got[50] == 50
+    assert got[40] == got[41] == got[42] == 40
+
+
 def test_gate_filter_plan_single_audit_copy(spark, docs_df):
     """The pushed-down gate predicate must contain exactly ONE copy of
     the tokenize+vote pipeline: one `split` on the paragraph separator
