@@ -952,6 +952,14 @@ def _bm25_score_terms(
     term batch — the shared core of ``bm25_topk`` (terms from query
     text) and ``rm3_expand_topk`` (terms from relevance feedback).
     Exactness and plan shape documented on ``bm25_topk``."""
+    # r11: materialize the postings table ONCE (lazy localCheckpoint) —
+    # it feeds three consumers (doc lengths, document frequencies, the
+    # candidate join) and the executed plan showed the corpus tokenize +
+    # explode + count shuffle re-running per consumer (ReusedExchange
+    # does not fire across differently-shaped descendants). The
+    # materialized frame is the (doc, term, tf) index — the build-once
+    # cost every lexical index pays.
+    tf = tf.localCheckpoint(eager=False)
     dl = tf.groupBy("__id").agg(F.sum("__tf").alias("__dl"))
     # corpus stats from the dl table (doc-count-sized, never corpus-sized)
     stats = dl.agg(

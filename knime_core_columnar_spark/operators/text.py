@@ -821,7 +821,14 @@ def bigram_logprob(
     rows = df.select(
         id_col, F.explode(bi).alias("__p")
     ).select(id_col, F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2"))
-    c12 = rows.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    # r11: materialize the count table once (lazy localCheckpoint, the
+    # kn_bigram/collocations discipline) — it feeds the context totals
+    # AND the model join, and exchange reuse does not fire across the
+    # differently-shaped consumers
+    c12 = (
+        rows.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+        .localCheckpoint(eager=False)
+    )
     c1 = c12.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
     v = c1.agg(F.count(F.lit(1)).cast("double").alias("__V"))
     model = (
@@ -2019,7 +2026,17 @@ def collocations_pmi(
     rows = df.select(F.explode(bi).alias("__p")).select(
         F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
     )
-    c12 = rows.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # r11: materialize the count table ONCE (lazy localCheckpoint — the
+    # kn_bigram_logprob discipline): c12 feeds four consumers (left and
+    # right marginals, the N₂ total, the scored join) and the executed
+    # plan showed ReusedExchange=0 — the corpus tokenize + bigram
+    # explode + count shuffle ran FOUR times. The materialized frame is
+    # vocabulary²-observed-sized (≪ corpus), the same budget the KN
+    # model table already pays.
+    c12 = (
+        rows.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     cl = c12.groupBy("w1").agg(F.sum("c12").alias("c_left"))
     cr = c12.groupBy("w2").agg(F.sum("c12").alias("c_right"))
     n2 = c12.agg(F.sum("c12").cast("double").alias("__n2"))
