@@ -188,22 +188,27 @@ def test_subdoc_dedup_no_hash_key_window(spark):
 
 
 def test_training_pipeline_e2e_shape(spark):
-    """Composed pipeline (round-10): the lang-audit gate must broadcast
-    the keep set into a semi-join (never shuffle the corpus for it), no
-    Window anywhere (the audit is array algebra, the packing is
-    applyInPandas), and at most two exchanges — the packing stream
-    partition and the per-pack rollup — both carrying (id, stream,
-    tokens) triples, never document text."""
+    """Composed pipeline (round-11 rework): the lang-audit gate is a
+    single-expression FILTER on the one corpus scan — no join of any
+    kind left in the plan (the r10 shape semi-joined keep-ids back
+    against a second scan), no Window anywhere (the audit is array
+    algebra, the packing is applyInPandas), and at most three
+    exchanges — the widened-scan repartition, the packing stream
+    partition and the per-pack rollup — the latter two carrying
+    (id, stream, tokens) triples, never document text."""
     import re
 
     p = plan_of(spark, "training_pipeline_e2e")
     assert "Window" not in p
     assert "CartesianProduct" not in p
-    assert "LeftSemi" in p and "BroadcastHashJoin" in p
+    # r11: the gate no longer joins — one scan, zero joins
+    assert "Join" not in p
+    assert p.count("Scan parquet") <= 2  # tree line + detail header
     shuffles = set(re.findall(r"\(\d+\) Exchange", p))
-    assert len(shuffles) <= 2, shuffles
-    # the exchanges sit above the FIM output projection: no text column
-    # in their output schemas
+    assert len(shuffles) <= 3, shuffles
+    # the PSM string build is pruned: no fim sentinel literal survives
+    # into the physical plan (the recount is n_tokens + 3*fim_applied)
+    assert "fim_prefix" not in p
     assert "FlatMapGroupsInPandas" in p  # pack_sequences kernel
 
 
