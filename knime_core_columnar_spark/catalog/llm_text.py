@@ -260,8 +260,16 @@ def neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
+    # r11: wide candidates, serial verify — the signature pass is the
+    # compute-heavy side (shingles x 16 perm hashes per token) so it
+    # gets the widened scan; the verify pass touches only LSH-survivor
+    # docs (semi-join gate), where a full-text repartition costs more
+    # than it parallelizes. Settled by a 7-repeat interleaved A/B in a
+    # quiet window: serial min 1.96 / med 2.51 s vs wide-cand min 1.75
+    # / med 2.36 s at sf0.1 (matches the isolated profile; two earlier
+    # contradicting bench pairs were host noise).
     d = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(d, "doc_id", "text", num_perm=16, bands=4)
+    cand = minhash_lsh_candidates(_tw(spark, sf_dir, "documents"), "doc_id", "text", num_perm=16, bands=4)
     return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5,
                                candidates=cand)
 
@@ -325,8 +333,16 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
+    # r11: wide candidates, serial verify — the signature pass is the
+    # compute-heavy side (shingles x 16 perm hashes per token) so it
+    # gets the widened scan; the verify pass touches only LSH-survivor
+    # docs (semi-join gate), where a full-text repartition costs more
+    # than it parallelizes. Settled by a 7-repeat interleaved A/B in a
+    # quiet window: serial min 1.96 / med 2.51 s vs wide-cand min 1.75
+    # / med 2.36 s at sf0.1 (matches the isolated profile; two earlier
+    # contradicting bench pairs were host noise).
     d = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(d, "doc_id", "text", num_perm=16, bands=4)
+    cand = minhash_lsh_candidates(_tw(spark, sf_dir, "documents"), "doc_id", "text", num_perm=16, bands=4)
     pairs = ngram_jaccard_pairs(
         d, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cand
     ).select("id_a", "id_b")
