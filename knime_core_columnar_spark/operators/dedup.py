@@ -659,7 +659,7 @@ def connected_components(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("__mn")).alias("label"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     changed = 0
     for rnd in range(max_iter):
@@ -668,9 +668,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # the convergence flag rides the label-update projection, so the
-        # probe is a filter-count over the ALREADY-materialized (eager
-        # localCheckpoint) frame — no extra label-vs-label join per round
+        # r12: every checkpoint in the loop is LAZY and the convergence
+        # count is the action that materializes it — ONE driver action
+        # per superstep (the eager checkpoint + separate probe count
+        # was 2, plus a third for the pointer-doubling hop). The lazy
+        # checkpoint still truncates the logical plan at build time
+        # (the returned frame wraps a LogicalRDD), and the count's
+        # filter cannot prune columns through that RDD boundary, so the
+        # full label frame is persisted by the same job that probes it.
         upd = F.least(
             F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
         )
@@ -681,7 +686,7 @@ def connected_components(
                 upd.alias("__new"),
                 (upd < F.col("label")).alias("__changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.select("node", F.col("__new").alias("label"))
@@ -710,7 +715,10 @@ def connected_components(
                         F.coalesce(F.col("__ll"), F.col("label")),
                     ).alias("label"),
                 )
-                .localCheckpoint()
+                # lazy: the NEXT round's convergence count (or the
+                # caller's action, if this was the last round)
+                # materializes the hop — no dedicated job for it
+                .localCheckpoint(eager=False)
             )
     if changed > 0:
         raise RuntimeError(

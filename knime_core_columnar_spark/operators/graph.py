@@ -58,13 +58,17 @@ def pagerank_scaled(
         raise ValueError("iterations must be >= 0")
     base = scale * (damping_den - damping_num) // damping_den
 
-    # materialize the edge list once — the caller's edge derivation may be
+    # checkpoint the edge list once — the caller's edge derivation may be
     # an expensive subtree (LSH candidates + verification); nodes/outdeg/
-    # adj below would otherwise each recompute it
+    # adj below would otherwise each recompute it. r12: every prologue
+    # checkpoint is LAZY — the checkpoint still truncates the plan and
+    # pins the RDD so each frame is computed exactly once, but the
+    # materialization rides the consumer's (single) action instead of
+    # costing three dedicated prologue jobs per call.
     sym = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     if symmetric:
         # r11: with a SYMMETRIC edge list (every caller that undirects
@@ -72,16 +76,16 @@ def pagerank_scaled(
         # the outdeg aggregation's key set — the union+distinct pass
         # (a second full-edge shuffle + its own materialization) is
         # redundant and dropped.
-        outdeg = outdeg.localCheckpoint()
+        outdeg = outdeg.localCheckpoint(eager=False)
         nodes = outdeg.select(F.col("src").alias("node"))
     else:
         nodes = (
             sym.select(F.col("src").alias("node"))
             .unionByName(sym.select(F.col("dst").alias("node")))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-    adj = sym.join(outdeg, "src").localCheckpoint()
+    adj = sym.join(outdeg, "src").localCheckpoint(eager=False)
 
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for _ in range(iterations):
