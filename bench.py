@@ -275,6 +275,27 @@ def _noise_gate(repo: str, probes: list[tuple[int, float]],
     return cal
 
 
+def _group_max_tasks(sc, group: str) -> int:
+    """Max task count of any stage run under ``group`` — the per-query
+    parallelism proof requested by VERDICT r11 (scaling item 2). Uses
+    the status tracker only (no listener, no UI); 0 when the tracker
+    has already evicted the job info."""
+    try:
+        st = sc.statusTracker()
+        best = 0
+        for jid in st.getJobIdsForGroup(group):
+            ji = st.getJobInfo(jid)
+            if ji is None:
+                continue
+            for sid in ji.stageIds:
+                si = st.getStageInfo(sid)
+                if si is not None and si.numTasks > best:
+                    best = si.numTasks
+        return best
+    except Exception:
+        return 0
+
+
 def _force(df) -> None:
     """Evaluate the full plan, every column included. Map-typed columns
     (and structs containing maps) are not hashable by xxhash64, so they
@@ -320,6 +341,9 @@ def main():
     subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
     subset = [s for s in subset_env.split(",") if s] if subset_env else None
     timings: dict[str, float] = {}
+    # per-query max stage task count, recorded on the warm-up run —
+    # scheduler-level proof of how wide each query actually ran
+    tasks_max: dict[str, int] = {}
     # per-query [min, median, max] across the n runs: sub-1.1x round-over-
     # round deltas are adjudicated against the spread, not a lone number
     spread: dict[str, list[float]] = {}
@@ -336,7 +360,17 @@ def main():
         # query absorbs python-worker startup, parquet-footer reads, and
         # first-use JIT so ALL n timed runs are warm — the recorded
         # spread then reflects steady-state variance, not cold-start.
+        # r12 (VERDICT r11 item 2): the warm-up run carries a job group
+        # so the record can report each query's real max stage task
+        # count — direct evidence that $SPARK_GRAFT_CPUS reached the
+        # scheduler (the driver's scaling heuristic previously had to
+        # infer it from wall-clock ratios, which are flat at sf0.1
+        # where every query is overhead-dominated).
+        sc = spark.sparkContext
+        sc.setJobGroup(f"bench-warm-{name}", name)
         _force(fn(spark, sf_dir))
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        tasks_max[name] = _group_max_tasks(sc, f"bench-warm-{name}")
         runs = []
         for _ in range(n_this):
             t0 = time.perf_counter()
@@ -362,12 +396,24 @@ def main():
                               query_order)
 
     total = round(sum(timings.values()), 4)
+    # scaling observability (VERDICT r11 item 2): the one-line JSON now
+    # carries direct proof that $SPARK_GRAFT_CPUS reached the scheduler —
+    # the session master string, the resulting defaultParallelism, and
+    # how many queries actually ran a stage that wide. Additions only;
+    # every pre-existing field is unchanged.
+    dp = spark.sparkContext.defaultParallelism
+    master = spark.sparkContext.master
+    n_wide = sum(1 for v in tasks_max.values() if v >= dp)
     record = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "default_parallelism": dp,
+        "master": master,
+        "tasks_max": tasks_max,
+        "n_queries_task_width_ge_parallelism": n_wide,
         "sf": float(sf),
         "action": "checksum",  # rounds 1-4: "count" (see module docstring)
         "n": n_runs,
@@ -414,6 +460,13 @@ def main():
         "action": record["action"],
         "n": n_runs,
         "warmup_discard": 1,
+        # scaling proof, compact form (the per-query task-width map
+        # lives in the full record to keep this line small): master +
+        # defaultParallelism show the env var reached the scheduler;
+        # the count shows how many queries ran a stage that wide.
+        "default_parallelism": dp,
+        "master": master,
+        "n_queries_task_width_ge_parallelism": n_wide,
         "calibration": calibration,
         "git_sha": record["git_sha"],
         "full_record": full_path,
