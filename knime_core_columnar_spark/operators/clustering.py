@@ -125,10 +125,21 @@ def _lloyd(
     assigned = vecs  # rebound below; iters >= 1 is enforced above
     for _ in range(iters):
         # per-iteration cost: one broadcast argmin scan (assign_cells)
-        # plus the (cell, dim, int64) update aggregation below
+        # plus the (cell, dim, int64) update aggregation below.
+        # r12: posexplode_OUTER + the __d IS NULL / __d = 0 member count
+        # fold the cell sizes into the update aggregation, so consumers
+        # that need (centroid, n_members) read them off ONE aggregation
+        # instead of joining a second corpus-wide count pass against
+        # this one (the join duplicated the whole iteration chain in
+        # the physical plan — every scan and argmin ran twice). Members
+        # with an empty/null vector emit a single (null, null) dim row:
+        # they count toward __n_members (as the old sizes pass did) but
+        # never contribute a dim group, and a cell whose members are
+        # ALL empty keeps the old behavior (absent) via the size()
+        # filter — semantics are exactly the old sizes-join's.
         assigned = assign_cells(vecs, cents, id_col)
         dims = assigned.select(
-            "cell_id", F.posexplode("__v").alias("__d", "__x")
+            "cell_id", F.posexplode_outer("__v").alias("__d", "__x")
         ).select(
             "cell_id",
             "__d",
@@ -141,13 +152,31 @@ def _lloyd(
                 F.sum("__x6").cast("double")
                 / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
                 6,
-            ).alias("__m")
+            ).alias("__m"),
+            F.count(F.lit(1)).alias("__dn"),
         )
-        cents = per_dim.groupBy("cell_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__d", "__m"))),
-                lambda s: s["__m"],
-            ).alias("__c")
+        cents = (
+            per_dim.groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__d").isNotNull(),
+                                F.struct("__d", "__m"),
+                            )
+                        )
+                    ),
+                    lambda s: s["__m"],
+                ).alias("__c"),
+                F.sum(
+                    F.when(
+                        F.col("__d").isNull() | (F.col("__d") == 0),
+                        F.col("__dn"),
+                    )
+                ).alias("__n_members"),
+            )
+            .filter(F.size("__c") > 0)
         )
     return assigned, cents
 
@@ -212,10 +241,15 @@ def kmeans_lite(
     row count is already known (catalog stats, a prior count) to skip
     the one up-front counting scan — it need only be approximate to
     within ~2× for the 4·k oversample to land."""
-    assigned, cents = _lloyd(df, k, iters, id_col, vec_col, corpus_count)
-    sizes = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_members"))
-    return sizes.join(cents, "cell_id").select(
+    _assigned, cents = _lloyd(df, k, iters, id_col, vec_col, corpus_count)
+    # r12: n_members rides the final update aggregation (see _lloyd) —
+    # the old corpus-wide sizes pass + join re-ran the entire iteration
+    # chain a second time in the executed plan. The isNotNull filter
+    # replicates the old sizes-join's USING-key semantics (a null cell
+    # — possible only when the seed sample came up empty — never
+    # matched itself in the join and was dropped).
+    return cents.filter(F.col("cell_id").isNotNull()).select(
         "cell_id",
-        "n_members",
+        F.col("__n_members").cast("long").alias("n_members"),
         F.round(F.sqrt(_sq_norm(F.col("__c"))), 6).alias("centroid_norm"),
     )
