@@ -135,13 +135,20 @@ def lang_id(col: Column | str) -> Column:
     tokenizations/doc for 5 languages). Here the lowered token array
     binds once, the vote array binds once, and the CASE reads
     elements of the bound array."""
+    return let_col(tokens(col), _lang_id_from_tokens)
+
+
+def _lang_id_from_tokens(toks: Column) -> Column:
+    """:func:`lang_id` over an already-bound token array — identical
+    values to ``lang_id(col)`` when ``toks = tokens(col)``. Exists so a
+    composed gate expression (``curation_gate_keep``) can share one
+    token binding between the Gopher battery and the language vote
+    instead of re-tokenizing the document."""
     langs = list(LANG_MARKERS)
     marker_sets = [
         F.array(*[F.lit(w) for w in LANG_MARKERS[lang]]) for lang in langs
     ]
-    lowered = let_col(
-        tokens(col), lambda t: F.transform(t, lambda x: F.lower(x))
-    )
+    lowered = F.transform(toks, lambda x: F.lower(x))
     votes = let_col(
         lowered,
         lambda t: F.array(*[
@@ -2217,6 +2224,125 @@ def kn_bigram_logprob(
     )
 
 
+def curation_gate_keep(
+    text_col: Column | str,
+    *,
+    min_words: int = 20,
+    max_words: int = 80,
+    min_mean_word_len: float = 3.2,
+    max_mean_word_len: float = 4.2,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 1,
+    c4_min_words_per_line: int = 4,
+    c4_require_terminal_punct: bool = True,
+    c4_min_kept_lines: int = 2,
+    c4_drop_substrings: tuple[str, ...] = ("javascript", "{"),
+    c4_drop_doc_substrings: tuple[str, ...] = ("lorem ipsum",),
+    lang: str = "en",
+    newline_synthesis: tuple[str, str] | None = (" table ", ".\n"),
+) -> Column:
+    """The full curation gate (Gopher battery AND C4 doc keep AND
+    language gate) as ONE let-bound boolean expression — value-for-value
+    identical to ``curation_gate_fingerprints``'s flags
+    ``__gk & __ck & __lk`` (each sub-predicate is the same expression
+    tree the flag columns build, with the shared subterms bound).
+
+    Why it exists (r12, the training-pipeline r11 lesson replayed):
+    when the filtered gate was expressed as ``where(flag & ...)`` over
+    the flag PROJECTIONS, Catalyst pushed the predicate through them by
+    SUBSTITUTION — the pushed-down Filter re-tokenized the document
+    once per Gopher CASE branch (~8 interpreted tokenizations/row on
+    the base-corpus side of curation_funnel_delta). Binding the token
+    array, char sum, and C4 text inside one expression keeps the
+    pushed-down predicate at ONE tokenization (+ one lowered copy for
+    the language vote) per row wherever Catalyst moves it."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    def with_toks(toks: Column) -> Column:
+        def with_cs(cs: Column) -> Column:
+            n_words = F.size(toks)
+            n_wordsd = F.greatest(n_words, F.lit(1)).cast("double")
+            mean_wl = cs.cast("double") / n_wordsd
+            n_symbol = F.size(
+                F.filter(
+                    toks,
+                    lambda x: x.contains("#") | x.contains("...")
+                    | x.contains("…"),
+                )
+            )
+            symbol_ratio = n_symbol.cast("double") / n_wordsd
+            n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+            alpha_ratio = n_alpha.cast("double") / n_wordsd
+            n_stop = F.size(
+                F.filter(toks, lambda x: F.lower(x).isin(*GOPHER_STOPWORDS))
+            )
+            checks = [
+                ("too_few_words", n_words < min_words),
+                ("too_many_words", n_words > max_words),
+                ("mean_word_len_low", mean_wl < min_mean_word_len),
+                ("mean_word_len_high", mean_wl > max_mean_word_len),
+                ("symbol_ratio_high", symbol_ratio > max_symbol_ratio),
+                ("alpha_ratio_low", alpha_ratio < min_alpha_ratio),
+                ("too_few_stopwords", n_stop < min_stopwords),
+            ]
+            # EXACTLY gopher_rules' keep: no failed (non-null) check
+            gk = (
+                F.size(
+                    F.filter(
+                        F.array(
+                            *[F.when(cond, F.lit(name))
+                              for name, cond in checks]
+                        ),
+                        lambda x: x.isNotNull(),
+                    )
+                )
+                == 0
+            )
+            return gk & (_lang_id_from_tokens(toks) == lang)
+
+        return let_col(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ),
+            with_cs,
+        )
+
+    gopher_and_lang = let_col(tokens(c), with_toks)
+
+    ct_val = (
+        F.replace(c, F.lit(newline_synthesis[0]), F.lit(newline_synthesis[1]))
+        if newline_synthesis is not None
+        else c
+    )
+
+    def line_ok(x: Column) -> Column:
+        cond = (
+            F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
+            >= c4_min_words_per_line
+        )
+        if c4_require_terminal_punct:
+            cond = cond & x.rlike("[.!?\"']$")
+        for s in c4_drop_substrings:
+            cond = cond & ~F.lower(x).contains(s.lower())
+        return cond
+
+    def with_ct(ct: Column) -> Column:
+        kept = F.filter(
+            F.filter(
+                F.transform(F.split(ct, "\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            ),
+            line_ok,
+        )
+        ok = F.size(kept) >= c4_min_kept_lines
+        for s in c4_drop_doc_substrings:
+            ok = ok & ~F.lower(ct).contains(s.lower())
+        return ok
+
+    return gopher_and_lang & let_col(ct_val, with_ct)
+
+
 def curation_gate_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2256,10 +2382,35 @@ def curation_gate_fingerprints(
     their ``append=True`` mode — ONE corpus scan, zero joins, zero
     exchanges. The previous shape joined three separately-derived flag
     frames on the id, which re-read the corpus per gate and shuffled
-    corpus-sized flag tables at scale. In the filtered (default) mode
-    Catalyst splits the final conjunction and pushes each gate's
-    predicate below the later gates' projections, so survivors still
-    shrink gate-by-gate."""
+    corpus-sized flag tables at scale.
+
+    Round-12: the filtered (default) mode applies
+    :func:`curation_gate_keep` — the SAME gate conjunction as one
+    let-bound expression — directly on the input. Filtering on the flag
+    projections let Catalyst push the predicate down by substitution,
+    and the pushed Filter re-tokenized the document once per Gopher
+    CASE branch (~8 interpreted tokenizations/row measured on
+    curation_funnel_delta's base side); the bound form keeps it at one
+    tokenization wherever the predicate lands."""
+    if not flags:
+        keep = curation_gate_keep(
+            text_col,
+            min_words=min_words, max_words=max_words,
+            min_mean_word_len=min_mean_word_len,
+            max_mean_word_len=max_mean_word_len,
+            max_symbol_ratio=max_symbol_ratio,
+            min_alpha_ratio=min_alpha_ratio, min_stopwords=min_stopwords,
+            c4_min_words_per_line=c4_min_words_per_line,
+            c4_require_terminal_punct=c4_require_terminal_punct,
+            c4_min_kept_lines=c4_min_kept_lines,
+            lang=lang, newline_synthesis=newline_synthesis,
+        )
+        fp = fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+        return (
+            df.select(id_col, text_col)
+            .where(keep)
+            .select(id_col, fp.alias("__fp"))
+        )
     t = gopher_rules(
         df.select(id_col, text_col), id_col, text_col,
         min_words=min_words, max_words=max_words,
@@ -2289,9 +2440,4 @@ def curation_gate_fingerprints(
         (lang_id(text_col) == lang).alias("__lk"),
         fp.alias("__fp"),
     )
-    if flags:
-        return out
-    return (
-        out.where(F.col("__gk") & F.col("__ck") & F.col("__lk"))
-        .select(id_col, "__fp")
-    )
+    return out

@@ -91,3 +91,57 @@ def test_pagerank_symmetric_lazy_matches_eager_semantics(spark):
         for r in pagerank_scaled(edges, iterations=3).collect()
     }
     assert sym == gen and 7 in sym
+
+
+def test_curation_gate_keep_equals_flags_conjunction(spark):
+    """The r12 single-expression gate (filtered mode) must admit
+    EXACTLY the rows the flags mode marks __gk & __ck & __lk, for
+    every tricky document shape and across parameter combos."""
+    from knime_core_columnar_spark.operators.text import (
+        curation_gate_fingerprints,
+    )
+
+    docs = [
+        (1, None),
+        (2, ""),
+        (3, "   \t  "),
+        (4, "the cat sat on the mat with a hat and that is all folks"),
+        (5, ("the quick brown fox jumps over the lazy dog and that "
+             "fox have been with many dogs of the north. "
+             "every word here is plain english prose that should pass "
+             "the gate table it keeps going with more of the same text "
+             "and ends properly.")),
+        (6, "word " * 300),
+        (7, "### ... … # symbols every where # ... …"),
+        (8, "der die und nicht ist der die und nicht ist der die und "
+            "nicht ist der die und nicht ist der die und nicht ist."),
+        (9, "lorem ipsum dolor sit amet " * 10),
+        (10, "a b c d e f g h i j k l m n o p q r s t u v w x y z."),
+        (11, ("the cat and the dog have that hat table with many fine "
+              "words of prose that end well table the second line also "
+              "carries enough words to be kept here table and a third "
+              "line of the same friendly shape is present too.")),
+        (12, "singleword"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    combos = [
+        {},
+        {"min_words": 5, "max_words": 400},
+        {"c4_min_kept_lines": 1, "c4_min_words_per_line": 2},
+        {"lang": "de"},
+        {"newline_synthesis": None},
+        {"min_mean_word_len": 1.0, "max_mean_word_len": 20.0,
+         "min_stopwords": 0, "min_alpha_ratio": 0.0},
+    ]
+    for kw in combos:
+        filtered = {
+            r["doc_id"]
+            for r in curation_gate_fingerprints(df, **kw).collect()
+        }
+        fl = curation_gate_fingerprints(df, flags=True, **kw)
+        expected = {
+            r["doc_id"]
+            for r in fl.collect()
+            if r["__gk"] and r["__ck"] and r["__lk"]
+        }
+        assert filtered == expected, (kw, filtered, expected)
