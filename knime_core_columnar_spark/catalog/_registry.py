@@ -75,16 +75,19 @@ def _ensure_pkg_on_executors(spark: SparkSession) -> None:
     _PKG_SHIPPED.add(key)
 
 
-#: (path, mtime) → row-group count; footer metadata is a driver-side
-#: read, cached so repeated query construction costs nothing
-_SCAN_SPLITS_CACHE: dict[tuple[str, float], int] = {}
+#: (path, mtime) → (row-group count, total byte size); footer metadata
+#: and the size walk are driver-side reads, cached together so repeated
+#: query construction costs nothing (ADVICE r11: the size was re-walked
+#: per _tw call while the row-group count was cached)
+_SCAN_SPLITS_CACHE: dict[tuple[str, float], tuple[int, int]] = {}
 
 
-def _natural_scan_splits(path: str) -> int | None:
-    """Upper bound on a parquet scan's natural task parallelism: the
-    row-group count (a row group is parquet's minimum read unit — a
-    single-row-group file scans as ONE task no matter how the planner
-    splits it). Local paths only; None when unknowable."""
+def _scan_splits_and_size(path: str) -> tuple[int, int] | None:
+    """(row-group count, byte size) of a parquet file/dir. The count is
+    the upper bound on a scan's natural task parallelism (a row group
+    is parquet's minimum read unit — a single-row-group file scans as
+    ONE task no matter how the planner splits it). Local paths only;
+    None when unknowable."""
     import os
 
     try:
@@ -103,14 +106,19 @@ def _natural_scan_splits(path: str) -> int | None:
                 f.metadata.num_row_groups
                 for f in ds.dataset(path, format="parquet").get_fragments()
             )
+            sz = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(path) for f in fs
+            )
         else:
             import pyarrow.parquet as pq
 
             n = pq.read_metadata(path).num_row_groups
+            sz = os.path.getsize(path)
     except Exception:
         return None
-    _SCAN_SPLITS_CACHE[key] = n
-    return n
+    _SCAN_SPLITS_CACHE[key] = (n, sz)
+    return n, sz
 
 
 def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
@@ -127,25 +135,16 @@ def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     condition is false (a 100 TB table has tens of thousands of row
     groups) and this is a NO-OP — nothing here is tuned to local[32];
     the threshold derives from the session's own parallelism."""
-    import os
-
     par = spark.sparkContext.defaultParallelism
-    natural = _natural_scan_splits(path)
-    try:
-        sz = (
-            sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _d, fs in os.walk(path) for f in fs
-            )
-            if os.path.isdir(path) else os.path.getsize(path)
-        )
-    except OSError:
+    meta = _scan_splits_and_size(path)
+    if meta is None:
         return df
+    natural, sz = meta
     # tiny dimensions (region/nation/supplier) stay as-is: the exchange
     # would cost more than the serial scan it parallelizes
     if sz < 512 * 1024:
         return df
-    if natural is not None and natural < max(2, par // 4):
+    if natural < max(2, par // 4):
         return df.repartition(par)
     return df
 
