@@ -338,8 +338,19 @@ def minhash_lsh_candidates(
     Plan shape: explode shingles → vectorized per-perm hash mins (one
     aggregation) → B band keys per doc → shuffle on band key →
     in-bucket self-join → distinct pairs. The only shuffled payload is
-    (id, band_key); document text never moves."""
-    banded = minhash_band_table(df, id_col, text_col, num_perm, bands, shingle_n)
+    (id, band_key); document text never moves.
+
+    r12: the band table is lazily localCheckpoint-ed before the
+    self-join — the executed plan showed ReusedExchange NEVER fired
+    across the join's two sides (0 reuses, 2 parquet scans), so the
+    signature pass (shingle explode + num_perm min-hash aggregation,
+    the compute-heavy stage of the whole near-dup family) ran TWICE
+    per call. The checkpoint materializes the (id, band, key) rows —
+    exactly the index incremental_dedup_admit persists — once, and
+    both join sides read it."""
+    banded = minhash_band_table(
+        df, id_col, text_col, num_perm, bands, shingle_n
+    ).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -586,6 +597,10 @@ def simhash_near_pairs(
             ])
         ).alias("__c"),
     ).select(id_col, "__sim", "__c.band", "__c.chunk")
+    # r12: same ReusedExchange gap as minhash_lsh_candidates — without
+    # the checkpoint the per-token md5 signature pass ran twice (once
+    # per self-join side; executed plan showed 0 reuses, 2 scans).
+    chunks = chunks.localCheckpoint(eager=False)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))

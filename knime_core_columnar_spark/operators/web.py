@@ -293,15 +293,20 @@ def extract_main_text(
     # column: extracting three fields of the raw expression would
     # inline (and per row re-evaluate) the whole extraction pipeline
     # once per field — CollapseProject keeps the boundary because the
-    # alias is non-cheap and multiply referenced
-    bound = df.withColumn("__m", m)
+    # alias is non-cheap and multiply referenced. The staging name is
+    # collision-safe (ADVICE r11): an input that already carries "__m"
+    # must not be silently overwritten and dropped.
+    stage = "__m"
+    while stage in df.columns:
+        stage += "_"
+    bound = df.withColumn(stage, m)
     return bound.withColumns(
         {
-            f"{prefix}text": F.col("__m")["text"],
-            f"{prefix}n_blocks": F.col("__m")["n_blocks"],
-            f"{prefix}n_kept": F.col("__m")["n_kept"],
+            f"{prefix}text": F.col(stage)["text"],
+            f"{prefix}n_blocks": F.col(stage)["n_blocks"],
+            f"{prefix}n_kept": F.col(stage)["n_kept"],
         }
-    ).drop("__m")
+    ).drop(stage)
 
 
 def apply_disallow_rules(
